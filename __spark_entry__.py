@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query (the reference's aggregator ETL shape:
+                dim broadcast-join + grouped exact-decimal SUM) on sf0.001.
+queries()     — one callable per implemented operator from SURVEY.md §2
+                (+ the large-scale training-data extensions).
+oracle_sql()  — DuckDB twin for every SQL-expressible query; engineered so
+                values (including doubles) are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -13,26 +14,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdata_usaspending_spark.catalog import load
+from bigdata_usaspending_spark.operators.joins import join_dim_fact
+from bigdata_usaspending_spark.operators.aggregates import sum_by_key
+from bigdata_usaspending_spark.plans import corpus
+from bigdata_usaspending_spark.session import apply_runtime_confs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: total award amount by recipient analog — fact ⋈ broadcast dim
+    -> groupBy(name, carried attr) -> exact SUM (reference:
+    app/spark_cassandra_etl_award_amount_aggregator.py:66-95)."""
+    apply_runtime_confs(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = join_dim_fact(customer, nation, on=customer.c_nationkey == nation.n_nationkey)
+    joined = join_dim_fact(orders, dim, on=orders.o_custkey == dim.c_custkey)
+    return sum_by_key(joined, ["c_name", "n_name"], "o_totalprice")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(corpus.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(corpus.ORACLE_SQL)

@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect count) after a warmup
+that amortizes session/JVM startup. Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bigdata_usaspending_spark.session import get_spark
+    from bigdata_usaspending_spark.plans import corpus
+
+    spark = get_spark("bench")
+    # Warmup: touch every table once so JVM/codegen/file-listing costs don't
+    # land on the first timed query.
+    from bigdata_usaspending_spark.catalog import TABLES, load
+
+    for t in TABLES:
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in corpus.QUERIES.items():
+        start = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001 — record failures as -1
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,158 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All grouped sums use exact-decimal accumulation (functions.exact_sum) so the
+result is independent of partition/merge order — a correctness property the
+reference silently lacked with float money, and a necessary condition for comparing
+against a single-threaded oracle at any scale.
+
+Every groupBy here compiles to partial (map-side) + final hash aggregation
+with a single shuffle on the grouping keys; AQE coalesces the post-shuffle
+partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum, month_of
+
+
+def sum_by_key(
+    df: DataFrame, keys: Sequence[str], amount_col: str, alias: str = "total_award_amount"
+) -> DataFrame:
+    """Grouped SUM with 1+ grouping keys (reference A1/A2:
+    app/spark_cassandra_etl_award_amount_aggregator.py:83-85,
+    app/spark_cassandra_groupby.py:68-72)."""
+    return df.groupBy(*keys).agg(exact_sum(amount_col, alias))
+
+
+def sum_by_month(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    amount_col: str,
+    alias: str = "total_award_amount",
+) -> DataFrame:
+    """Grouped SUM by (key, calendar month) — tumbling 1-month bucket
+    (reference A3: app/spark_cassandra_groupby_month.py:25-32)."""
+    return df.groupBy(F.col(key), month_of(date_col).alias("month")).agg(
+        exact_sum(amount_col, alias)
+    )
+
+
+def value_counts(df: DataFrame, col: str, alias: str = "cnt") -> DataFrame:
+    """GROUP BY col COUNT(*) — replaces the reference's driver-side
+    collections.Counter full-table pull (A5:
+    app/fetch_recipient_name_geo_data.py:99-105)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias(alias))
+
+
+def distinct_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """COUNT(DISTINCT c) for several columns in ONE pass (reference A4 ran one
+    job per column: app/machine_learning_models.py:159-167)."""
+    return df.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols]
+    )
+
+
+def exact_median(df: DataFrame, col: str, tiebreak: str, alias: str = "median") -> DataFrame:
+    """Deterministic exact median (reference A6 used approxQuantile p=0.5,
+    app/machine_learning_models.py:237-238; we compute the exact quantity so
+    an external oracle can reproduce it bit-for-bit).
+
+    Sorts once, picks the middle row(s) by row_number, averages. At cluster
+    scale prefer ``F.percentile_approx`` for the threshold use-case; this
+    exact variant exists for correctness checking and small-dim medians.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(col).asc(), F.col(tiebreak).asc())
+    ranked = df.select(
+        F.col(col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.expr("(_n + 1) div 2")) | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+    )
+    return mid.agg(F.avg("_v").alias(alias))
+
+
+def describe_stats(df: DataFrame, col: str) -> DataFrame:
+    """count/mean/stddev/min/max of a numeric column (reference A7 used
+    df.describe(): app/machine_learning_models.py:300).
+
+    Computed from exact-decimal sums so mean and stddev are deterministic
+    doubles reproducible by any engine: stddev = sqrt((Σx² − (Σx)²/n)/(n−1))
+    with Σ taken over decimals. Inputs cast at DECIMAL(19,4) (forces int128
+    storage in the DuckDB twin, avoiding its int64 product overflow) and the
+    product pinned to DECIMAL(38,6) on both sides.
+    """
+    din = "decimal(19,4)"
+    dprod = "decimal(38,6)"
+    agg = df.agg(
+        F.count(F.col(col)).alias("cnt"),
+        F.sum(F.col(col).cast(din)).alias("_s"),
+        F.sum((F.col(col).cast(din) * F.col(col).cast(din)).cast(dprod)).alias("_s2"),
+        F.min(F.col(col)).cast("double").alias("min"),
+        F.max(F.col(col)).cast("double").alias("max"),
+    )
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    n = F.col("cnt").cast("double")
+    return agg.select(
+        "cnt",
+        (s / n).alias("mean"),
+        F.sqrt((s2 - (s * s) / n) / (n - F.lit(1.0))).alias("stddev"),
+        "min",
+        "max",
+    )
+
+
+def pearson_corr(df: DataFrame, x: str, y: str, alias: str) -> DataFrame:
+    """Deterministic Pearson correlation of two numeric columns (reference A8
+    used ml.stat.Correlation over an assembled vector,
+    app/machine_learning_models.py:183-191).
+
+    corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)) with exact
+    decimal sums, final arithmetic in double.
+    """
+    din = "decimal(19,4)"
+    dprod = "decimal(38,6)"
+    cx = F.col(x).cast(din)
+    cy = F.col(y).cast(din)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cx).alias("_sx"),
+        F.sum(cy).alias("_sy"),
+        F.sum((cx * cx).cast(dprod)).alias("_sxx"),
+        F.sum((cy * cy).cast(dprod)).alias("_syy"),
+        F.sum((cx * cy).cast(dprod)).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select((num / den).alias(alias))
+
+
+def rollup_two_level(
+    df: DataFrame,
+    key1: str,
+    key2,
+    amount_col: str,
+    alias: str = "total_award_amount",
+) -> DataFrame:
+    """ROLLUP(key1, key2) SUM — the proper server-side version of the
+    dashboard's client-side JS second-stage aggregation (reference A9:
+    templates/dashboard.html:148-189 re-summed the top-30 rows in the
+    browser). Single shuffle; Catalyst expands the grouping sets."""
+    k2 = F.col(key2) if isinstance(key2, str) else key2
+    return df.rollup(F.col(key1), k2).agg(exact_sum(amount_col, alias))

@@ -1,0 +1,59 @@
+"""The reference's materialized rollup ETL, Spark-first.
+
+Reference pipeline (app/spark_cassandra_etl_award_amount_aggregator.py:66-95):
+scan awards + geo dim -> inner join on the aggregator key -> groupBy(key, lat,
+lon) -> sum(award_amount) -> write rollup table. Plus the two-key rollup
+(app/spark_cassandra_groupby.py:30-84) and the monthly rollup
+(app/spark_cassandra_groupby_month.py:7-44).
+
+Scale notes: the dim side is always broadcast (never shuffles the fact), the
+aggregate is partial+final hash agg (single shuffle on the grouping key), and
+the sink is a bulk columnar write — replacing the reference's row-at-a-time
+Cassandra inserts (app/ml_app.py:488-509).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.aggregates import sum_by_key, sum_by_month
+from ..operators.joins import join_dim_fact
+
+
+def total_by_entity(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    amount_col: str,
+    carried_dim_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """total_award_amount_by_{recipient,awarding_sub_agency} analog:
+    join the small entity dim, group by its name (+ functionally-dependent
+    carried attributes, like lat/lon in the reference), sum the amount."""
+    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    return sum_by_key(joined, [dim_key, *carried_dim_cols], amount_col)
+
+
+def total_by_two_keys(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    second_key: str, amount_col: str,
+) -> DataFrame:
+    """awarding_sub_agency_by_recipient analog (two grouping keys)."""
+    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    return sum_by_key(joined, [dim_key, second_key], amount_col)
+
+
+def total_by_month(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    date_col: str, amount_col: str,
+) -> DataFrame:
+    """awarding_sub_agency_by_month analog (calendar-month bucket)."""
+    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    return sum_by_month(joined, dim_key, date_col, amount_col)
+
+
+def write_rollup(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize a rollup as columnar parquet (reference: Cassandra append
+    sink, app/spark_cassandra_etl_award_amount_aggregator.py:88-95)."""
+    df.write.mode(mode).parquet(path)

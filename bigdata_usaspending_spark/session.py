@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Replaces the reference's per-script session builders
+(app/spark_cassandra_etl_award_amount_aggregator.py:57-63,
+app/spark_cassandra_groupby.py:30-37, app/ml_app.py:59-65), which each
+hard-coded Cassandra host/port, with one factory carrying scale-oriented
+defaults:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast) — essential at 100 TB where static planning misses.
+- Arrow transfer for any pandas interchange (vectorized Py <-> JVM).
+- UTC session timezone so calendar bucketing (month/year) is engine- and
+  host-independent.
+- shuffle partitions sized for the local harness; on a real cluster AQE
+  coalesces from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Runtime-settable confs every entry point should agree on. Kept separate so
+# they can also be applied to an externally-provided session (the driver
+# harness passes us its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The synthetic events table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long and convert in catalog.load.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime-settable on this build; defaults still fine
+    return spark
+
+
+def get_spark(app_name: str = "bigdata-usaspending-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,122 @@
+"""Operator unit tests on tiny in-memory DataFrames with exact expected rows
+(SURVEY.md §5 — the reference had no operator tests; we do)."""
+
+from __future__ import annotations
+
+from datetime import date
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.operators import aggregates as agg
+from bigdata_usaspending_spark.operators import cleaning, joins, topk
+
+
+def _awards(spark):
+    rows = [
+        ("a1", "acme", date(2023, 1, 5), 100.0),
+        ("a2", "acme", date(2023, 1, 20), 50.0),
+        ("a3", "bravo", date(2023, 2, 1), 200.0),
+        ("a4", "bravo", date(2023, 2, 2), -5.0),
+        ("a5", None, date(2023, 3, 1), 10.0),
+        ("a6", "carol", None, 70.0),
+    ]
+    return spark.createDataFrame(
+        rows, "award_id string, recipient_name string, start_date date, award_amount double"
+    )
+
+
+def test_drop_null_required(spark):
+    df = cleaning.drop_null_required(_awards(spark), ["recipient_name", "start_date"])
+    assert sorted(r.award_id for r in df.collect()) == ["a1", "a2", "a3", "a4"]
+
+
+def test_filter_positive(spark):
+    df = cleaning.filter_positive(_awards(spark), "award_amount")
+    assert sorted(r.award_id for r in df.collect()) == ["a1", "a2", "a3", "a5", "a6"]
+
+
+def test_binary_label(spark):
+    df = _awards(spark).select("award_id", cleaning.binary_label("award_amount", 70.0))
+    got = {r.award_id: r.label for r in df.collect()}
+    assert got == {"a1": 1.0, "a2": 0.0, "a3": 1.0, "a4": 0.0, "a5": 0.0, "a6": 0.0}
+
+
+def test_with_month_year(spark):
+    df = cleaning.with_month_year(_awards(spark), "start_date")
+    row = df.filter(F.col("award_id") == "a3").first()
+    assert (row.month, row.year) == (2, 2023)
+
+
+def test_sum_by_key_exact_decimal(spark):
+    df = agg.sum_by_key(_awards(spark), ["recipient_name"], "award_amount")
+    got = {r.recipient_name: r.total_award_amount for r in df.collect()}
+    assert got["acme"] == 150.0
+    assert got["bravo"] == 195.0
+
+
+def test_join_dim_fact_inner_semijoin_effect(spark):
+    geo = spark.createDataFrame(
+        [("acme", 1.0, 2.0)], "recipient_name string, latitude double, longitude double"
+    )
+    fact = _awards(spark)
+    out = joins.join_dim_fact(fact, geo, on="recipient_name")
+    assert sorted(r.award_id for r in out.collect()) == ["a1", "a2"]
+    # USING-column semantics: single deduped key column
+    assert out.columns.count("recipient_name") == 1
+
+
+def test_exact_median_odd_even(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 40.0)], "k int, v double")
+    assert agg.exact_median(df, "v", "k").first()["median"] == 20.0
+    df2 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 40.0), (4, 50.0)], "k int, v double")
+    assert agg.exact_median(df2, "v", "k").first()["median"] == 30.0
+
+
+def test_describe_stats(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double")
+    row = agg.describe_stats(df, "v").first()
+    assert row.cnt == 3 and row.mean == 2.0 and row.min == 1.0 and row.max == 3.0
+    assert row.stddev == 1.0
+
+
+def test_pearson_corr_perfect(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double")
+    assert abs(agg.pearson_corr(df, "x", "y", "c").first()["c"] - 1.0) < 1e-12
+
+
+def test_rollup_two_level(spark):
+    df = cleaning.with_month_year(_awards(spark), "start_date").dropna(
+        subset=["recipient_name", "month"]
+    )
+    out = agg.rollup_two_level(df, "recipient_name", "month", "award_amount")
+    rows = {(r.recipient_name, r.month): r.total_award_amount for r in out.collect()}
+    assert rows[("acme", 1)] == 150.0
+    assert rows[("acme", None)] == 150.0  # subtotal
+    assert rows[(None, None)] == 345.0  # grand total
+
+
+def test_top_k_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 10.0), ("c", 5.0)], "k string, v double"
+    )
+    got = [r.k for r in topk.top_k(df, "v", "k", 2).collect()]
+    assert got == ["a", "b"]  # tie broken by key ASC
+
+
+def test_window_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 5.0), ("g1", 2, 9.0), ("g1", 3, 7.0), ("g2", 4, 1.0)],
+        "g string, id int, v double",
+    )
+    out = topk.window_topk_per_group(df, "g", "v", "id", 2)
+    got = sorted((r.g, r.id, r.rn) for r in out.collect())
+    assert got == [("g1", 2, 1), ("g1", 3, 2), ("g2", 4, 1)]
+
+
+def test_value_counts_and_topn(spark):
+    df = _awards(spark)
+    counts = {r.recipient_name: r.cnt for r in agg.value_counts(df, "recipient_name").collect()}
+    assert counts["acme"] == 2 and counts[None] == 1
+    top = topk.top_n_frequency(df.dropna(subset=["recipient_name"]), "recipient_name", 2)
+    assert [r.recipient_name for r in top.collect()] == ["acme", "bravo"]

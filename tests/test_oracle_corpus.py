@@ -1,0 +1,35 @@
+"""Run every corpus query against its DuckDB oracle at sf0.001 — the same
+comparison the driver performs at sf0.01 (row count + columns + exact values,
+doubles bit-identical)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_usaspending_spark.plans import corpus
+from bigdata_usaspending_spark.plans.oracle_check import check_all
+
+
+@pytest.fixture(scope="module")
+def results(spark, sf_small):
+    return check_all(spark, sf_small)
+
+
+@pytest.mark.parametrize("name", sorted(corpus.QUERIES))
+def test_query_matches_oracle(results, name):
+    assert results[name] == [], f"{name}: {results[name][:3]}"
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    missing = set(corpus.QUERIES) - set(corpus.ORACLE_SQL)
+    # rows-only queries must be deliberate (non-SQL-expressible ops)
+    assert missing <= corpus.ROWS_ONLY_QUERIES
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "total_award_amount" in df.columns
