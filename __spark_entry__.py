@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdata_usaspending_spark.catalog import load
 from bigdata_usaspending_spark.operators.joins import join_dim_fact
 from bigdata_usaspending_spark.operators.aggregates import sum_by_key
-from bigdata_usaspending_spark.plans import corpus
+from bigdata_usaspending_spark.plans import all_oracles, all_queries
 from bigdata_usaspending_spark.session import apply_runtime_confs
 
 
@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(corpus.QUERIES)
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(corpus.ORACLE_SQL)
+    return all_oracles()

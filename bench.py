@@ -18,7 +18,7 @@ import time
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from bigdata_usaspending_spark.session import get_spark
-    from bigdata_usaspending_spark.plans import corpus
+    from bigdata_usaspending_spark.plans import all_queries
 
     spark = get_spark("bench")
     # Warmup: touch every table once so JVM/codegen/file-listing costs don't
@@ -32,7 +32,7 @@ def main() -> int:
             pass
 
     timings: dict[str, float] = {}
-    for name, fn in corpus.QUERIES.items():
+    for name, fn in all_queries().items():
         start = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+SURVEY.md §7.4 extension — first-class 100-TB component:
+
+- brute-force cosine top-k: the exact baseline. Dot products via zip_with +
+  aggregate HOFs (JVM-side, no UDF); the query vector is broadcast; top-k is
+  TakeOrderedAndProject. Linear scan — correct at any scale, bandwidth-bound.
+- cosine_pairs_blocked: all-pairs cosine >= tau *within a blocking key*
+  (label, cluster id, LSH bucket). The blocked join is the scale path for
+  embedding near-dedup: shuffle on the block key, quadratic only inside
+  blocks.
+- ivf_assign / ivf_topk: inverted-file ANN — assign every vector to its
+  nearest of C centroids (broadcast), then search only the query's nprobe
+  nearest cells. The centroid assignment is one broadcast-join pass;
+  the search scans ~nprobe/C of the data.
+- BucketedRandomProjectionLSH (pyspark.ml) wrapper as the library alternative.
+
+Determinism: float32 x float32 products are exact in double (<= 48-bit
+mantissa), and the dot product is a sequential left fold over the array —
+Spark's ``aggregate`` HOF and DuckDB's ``list_reduce`` both fold
+left-to-right, so every intermediate double is identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns as a deterministic
+    sequential left fold of exact double products."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity (double)."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` vectors against a 1-row ``query``
+    DataFrame with column ``q_emb``. Ties broken by id ASC."""
+    joined = df.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("q_emb")).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine >= threshold sharing a blocking key — embedding
+    near-duplicate detection. Quadratic only within blocks; the join
+    shuffles on the block key."""
+    # Precompute each vector's norm once (O(N) folds) so each pair costs a
+    # single dot-product fold instead of three.
+    with_norm = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    )
+    a = with_norm.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = with_norm.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF cell).
+
+    centroids is small (O(sqrt(N)) rows) and broadcast; the argmax is a
+    per-row reduction over the broadcast list — no shuffle. At 100 TB the
+    assignment is a single map pass; write the result partitioned by cell so
+    probes prune at the file level.
+    """
+    cents = centroids.select(
+        F.collect_list(F.struct(F.col(centroid_id), F.col(centroid_vec))).alias("_cents")
+    )
+    joined = df.crossJoin(F.broadcast(cents))
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(
+            F.lit(None).cast("int").alias(centroid_id), F.lit(-2.0).alias("_score")
+        ),
+        lambda acc, c: F.when(
+            cosine(F.col(vec_col), c[centroid_vec]) > acc["_score"],
+            F.struct(
+                c[centroid_id].cast("int").alias(centroid_id),
+                cosine(F.col(vec_col), c[centroid_vec]).alias("_score"),
+            ),
+        ).otherwise(acc),
+    )
+    return joined.select(
+        F.col(id_col), F.col(vec_col), best[centroid_id].alias(centroid_id)
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """ANN top-k: score the query against centroids, keep the nprobe nearest
+    cells, brute-force only inside those cells."""
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col(centroid_id),
+            cosine(F.col(centroid_vec), F.col("q_emb")).alias("_cs"),
+        )
+        .orderBy(F.desc("_cs"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    candidates = assigned.join(F.broadcast(probe_cells), on=centroid_id, how="semi")
+    return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def random_projection_lsh_neighbors(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Library path: pyspark.ml BucketedRandomProjectionLSH
+    approxNearestNeighbors (euclidean). Seeded -> deterministic plan."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    from pyspark.ml.linalg import Vectors
+
+    return model.approxNearestNeighbors(vecs, Vectors.dense(query_vec), k).select(
+        id_col, F.col("distCol").alias("distance")
+    )

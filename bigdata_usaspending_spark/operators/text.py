@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.4): language-ID, quality
+scoring, token counting, document fingerprinting — the per-document scoring
+passes an LLM data pipeline runs over billions of documents.
+
+Everything here is built from JVM-side built-in functions (split, higher-order
+filter/transform, regexp_extract_all, md5) — no Python UDFs — so the whole
+pass stays inside whole-stage codegen and scales linearly with no shuffle
+(pure map over document partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram-free heuristic
+# language-ID. Ordered dict: ties break by this priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+# A BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation marks —
+# the shape GPT-style tokenizers split on before merges.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str, alias: str = "n_tokens") -> Column:
+    return F.size(tokens(col)).cast("int").alias(alias)
+
+
+def bpe_ish_token_count(col: Column | str, alias: str = "n_bpe_tokens") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("int").alias(alias)
+
+
+def marker_hit_count(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the marker set (built-in HOF filter)."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*markers))).cast("int")
+
+
+def stopword_ratio(col: Column | str, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords — a quality-score component."""
+    n = F.size(tokens(col)).cast("double")
+    hits = marker_hit_count(col, markers).cast("double")
+    return hits / n
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(c).cast("double")
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword quality features per document
+    — the classic Gopher-style quality filters, computed in one codegen'd
+    projection."""
+    return df.select(
+        "*",
+        F.length(text_col).cast("int").alias("q_n_chars"),
+        token_count(text_col, "q_n_tokens"),
+        bpe_ish_token_count(text_col, "q_n_bpe_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("q_stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("q_punct_ratio"),
+    )
+
+
+def langid(col: Column | str, alias: str = "lang_pred") -> Column:
+    """Marker-stopword-voting language ID: argmax of per-language marker hit
+    counts, ties broken by LANG_MARKERS order, 'und' when no marker hits.
+
+    A real deployment swaps in a fastText/CLD3 pandas_udf; this heuristic is
+    deliberately expressible as pure SQL so it is oracle-checkable.
+    """
+    hits = {lang: marker_hit_count(col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und")).alias(alias)
+
+
+def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. The exact-dedup key for noisy duplicates."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(normalized.cast("binary")).alias(alias)

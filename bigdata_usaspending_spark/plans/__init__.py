@@ -1,1 +1,26 @@
 """Composed query plans: the oracle-checked corpus, rollup ETL, dashboard."""
+
+from __future__ import annotations
+
+
+def all_queries():
+    """Merged registry: reference-parity corpus + training-data extensions."""
+    from . import corpus, corpus_ext
+
+    merged = dict(corpus.QUERIES)
+    merged.update(corpus_ext.QUERIES)
+    return merged
+
+
+def all_oracles():
+    from . import corpus, corpus_ext
+
+    merged = dict(corpus.ORACLE_SQL)
+    merged.update(corpus_ext.ORACLE_SQL)
+    return merged
+
+
+def rows_only_queries():
+    from . import corpus, corpus_ext
+
+    return set(corpus.ROWS_ONLY_QUERIES) | set(corpus_ext.ROWS_ONLY_QUERIES)

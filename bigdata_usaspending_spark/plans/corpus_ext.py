@@ -1,0 +1,348 @@
+"""Extension query corpus: training-data-pipeline operators over the
+documents / embeddings / events tables (SURVEY.md §7.4; FIXTURES.md §B).
+
+Same determinism contract as plans/corpus.py. Ratio/score columns are raw
+IEEE divisions of exactly-computed integers (no rounding), so any engine
+reproduces them bit-for-bit; cosine/dot products accumulate in exact decimal.
+
+Seeded/bucketed approximate operators (MinHash LSH, SimHash, IVF/LSH ANN) are
+declared rows-only — their Spark implementations are deterministic, but not
+expressible in portable SQL; pytest golden tests cover them instead
+(tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import exact_sum
+from ..operators import dedup, similarity, text
+from ..session import apply_runtime_confs
+
+JACCARD_THRESHOLD = 0.5
+COSINE_PAIR_THRESHOLD = 0.3
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return apply_runtime_confs(spark)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    docs = load(_prep(spark), sf, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text", "n_tokens"),
+        text.bpe_ish_token_count("text", "n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-score components: char/token counts, stopword & punctuation
+    ratios (raw divisions — deterministic doubles)."""
+    docs = load(_prep(spark), sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        text.token_count("text", "n_tokens"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+        text.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-stopword-voting language ID."""
+    docs = load(_prep(spark), sf, "documents")
+    return docs.select("doc_id", text.langid("text"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """md5 fingerprint of normalized text — the exact-dedup key."""
+    docs = load(_prep(spark), sf, "documents")
+    return docs.select("doc_id", text.fingerprint("text"))
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups: canonical min-id + copy count per distinct
+    normalized text."""
+    docs = load(_prep(spark), sf, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id").select("doc_id", "n_copies")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5."""
+    docs = load(_prep(spark), sf, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+    # raw (unrounded) jaccard is computed inside; re-derive without rounding
+    return out
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: banded LSH bucketing is not
+    portable SQL; exact-Jaccard verification keeps precision exact)."""
+    docs = load(_prep(spark), sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 (rows-only)."""
+    docs = load(_prep(spark), sf, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.3 within label blocks."""
+    emb = load(_prep(spark), sf, "embeddings")
+    return similarity.cosine_pairs_blocked(
+        emb, "label", threshold=COSINE_PAIR_THRESHOLD
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against the vec_id=0 query vector."""
+    emb = load(_prep(spark), sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vec(emb), k=10
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-10 (rows-only): label-mean centroids, nprobe=3 cells."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+    assigned = similarity.ivf_assign(emb.filter(F.col("vec_id") != 0), centroids)
+    return similarity.ivf_topk(assigned, centroids, _query_vec(emb), k=10, nprobe=3)
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approxNearestNeighbors (rows-only; seeded
+    MLlib operator)."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.random_projection_lsh_neighbors(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10
+    )
+
+
+# --------------------------------------------------------------------------
+# event-time operators (batch form of the streaming rollups)
+# --------------------------------------------------------------------------
+
+def q_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-day event-time window aggregate (batch equivalent of the
+    streaming rollup in streaming/)."""
+    ev = load(_prep(spark), sf, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "total_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30-minute gaps; one row
+    per session with event count and duration (lag + cumulative-sum windows)."""
+    from pyspark.sql import Window
+
+    ev = load(_prep(spark), sf, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ms") - F.lag("ms", 1).over(w) > 30 * 60 * 1000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ms") - F.min("ms")).cast("double") / 1000.0).alias("duration_s"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_tokens": q_text_tokens,
+    "q_text_quality": q_text_quality,
+    "q_text_langid": q_text_langid,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_embedding_cosine_topk": q_embedding_cosine_topk,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_window_tumbling": q_window_tumbling,
+    "q_sessionize": q_sessionize,
+}
+
+ROWS_ONLY_QUERIES = {
+    "q_dedup_minhash_lsh",  # banded LSH bucketing not portable SQL
+    "q_dedup_simhash",      # xxhash64 signature not portable SQL
+    "q_ann_ivf_topk",       # iterative argmax assignment not portable SQL
+    "q_ann_lsh",            # seeded MLlib random projections
+}
+
+# DuckDB twins ------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+_NORMALIZED = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_MARKER_SQL = {
+    lang: "len(list_filter(" + _TOKS + ", t -> t IN ({})))".format(
+        ", ".join(f"'{m}'" for m in markers)
+    )
+    for lang, markers in text.LANG_MARKERS.items()
+}
+
+_LANGID_CASE = (
+    "CASE WHEN greatest({en}, {de}, {es}, {fr}) = 0 THEN 'und' "
+    "WHEN {en} = greatest({en}, {de}, {es}, {fr}) THEN 'en' "
+    "WHEN {de} = greatest({en}, {de}, {es}, {fr}) THEN 'de' "
+    "WHEN {es} = greatest({en}, {de}, {es}, {fr}) THEN 'es' "
+    "WHEN {fr} = greatest({en}, {de}, {es}, {fr}) THEN 'fr' "
+    "ELSE 'und' END"
+).format(**_MARKER_SQL)
+
+# Sequential left-fold dot product — DuckDB's list_reduce folds
+# left-to-right exactly like Spark's aggregate HOF, and float32 products are
+# exact doubles, so every intermediate double matches Spark bit-for-bit.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+ORACLE_SQL: dict[str, str] = {
+    "q_text_tokens": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS INTEGER)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                    AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct_ratio
+        FROM documents
+    """,
+    "q_text_langid": f"SELECT doc_id, {_LANGID_CASE} AS lang_pred FROM documents",
+    "q_doc_fingerprint": f"SELECT doc_id, md5({_NORMALIZED}) AS fingerprint FROM documents",
+    "q_dedup_exact": f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5({_NORMALIZED})
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        e AS (SELECT doc_id AS id, len(sh) AS nsh, unnest(sh) AS g FROM s),
+        i AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / CAST(nsh_a + nsh_b - c AS DOUBLE) AS jaccard
+            FROM i
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_embedding": f"""
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+    """,
+    "q_embedding_cosine_topk": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_cosine_sql('e.embedding', 'q.q_emb')} AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "q_window_tumbling": (
+        "SELECT date_trunc('day', ts) AS day, count(*) AS n_events, "
+        "CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS VARCHAR) AS DOUBLE) "
+        "AS total_value FROM events GROUP BY date_trunc('day', ts)"
+    ),
+    "q_sessionize": """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ms,
+                   CASE WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ms,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS INTEGER) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 AS duration_s
+        FROM sessions GROUP BY user_id, session_idx
+    """,
+}

@@ -68,10 +68,10 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
 
 
 def check_all(spark, sf_dir: str, keys=None, queries=None, oracles=None) -> dict[str, list[str]]:
-    from . import corpus
+    from . import all_oracles, all_queries
 
-    queries = queries if queries is not None else corpus.QUERIES
-    oracles = oracles if oracles is not None else corpus.ORACLE_SQL
+    queries = queries if queries is not None else all_queries()
+    oracles = oracles if oracles is not None else all_oracles()
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
     for name, fn in queries.items():

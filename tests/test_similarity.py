@@ -1,0 +1,70 @@
+"""Tests for similarity search: exact cosine, blocked pairs, IVF ANN, LSH."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to query
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),  # close to 2
+        (4, [-1.0, 0.0, 0.0], 0),  # opposite of query
+        (5, [0.7, 0.7, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _q(vecs):
+    return vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+
+
+def test_brute_force_topk_order(vecs):
+    out = similarity.brute_force_topk(
+        vecs.filter(F.col("vec_id") != 0), _q(vecs), k=3
+    ).collect()
+    assert [r.vec_id for r in out] == [1, 5, 2]
+    assert abs(out[0].cosine - (0.9 / math.hypot(0.9, 0.1))) < 1e-6
+
+
+def test_cosine_pairs_blocked_respects_blocks(vecs):
+    out = similarity.cosine_pairs_blocked(vecs, "label", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in pairs        # same label, cosine ~0.994
+    assert (2, 3) in pairs        # same label, cosine ~0.998
+    assert (1, 2) not in pairs    # different labels never compared
+    assert (0, 4) not in pairs    # cosine -1 below threshold
+
+
+def test_ivf_assign_and_topk(vecs, spark):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cell int, centroid array<double>",
+    )
+    assigned = similarity.ivf_assign(vecs, centroids)
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    assert cells[1] == 0 and cells[3] == 1 and cells[5] in (0, 1)
+    out = similarity.ivf_topk(
+        assigned.filter(F.col("vec_id") != 0), centroids, _q(vecs), k=2, nprobe=1
+    ).collect()
+    # probing only the x-axis cell: candidates are vectors assigned there
+    assert out[0].vec_id == 1
+
+
+def test_lsh_neighbors_deterministic(vecs):
+    a = similarity.random_projection_lsh_neighbors(
+        vecs.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
+    ).collect()
+    b = similarity.random_projection_lsh_neighbors(
+        vecs.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
+    ).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    assert a[0].vec_id == 1  # nearest by euclidean too

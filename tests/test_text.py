@@ -1,0 +1,72 @@
+"""Tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog"),
+        (2, "der Hund und die Katze ist da"),
+        (3, "el gato es bueno que si"),
+        (4, "xyzzy plugh qwerty"),
+        (5, "Hello, world! 42 things."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    out = {r.doc_id: r.n_tokens for r in docs.select("doc_id", text.token_count("text")).collect()}
+    assert out[1] == 8 and out[4] == 3
+
+
+def test_bpe_ish_token_count(docs):
+    out = {
+        r.doc_id: r.n_bpe_tokens
+        for r in docs.select("doc_id", text.bpe_ish_token_count("text")).collect()
+    }
+    # "Hello , world ! 42 things ." -> 7 pieces
+    assert out[5] == 7
+
+
+def test_stopword_and_punct_ratio(docs):
+    row = docs.filter(F.col("doc_id") == 1).select(
+        text.stopword_ratio("text").alias("s"), text.punct_ratio("text").alias("p")
+    ).first()
+    assert abs(row.s - 3 / 8) < 1e-12  # the, and, the
+    assert row.p == 0.0
+    row5 = docs.filter(F.col("doc_id") == 5).select(
+        text.punct_ratio("text").alias("p")
+    ).first()
+    assert row5.p > 0
+
+
+def test_langid(docs):
+    out = {r.doc_id: r.lang_pred for r in docs.select("doc_id", text.langid("text")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD ")],
+        "id int, text string",
+    )
+    fps = [r.fingerprint for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 32  # md5 hex
+
+
+def test_quality_columns_shape(docs):
+    out = text.quality_columns(docs)
+    assert {"q_n_chars", "q_n_tokens", "q_n_bpe_tokens", "q_stopword_ratio", "q_punct_ratio"} <= set(
+        out.columns
+    )
+    assert out.count() == 5
