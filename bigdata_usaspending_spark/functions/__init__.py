@@ -20,15 +20,16 @@ EXACT_DECIMAL = "decimal(27,6)"
 
 
 def safe_to_date(col: Column | str, fmt: str = "yyyy-MM-dd") -> Column:
-    """String -> date, null on malformed (reference: app/ml_app.py:561-576)."""
-    return F.to_date(F.col(col) if isinstance(col, str) else col, fmt)
+    """String -> date, null on malformed (reference: app/ml_app.py:561-576).
+    try_to_date keeps null-on-error semantics under ANSI sessions too."""
+    return F.try_to_date(F.col(col) if isinstance(col, str) else col, F.lit(fmt))
 
 
 def safe_to_decimal(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """String/number -> decimal money, null on malformed
     (reference: app/ml_app.py:480-485 used float(); we use exact decimal)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({precision},{scale})")
+    return c.try_cast(f"decimal({precision},{scale})")
 
 
 def exact_sum(col: Column | str, alias: str, out_scale: int = 2) -> Column:

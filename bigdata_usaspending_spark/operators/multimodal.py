@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (SURVEY.md §7.4 extension).
+
+Design: media travels as an opaque ``binary`` column plus a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas functions over ``mapInPandas`` so each partition is processed as
+columnar batches (the only sane shape at 100 TB — per-row Python UDFs are
+10-100x slower).
+
+The actual codec calls are STUBBED (this container has no image/audio
+libraries): ``decode_image_meta`` parses a deterministic fake header and
+``extract_features`` hashes bytes into a fixed-dim pseudo-embedding. The
+Spark-side contracts — schemas, batch iteration, partitioning, column
+pruning — are real and tested; swapping in PIL/ffmpeg later only changes the
+body of the pandas functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media row: id + opaque payload + source metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("source_uri", T.StringType()),
+    ]
+)
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+# deterministic fake header: magic 'FAKE' + u16 width + u16 height
+_FAKE_MAGIC = b"FAKE"
+
+
+def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
+    """Build a fake media blob the stub decoder understands (test fixture)."""
+    return _FAKE_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
+    if content is None:
+        return 0, 0, 0, False
+    if len(content) >= 8 and content[:4] == _FAKE_MAGIC:
+        w, h = struct.unpack("<HH", content[4:8])
+        return len(content), w, h, True
+    # A real implementation calls PIL.Image.open here; without codecs we
+    # report undecodable rather than raise (poisoned blobs must not kill a
+    # 100-TB scan).
+    return len(content), 0, 0, False
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """binary content -> (byte_len, width, height, ok) via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "ok": [d[3] for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, DECODED_META_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """binary content -> fixed-dim float features via mapInPandas.
+
+    Stub body: md5-seeded pseudo-embedding (deterministic); a real pipeline
+    runs the vision encoder here, batched per Arrow partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for content in pdf["content"]:
+                if content is None:
+                    feats.append(None)
+                    continue
+                digest = hashlib.md5(bytes(content)).digest()
+                vals = [
+                    int.from_bytes(digest[(2 * i) % 16 : (2 * i) % 16 + 2], "little")
+                    / 65535.0
+                    for i in range(dim)
+                ]
+                feats.append(vals)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.select("media_id", "content").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media blobs (the
+    synthetic corpus has no binary tables; the plumbing is identical)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("text/plain").alias("mime_type"),
+        F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("source_uri"),
+    )

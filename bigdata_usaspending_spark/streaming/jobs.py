@@ -1,0 +1,100 @@
+"""Structured Streaming jobs.
+
+The reference has no streaming engine (SURVEY.md §2.9): its "monthly"
+aggregate is calendar bucketing of a batch table re-run on demand. These jobs
+are the incremental equivalents, built on readStream + event-time windows +
+watermarks, so the rollups the dashboard reads stay fresh without re-scanning
+history:
+
+- stream_windowed_rollup: tumbling event-time window SUM/COUNT with late-data
+  handling — the streaming twin of plans/corpus_ext.q_window_tumbling and of
+  the reference's month rollup (app/spark_cassandra_groupby_month.py:25-32).
+- stream_keyed_rollup: running total_award_amount by key — the streaming twin
+  of the flagship aggregator (app/spark_cassandra_etl_award_amount_
+  aggregator.py:83-85).
+- stream_exact_dedup: stateful exact dedup by fingerprint within the
+  watermark horizon — the streaming member of the dedup family
+  (operators/dedup.py).
+
+At scale: state is bounded by the watermark; the shuffle key is the
+window/group key, same partitioning discipline as the batch jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint
+
+
+def read_events_stream(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a landing directory (one file per ingest
+    batch — the shape sources/ingest.py produces)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_windowed_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count + sum with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def stream_keyed_rollup(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Running SUM by key (update-mode aggregate) — the incremental form of
+    the reference's materialized rollup tables."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_award_amount")
+        )
+    )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate documents by normalized fingerprint; state expires past
+    the watermark horizon."""
+    with_fp = docs.withColumn("fingerprint", fingerprint(text_col))
+    return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DataFrame into an in-memory sink (test harness)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,140 @@
+"""Ingest tests (SURVEY.md §5.5): mocked paginated API — pagination,
+malformed dates/amounts -> null, retry paths, throttle, audit row.
+Mock pattern mirrors the reference's own test (tests/test_ml_app.py:48-96)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_usaspending_spark.sources.ingest import coerce_awards, ingest, rows_to_raw_df
+from bigdata_usaspending_spark.sources.usaspending_api import UsaspendingClient
+from bigdata_usaspending_spark.sources.geocoder import build_geo_dim
+
+
+def _row(i: int, **overrides):
+    # the reference's canonical mock record (tests/test_ml_app.py:53-75)
+    base = {
+        "Award ID": str(i),
+        "Recipient Name": "Test Recipient",
+        "Start Date": "2023-12-01",
+        "End Date": "2023-12-21",
+        "Award Amount": "100000.00",
+        "Awarding Agency": "Test Agency",
+        "Awarding Sub Agency": "Test Sub Agency",
+        "Contract Award Type": "Test Type",
+        "Funding Agency": "Test Funding Agency",
+        "Funding Sub Agency": "Test Sub Agency",
+        "Description": "Test Description",
+        "Last Modified Date": "2023-12-01",
+        "Base Obligation Date": "2023-12-01",
+    }
+    base.update(overrides)
+    return base
+
+
+def fake_transport_pages(pages: list[list[dict]], fail_first: int = 0):
+    calls = {"n": 0, "payloads": []}
+
+    def transport(url: str, payload: dict, timeout: float) -> dict:
+        calls["payloads"].append(payload)
+        if calls["n"] < fail_first:
+            calls["n"] += 1
+            raise TimeoutError("simulated timeout")
+        page = payload["page"]
+        rows = pages[page - 1] if page <= len(pages) else []
+        return {
+            "results": rows,
+            "page_metadata": {"hasNext": page < len(pages)},
+        }
+
+    return transport, calls
+
+
+def test_pagination_and_payload_shape():
+    pages = [[_row(i) for i in range(3)], [_row(i) for i in range(3, 5)]]
+    transport, calls = fake_transport_pages(pages)
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=lambda s: None
+    )
+    got = list(client.pages())
+    assert [len(p) for p in got] == [3, 2]
+    payload = calls["payloads"][0]
+    # reference payload semantics (app/ml_app.py:417-442)
+    assert payload["filters"]["award_type_codes"] == ["A", "B", "C"]
+    assert payload["filters"]["time_period"] == [
+        {"start_date": "2023-01-01", "end_date": "2023-12-31"}
+    ]
+    assert payload["limit"] == 100 and len(payload["fields"]) == 13
+
+
+def test_retry_then_success():
+    pages = [[_row(1)]]
+    transport, _ = fake_transport_pages(pages, fail_first=2)
+    slept = []
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=slept.append
+    )
+    assert [len(p) for p in client.pages()] == [1]
+    assert slept.count(3.0) == 2  # two retry backoffs (app/ml_app.py:522-531)
+
+
+def test_retry_exhaustion():
+    transport, _ = fake_transport_pages([[_row(1)]], fail_first=99)
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=lambda s: None
+    )
+    with pytest.raises(TimeoutError):
+        list(client.pages())
+
+
+def test_coercion_null_on_malformed(spark):
+    rows = [
+        _row(1),
+        _row(2, **{"Start Date": "not-a-date", "Award Amount": "not-a-number"}),
+        _row(3, **{"Start Date": None, "Award Amount": None}),
+    ]
+    typed = coerce_awards(rows_to_raw_df(spark, rows))
+    got = {r.award_id: r for r in typed.collect()}
+    assert str(got["1"].start_date) == "2023-12-01"
+    assert float(got["1"].award_amount) == 100000.0
+    # malformed -> null, not error (reference app/ml_app.py:561-576, 480-485)
+    assert got["2"].start_date is None and got["2"].award_amount is None
+    assert got["3"].start_date is None and got["3"].award_amount is None
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    pages = [[_row(i) for i in range(50)], [_row(i) for i in range(50, 80)]]
+    transport, _ = fake_transport_pages(pages)
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=lambda s: None
+    )
+    out = str(tmp_path / "awards")
+    audit = str(tmp_path / "audit")
+    report = ingest(spark, client, out, audit_path=audit, rows_per_write=64)
+    assert report.n_rows == 80
+    written = spark.read.parquet(out)
+    assert written.count() == 80
+    assert [f.name for f in written.schema.fields][:5] == [
+        "award_id", "recipient_name", "start_date", "end_date", "award_amount",
+    ]
+    audit_rows = spark.read.parquet(audit).collect()
+    assert len(audit_rows) == 1 and audit_rows[0].number_of_rows == 80
+
+
+def test_geocoder_caps_and_rate_limit(spark):
+    df = spark.createDataFrame(
+        [(f"name{i % 4}",) for i in range(20)], "recipient_name string"
+    )
+    looked_up, slept = [], []
+
+    def lookup(name):
+        looked_up.append(name)
+        return (1.0, 2.0) if name != "name0" else None  # most frequent fails
+
+    geo = build_geo_dim(
+        spark, df, "recipient_name", lookup=lookup, max_geo=2, sleep=slept.append
+    )
+    rows = geo.collect()
+    assert len(rows) == 2  # cap at max_geo successes
+    assert all(r.latitude == 1.0 for r in rows)
+    assert len(slept) == len(looked_up)  # 1 sleep per request (1 rps)

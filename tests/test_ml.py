@@ -1,0 +1,98 @@
+"""ML pipeline tests (SURVEY.md §5.4): seeded determinism, the dynamic
+categorical guard (4-vs-5-indexer branches), handleInvalid=skip inference
+semantics, persistence round-trip."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.ml import pipelines as ml
+from bigdata_usaspending_spark.ml.adapter import awards_view
+
+
+@pytest.fixture(scope="module")
+def awards(spark, sf_small):
+    return awards_view(spark, sf_small)
+
+
+@pytest.fixture(scope="module")
+def result(awards):
+    return ml.train_all(awards)
+
+
+def test_awards_view_schema(awards):
+    assert awards.columns[:5] == [
+        "award_id", "recipient_name", "start_date", "end_date", "award_amount",
+    ]
+    assert awards.count() > 0
+
+
+def test_guard_keeps_multivalue_categoricals(result):
+    # every categorical in the star schema has >= 2 distinct values
+    assert result.feature_categoricals == list(ml.DEFAULT_CATEGORICAL)
+    assert result.dropped_categoricals == []
+
+
+def test_guard_drops_single_value_column(spark):
+    rows = [
+        (str(i), f"r{i % 5}", date(2023, 1 + i % 12, 1), 100.0 + i, "ONLY_ONE",
+         f"sub{i % 3}", f"t{i % 2}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "award_id string, recipient_name string, start_date date, "
+        "award_amount double, awarding_agency string, awarding_sub_agency string, "
+        "contract_award_type string",
+    )
+    keep, dropped = ml.usable_categoricals(df)
+    # the reference's real dataset hit exactly this branch (single agency)
+    assert dropped == ["awarding_agency"]
+    assert "recipient_name" in keep
+
+
+def test_metrics_sane(result):
+    assert result.regression_rmse > 0
+    assert 0.0 <= result.classification_auc <= 1.0
+    assert result.classification_threshold > 0
+    assert len(result.cluster_centers) == 5
+    n_cats = len(result.feature_categoricals)
+    assert len(result.correlation) == n_cats + 3  # cats + amount/month/year
+
+
+def test_training_deterministic(awards, result):
+    again = ml.train_all(awards)
+    assert again.regression_rmse == result.regression_rmse
+    assert again.classification_auc == result.classification_auc
+    assert again.classification_threshold == result.classification_threshold
+
+
+def test_persistence_roundtrip(result, spark, tmp_path):
+    ml.save_models(result, str(tmp_path))
+    loaded = ml.load_models(spark, str(tmp_path))
+    assert set(loaded) == {"regression", "classification", "clustering"}
+
+
+def test_inference_known_and_unseen_category(result, awards, spark):
+    sample = awards.limit(1).first()
+    known = spark.createDataFrame([sample], awards.schema)
+    row = ml.infer_single(result.regression_model, known)
+    assert row is not None and row["prediction"] is not None
+
+    unseen = spark.createDataFrame([sample], awards.schema).withColumn(
+        "recipient_name", F.lit("NEVER_SEEN_RECIPIENT")
+    )
+    # handleInvalid="skip" drops the row -> explicit None (reference flashed
+    # an error for this case, app/ml_app.py:211-216)
+    assert ml.infer_single(result.regression_model, unseen) is None
+
+
+def test_classify_with_confidence(result, awards, spark):
+    sample = spark.createDataFrame([awards.limit(1).first()], awards.schema)
+    out = ml.classify_with_confidence(result.classification_model, sample)
+    assert out is not None
+    label, conf = out
+    assert label in ("HIGH", "LOW") and 50.0 <= conf <= 100.0

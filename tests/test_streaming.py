@@ -1,0 +1,86 @@
+"""Structured Streaming tests: each streaming job's availableNow run over a
+file source must agree with its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.catalog import load
+from bigdata_usaspending_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_small, tmp_path_factory):
+    # materialize events as a micro-batched landing dir (4 files)
+    path = str(tmp_path_factory.mktemp("landing") / "events")
+    load(spark, sf_small, "events").repartition(4).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_stream_windowed_rollup_matches_batch(spark, events_dir, events_schema):
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.run_to_memory(
+        jobs.stream_windowed_rollup(stream), "win_rollup", output_mode="complete"
+    )
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.table("win_rollup").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.day: (r.n, r.t)
+        for r in batch.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("t"),
+        )
+        .collect()
+    }
+    assert got == expected
+    q.stop()
+
+
+def test_stream_keyed_rollup_matches_batch(spark, events_dir, events_schema):
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.run_to_memory(
+        jobs.stream_keyed_rollup(stream, "event_type"), "key_rollup",
+        output_mode="complete",
+    )
+    got = {
+        r.event_type: r.total_award_amount for r in spark.table("key_rollup").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.event_type: r.t
+        for r in batch.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("t"))
+        .collect()
+    }
+    assert got == expected
+    q.stop()
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "hello world"),
+            (2, "2024-01-01 00:01:00", "hello  WORLD"),   # normalized dup
+            (3, "2024-01-01 00:02:00", "something else"),
+        ],
+        "doc_id long, ts_str string, text string",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_exact_dedup(stream, "ts"), "dedup_stream", output_mode="append"
+    )
+    kept = sorted(r.doc_id for r in spark.table("dedup_stream").collect())
+    assert len(kept) == 2 and 3 in kept  # one of the dups survived, 3 kept
+    q.stop()
