@@ -1,0 +1,45 @@
+"""Columnar IO with scale-oriented layout.
+
+The reference stored everything as Cassandra wide rows — every analytical
+read was a full-table scan through the connector, with no column pruning
+beyond the CQL projection and no partition pruning at all (SURVEY.md §4).
+Here the awards fact lands as Parquet partitioned by (year, month) of
+start_date, so:
+
+- time-bucketed queries (the monthly rollups, A3) prune at the directory
+  level before any IO;
+- Catalyst pushes predicates to row-group stats and prunes columns to the
+  ReadSchema;
+- files are sized by spark.sql.files.maxPartitionBytes for even task splits.
+
+At 100 TB the same layout holds: ~240 month partitions x size-bounded files;
+per-partition writes are idempotent overwrite (dynamic partition overwrite),
+so re-ingesting a month replaces exactly that month.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_awards_partitioned(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write an awards-shaped DataFrame partitioned by (year, month)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.withColumn("year", F.year("start_date").cast("int")).withColumn(
+        "month", F.month("start_date").cast("int")
+    )
+    out.write.mode(mode).partitionBy("year", "month").parquet(path)
+
+
+def read_awards(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned awards table; year/month partition columns are
+    available for pruning (e.g. .filter('year = 2023') never touches other
+    directories)."""
+    return spark.read.parquet(path)
+
+
+def compact(df: DataFrame, target_partitions: int) -> DataFrame:
+    """Coalesce small files before a write (post-AQE output sizing)."""
+    return df.coalesce(target_partitions)

