@@ -43,3 +43,28 @@ def read_awards(spark: SparkSession, path: str) -> DataFrame:
 def compact(df: DataFrame, target_partitions: int) -> DataFrame:
     """Coalesce small files before a write (post-AQE output sizing)."""
     return df.coalesce(target_partitions)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a table bucketed (and sorted) by the join/aggregation key.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle exchange — at 100 TB this turns the recurring
+    fact ⋈ fact joins (and repeated aggregations on the same key) from a
+    full-network shuffle into a local merge per bucket. The reference's
+    Cassandra layout had the same goal (partition-key locality) but lost it
+    the moment data entered Spark.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

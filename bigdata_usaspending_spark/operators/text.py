@@ -93,6 +93,26 @@ def langid(col: Column | str, alias: str = "lang_pred") -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und")).alias(alias)
 
 
+def tfidf_features(
+    df: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 14,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """TF-IDF vectors via the MLlib Tokenizer -> HashingTF -> IDF chain
+    (SURVEY.md §7.4). HashingTF needs no vocabulary broadcast (feature
+    hashing), so the transform is a pure map; only the IDF fit aggregates
+    document frequencies (one pass)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    toks = Tokenizer(inputCol=text_col, outputCol="_tokens").transform(df)
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="_tf", numFeatures=num_features
+    ).transform(toks)
+    idf_model = IDF(inputCol="_tf", outputCol="tfidf", minDocFreq=min_doc_freq).fit(tf)
+    return idf_model.transform(tf).drop("_tokens", "_tf")
+
+
 def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. The exact-dedup key for noisy duplicates."""

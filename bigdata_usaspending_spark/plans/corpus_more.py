@@ -233,6 +233,19 @@ def q_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-stage grouped SUM (skew path) — must be bit-identical to
+    the unsalted rollup because decimal accumulation is associative; the
+    oracle is the plain GROUP BY."""
+    from ..operators.skew import salted_sum_by_key
+
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem")
+    sup = load(spark, sf, "supplier")
+    joined = join_dim_fact(li, sup, on=li.l_suppkey == sup.s_suppkey)
+    return salted_sum_by_key(joined, ["s_name"], "l_extendedprice")
+
+
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-dedup survivor rows (min doc_id per fingerprint, semi-joined
     back) — the materializable output of the dedup pass."""
@@ -257,6 +270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ml_prepare": q_ml_prepare,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
+    "q_agg_salted": q_agg_salted,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -369,4 +383,8 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
         )
     """,
+    "q_agg_salted": (
+        f"SELECT s_name, {SUM2.format(c='l_extendedprice')} AS total_award_amount "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name"
+    ),
 }

@@ -1,0 +1,82 @@
+"""Scale-mechanism tests: salted aggregation equivalence, bucketed joins
+without shuffle, TF-IDF, training report sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark import io
+from bigdata_usaspending_spark.catalog import load
+from bigdata_usaspending_spark.operators.aggregates import sum_by_key
+from bigdata_usaspending_spark.operators.skew import salted_sum_by_key
+from bigdata_usaspending_spark.operators.text import tfidf_features
+
+
+def test_salted_sum_bit_identical(spark, sf_small):
+    li = load(spark, sf_small, "lineitem")
+    plain = {
+        r.l_returnflag: r.total_award_amount
+        for r in sum_by_key(li, ["l_returnflag"], "l_extendedprice").collect()
+    }
+    salted = {
+        r.l_returnflag: r.total_award_amount
+        for r in salted_sum_by_key(li, ["l_returnflag"], "l_extendedprice").collect()
+    }
+    assert plain == salted  # exact equality, not approx — decimal associativity
+
+
+def test_salted_plan_has_two_aggregation_stages(spark, sf_small):
+    li = load(spark, sf_small, "lineitem")
+    plan = salted_sum_by_key(li, ["l_returnflag"], "l_extendedprice")._jdf.queryExecution().toString()
+    # partial (key, salt) stage present
+    assert "_salt" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_small):
+    orders = load(spark, sf_small, "orders")
+    li = load(spark, sf_small, "lineitem")
+    io.write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    io.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", num_buckets=8
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, on="o_orderkey").select("o_orderkey", "o_totalprice", "l_extendedprice")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # co-located buckets: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_tfidf_shape(spark, sf_small):
+    docs = load(spark, sf_small, "documents").limit(50)
+    out = tfidf_features(docs)
+    assert "tfidf" in out.columns
+    row = out.first()
+    assert row["tfidf"].size == 1 << 14
+    assert row["tfidf"].numNonzeros() > 0
+
+
+def test_report_text_and_metrics(spark, sf_small, tmp_path):
+    from bigdata_usaspending_spark.ml import pipelines as ml
+    from bigdata_usaspending_spark.ml.adapter import awards_view
+    from bigdata_usaspending_spark.ml.report import metrics_df, report_text, write_report
+
+    result = ml.train_all(awards_view(spark, sf_small))
+    text = report_text(result)
+    assert "Linear Regression RMSE" in text and "AUC-ROC" in text
+    path = tmp_path / "report.txt"
+    write_report(result, str(path))
+    assert path.read_text().startswith("=== Model Training Report ===")
+    metrics = {r.metric: r.value for r in metrics_df(spark, result).collect()}
+    assert metrics["n_clusters"] == 5.0
+    assert metrics["regression_rmse"] > 0
