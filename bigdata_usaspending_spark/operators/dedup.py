@@ -106,8 +106,10 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("_nsh"),
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("_sh"),
     )
-    # both sides of the candidate self-join read this — compute once
+    # both sides of the candidate self-join read this — compute once, eagerly
+    # (lazy cache would be raced by the two join branches)
     sh.cache()
+    sh.count()
     if max_shingle_df is not None:
         heavy = (
             sh.groupBy("_sh")
@@ -198,6 +200,9 @@ def minhash_lsh_pairs(
         "_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
     )
+    # lazy cache shared by the signature branch and both verification sides;
+    # signatures are per-row expressions (no extra shuffle — measured faster
+    # than an explode+groupBy signature stage at sf0.1)
     hashed.cache()
     sig = hashed.select("_id", minhash_from_hashes("hs", num_hashes).alias("minhash"))
     band_structs = F.array(

@@ -76,12 +76,17 @@ def _median_totalprice(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_case_when_label(spark: SparkSession, sf: str) -> DataFrame:
     """P4/A6 — CASE WHEN amount > median THEN 1.0 ELSE 0.0 (the high/low award
-    label, app/machine_learning_models.py:237-242)."""
+    label, app/machine_learning_models.py:237-242).
+
+    The 1-row median is collected and embedded as a literal (the reference
+    did the same with its approxQuantile threshold) — a scalar predicate
+    beats a cross-join stage and lets the comparison run inside the scan's
+    codegen."""
     spark = _prep(spark)
     orders = load(spark, sf, "orders")
-    med = _median_totalprice(spark, sf)
-    return orders.crossJoin(F.broadcast(med)).select(
-        "o_orderkey", cleaning.binary_label("o_totalprice", F.col("m"), alias="label")
+    median = _median_totalprice(spark, sf).first()["m"]
+    return orders.select(
+        "o_orderkey", cleaning.binary_label("o_totalprice", float(median), alias="label")
     )
 
 

@@ -87,6 +87,30 @@ def stream_exact_dedup(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via session_window (gap-based merging
+    windows) — the incremental twin of the batch lag+cumsum sessionizer
+    (plans/corpus_ext.q_sessionize). State per open session, closed by the
+    watermark once the gap passes."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink (test harness)."""
     query = (

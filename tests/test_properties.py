@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): the determinism and algebraic claims
+the engine's correctness story rests on, checked over random inputs.
+
+Strategy: generate small random datasets driver-side, evaluate the Spark
+operator, compare against an independent Python/DuckDB computation. Spark
+round-trips are slow, so examples are capped low — these are soundness
+probes, not fuzzing campaigns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.functions import exact_sum
+from bigdata_usaspending_spark.operators.dedup import ngram_jaccard_pairs, shingles_of
+
+money = st.decimals(
+    min_value=-10_000_000, max_value=10_000_000, places=2, allow_nan=False
+).map(float)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(values=st.lists(money, min_size=1, max_size=200), parts=st.integers(1, 8))
+@SLOW
+def test_exact_sum_partition_invariant(spark, values, parts):
+    """exact_sum must not depend on partitioning — the property that makes a
+    distributed run oracle-verifiable."""
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    a = df.repartition(parts).agg(exact_sum("v", "t")).first()["t"]
+    b = df.coalesce(1).agg(exact_sum("v", "t")).first()["t"]
+    expected = duckdb.sql(
+        "SELECT CAST(ROUND(SUM(CAST(v AS DECIMAL(27,6))), 2) AS VARCHAR)::DOUBLE "
+        f"FROM (SELECT unnest({values!r}::DOUBLE[]) AS v)"
+    ).fetchone()[0]
+    assert a == b == expected
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(texts, min_size=2, max_size=8, unique=True))
+@SLOW
+def test_jaccard_matches_python_reference(spark, docs):
+    """ngram_jaccard_pairs == brute-force python Jaccard over word trigram
+    sets, for every pair above threshold."""
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+    }
+
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            ga, gb = grams(a), grams(b)
+            inter = len(ga & gb)
+            if inter == 0:
+                assert (i, j) not in got
+            else:
+                expect = inter / len(ga | gb)
+                assert math.isclose(got[(i, j)], expect, rel_tol=0, abs_tol=0)
+
+
+@given(text=texts)
+@SLOW
+def test_shingles_match_python(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(shingles_of("text")).first()["shingles"]
+    toks = text.lower().split()
+    expect = list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))))
+    assert got == expect

@@ -84,3 +84,25 @@ def test_stream_exact_dedup(spark, tmp_path):
     kept = sorted(r.doc_id for r in spark.table("dedup_stream").collect())
     assert len(kept) == 2 and 3 in kept  # one of the dups survived, 3 kept
     q.stop()
+
+
+def test_stream_sessionize(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session A
+        (1, "2024-01-01 12:00:00"),                              # session B (gap > 30m)
+        (2, "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_str string").withColumn(
+        "ts", F.to_timestamp("ts_str")
+    ).drop("ts_str")
+    path = str(tmp_path / "sess")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_sessionize(stream), "sessions", output_mode="complete"
+    )
+    got = sorted(
+        (r.user_id, r.n_events) for r in spark.table("sessions").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+    q.stop()
