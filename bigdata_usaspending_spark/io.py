@@ -45,6 +45,54 @@ def compact(df: DataFrame, target_partitions: int) -> DataFrame:
     return df.coalesce(target_partitions)
 
 
+# --------------------------------------------------------------------------
+# PK upsert semantics (merge-on-read + compaction)
+# --------------------------------------------------------------------------
+# The reference's Cassandra INSERT was implicitly an upsert on award_id
+# (last write wins). On immutable columnar storage the scalable equivalent
+# is merge-on-read: appends carry a monotonically increasing version; readers
+# keep the newest row per key; a periodic compaction rewrites the table to
+# one row per key. No global key lookup on the write path — writes stay
+# append-only and O(batch), exactly what a 100-TB ingest needs.
+
+VERSION_COL = "_version"
+
+
+def append_versions(df: DataFrame, path: str, version: int) -> None:
+    """Append a batch stamped with its version (e.g. the ingest run's epoch
+    millis — caller supplies it so replays are idempotent)."""
+    df.withColumn(VERSION_COL, F.lit(version).cast("long")).write.mode("append").parquet(path)
+
+
+def read_latest(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Last-write-wins view: newest version per key (merge-on-read)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(key).orderBy(F.desc(VERSION_COL))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", VERSION_COL)
+    )
+
+
+def compact_versions(spark: SparkSession, path: str, key: str) -> None:
+    """Rewrite the table keeping only the newest row per key (the
+    compaction that bounds merge-on-read cost). Writes to a temp location
+    then swaps, so a failed compaction never corrupts the table."""
+    import shutil
+    import uuid
+
+    latest = read_latest(spark, path, key).withColumn(
+        VERSION_COL, F.lit(0).cast("long")
+    )
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

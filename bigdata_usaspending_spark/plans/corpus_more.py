@@ -233,6 +233,59 @@ def q_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_deep_join_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Five-table join chain (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region) -> regional totals: the deep star traversal. All four dims
+    broadcast — the fact side flows through zero shuffles until the final
+    group-by."""
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    # lineitem ⋈ orders is fact ⋈ fact: no broadcast hint — AQE picks
+    # (locally it may still broadcast; on a cluster it becomes sort-merge,
+    # or a bucket-join if both are bucketed by orderkey — io.write_bucketed)
+    chain = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return chain.groupBy("r_name", "n_name").agg(
+        exact_sum("l_extendedprice", "total_award_amount"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: multiple simultaneous aggregates
+    incl. a derived-expression SUM (extprice * (1 - discount)) — the widest
+    single-pass aggregation shape. Exact: 2dp x 2dp products have scale 4,
+    carried in decimal."""
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem")
+    d = "decimal(19,4)"
+    disc_price = (F.col("l_extendedprice").cast(d) * (F.lit(1).cast(d) - F.col("l_discount").cast(d))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(d)), 2).cast("double").alias("sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast(d)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def q_agg_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Salted two-stage grouped SUM (skew path) — must be bit-identical to
     the unsalted rollup because decimal accumulation is associative; the
@@ -271,6 +324,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
     "q_agg_salted": q_agg_salted,
+    "q_deep_join_chain": q_deep_join_chain,
+    "q_pricing_summary": q_pricing_summary,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -387,4 +442,24 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT s_name, {SUM2.format(c='l_extendedprice')} AS total_award_amount "
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name"
     ),
+    "q_deep_join_chain": (
+        f"SELECT r_name, n_name, {SUM2.format(c='l_extendedprice')} AS total_award_amount, "
+        "count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    ),
+    "q_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {D2D.format(x="ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))), 2)")} AS sum_qty,
+               {SUM2.format(c='l_extendedprice')} AS sum_base_price,
+               {D2D.format(x="ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * (CAST(1 AS DECIMAL(19,4)) - CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,6))), 2)")} AS sum_disc_price,
+               {D2D.format(x="SUM(CAST(l_quantity AS DECIMAL(19,4)))")} / CAST(count(*) AS DOUBLE) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_quantity > 0
+        GROUP BY l_returnflag, l_linestatus
+    """,
 }

@@ -111,6 +111,46 @@ def stream_sessionize(
     )
 
 
+def stream_running_topk(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per key, maintain
+    the running top-k values across micro-batches (state = the k-element
+    heap; O(k) state per key, Arrow-batched updates).
+
+    This is the escape hatch the engine reserves for semantics the built-in
+    streaming aggregates can't express (SURVEY.md §2.9 design note) — the
+    state schema, timeout handling, and update-mode contract here are the
+    template."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        top: list[float] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            top.extend(float(v) for v in pdf[value_col])
+        top = sorted(top, reverse=True)[:k]
+        state.update((top,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                "rank": range(1, len(top) + 1),
+                "value": top,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, rank int, value double",
+        stateStructType="top array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink (test harness)."""
     query = (

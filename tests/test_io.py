@@ -37,3 +37,26 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_small, tmp_
     io.write_awards_partitioned(jan, path, mode="overwrite")
     after = io.read_awards(spark, path).count()
     assert after == before
+
+
+def test_upsert_merge_on_read_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "versioned")
+    v1 = spark.createDataFrame(
+        [("a", 100.0), ("b", 200.0)], "award_id string, award_amount double"
+    )
+    v2 = spark.createDataFrame(
+        [("b", 250.0), ("c", 300.0)], "award_id string, award_amount double"
+    )
+    io.append_versions(v1, path, version=1)
+    io.append_versions(v2, path, version=2)
+
+    latest = {r.award_id: r.award_amount for r in io.read_latest(spark, path, "award_id").collect()}
+    # last write wins: b updated, a kept, c inserted (Cassandra PK semantics)
+    assert latest == {"a": 100.0, "b": 250.0, "c": 300.0}
+    # raw table still holds 4 physical rows (append-only writes)
+    assert spark.read.parquet(path).count() == 4
+
+    io.compact_versions(spark, path, "award_id")
+    assert spark.read.parquet(path).count() == 3
+    after = {r.award_id: r.award_amount for r in io.read_latest(spark, path, "award_id").collect()}
+    assert after == latest

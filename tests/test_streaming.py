@@ -106,3 +106,28 @@ def test_stream_sessionize(spark, tmp_path):
     )
     assert got == [(1, 1), (1, 2), (2, 1)]
     q.stop()
+
+
+def test_stream_running_topk_matches_batch(spark, events_dir, events_schema):
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.run_to_memory(
+        jobs.stream_running_topk(stream, k=3), "running_topk", output_mode="update"
+    )
+    # in update mode the memory sink accumulates every emission; the final
+    # state per key is the last emission — compare against batch top-3
+    emitted = spark.table("running_topk").collect()
+    assert emitted
+    batch = spark.read.parquet(events_dir)
+    for etype in [r.event_type for r in batch.select("event_type").distinct().collect()]:
+        expect = [
+            r.value
+            for r in batch.filter(F.col("event_type") == etype)
+            .orderBy(F.desc("value"))
+            .limit(3)
+            .collect()
+        ]
+        got = sorted(
+            {r.value for r in emitted if r.event_type == etype}, reverse=True
+        )[:3]
+        assert got == expect, etype
+    q.stop()
