@@ -93,6 +93,34 @@ def langid(col: Column | str, alias: str = "lang_pred") -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und")).alias(alias)
 
 
+def commonness_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level unigram quality score: mean corpus frequency of the
+    document's tokens (score = Σ_t count(t) / (n_tokens · total_tokens)).
+
+    High score = text made of corpus-common words; low = rare/garbled tokens
+    — the cheap LM-free stand-in for perplexity filtering in training-data
+    pipelines. Two passes: token histogram (one shuffle over the small
+    vocabulary), then a broadcast join back to token occurrences. All
+    arithmetic is exact-int counts with a single final double division, so
+    the score is engine-reproducible (no transcendentals)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+    tok.cache()
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    total = tok.count()  # exact long, embedded as literal
+    scored = (
+        tok.join(F.broadcast(freq), on="_tok")
+        .groupBy(id_col)
+        .agg(F.sum("_tf").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    return scored.select(
+        id_col,
+        (
+            F.col("_s").cast("double")
+            / (F.col("_n").cast("double") * F.lit(float(total)))
+        ).alias("commonness"),
+    )
+
+
 def tfidf_features(
     df: DataFrame,
     text_col: str = "text",

@@ -74,6 +74,12 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # dedup
 # --------------------------------------------------------------------------
 
+def q_text_commonness(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-frequency quality score (LM-free perplexity stand-in)."""
+    docs = load(_prep(spark), sf, "documents")
+    return text.commonness_scores(docs)
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup groups: canonical min-id + copy count per distinct
     normalized text."""
@@ -202,6 +208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
+    "q_text_commonness": q_text_commonness,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -282,6 +289,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "q_text_langid": f"SELECT doc_id, {_LANGID_CASE} AS lang_pred FROM documents",
+    "q_text_commonness": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ),
+        freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY t),
+        tot AS (SELECT count(*) AS c FROM tok)
+        SELECT tok.doc_id,
+               CAST(SUM(freq.tf) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(tot.c AS DOUBLE)) AS commonness
+        FROM tok JOIN freq ON tok.t = freq.t, tot
+        GROUP BY tok.doc_id, tot.c
+    """,
     "q_doc_fingerprint": f"SELECT doc_id, md5({_NORMALIZED}) AS fingerprint FROM documents",
     "q_dedup_exact": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

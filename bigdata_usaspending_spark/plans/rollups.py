@@ -14,7 +14,10 @@ Cassandra inserts (app/ml_app.py:488-509).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.aggregates import sum_by_key, sum_by_month
 from ..operators.joins import join_dim_fact
@@ -57,3 +60,52 @@ def write_rollup(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize a rollup as columnar parquet (reference: Cassandra append
     sink, app/spark_cassandra_etl_award_amount_aggregator.py:88-95)."""
     df.write.mode(mode).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance
+# --------------------------------------------------------------------------
+# The reference refreshed its rollup tables by re-running the full batch job
+# (SURVEY.md §1.1 — "freshness by re-running"). At 100 TB a full recompute
+# per refresh is untenable; these helpers maintain the materialized rollup
+# incrementally: aggregate only the new batch, then merge partial totals.
+# The materialized state keeps totals in exact decimal, so
+# incremental == full-recompute BIT-FOR-BIT (decimal addition is
+# associative); a double-valued state could not guarantee that.
+
+_DEC_TOTAL = "decimal(38,6)"
+
+
+def partial_rollup(batch: DataFrame, keys: Sequence[str], amount_col: str) -> DataFrame:
+    """Aggregate one batch into mergeable partial totals (decimal state)."""
+    return batch.groupBy(*keys).agg(
+        F.sum(F.col(amount_col).cast("decimal(27,6)")).cast(_DEC_TOTAL).alias("_total_dec"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def merge_rollup(existing: DataFrame | None, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge a batch's partial totals into the materialized state.
+
+    Cost: O(|delta keys| + |existing keys|) — one shuffle on the grouping
+    key, independent of total fact rows ever ingested."""
+    if existing is None:
+        return delta
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_total_dec").cast(_DEC_TOTAL).alias("_total_dec"),
+            F.sum("_n").alias("_n"),
+        )
+    )
+
+
+def rollup_view(state: DataFrame, alias: str = "total_award_amount") -> DataFrame:
+    """Reader view over the materialized state: rounded double totals (the
+    shape the dashboard consumes)."""
+    return state.select(
+        *[c for c in state.columns if not c.startswith("_")],
+        F.round(F.col("_total_dec"), 2).cast("double").alias(alias),
+        F.col("_n").alias("n_awards"),
+    )
