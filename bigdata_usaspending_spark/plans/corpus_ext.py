@@ -132,24 +132,66 @@ def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN top-10 (rows-only): label-mean centroids, nprobe=3 cells."""
-    spark = _prep(spark)
-    emb = load(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    centroids = (
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Label-mean centroids with DETERMINISTIC means: per-dimension sums
+    accumulate in decimal (scale 7 — far above the float32 half-ulp window,
+    so both engines round component casts identically), final mean is one
+    double division. Output: (cell, centroid array<double>)."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,7)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
-            F.col("label").alias("cell"),
+            F.col("label").cast("int").alias("cell"),
             F.transform("pm", lambda s: s["m"]).alias("centroid"),
         )
     )
-    assigned = similarity.ivf_assign(emb.filter(F.col("vec_id") != 0), centroids)
-    return similarity.ivf_topk(assigned, centroids, _query_vec(emb), k=10, nprobe=3)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-10: deterministic label-mean centroids, rank-window cell
+    assignment, nprobe=3 probed cells, exact cosine within candidates.
+    Oracle-checked: every stage is reproducible SQL (see corpus_ext
+    ORACLE_SQL)."""
+    from pyspark.sql import Window
+
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    centroids = _ivf_centroids(emb)
+    data = emb.filter(F.col("vec_id") != 0)
+
+    # assignment: argmax cell by cosine, ties by cell asc
+    scores = data.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        similarity.cosine(F.col("embedding"), F.col("centroid")).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cell"))
+    assigned = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    # probe cells: top-3 by query-centroid cosine
+    q = _query_vec(emb)
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cell", similarity.cosine(F.col("centroid"), F.col("q_emb")).alias("_qs"))
+        .orderBy(F.desc("_qs"), F.asc("cell"))
+        .limit(3)
+        .select("cell")
+    )
+    candidates = assigned.join(F.broadcast(probe), on="cell", how="semi")
+    return similarity.brute_force_topk(candidates, q, k=10)
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -225,7 +267,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROWS_ONLY_QUERIES = {
     "q_dedup_minhash_lsh",  # banded LSH bucketing not portable SQL
     "q_dedup_simhash",      # xxhash64 signature not portable SQL
-    "q_ann_ivf_topk",       # iterative argmax assignment not portable SQL
     "q_ann_lsh",            # seeded MLlib random projections
 }
 
@@ -336,6 +377,48 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings e, q
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "q_ann_ivf_topk": f"""
+        WITH px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        scores AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_cosine_sql('e.embedding', 'c.centroid')} AS cs
+            FROM embeddings e, cent c WHERE e.vec_id <> 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cell FROM (
+                SELECT c.cell, {_cosine_sql('c.centroid', 'q.q_emb')} AS qs
+                FROM cent c, q
+            ) ORDER BY qs DESC, cell ASC LIMIT 3
+        )
+        SELECT a.vec_id, {_cosine_sql('a.embedding', 'q.q_emb')} AS cosine
+        FROM assigned a, q
+        WHERE a.cell IN (SELECT cell FROM probe)
+        ORDER BY cosine DESC, a.vec_id ASC
         LIMIT 10
     """,
     "q_window_tumbling": (
