@@ -131,3 +131,31 @@ def test_stream_running_topk_matches_batch(spark, events_dir, events_schema):
         )[:3]
         assert got == expect, etype
     q.stop()
+
+
+def test_stream_incremental_rollup_matches_batch(spark, events_dir, events_schema, tmp_path):
+    from bigdata_usaspending_spark.plans.rollups import rollup_view
+
+    state = str(tmp_path / "rollup_state")
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.stream_incremental_rollup(
+        stream, state, "event_type", checkpoint=str(tmp_path / "ckpt")
+    )
+    got = {
+        r.event_type: (r.total_award_amount, r.n_awards)
+        for r in rollup_view(spark.read.parquet(state)).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.event_type: (r.t, r.n)
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == expected  # exact across however many micro-batches ran
+    q.stop()
