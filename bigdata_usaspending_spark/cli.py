@@ -1,0 +1,93 @@
+"""Batch-job CLI — the engine's spark-submit surface.
+
+Mirrors the reference's operational entry points (README.md:111-115;
+app/spark_cassandra_etl_award_amount_aggregator.py:100-116 validated
+--aggregator with argparse) with parquet IO:
+
+  python -m bigdata_usaspending_spark.cli rollup \
+      --awards /path/awards.parquet --geo /path/geo.parquet \
+      --aggregator recipient_name --output /path/rollup
+  python -m bigdata_usaspending_spark.cli rollup-month \
+      --awards ... --geo ... --aggregator awarding_sub_agency --output ...
+  python -m bigdata_usaspending_spark.cli train \
+      --awards ... --models-dir ... [--report report.txt]
+
+Each subcommand builds the session, runs one lazily-planned job, writes the
+sink, and exits — the §3.1 lifecycle with the Cassandra connector swapped
+for columnar parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+AGGREGATORS = ("recipient_name", "awarding_sub_agency")
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bigdata_usaspending_spark")
+    sub = p.add_subparsers(dest="job", required=True)
+
+    r = sub.add_parser("rollup", help="total award amount by entity (flagship ETL)")
+    r.add_argument("--awards", required=True)
+    r.add_argument("--geo", required=True)
+    r.add_argument("--aggregator", required=True, choices=AGGREGATORS)
+    r.add_argument("--output", required=True)
+
+    m = sub.add_parser("rollup-month", help="total award amount by (entity, month)")
+    m.add_argument("--awards", required=True)
+    m.add_argument("--geo", required=True)
+    m.add_argument("--aggregator", required=True, choices=AGGREGATORS)
+    m.add_argument("--output", required=True)
+
+    t = sub.add_parser("train", help="fit the three ML pipelines")
+    t.add_argument("--awards", required=True)
+    t.add_argument("--models-dir", required=True)
+    t.add_argument("--report", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(f"cli-{args.job}")
+    if args.job in ("rollup", "rollup-month"):
+        from .plans import rollups
+
+        awards = spark.read.parquet(args.awards)
+        geo = spark.read.parquet(args.geo)
+        if args.job == "rollup":
+            out = rollups.total_by_entity(
+                awards, geo, args.aggregator, args.aggregator, "award_amount",
+                carried_dim_cols=("latitude", "longitude"),
+            )
+        else:
+            out = rollups.total_by_month(
+                awards, geo, args.aggregator, args.aggregator,
+                "start_date", "award_amount",
+            )
+        rollups.write_rollup(out, args.output)
+        print(f"wrote {out.count()} rollup rows to {args.output}")
+        return 0
+
+    if args.job == "train":
+        from .ml import pipelines as ml
+        from .ml.report import write_report
+
+        result = ml.train_all(spark.read.parquet(args.awards))
+        ml.save_models(result, args.models_dir)
+        if args.report:
+            write_report(result, args.report)
+        print(
+            f"trained: rmse={result.regression_rmse:.2f} "
+            f"auc={result.classification_auc:.4f} "
+            f"centers={len(result.cluster_centers)} -> {args.models_dir}"
+        )
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,8 @@ def total_by_entity(
     """total_award_amount_by_{recipient,awarding_sub_agency} analog:
     join the small entity dim, group by its name (+ functionally-dependent
     carried attributes, like lat/lon in the reference), sum the amount."""
-    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    on = fact_key if fact_key == dim_key else fact[fact_key] == dim[dim_key]
+    joined = join_dim_fact(fact, dim, on=on)
     return sum_by_key(joined, [dim_key, *carried_dim_cols], amount_col)
 
 
@@ -43,7 +44,8 @@ def total_by_two_keys(
     second_key: str, amount_col: str,
 ) -> DataFrame:
     """awarding_sub_agency_by_recipient analog (two grouping keys)."""
-    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    on = fact_key if fact_key == dim_key else fact[fact_key] == dim[dim_key]
+    joined = join_dim_fact(fact, dim, on=on)
     return sum_by_key(joined, [dim_key, second_key], amount_col)
 
 
@@ -52,7 +54,8 @@ def total_by_month(
     date_col: str, amount_col: str,
 ) -> DataFrame:
     """awarding_sub_agency_by_month analog (calendar-month bucket)."""
-    joined = join_dim_fact(fact, dim, on=fact[fact_key] == dim[dim_key])
+    on = fact_key if fact_key == dim_key else fact[fact_key] == dim[dim_key]
+    joined = join_dim_fact(fact, dim, on=on)
     return sum_by_month(joined, dim_key, date_col, amount_col)
 
 
