@@ -151,6 +151,30 @@ def stream_running_topk(
     )
 
 
+def stream_enriched_rollup(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    group_col: str,
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment join + rollup: each micro-batch broadcast-
+    joins the static dimension (the geo-dim pattern from the batch flagship,
+    app/spark_cassandra_etl_award_amount_aggregator.py:81-85) and feeds the
+    running aggregate. The static side is re-resolvable per batch, so dim
+    updates are picked up without restarting the query."""
+    enriched = events.withWatermark(ts_col, watermark).join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key]
+    )
+    return enriched.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+
+
 def stream_incremental_rollup(
     events: DataFrame,
     state_path: str,

@@ -159,3 +159,31 @@ def test_stream_incremental_rollup_matches_batch(spark, events_dir, events_schem
     }
     assert got == expected  # exact across however many micro-batches ran
     q.stop()
+
+
+def test_stream_enriched_rollup_matches_batch(spark, events_dir, events_schema):
+    # static dim: user_id -> segment (odd/even)
+    dim = spark.range(0, 50).selectExpr(
+        "id AS u_id", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS segment"
+    )
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.run_to_memory(
+        jobs.stream_enriched_rollup(stream, dim, "user_id", "u_id", "segment"),
+        "enriched", output_mode="complete",
+    )
+    got = {
+        r.segment: (r.n_events, r.total_value)
+        for r in spark.table("enriched").collect()
+    }
+    batch = spark.read.parquet(events_dir).join(dim, F.col("user_id") == F.col("u_id"))
+    expected = {
+        r.segment: (r.n, r.t)
+        for r in batch.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("t"),
+        )
+        .collect()
+    }
+    assert got == expected
+    q.stop()
