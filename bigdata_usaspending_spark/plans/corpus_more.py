@@ -73,6 +73,21 @@ def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
 # cube / grouping sets
 # --------------------------------------------------------------------------
 
+def q_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join: both unmatched sides survive with nulls — the
+    reconciliation shape (e.g. awards vs geo entities in either direction)."""
+    spark = _prep(spark)
+    totals = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(exact_sum("o_totalprice", "total_award_amount"))
+    )
+    dim = _geo_subset(spark, sf)
+    return totals.join(
+        dim, totals.o_custkey == dim.c_custkey, "full"
+    ).select("o_custkey", "c_name", "total_award_amount")
+
+
 def q_cube_two_keys(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE(returnflag, linestatus) — all 4 grouping sets in one shuffle."""
     li = load(_prep(spark), sf, "lineitem")
@@ -312,6 +327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_left": q_join_left,
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
+    "q_join_full": q_join_full,
     "q_cube_two_keys": q_cube_two_keys,
     "q_grouping_sets": q_grouping_sets,
     "q_set_intersect": q_set_intersect,
@@ -364,6 +380,16 @@ ORACLE_SQL: dict[str, str] = {
     "q_join_anti": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0)
+    """,
+    "q_join_full": f"""
+        WITH totals AS (
+            SELECT o_custkey, {SUM2.format(c='o_totalprice')} AS total_award_amount
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, c_name, total_award_amount
+        FROM totals FULL JOIN (
+            SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 0
+        ) ON o_custkey = c_custkey
     """,
     "q_cube_two_keys": (
         f"SELECT l_returnflag, l_linestatus, {SUM2.format(c='l_extendedprice')} "
