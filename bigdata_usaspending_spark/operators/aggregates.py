@@ -58,27 +58,32 @@ def distinct_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
-def exact_median(df: DataFrame, col: str, tiebreak: str, alias: str = "median") -> DataFrame:
+def exact_median(df: DataFrame, col: str, alias: str = "median") -> DataFrame:
     """Deterministic exact median (reference A6 used approxQuantile p=0.5,
     app/machine_learning_models.py:237-238; we compute the exact quantity so
     an external oracle can reproduce it bit-for-bit).
 
-    Sorts once, picks the middle row(s) by row_number, averages. At cluster
-    scale prefer ``F.percentile_approx`` for the threshold use-case; this
-    exact variant exists for correctness checking and small-dim medians.
+    Uses the built-in exact ``percentile`` aggregate: per-partition
+    value->count maps, partial-aggregated map-side and merged — no global
+    sort, no single-partition window (the round-1 formulation funneled the
+    whole table through one task). Interpolation for even counts is
+    ``0.5*lo + 0.5*hi`` in doubles, which an oracle reproduces exactly.
+    Merge memory is O(distinct values); for unbounded value domains at
+    cluster scale use ``median_approx`` (bounded-memory sketch).
     """
-    from pyspark.sql import Window
+    return df.agg(F.percentile(F.col(col).cast("double"), F.lit(0.5)).alias(alias))
 
-    w = Window.orderBy(F.col(col).asc(), F.col(tiebreak).asc())
-    ranked = df.select(
-        F.col(col).cast("double").alias("_v"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+
+def median_approx(
+    df: DataFrame, col: str, accuracy: int = 10000, alias: str = "median"
+) -> DataFrame:
+    """The 100-TB threshold path: ``percentile_approx`` (Greenwald-Khanna
+    sketch — mergeable, memory bounded by ``accuracy`` regardless of value
+    cardinality; rank error <= n/accuracy). Matches the reference's own
+    semantics (approxQuantile err=0.001, app/machine_learning_models.py:237)."""
+    return df.agg(
+        F.percentile_approx(F.col(col).cast("double"), F.lit(0.5), F.lit(accuracy)).alias(alias)
     )
-    mid = ranked.filter(
-        (F.col("_rn") == F.expr("(_n + 1) div 2")) | (F.col("_rn") == F.expr("(_n + 2) div 2"))
-    )
-    return mid.agg(F.avg("_v").alias(alias))
 
 
 def describe_stats(df: DataFrame, col: str) -> DataFrame:

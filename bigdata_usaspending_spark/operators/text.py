@@ -99,24 +99,35 @@ def commonness_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     High score = text made of corpus-common words; low = rare/garbled tokens
     — the cheap LM-free stand-in for perplexity filtering in training-data
-    pipelines. Two passes: token histogram (one shuffle over the small
-    vocabulary), then a broadcast join back to token occurrences. All
-    arithmetic is exact-int counts with a single final double division, so
-    the score is engine-reproducible (no transcendentals)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
-    tok.cache()
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
-    total = tok.count()  # exact long, embedded as literal
-    scored = (
-        tok.join(F.broadcast(freq), on="_tok")
-        .groupBy(id_col)
-        .agg(F.sum("_tf").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    pipelines. All arithmetic is exact-int counts with a single final double
+    division, so the score is engine-reproducible (no transcendentals).
+
+    Scale shape (100 TB): token occurrences are first reduced to per-document
+    distinct tokens with in-doc counts (one shuffle; map-side partial agg
+    absorbs most of the explode volume), so (a) the vocabulary histogram and
+    the score join both run over (doc, distinct-token) rows — orders of
+    magnitude fewer than raw occurrences and far less skewed ("the" appears
+    once per doc, not once per occurrence) — and (b) no driver-side count and
+    NO vocabulary broadcast: a web-scale distinct-token table is GBs, so the
+    histogram join strategy is left to AQE, and the corpus-total token count
+    rides along as a broadcast of a 1-row aggregate."""
+    doctok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    return scored.select(
+    freq = doctok.groupBy("_tok").agg(F.sum("_c").alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_total"))  # 1 row, derived from freq
+    scored = (
+        doctok.join(freq, on="_tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c") * F.col("_tf")).alias("_s"), F.sum("_c").alias("_n"))
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
         id_col,
         (
             F.col("_s").cast("double")
-            / (F.col("_n").cast("double") * F.lit(float(total)))
+            / (F.col("_n").cast("double") * F.col("_total").cast("double"))
         ).alias("commonness"),
     )
 

@@ -71,7 +71,7 @@ def q_dropna(spark: SparkSession, sf: str) -> DataFrame:
 
 def _median_totalprice(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
-    return agg.exact_median(orders, "o_totalprice", "o_orderkey", alias="m")
+    return agg.exact_median(orders, "o_totalprice", alias="m")
 
 
 def q_case_when_label(spark: SparkSession, sf: str) -> DataFrame:
@@ -192,9 +192,22 @@ def q_value_counts(spark: SparkSession, sf: str) -> DataFrame:
 def q_approx_median(spark: SparkSession, sf: str) -> DataFrame:
     """A6 — median award threshold (reference approxQuantile p=0.5,
     app/machine_learning_models.py:237-238; exact median here so the oracle
-    can reproduce it — see operators.aggregates.exact_median)."""
+    can reproduce it — see operators.aggregates.exact_median: built-in
+    percentile aggregate, map-side partial, no single-partition window)."""
     spark = _prep(spark)
     return _median_totalprice(spark, sf).select(F.col("m").alias("median_totalprice"))
+
+
+def q_median_approx_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 scale path — percentile_approx (Greenwald-Khanna sketch: mergeable,
+    memory bounded by the accuracy parameter regardless of value-domain
+    cardinality). This is the threshold plan to run at 100 TB, and the
+    reference's own semantics (approxQuantile err=0.001). Rows-only check:
+    approximate by design, not portably reproducible."""
+    orders = load(_prep(spark), sf, "orders")
+    return agg.median_approx(
+        orders, "o_totalprice", accuracy=10000, alias="median_totalprice_approx"
+    )
 
 
 def q_describe_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -294,7 +307,9 @@ def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 
 # Queries deliberately checked rows-only (no DuckDB oracle): genuinely
 # non-SQL-expressible or approximate/seeded operators.
-ROWS_ONLY_QUERIES: set[str] = set()
+ROWS_ONLY_QUERIES: set[str] = {
+    "q_median_approx_scale",  # GK sketch result is approximate by design
+}
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_project": q_scan_project,
@@ -310,6 +325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_distinct": q_count_distinct,
     "q_value_counts": q_value_counts,
     "q_approx_median": q_approx_median,
+    "q_median_approx_scale": q_median_approx_scale,
     "q_describe_stats": q_describe_stats,
     "q_corr": q_corr,
     "q_rollup_two_level": q_rollup_two_level,
@@ -322,15 +338,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_topk_per_group": q_window_topk_per_group,
 }
 
+# Twin of Spark's exact `percentile(v, 0.5)` interpolation
+# (position = 0.5*(n-1); even n -> 0.5*lo + 0.5*hi, odd n -> middle value —
+# halving doubles is exact, so MIN*0.5 + MAX*0.5 covers both cases
+# bit-for-bit).
 _MEDIAN_CTE = """
 ranked AS (
-    SELECT o_totalprice AS v,
-           row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+    SELECT CAST(o_totalprice AS DOUBLE) AS vd,
+           row_number() OVER (ORDER BY o_totalprice ASC) AS rn,
            count(*) OVER () AS n
     FROM orders
 ),
 med AS (
-    SELECT CAST(AVG(CAST(v AS DOUBLE)) AS DOUBLE) AS m
+    SELECT MIN(vd) * 0.5 + MAX(vd) * 0.5 AS m
     FROM ranked
     WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
 )

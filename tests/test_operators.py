@@ -68,9 +68,19 @@ def test_join_dim_fact_inner_semijoin_effect(spark):
 
 def test_exact_median_odd_even(spark):
     df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 40.0)], "k int, v double")
-    assert agg.exact_median(df, "v", "k").first()["median"] == 20.0
+    assert agg.exact_median(df, "v").first()["median"] == 20.0
     df2 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 40.0), (4, 50.0)], "k int, v double")
-    assert agg.exact_median(df2, "v", "k").first()["median"] == 30.0
+    assert agg.exact_median(df2, "v").first()["median"] == 30.0
+    # no single-partition window/sort in the plan (the round-1 scale defect)
+    plan = agg.exact_median(df2, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_median_approx_close(spark):
+    vals = [(i, float(i)) for i in range(1, 1002)]
+    df = spark.createDataFrame(vals, "k int, v double")
+    got = agg.median_approx(df, "v").first()["median"]
+    assert abs(got - 501.0) <= 1.0
 
 
 def test_describe_stats(spark):
