@@ -38,6 +38,18 @@ from .text import fingerprint, tokens
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def portable_hash60(c: Column) -> Column:
+    """60-bit deterministic hash reproducible in portable SQL: the integer
+    value of the first 15 hex digits of md5. Any engine with md5 + a
+    hex-string cast computes the identical bigint (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which is what makes
+    the minhash/simhash corpus queries oracle-checkable. The production
+    default stays xxhash64 (one fused JVM op, full 64 bits, no hex
+    round-trip) — ``portable=True`` trades ~2x hash cost for SQL portability
+    and is only used by the correctness corpus."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -216,6 +228,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
@@ -224,29 +237,39 @@ def minhash_lsh_pairs(
     Candidates join on (band, band-signature hash): the shuffle is
     O(docs x bands), never all-pairs. Verification joins the two shingle
     sets back and computes exact Jaccard, so precision is exact.
+
+    ``portable=True`` switches the shingle hash to portable_hash60 and the
+    band signature to the plain comma-joined minhash string, making every
+    stage reproducible in portable SQL (the oracle-checked corpus path);
+    the default keeps xxhash64 for both (cheaper shuffle key).
     """
     rows_per_band = num_hashes // bands
+    hash_fn = portable_hash60 if portable else F.xxhash64
     # hashed shingle sets: verification compares 64-bit hashes, not strings
     # (cheaper to shuffle/compare; collision odds negligible)
-    hashed = df.select(F.col(id_col).alias("_id"), shingles_of(text_col, n)).select(
-        "_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
+    hashed = (
+        df.select(F.col(id_col).alias("_id"), shingles_of(text_col, n))
+        .select(
+            "_id",
+            F.array_distinct(F.transform("shingles", lambda s: hash_fn(s))).alias("hs"),
+        )
+        # empty shingle sets (docs shorter than n tokens) have no Jaccard
+        # defined (0/0) and would all band-match on the all-p signature
+        .filter(F.size("hs") > 0)
     )
     # lazy cache shared by the signature branch and both verification sides;
     # signatures are per-row expressions (no extra shuffle — measured faster
     # than an explode+groupBy signature stage at sf0.1)
     hashed.cache()
     sig = hashed.select("_id", minhash_from_hashes("hs", num_hashes).alias("minhash"))
+
+    def band_sig(b: int) -> Column:
+        joined = F.concat_ws(",", F.slice("minhash", b * rows_per_band + 1, rows_per_band))
+        return joined if portable else F.xxhash64(joined)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice("minhash", b * rows_per_band + 1, rows_per_band)
-                    )
-                ).alias("sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(bands)
         ]
     )
@@ -278,9 +301,12 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def token_hashes(col: Column | str) -> Column:
-    """xxhash64 of each whitespace token (array<bigint>)."""
-    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+def token_hashes(col: Column | str, portable: bool = False) -> Column:
+    """Per-token hashes (array<bigint>): xxhash64 by default, portable_hash60
+    for the oracle-checked variant (bits 60-63 are then structurally zero, so
+    the top nibble of the simhash votes uniformly negative — harmless)."""
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    return F.transform(tokens(col), lambda t: hash_fn(t))
 
 
 def simhash_from_token_hashes(th_col: Column | str, alias: str = "simhash") -> Column:
@@ -308,7 +334,9 @@ def simhash_from_token_hashes(th_col: Column | str, alias: str = "simhash") -> C
     return functools.reduce(lambda a, b: a.bitwiseOR(b), bit_exprs).alias(alias)
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """(id, simhash) signature table.
 
     Computed by exploding token hashes and running 64 vectorized
@@ -317,7 +345,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     per row, and the shape that scales: partial aggregation happens map-side.
     """
     ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(token_hashes(text_col)).alias("_h")
+        F.col(id_col).alias("_id"), F.explode(token_hashes(text_col, portable)).alias("_h")
     )
     votes = ex.groupBy("_id").agg(
         *[
@@ -343,6 +371,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -353,7 +382,7 @@ def simhash_pairs(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = simhash_table(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    sig = simhash_table(df, id_col, text_col, portable).withColumnRenamed(id_col, "_id")
     chunk_structs = F.array(
         *[
             F.struct(

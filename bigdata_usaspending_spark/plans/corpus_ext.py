@@ -96,16 +96,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: banded LSH bucketing is not
-    portable SQL; exact-Jaccard verification keeps precision exact)."""
+    """MinHash+LSH near-dup pairs, fully oracle-checked: the portable
+    md5-derived shingle hash (dedup.portable_hash60) makes every stage —
+    affine minhash family, banded candidate join, exact-Jaccard verify —
+    reproducible in plain SQL. Production callers keep the xxhash64 default."""
     docs = load(_prep(spark), sf, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", threshold=JACCARD_THRESHOLD, portable=True
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming <= 3 (rows-only)."""
+    """SimHash near-dup pairs at hamming <= 3, fully oracle-checked via the
+    portable 60-bit token hash (bit-votes, pigeonhole banding and
+    bit_count(xor) are all plain SQL)."""
     docs = load(_prep(spark), sf, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", max_hamming=3, portable=True)
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -265,9 +271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ROWS_ONLY_QUERIES = {
-    "q_dedup_minhash_lsh",  # banded LSH bucketing not portable SQL
-    "q_dedup_simhash",      # xxhash64 signature not portable SQL
-    "q_ann_lsh",            # seeded MLlib random projections
+    "q_ann_lsh",  # seeded MLlib random projections (JVM RNG not portable SQL)
 }
 
 # DuckDB twins ------------------------------------------------------------
@@ -310,6 +314,101 @@ def _cosine_sql(a: str, b: str) -> str:
     return (
         f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     )
+
+
+# --- portable-hash dedup oracles (twin of dedup.portable_hash60 + the
+# minhash/simhash pipelines with portable=True) ---------------------------
+
+_MINHASH_P = (1 << 31) - 1
+
+
+def _basehash_sql(x: str) -> str:
+    """Twin of dedup.portable_hash60: integer value of md5's first 15 hex
+    digits (60 bits, always non-negative)."""
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    # affine family twin: (x*(2i+1) + (1000003*i + 12345)) % p on base = h % p
+    mins = ",\n               ".join(
+        f"coalesce(list_min(list_transform(b, x -> (x * {2 * i + 1} + {1000003 * i + 12345})"
+        f" % {_MINHASH_P})), {_MINHASH_P}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {ms}) AS sig FROM m".format(
+            b=b, ms=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        hs AS (
+            SELECT doc_id, list_distinct(list_transform(sh, g -> {_basehash_sql('g')})) AS hs
+            FROM s WHERE len(sh) > 0
+        ),
+        base AS (SELECT doc_id, list_transform(hs, h -> h % {_MINHASH_P}) AS b FROM hs),
+        m AS (SELECT doc_id,
+               {mins}
+              FROM base),
+        banded AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                   / CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))
+                          AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN hs ha ON c.id_a = ha.doc_id
+            JOIN hs hb ON c.id_b = hb.doc_id
+        ) WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 64 // bands
+    mask = (1 << width) - 1
+    # bits 60-63 of the 60-bit portable hash are structurally 0 -> their
+    # votes are uniformly negative -> signature bits 60-63 are 0; summing
+    # 60 disjoint bit terms therefore equals the Spark 64-bit OR-fold.
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    chunk_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH e AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+        h AS (SELECT doc_id, {_basehash_sql('tk')} AS hv FROM e),
+        v AS (SELECT doc_id,
+               {votes}
+              FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS simhash FROM v),
+        banded AS (
+            {chunk_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 ORACLE_SQL: dict[str, str] = {
     "q_text_tokens": f"""
@@ -363,6 +462,10 @@ ORACLE_SQL: dict[str, str] = {
             FROM i
         ) WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
+    "q_dedup_minhash_lsh": _minhash_lsh_oracle(
+        num_hashes=32, bands=8, threshold=JACCARD_THRESHOLD
+    ),
+    "q_dedup_simhash": _simhash_oracle(max_hamming=3, bands=4),
     "q_dedup_embedding": f"""
         SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
