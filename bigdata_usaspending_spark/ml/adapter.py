@@ -3,7 +3,11 @@
 Lets every awards-domain job (rollup ETL, ML pipelines, dashboard queries)
 run unchanged on the driver's testdata: orders plays the fact,
 customer -> recipient, nation -> sub-agency analog, region -> agency analog,
-o_orderpriority -> contract type.
+o_orderpriority -> contract type, c_mktsegment -> funding agency,
+o_orderstatus -> funding sub-agency. Every column the reference's ML
+candidate set uses (app/machine_learning_models.py:151-157) maps to a REAL
+multi-valued column so the 5-candidate guard sees the same shape the
+reference saw.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ def awards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("awarding_sub_agency"),
         F.col("o_orderpriority").alias("contract_award_type"),
         F.col("c_mktsegment").alias("funding_agency"),
-        F.lit(None).cast("string").alias("funding_sub_agency"),
+        F.col("o_orderstatus").alias("funding_sub_agency"),
         F.lit(None).cast("string").alias("description"),
         F.lit(None).cast("date").alias("last_modified_date"),
         F.lit(None).cast("date").alias("base_obligation_date"),

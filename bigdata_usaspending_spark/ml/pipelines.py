@@ -44,21 +44,25 @@ from pyspark.ml.stat import Correlation
 
 from ..operators.cleaning import binary_label, drop_null_required, filter_positive, with_month_year
 
+# The reference's exact 5-column candidate set (:151-157). NOT
+# recipient_name: the reference never trained on it (high-cardinality), and
+# feature parity means the same candidate list feeding the same guard.
 DEFAULT_CATEGORICAL = (
-    "recipient_name",
     "awarding_agency",
     "awarding_sub_agency",
     "contract_award_type",
+    "funding_agency",
+    "funding_sub_agency",
 )
 # the 7 columns the reference required non-null (:136-145)
 REQUIRED = (
-    "award_id",
-    "recipient_name",
-    "start_date",
     "award_amount",
+    "start_date",
     "awarding_agency",
     "awarding_sub_agency",
     "contract_award_type",
+    "funding_agency",
+    "funding_sub_agency",
 )
 SEED = 42
 

@@ -213,24 +213,24 @@ def q_dashboard_sankey(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ml_prepare(spark: SparkSession, sf: str) -> DataFrame:
-    """The ML cleaning/derivation chain (dropna + positive filter +
-    month/year) as a checkable query (reference
+    """The ML cleaning/derivation chain (dropna on the reference's 7 required
+    columns + positive filter + month/year) as a checkable query (reference
     app/machine_learning_models.py:136-149)."""
     from ..ml.adapter import awards_view
+    from ..ml.pipelines import REQUIRED
 
     aw = awards_view(_prep(spark), sf)
     out = cleaning.filter_positive(
         cleaning.with_month_year(
-            cleaning.drop_null_required(
-                aw, ["award_id", "recipient_name", "start_date", "award_amount"]
-            ),
-            "start_date",
+            cleaning.drop_null_required(aw, list(REQUIRED)), "start_date"
         ),
         "award_amount",
     )
     return out.select(
         "award_id",
-        "recipient_name",
+        "awarding_agency",
+        "funding_agency",
+        "funding_sub_agency",
         F.col("award_amount").cast("double").alias("award_amount"),
         "month",
         "year",
@@ -359,7 +359,9 @@ _AWARDS_VIEW = """
            o_totalprice AS award_amount,
            r_name AS awarding_agency,
            n_name AS awarding_sub_agency,
-           o_orderpriority AS contract_award_type
+           o_orderpriority AS contract_award_type,
+           c_mktsegment AS funding_agency,
+           o_orderstatus AS funding_sub_agency
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -444,13 +446,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_ml_prepare": f"""
         WITH aw AS ({_AWARDS_VIEW})
-        SELECT award_id, recipient_name,
+        SELECT award_id, awarding_agency, funding_agency, funding_sub_agency,
                CAST(award_amount AS DOUBLE) AS award_amount,
                CAST(month(start_date) AS INT) AS month,
                CAST(year(start_date) AS INT) AS year
         FROM aw
-        WHERE award_id IS NOT NULL AND recipient_name IS NOT NULL
-          AND start_date IS NOT NULL AND award_amount IS NOT NULL
+        WHERE award_amount IS NOT NULL AND start_date IS NOT NULL
+          AND awarding_agency IS NOT NULL AND awarding_sub_agency IS NOT NULL
+          AND contract_award_type IS NOT NULL AND funding_agency IS NOT NULL
+          AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
     """,
     "q_multimodal_bytes": (

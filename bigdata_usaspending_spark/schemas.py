@@ -39,13 +39,13 @@ AWARDS = T.StructType(
 # The 7 columns the ML pipeline requires non-null
 # (app/machine_learning_models.py:136-145).
 AWARDS_REQUIRED_COLUMNS = (
-    "award_id",
-    "recipient_name",
-    "start_date",
     "award_amount",
+    "start_date",
     "awarding_agency",
     "awarding_sub_agency",
     "contract_award_type",
+    "funding_agency",
+    "funding_sub_agency",
 )
 
 # Geo enrichment dims (cql/setup_usaspending.cql:33-43); <=10 rows each.

@@ -36,22 +36,49 @@ def test_guard_keeps_multivalue_categoricals(result):
     assert result.dropped_categoricals == []
 
 
-def test_guard_drops_single_value_column(spark):
+def _guard_df(spark, awarding_agency_of, funding_sub_agency_of):
     rows = [
-        (str(i), f"r{i % 5}", date(2023, 1 + i % 12, 1), 100.0 + i, "ONLY_ONE",
-         f"sub{i % 3}", f"t{i % 2}")
+        (str(i), f"r{i % 5}", date(2023, 1 + i % 12, 1), 100.0 + i,
+         awarding_agency_of(i), f"sub{i % 3}", f"t{i % 2}", f"f{i % 4}",
+         funding_sub_agency_of(i))
         for i in range(40)
     ]
-    df = spark.createDataFrame(
+    return spark.createDataFrame(
         rows,
         "award_id string, recipient_name string, start_date date, "
         "award_amount double, awarding_agency string, awarding_sub_agency string, "
-        "contract_award_type string",
+        "contract_award_type string, funding_agency string, funding_sub_agency string",
     )
+
+
+def test_guard_candidates_match_reference():
+    # the reference's exact 5-column candidate set
+    # (app/machine_learning_models.py:151-157) — notably NOT recipient_name
+    assert list(ml.DEFAULT_CATEGORICAL) == [
+        "awarding_agency", "awarding_sub_agency", "contract_award_type",
+        "funding_agency", "funding_sub_agency",
+    ]
+    assert "recipient_name" not in ml.DEFAULT_CATEGORICAL
+
+
+def test_guard_drops_single_value_column(spark):
+    # the reference's real dataset hit exactly this branch (single awarding
+    # agency -> saved pipelines carry 4 StringIndexers, not 5; SURVEY §2.11)
+    df = _guard_df(spark, lambda i: "ONLY_ONE", lambda i: f"fs{i % 2}")
     keep, dropped = ml.usable_categoricals(df)
-    # the reference's real dataset hit exactly this branch (single agency)
     assert dropped == ["awarding_agency"]
-    assert "recipient_name" in keep
+    assert keep == [
+        "awarding_sub_agency", "contract_award_type",
+        "funding_agency", "funding_sub_agency",
+    ]
+
+
+def test_guard_drops_single_value_funding_column(spark):
+    # 4-vs-5-indexer branch on the funding side
+    df = _guard_df(spark, lambda i: f"ag{i % 2}", lambda i: "ONLY_ONE")
+    keep, dropped = ml.usable_categoricals(df)
+    assert dropped == ["funding_sub_agency"]
+    assert len(keep) == 4
 
 
 def test_metrics_sane(result):
@@ -83,7 +110,7 @@ def test_inference_known_and_unseen_category(result, awards, spark):
     assert row is not None and row["prediction"] is not None
 
     unseen = spark.createDataFrame([sample], awards.schema).withColumn(
-        "recipient_name", F.lit("NEVER_SEEN_RECIPIENT")
+        "awarding_sub_agency", F.lit("NEVER_SEEN_SUB_AGENCY")
     )
     # handleInvalid="skip" drops the row -> explicit None (reference flashed
     # an error for this case, app/ml_app.py:211-216)
