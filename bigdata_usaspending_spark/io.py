@@ -19,6 +19,11 @@ so re-ingesting a month replaces exactly that month.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,18 +84,78 @@ def read_latest(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 def compact_versions(spark: SparkSession, path: str, key: str) -> None:
     """Rewrite the table keeping only the newest row per key (the
-    compaction that bounds merge-on-read cost). Writes to a temp location
-    then swaps, so a failed compaction never corrupts the table."""
-    import shutil
-    import uuid
+    compaction that bounds merge-on-read cost).
 
+    Swap order is crash-safe on a local filesystem: write the compacted copy
+    aside, rename the live table aside, rename the compacted copy in, THEN
+    delete the old copy — at no point is the data unrecoverable (a crash
+    between the two renames leaves the full old table at ``path__old_*``).
+    Object stores have no atomic rename; there the public-knowledge answer
+    is a real table format (Delta/Iceberg snapshot commit) — documented
+    limitation, same as the versioned-state manifest below."""
     latest = read_latest(spark, path, key).withColumn(
         VERSION_COL, F.lit(0).cast("long")
     )
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{token}"
+    old = f"{path}__old_{token}"
     latest.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
+
+
+# --------------------------------------------------------------------------
+# Versioned state table (manifest-pointer commits)
+# --------------------------------------------------------------------------
+# Small materialized-state tables (incremental rollup state, stream
+# accumulators) need atomic replace + replay idempotency. Layout:
+#
+#   path/_MANIFEST.json   -> {"version": N, "batch_id": B}
+#   path/v=N/...parquet   -> the committed state snapshot
+#
+# Readers load the version the manifest points at; writers stage a new
+# v=N+1 directory and then atomically repoint the manifest (os.replace — a
+# POSIX atomic rename). A crash mid-write leaves a dangling v=N+1 dir and an
+# intact manifest: the previous state is still what readers see. batch_id in
+# the manifest makes foreachBatch replays detectable (at-least-once ->
+# effectively-once). Local-filesystem scope; on object stores use a table
+# format with snapshot commits.
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def read_state_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _MANIFEST), encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def read_versioned_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Load the committed state snapshot, or None if nothing committed yet."""
+    manifest = read_state_manifest(path)
+    if manifest is None:
+        return None
+    return spark.read.parquet(os.path.join(path, f"v={manifest['version']}"))
+
+
+def commit_versioned_state(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write df as the next state version and atomically repoint the
+    manifest. Prior versions older than the immediate predecessor are
+    pruned (the predecessor is kept so a reader that loaded the manifest
+    just before the swap can still finish its scan)."""
+    manifest = read_state_manifest(path)
+    version = (manifest["version"] + 1) if manifest else 0
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    tmp = os.path.join(path, f"{_MANIFEST}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))  # the atomic commit point
+    for name in os.listdir(path):
+        if name.startswith("v=") and int(name[2:]) < version - 1:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def write_bucketed(

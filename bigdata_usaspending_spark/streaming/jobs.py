@@ -175,6 +175,32 @@ def stream_enriched_rollup(
     )
 
 
+def merge_rollup_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    amount_col: str,
+    batch_id: int,
+) -> bool:
+    """One idempotent micro-batch merge into the versioned rollup state.
+    Returns False when the batch was a replay (already committed) — its
+    totals are not merged a second time. The commit is the manifest flip in
+    io.commit_versioned_state, so a crash anywhere before it leaves the
+    previous state intact."""
+    from ..io import commit_versioned_state, read_state_manifest, read_versioned_state
+    from ..plans.rollups import merge_rollup, partial_rollup
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False  # replayed batch — already merged and committed
+    spark = batch_df.sparkSession
+    delta = partial_rollup(batch_df, [key_col], amount_col)
+    existing = read_versioned_state(spark, state_path)
+    merged = merge_rollup(existing, delta, [key_col])
+    commit_versioned_state(merged, state_path, batch_id)
+    return True
+
+
 def stream_incremental_rollup(
     events: DataFrame,
     state_path: str,
@@ -184,30 +210,22 @@ def stream_incremental_rollup(
 ):
     """Keep a materialized rollup incrementally fresh from a stream:
     each micro-batch is aggregated to partial totals and merged into the
-    parquet-backed state via plans.rollups.merge_rollup (exact decimal —
+    versioned parquet state via plans.rollups.merge_rollup (exact decimal —
     N merges == full recompute bit-for-bit).
 
-    This is the engine's answer to the reference's "freshness by re-running
-    the batch job" (SURVEY.md §1.1): per batch O(batch + |keys|), with the
-    merge running inside foreachBatch so sink semantics stay transactional
-    per micro-batch."""
-    from ..plans.rollups import merge_rollup, partial_rollup
+    Exactly-once state under foreachBatch's at-least-once contract:
+    - replay-safe: a replayed micro-batch (same batch_id as the last
+      committed one) is skipped, so its totals are never double-merged;
+    - crash-safe: the merge lands in a new version directory and only
+      becomes visible when the manifest pointer flips atomically
+      (io.commit_versioned_state) — a crash mid-merge leaves the previous
+      committed state intact.
 
-    spark = events.sparkSession
+    This is the engine's answer to the reference's "freshness by re-running
+    the batch job" (SURVEY.md §1.1): per batch O(batch + |keys|)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = partial_rollup(batch_df, [key_col], amount_col)
-        try:
-            existing = spark.read.parquet(state_path)
-        except Exception:
-            existing = None
-        merged = merge_rollup(existing, delta, [key_col])
-        # write-then-swap via a versioned subdir would be production-grade;
-        # locally the overwrite is atomic enough for the test harness
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        merge_rollup_batch(batch_df, state_path, key_col, amount_col, batch_id)
 
     writer = events.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
     if checkpoint:

@@ -141,9 +141,11 @@ def test_stream_incremental_rollup_matches_batch(spark, events_dir, events_schem
     q = jobs.stream_incremental_rollup(
         stream, state, "event_type", checkpoint=str(tmp_path / "ckpt")
     )
+    from bigdata_usaspending_spark.io import read_versioned_state
+
     got = {
         r.event_type: (r.total_award_amount, r.n_awards)
-        for r in rollup_view(spark.read.parquet(state)).collect()
+        for r in rollup_view(read_versioned_state(spark, state)).collect()
     }
     batch = spark.read.parquet(events_dir)
     expected = {
