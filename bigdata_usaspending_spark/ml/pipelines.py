@@ -180,6 +180,11 @@ def train_all(df: DataFrame, amount_col: str = "award_amount") -> TrainingResult
 
     describe = prepared.select(amount_col, "month", "year").describe().collect()
 
+    # every consumer of the prepared frame has materialized by now; release
+    # the cached blocks so repeated train_all calls in a long-lived driver
+    # don't accumulate storage
+    prepared.unpersist()
+
     return TrainingResult(
         feature_categoricals=cats,
         dropped_categoricals=dropped,

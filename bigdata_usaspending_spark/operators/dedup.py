@@ -150,10 +150,13 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("_nsh"),
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("_sh"),
     )
-    # both sides of the candidate self-join read this — compute once, eagerly
-    # (lazy cache would be raced by the two join branches)
+    # Lazy cache shared by both sides of the candidate self-join. Measured at
+    # sf0.1 (warm, 2 runs each): lazy 1.6-1.8s, eager cache+count 1.6-2.5s
+    # (the extra materialization pass), no cache 2.2-2.3s — lazy wins for
+    # this and minhash_lsh_pairs alike, so both use it. The cached blocks are
+    # owned by the Spark session: long-lived drivers running many dedup
+    # passes should materialize the result and then clearCache()/unpersist.
     sh.cache()
-    sh.count()
     if max_shingle_df is not None:
         heavy = (
             sh.groupBy("_sh")
@@ -257,9 +260,10 @@ def minhash_lsh_pairs(
         # defined (0/0) and would all band-match on the all-p signature
         .filter(F.size("hs") > 0)
     )
-    # lazy cache shared by the signature branch and both verification sides;
-    # signatures are per-row expressions (no extra shuffle — measured faster
-    # than an explode+groupBy signature stage at sf0.1)
+    # lazy cache shared by the signature branch and both verification sides
+    # (same measurement + ownership note as ngram_jaccard_pairs); signatures
+    # are per-row expressions — no extra shuffle, measured faster than an
+    # explode+groupBy signature stage at sf0.1
     hashed.cache()
     sig = hashed.select("_id", minhash_from_hashes("hs", num_hashes).alias("minhash"))
 

@@ -379,9 +379,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0)
     """,
+    # NOT EXISTS, not NOT IN: left-anti join keeps null-key probe rows,
+    # which NOT IN would drop under three-valued logic if a key were NULL
     "q_join_anti": """
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0)
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = 0 AND c.c_custkey = o.o_custkey
+        )
     """,
     "q_join_full": f"""
         WITH totals AS (

@@ -95,23 +95,38 @@ class UsaspendingClient:
         }
 
     def _fetch_page(self, page: int) -> dict:
+        import urllib.error
+
         attempt = 0
         while True:
             try:
                 return self.transport(self.url, self.payload(page), self.timeout)
-            except Exception:  # timeout / connection error (:522-531)
+            except urllib.error.HTTPError:
+                # non-transient HTTP status (4xx/5xx): the reference aborted
+                # the run on HTTPError (:552-555) instead of re-sending a
+                # request the server already rejected
+                raise
+            except (TimeoutError, ConnectionError, urllib.error.URLError, OSError):
+                # transient transport failures only (:522-531)
                 attempt += 1
                 if attempt > self.max_retries:
                     raise
                 self.sleep(3.0)
 
     def pages(self) -> Iterator[list[dict]]:
-        """Yield one list of row dicts per page, following hasNext."""
+        """Yield one list of row dicts per page, following hasNext.
+
+        An empty results page terminates the loop even when the server
+        claims hasNext (the reference broke on empty results, :454-455 —
+        a server that returns empty pages with hasNext=true would otherwise
+        spin forever)."""
         page = 1
         since_throttle = 0
         while True:
             body = self._fetch_page(page)
             rows = body.get("results", [])
+            if not rows:
+                return
             yield rows
             self.rows_fetched += len(rows)
             since_throttle += len(rows)

@@ -87,6 +87,42 @@ def test_retry_exhaustion():
         list(client.pages())
 
 
+def test_empty_results_with_hasnext_true_terminates():
+    # a server bug the reference actually hit: empty page + hasNext=true
+    # must end the ingest, not loop forever (app/ml_app.py:454-455)
+    calls = {"n": 0}
+
+    def transport(url, payload, timeout):
+        calls["n"] += 1
+        rows = [_row(1)] if payload["page"] == 1 else []
+        return {"results": rows, "page_metadata": {"hasNext": True}}
+
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=lambda s: None
+    )
+    assert [len(p) for p in client.pages()] == [1]
+    assert calls["n"] == 2  # stopped right after the empty page
+
+
+def test_http_client_error_not_retried():
+    # 4xx means the request itself is bad — the reference aborted instead of
+    # retrying (app/ml_app.py:552-555)
+    import urllib.error
+
+    calls = {"n": 0}
+
+    def transport(url, payload, timeout):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(url, 400, "Bad Request", None, None)
+
+    client = UsaspendingClient(
+        "2023-01-01", "2023-12-31", transport=transport, sleep=lambda s: None
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        list(client.pages())
+    assert calls["n"] == 1  # no retries
+
+
 def test_coercion_null_on_malformed(spark):
     rows = [
         _row(1),
