@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdata_usaspending_spark.ml.adapter import awards_view
-from bigdata_usaspending_spark.plans import dashboard
+from bigdata_usaspending_spark.plans import dashboard, serving
 
 
 @pytest.fixture(scope="module")
@@ -54,3 +54,68 @@ def test_top30_parity_variant_is_partial(awards):
     g_partial = next(r for r in partial if r.awarding_sub_agency is None and r.month is None)
     # the old dashboard's number undercounts (top-30 rows only)
     assert g_partial.total_award_amount <= g_exact.total_award_amount
+
+
+@pytest.fixture(scope="module")
+def sub_agency_geo(spark, awards):
+    names = [r.awarding_sub_agency for r in
+             awards.select("awarding_sub_agency").distinct().limit(5).collect()]
+    return spark.createDataFrame(
+        [(n, 10.0 + i, 20.0 + i) for i, n in enumerate(names)],
+        "awarding_sub_agency string, latitude double, longitude double",
+    )
+
+
+def test_dashboard_payload_matches_template_contract(awards, geo, sub_agency_geo):
+    payload = serving.dashboard_payload(awards, geo, sub_agency_geo)
+    # the reference's exact template variables (app/ml_app.py:141-147)
+    for key in ("map_recipient_data", "map_subagency_data", "sankey_data", "month_data"):
+        assert isinstance(payload[key], list) and isinstance(payload[key][0], dict)
+    assert {"latitude", "longitude", "total_award_amount"} <= set(
+        payload["map_recipient_data"][0]
+    )
+    assert {"awarding_sub_agency", "recipient_name", "total_award_amount"} <= set(
+        payload["sankey_data"][0]
+    )
+    assert len(payload["sankey_data"]) <= 15
+    assert len(payload["month_data"]) <= 30
+    assert {"awarding_sub_agency", "month", "total_award_amount"} <= set(
+        payload["month_data"][0]
+    )
+    # engine extensions: exact server-side numbers
+    assert payload["grand_total"] == pytest.approx(
+        sum(p["total_award_amount"] for p in payload["pie_data"])
+    )
+    assert payload["grand_total"] == pytest.approx(
+        sum(p["total_award_amount"] for p in payload["line_data"])
+    )
+    # exact line/pie vs the browser's partial top-30 numbers: the engine's
+    # grand total covers ALL rows, the old client-side one can't exceed it
+    browser_total = sum(r["total_award_amount"] for r in payload["month_data"])
+    assert browser_total <= payload["grand_total"]
+
+
+def test_inference_payloads(spark, awards):
+    from bigdata_usaspending_spark.ml import pipelines as ml
+
+    result = ml.train_all(awards)
+    sample = awards.limit(1).first()
+    features = {
+        "awarding_agency": sample.awarding_agency,
+        "awarding_sub_agency": sample.awarding_sub_agency,
+        "contract_award_type": sample.contract_award_type,
+        "funding_agency": sample.funding_agency,
+        "funding_sub_agency": sample.funding_sub_agency,
+        "month": 3, "year": 2023, "award_amount": 1000.0,
+    }
+    reg = serving.regression_payload(result.regression_model, spark, features)
+    assert reg["ok"] and "Regression Prediction" in reg["message"]
+    cls = serving.classification_payload(result.classification_model, spark, features)
+    assert cls["ok"] and cls["label"] in ("HIGH", "LOW") and 50.0 <= cls["confidence_pct"] <= 100.0
+    clu = serving.clustering_payload(result.clustering_model, spark, features)
+    assert clu["ok"] and 0 <= clu["cluster"] < 5
+
+    unseen = {**features, "awarding_sub_agency": "NEVER_SEEN"}
+    bad = serving.regression_payload(result.regression_model, spark, unseen)
+    # handleInvalid=skip drops the row -> the reference's flashed error
+    assert not bad["ok"] and bad["message"] == "No valid data to predict on."
