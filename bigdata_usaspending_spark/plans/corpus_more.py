@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions import exact_sum, month_of
 from ..operators import cleaning
-from ..operators.joins import join_dim_fact
+from ..operators.joins import asof_join, join_dim_fact, range_join
 from ..session import apply_runtime_confs
 from .corpus import D2D, SUM2
 
@@ -237,6 +237,138 @@ def q_ml_prepare(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# price tiers for the range-join banding query (o_totalprice tops out ~500k)
+PRICE_TIERS = [
+    (0.0, 50_000.0, "small"),
+    (50_000.0, 150_000.0, "mid"),
+    (150_000.0, 300_000.0, "large"),
+    (300_000.0, 1e9, "huge"),
+]
+
+# deterministic exact revenue: SUM(price * (1 - discount)) with both factors
+# pinned to decimal before the product (the pearson-corr product pattern)
+_REV_D = "decimal(19,4)"
+
+
+def _revenue_col(alias: str = "revenue"):
+    prod = (
+        F.col("l_extendedprice").cast(_REV_D)
+        * (F.lit(1.0) - F.col("l_discount")).cast(_REV_D)
+    ).cast("decimal(38,6)")
+    return F.round(F.sum(prod), 2).cast("double").alias(alias)
+
+
+_REV_SQL = D2D.format(
+    x="ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))"
+    " * CAST(1.0 - l_discount AS DECIMAL(19,4)) AS DECIMAL(38,6))), 2)"
+)
+
+
+def q_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (operators.joins.asof_join): attribute each
+    purchase event to the user's most recent at-or-before view event — the
+    trades/quotes operator Spark lacks, done as a union-window (one shuffle
+    on user_id, no inequality cross product). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = load(_prep(spark), sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, key="user_id",
+        right_payload=("view_event_id", "view_ts", "view_value"), suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        "view_value",
+        (
+            (F.unix_millis("ts") - F.unix_millis("view_ts")).cast("double") / 1000.0
+        ).alias("lag_s"),
+    )
+
+
+def q_range_join_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval/banding join (operators.joins.range_join): totals per price
+    tier via a broadcast nested-loop join against a tiny range dimension."""
+    spark = _prep(spark)
+    orders = load(spark, sf, "orders")
+    ranges = spark.createDataFrame(PRICE_TIERS, "lo double, hi double, tier string")
+    joined = range_join(orders, ranges, "o_totalprice")
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "total_award_amount"),
+        )
+        .orderBy(F.asc("tier"))
+    )
+
+
+def q_tpch_q3_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-shaped composition: segment-filtered customers ⋈ date-
+    filtered orders ⋈ shipdate-filtered lineitem -> top-10 orders by exact
+    revenue. Both dims broadcast; the lineitem side never shuffles before
+    the final aggregation."""
+    spark = _prep(spark)
+    cust = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-07-01").cast("timestamp")
+    )
+    joined = join_dim_fact(
+        li, join_dim_fact(orders, cust, on=orders.o_custkey == cust.c_custkey),
+        on=li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_col())
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped composition: revenue by nation where the supplier and
+    the customer share the nation (join predicate beyond the key chain),
+    over a one-year order window."""
+    spark = _prep(spark)
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    joined = (
+        join_dim_fact(li, orders, on=li.l_orderkey == orders.o_orderkey, broadcast_dim=False)
+        .join(F.broadcast(cust), on=F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), on=F.col("l_suppkey") == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), on=F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_revenue_col())
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata pass: byte length of the opaque payload (the
     schema/plumbing half of the multimodal family; decode is stubbed —
@@ -337,6 +469,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_flagship_etl": q_flagship_etl,
     "q_dashboard_sankey": q_dashboard_sankey,
     "q_ml_prepare": q_ml_prepare,
+    "q_asof_attribution": q_asof_attribution,
+    "q_range_join_tiers": q_range_join_tiers,
+    "q_tpch_q3_shape": q_tpch_q3_shape,
+    "q_tpch_q5_shape": q_tpch_q5_shape,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
     "q_agg_salted": q_agg_salted,
@@ -461,6 +597,55 @@ ORACLE_SQL: dict[str, str] = {
           AND contract_award_type IS NOT NULL AND funding_agency IS NOT NULL
           AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
+    """,
+    "q_asof_attribution": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT user_id, ts,
+                   max(event_id) AS view_event_id,
+                   max_by(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, v.view_event_id, v.view_value,
+               CAST(epoch_ms(p.ts) - epoch_ms(v.ts) AS DOUBLE) / 1000.0 AS lag_s
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "q_range_join_tiers": f"""
+        WITH ranges(lo, hi, tier) AS (VALUES {", ".join(
+            f"({lo!r}, {hi!r}, '{t}')" for lo, hi, t in PRICE_TIERS
+        )})
+        SELECT tier, count(*) AS n_orders,
+               {SUM2.format(c="o_totalprice")} AS total_award_amount
+        FROM orders JOIN ranges
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier ORDER BY tier ASC
+    """,
+    "q_tpch_q3_shape": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+          AND l_shipdate > TIMESTAMP '1995-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q_tpch_q5_shape": f"""
+        SELECT n_name, {_REV_SQL} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name ASC
     """,
     "q_multimodal_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len "

@@ -66,6 +66,57 @@ def test_join_dim_fact_inner_semijoin_effect(spark):
     assert out.columns.count("recipient_name") == 1
 
 
+def test_asof_join_backward_semantics(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10), "p1"), (1, dt(2024, 1, 1, 8), "p0"),
+         (2, dt(2024, 1, 1, 12), "p2")],
+        "k long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9), 100, 1.0), (1, dt(2024, 1, 1, 10), 200, 2.0),
+         (1, dt(2024, 1, 1, 11), 300, 3.0), (3, dt(2024, 1, 1, 1), 999, 9.0)],
+        "k long, ts timestamp, rid long, val double",
+    )
+    out = {r.pid: r for r in joins.asof_join(
+        left, right, key="k", right_payload=("rid", "val")
+    ).collect()}
+    assert out["p1"].rid_r == 200        # at-or-before includes equal ts
+    assert out["p0"].rid_r is None       # nothing precedes 08:00
+    assert out["p2"].rid_r is None       # key 2 has no right rows
+    assert out["p1"].val_r == 2.0
+    # one shuffle on the key, never an inequality cross product
+    plan = joins.asof_join(left, right, key="k", right_payload=("rid", "val"))._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_dedups_right_ts_ties(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame([(1, dt(2024, 1, 1, 10), "p")],
+                                 "k long, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9), 7, 1.0), (1, dt(2024, 1, 1, 9), 9, 2.0)],
+        "k long, ts timestamp, rid long, val double",
+    )
+    row = joins.asof_join(left, right, key="k", right_payload=("rid", "val")).first()
+    assert row.rid_r == 9 and row.val_r == 2.0  # deterministic max_by pick
+
+
+def test_range_join_tiers(spark):
+    fact = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 500.0)], "id int, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 100.0, "b"), (100.0, 1000.0, "c")],
+        "lo double, hi double, tier string",
+    )
+    out = {r.id: r.tier for r in joins.range_join(fact, ranges, "v").collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}
+    # the range side must broadcast (nested-loop is only OK broadcast-side)
+    plan = joins.range_join(fact, ranges, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_exact_median_odd_even(spark):
     df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 40.0)], "k int, v double")
     assert agg.exact_median(df, "v").first()["median"] == 20.0
