@@ -88,6 +88,57 @@ def cosine_pairs_blocked(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def mean_centroids(
+    assigned: DataFrame,
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid = per-dimension mean of member vectors, computed
+    DETERMINISTICALLY: component sums accumulate in decimal (scale 7 — far
+    above the float32 half-ulp window, so any engine rounds the component
+    casts identically), one double division at the end. This is the
+    reproducible core of k-means-style training (an oracle can replay it).
+
+    Scale shape: posexplode -> two-level hash aggregation on (cell, pos) —
+    a single shuffle whose cardinality is C x dims, independent of N after
+    the map-side partial agg."""
+    return (
+        assigned.select(F.col(cell_col), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(cell_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,7)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col(cell_col).cast("int").alias(cell_col),
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-style centroid refinement: iterations of (assign every vector
+    to its nearest centroid, recompute centroids as member means). Each
+    iteration is one broadcast assignment pass + one (cell, pos) shuffle —
+    the distributed k-means step without MLlib's RNG, so results stay
+    deterministic given deterministic initial centroids. Cells that lose all
+    members simply disappear (standard empty-cluster drop)."""
+    for _ in range(iterations):
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+        centroids = mean_centroids(assigned, cell_col="cell", vec_col=vec_col)
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -139,41 +139,20 @@ def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
-    """Label-mean centroids with DETERMINISTIC means: per-dimension sums
-    accumulate in decimal (scale 7 — far above the float32 half-ulp window,
-    so both engines round component casts identically), final mean is one
-    double division. Output: (cell, centroid array<double>)."""
-    return (
-        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(27,7)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            F.col("label").cast("int").alias("cell"),
-            F.transform("pm", lambda s: s["m"]).alias("centroid"),
-        )
+    """Label-mean centroids via similarity.mean_centroids (deterministic
+    decimal-mean — see its docstring). Output: (cell, centroid)."""
+    return similarity.mean_centroids(
+        emb.select(F.col("label").alias("cell"), "embedding")
     )
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN top-10: deterministic label-mean centroids, rank-window cell
-    assignment, nprobe=3 probed cells, exact cosine within candidates.
-    Oracle-checked: every stage is reproducible SQL (see corpus_ext
-    ORACLE_SQL)."""
+def _assign_by_rank(data: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Deterministic cell assignment for oracle twins: score every (vector,
+    centroid) pair and keep rank 1 by (cosine DESC, cell ASC). The window
+    form is replayable in SQL; the production path (similarity.ivf_assign)
+    folds over a broadcast list with no shuffle instead."""
     from pyspark.sql import Window
 
-    spark = _prep(spark)
-    emb = load(spark, sf, "embeddings")
-    centroids = _ivf_centroids(emb)
-    data = emb.filter(F.col("vec_id") != 0)
-
-    # assignment: argmax cell by cosine, ties by cell asc
     scores = data.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
@@ -181,23 +160,54 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         similarity.cosine(F.col("embedding"), F.col("centroid")).alias("_cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cell"))
-    assigned = (
+    return (
         scores.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "embedding", "cell")
     )
 
-    # probe cells: top-3 by query-centroid cosine
-    q = _query_vec(emb)
+
+def _probe_and_search(
+    assigned: DataFrame, centroids: DataFrame, q: DataFrame, nprobe: int = 3
+) -> DataFrame:
     probe = (
         centroids.crossJoin(F.broadcast(q))
         .select("cell", similarity.cosine(F.col("centroid"), F.col("q_emb")).alias("_qs"))
         .orderBy(F.desc("_qs"), F.asc("cell"))
-        .limit(3)
+        .limit(nprobe)
         .select("cell")
     )
     candidates = assigned.join(F.broadcast(probe), on="cell", how="semi")
     return similarity.brute_force_topk(candidates, q, k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-10: deterministic label-mean centroids, rank-window cell
+    assignment, nprobe=3 probed cells, exact cosine within candidates.
+    Oracle-checked: every stage is reproducible SQL (see corpus_ext
+    ORACLE_SQL)."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    centroids = _ivf_centroids(emb)
+    data = emb.filter(F.col("vec_id") != 0)
+    assigned = _assign_by_rank(data, centroids)
+    return _probe_and_search(assigned, centroids, _query_vec(emb))
+
+
+def q_ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with ONE Lloyd refinement iteration (the k-means training step,
+    oracle-checked end-to-end): assign to label-mean centroids, recompute
+    centroids as member means (similarity.mean_centroids — deterministic
+    decimal means), re-assign, probe, search. Demonstrates that even the
+    iterative-training path is replayable by an external engine."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    cent0 = _ivf_centroids(emb)
+    assigned1 = _assign_by_rank(data, cent0)
+    cent1 = similarity.mean_centroids(assigned1)
+    assigned2 = _assign_by_rank(data, cent1)
+    return _probe_and_search(assigned2, cent1, _query_vec(emb))
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -265,6 +275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_embedding_cosine_topk": q_embedding_cosine_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_ivf_refined": q_ann_ivf_refined,
     "q_ann_lsh": q_ann_lsh,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
@@ -521,6 +532,76 @@ ORACLE_SQL: dict[str, str] = {
         SELECT a.vec_id, {_cosine_sql('a.embedding', 'q.q_emb')} AS cosine
         FROM assigned a, q
         WHERE a.cell IN (SELECT cell FROM probe)
+        ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT 10
+    """,
+    "q_ann_ivf_refined": f"""
+        WITH px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        scores AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_cosine_sql('e.embedding', 'c.centroid')} AS cs
+            FROM embeddings e, cent c WHERE e.vec_id <> 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        ),
+        px2 AS (
+            SELECT cell, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM assigned
+        ),
+        means2 AS (
+            SELECT cell, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px2 GROUP BY cell, pos
+        ),
+        cent2 AS (
+            SELECT CAST(cell AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means2 GROUP BY cell
+        ),
+        scores2 AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_cosine_sql('e.embedding', 'c.centroid')} AS cs
+            FROM embeddings e, cent2 c WHERE e.vec_id <> 0
+        ),
+        assigned2 AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM scores2
+            ) WHERE rn = 1
+        ),
+        probe2 AS (
+            SELECT cell FROM (
+                SELECT c.cell, {_cosine_sql('c.centroid', 'q.q_emb')} AS qs
+                FROM cent2 c, q
+            ) ORDER BY qs DESC, cell ASC LIMIT 3
+        )
+        SELECT a.vec_id, {_cosine_sql('a.embedding', 'q.q_emb')} AS cosine
+        FROM assigned2 a, q
+        WHERE a.cell IN (SELECT cell FROM probe2)
         ORDER BY cosine DESC, a.vec_id ASC
         LIMIT 10
     """,
