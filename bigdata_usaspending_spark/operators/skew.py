@@ -45,3 +45,33 @@ def salted_sum_by_key(
     return partial.groupBy(*keys).agg(
         F.round(F.sum("_partial"), 2).cast("double").alias(alias)
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    row_id: str,
+    replication: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for the fact ⋈ fact case where neither side
+    broadcasts and one key dominates (the DoD-agency shape): the skewed side
+    gets a deterministic per-row salt (hash of its unique ``row_id``, not
+    rand — replays produce identical partitioning), the other side is
+    replicated ``replication`` times, and the join key becomes (key, salt) —
+    spreading each hot key over ``replication`` reducers.
+
+    Equivalent to ``skewed.join(other, key, how)`` for inner/left joins
+    (every original pair appears exactly once, in the partition its salt
+    chose). Cost: the other side shuffles ``replication``x — use when a
+    hot-key histogram (value_counts) shows AQE's split threshold won't
+    catch the skew, e.g. stream-static joins where AQE doesn't apply.
+    """
+    salts = F.array(*[F.lit(i).cast("int") for i in range(replication)])
+    skewed_s = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(row_id)), F.lit(replication)).cast("int")
+    )
+    other_s = other.withColumn("_salt", F.explode(salts))
+    out = skewed_s.join(other_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

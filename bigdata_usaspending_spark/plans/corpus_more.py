@@ -369,6 +369,24 @@ def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact ⋈ fact equi-join through operators.skew.salted_join (hot keys
+    spread over 8 reducers via deterministic row-hash salting), then the
+    priority rollup — result must be identical to the plain join."""
+    from ..operators.skew import salted_join
+
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", row_id="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice", "total_award_amount"),
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column metadata pass: byte length of the opaque payload (the
     schema/plumbing half of the multimodal family; decode is stubbed —
@@ -470,6 +488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dashboard_sankey": q_dashboard_sankey,
     "q_ml_prepare": q_ml_prepare,
     "q_asof_attribution": q_asof_attribution,
+    "q_join_salted": q_join_salted,
     "q_range_join_tiers": q_range_join_tiers,
     "q_tpch_q3_shape": q_tpch_q3_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
@@ -598,6 +617,12 @@ ORACLE_SQL: dict[str, str] = {
           AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
     """,
+    "q_join_salted": (
+        f"SELECT o_orderpriority, count(*) AS n_items, "
+        f"{SUM2.format(c='l_extendedprice')} AS total_award_amount "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
     "q_asof_attribution": """
         WITH p AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -175,6 +175,42 @@ def stream_enriched_rollup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "right_ts",
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Stream-stream event-time join: each left event pairs with right
+    events of the same key whose timestamp falls in
+    [left_ts - lookback, left_ts] — the streaming attribution join (the
+    batch twin is the inequality part of operators.joins.asof_join). The
+    caller supplies a right side whose column names are disjoint from the
+    left's (rename before calling).
+
+    Both sides carry watermarks AND the join condition bounds right_ts
+    relative to left_ts, which is what lets Spark expire buffered state:
+    per key, state is limited to the watermark + lookback horizon instead of
+    growing forever. Outer results emit only once the watermark passes (a
+    left row can't know "no match" earlier). At 100 TB the state store is
+    the bottleneck — the lookback is the knob, and RocksDB state backend is
+    the deploy-time setting.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, on=cond, how=how)
+
+
 def merge_rollup_batch(
     batch_df: DataFrame,
     state_path: str,

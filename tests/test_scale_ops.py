@@ -33,6 +33,36 @@ def test_salted_plan_has_two_aggregation_stages(spark, sf_small):
     assert "_salt" in plan
 
 
+def test_salted_join_equals_plain_join(spark, sf_small):
+    from bigdata_usaspending_spark.operators.skew import salted_join
+
+    li = load(spark, sf_small, "lineitem")
+    orders = load(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = {
+        (r.l_orderkey, r.l_linenumber, r.o_orderpriority)
+        for r in li.join(orders, on="l_orderkey").collect()
+    }
+    salted = {
+        (r.l_orderkey, r.l_linenumber, r.o_orderpriority)
+        for r in salted_join(li, orders, key="l_orderkey", row_id="l_linenumber").collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from bigdata_usaspending_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "y"), (2, 12, "z")], "k long, rid long, v string"
+    )
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    out = {(r.rid, r.name) for r in
+           salted_join(fact, dim, key="k", row_id="rid", how="left").collect()}
+    assert out == {(10, "one"), (11, "one"), (12, None)}
+
+
 def test_bucketed_join_no_shuffle(spark, sf_small):
     orders = load(spark, sf_small, "orders")
     li = load(spark, sf_small, "lineitem")

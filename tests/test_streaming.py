@@ -133,6 +133,49 @@ def test_stream_running_topk_matches_batch(spark, events_dir, events_schema):
     q.stop()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_schema):
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("right_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        return purchases, views
+
+    sp, sv = split(jobs.read_events_stream(spark, events_dir, events_schema))
+    # inner join: pairs emit as soon as both sides arrive (outer results
+    # would additionally wait out the watermark, which an availableNow test
+    # run never advances past for the newest events)
+    q = jobs.run_to_memory(
+        jobs.stream_stream_interval_join(
+            sp, sv, "user_id", "view_user", lookback="1 hour", how="inner"
+        ),
+        "ss_join",
+        output_mode="append",
+    )
+    got = {
+        (r.event_id, r.view_event_id) for r in spark.table("ss_join").collect()
+    }
+    bp, bv = split(spark.read.parquet(events_dir))
+    expected = {
+        (r.event_id, r.view_event_id)
+        for r in bp.join(
+            bv,
+            on=(
+                (bp.user_id == bv.view_user)
+                & (bv.right_ts <= bp.ts)
+                & (bv.right_ts >= bp.ts - F.expr("INTERVAL 1 hour"))
+            ),
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
+    q.stop()
+
+
 def test_stream_incremental_rollup_matches_batch(spark, events_dir, events_schema, tmp_path):
     from bigdata_usaspending_spark.plans.rollups import rollup_view
 
