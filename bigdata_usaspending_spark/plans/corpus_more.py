@@ -369,6 +369,38 @@ def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the TPC-H priority domain, pinned so the pivot schema is static (dynamic
+# pivot would need a distinct-values job first and a nondeterministic
+# column order)
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_priority_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long -> wide) aggregation: monthly totals as one column per
+    order priority. Spark's pivot with explicit values compiles to a single
+    hash aggregation with one conditional SUM per value — same shuffle as
+    the plain groupBy; the oracle expresses it as FILTER aggregates."""
+    orders = load(_prep(spark), sf, "orders")
+    wide = (
+        orders.groupBy(month_of("o_orderdate").alias("month"))
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(exact_sum("o_totalprice", "t"))
+    )
+    return wide.orderBy(F.asc("month"))
+
+
+def q_grouped_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median per group (the A6 median generalized to GROUP BY):
+    built-in percentile aggregate per key — partial-aggregated like any
+    hash agg, no per-group sort."""
+    orders = load(_prep(spark), sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)).alias(
+            "median_totalprice"
+        )
+    )
+
+
 def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Fact ⋈ fact equi-join through operators.skew.salted_join (hot keys
     spread over 8 reducers via deterministic row-hash salting), then the
@@ -489,6 +521,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ml_prepare": q_ml_prepare,
     "q_asof_attribution": q_asof_attribution,
     "q_join_salted": q_join_salted,
+    "q_pivot_priority_by_month": q_pivot_priority_by_month,
+    "q_grouped_median": q_grouped_median,
     "q_range_join_tiers": q_range_join_tiers,
     "q_tpch_q3_shape": q_tpch_q3_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
@@ -616,6 +650,32 @@ ORACLE_SQL: dict[str, str] = {
           AND contract_award_type IS NOT NULL AND funding_agency IS NOT NULL
           AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
+    """,
+    "q_pivot_priority_by_month": (
+        "SELECT CAST(month(o_orderdate) AS INTEGER) AS month, "
+        + ", ".join(
+            D2D.format(
+                x="ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))) "
+                f"FILTER (WHERE o_orderpriority = '{p}'), 2)"
+            )
+            + f' AS "{p}"'
+            for p in PRIORITIES
+        )
+        + " FROM orders GROUP BY CAST(month(o_orderdate) AS INTEGER)"
+        " ORDER BY month ASC"
+    ),
+    "q_grouped_median": """
+        WITH ranked AS (
+            SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS vd,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice ASC) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority, MIN(vd) * 0.5 + MAX(vd) * 0.5 AS median_totalprice
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY o_orderpriority
     """,
     "q_join_salted": (
         f"SELECT o_orderpriority, count(*) AS n_items, "
