@@ -23,8 +23,11 @@ def test_partitioned_write_layout_and_pruning(spark, sf_small, tmp_path):
     pruned = back.filter(f"year = {one_year} AND month = 1")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert back.filter(f"year = {one_year}").count() > 0
-    # partition filters never reach the data scan as row filters
-    assert "PartitionFilters" in pruned._jdf.queryExecution().toString() or pruned.count() >= 0
+    # the year/month predicates must be directory-level PartitionFilters on
+    # the scan, not post-scan row filters
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "year" in pf and "month" in pf
+    assert f"(year#" in pf or f"year = {one_year}" in pf or "isnotnull" in pf
 
 
 def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_small, tmp_path):

@@ -46,3 +46,42 @@ def test_media_from_documents(spark, sf_small):
     assert isinstance(row.content, (bytes, bytearray))
     feats = mm.extract_features(media.limit(5))
     assert feats.count() == 5
+
+
+def test_media_embed_then_search_and_dedup_pipeline(spark, sf_small):
+    """End-to-end training-data flow: opaque blobs -> Arrow-batched feature
+    extraction -> similarity search + embedding dedup over the features.
+    This is the composition a 100-TB media pipeline runs (decode stub swaps
+    for a real encoder; everything downstream is unchanged)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators import similarity
+
+    docs = load(spark, sf_small, "documents").limit(50)
+    media = mm.media_from_documents(docs)
+    # plant an exact duplicate blob of media_id=min under a new id
+    first = media.orderBy("media_id").first()
+    dup = spark.createDataFrame(
+        [(999_999, first.content, first.mime_type, "synthetic://dup")],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = mm.extract_features(media.unionByName(dup)).filter(
+        F.col("features").isNotNull()
+    )
+
+    # search: the duplicate must be the nearest neighbor of the original
+    q = feats.filter(F.col("media_id") == first.media_id).select(
+        F.col("features").alias("q_emb")
+    )
+    top = similarity.brute_force_topk(
+        feats.filter(F.col("media_id") != first.media_id), q,
+        id_col="media_id", vec_col="features", k=1,
+    ).first()
+    assert top.media_id == 999_999 and abs(top.cosine - 1.0) < 1e-12
+
+    # dedup: identical features = near-dup pair within one block
+    pairs = similarity.cosine_pairs_blocked(
+        feats.withColumn("label", F.lit(0)), "label",
+        id_col="media_id", vec_col="features", threshold=0.999999,
+    ).collect()
+    assert (first.media_id, 999_999) in {(r.id_a, r.id_b) for r in pairs}
