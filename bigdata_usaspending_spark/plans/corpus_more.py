@@ -375,6 +375,53 @@ def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 breadth: the string/regex scalar surface (upper, substring,
+    concat_ws, regexp_extract + try_cast, length, coalesce) in one codegen'd
+    projection — the engine ships Spark's full built-in scalar library; this
+    query pins cross-engine semantics for the commonly-used subset."""
+    cust = load(_prep(spark), sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.expr(r"try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)").alias(
+            "name_num"
+        ),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+    )
+
+
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ... HAVING — a post-aggregation filter (Catalyst plans it as
+    Filter over the final hash aggregate; no extra shuffle)."""
+    orders = load(_prep(spark), sf, "orders")
+    totals = orders.groupBy("o_orderpriority").agg(
+        exact_sum("o_totalprice", "total_award_amount"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return totals.filter(F.col("n_orders") > 100)
+
+
+def q_window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile window: quartile assignment within each priority (total order
+    tiebroken by key for determinism), then quartile boundary stats."""
+    orders = load(_prep(spark), sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    tiled = orders.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
 def q_pivot_priority_by_month(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (long -> wide) aggregation: monthly totals as one column per
     order priority. Spark's pivot with explicit values compiles to a single
@@ -523,6 +570,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_salted": q_join_salted,
     "q_pivot_priority_by_month": q_pivot_priority_by_month,
     "q_grouped_median": q_grouped_median,
+    "q_scalar_functions": q_scalar_functions,
+    "q_having": q_having,
+    "q_window_ntile": q_window_ntile,
     "q_range_join_tiers": q_range_join_tiers,
     "q_tpch_q3_shape": q_tpch_q3_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
@@ -650,6 +700,33 @@ ORACLE_SQL: dict[str, str] = {
           AND contract_award_type IS NOT NULL AND funding_agency IS NOT NULL
           AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
+    """,
+    "q_scalar_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substring(c_name, 1, 8) AS name_prefix,
+               concat_ws('|', c_mktsegment, c_name) AS seg_name,
+               TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+               CAST(length(c_name) AS INTEGER) AS name_len,
+               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other
+        FROM customer
+    """,
+    "q_having": (
+        f"SELECT o_orderpriority, {SUM2.format(c='o_totalprice')} AS total_award_amount, "
+        "count(*) AS n_orders FROM orders GROUP BY o_orderpriority "
+        "HAVING count(*) > 100"
+    ),
+    "q_window_ntile": """
+        WITH tiled AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+            FROM orders
+        )
+        SELECT o_orderpriority, quartile, count(*) AS n,
+               CAST(min(o_totalprice) AS DOUBLE) AS lo,
+               CAST(max(o_totalprice) AS DOUBLE) AS hi
+        FROM tiled GROUP BY o_orderpriority, quartile
     """,
     "q_pivot_priority_by_month": (
         "SELECT CAST(month(o_orderdate) AS INTEGER) AS month, "

@@ -88,3 +88,42 @@ def test_shingles_match_python(spark, text):
     toks = text.lower().split()
     expect = list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))))
     assert got == expect
+
+
+# as-of join: (key, ts) pairs with small integer domains so collisions and
+# no-match cases are actually generated
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=12
+)
+
+
+@given(lefts=_events, rights=_events)
+@SLOW
+def test_asof_join_matches_naive_reference(spark, lefts, rights):
+    """asof_join (union + last_value window) == the naive per-row 'latest
+    right at-or-before' scan, including no-match nulls and right-ts ties
+    (where the max-row_id right row must win)."""
+    from bigdata_usaspending_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)],
+        "k long, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, 100 + i) for i, (k, ts) in enumerate(rights)],
+        "k long, ts long, rid long",
+    )
+    got = {
+        r.lid: r.rid_r
+        for r in asof_join(ldf, rdf, key="k", right_payload=("rid",)).collect()
+    }
+
+    for i, (k, ts) in enumerate(lefts):
+        candidates = [
+            (rts, 100 + j)
+            for j, (rk, rts) in enumerate(rights)
+            if rk == k and rts <= ts
+        ]
+        # latest ts wins; ties on ts resolved to the max rid (max_by dedup)
+        expect = max(candidates)[1] if candidates else None
+        assert got[i] == expect, (i, k, ts, candidates)
