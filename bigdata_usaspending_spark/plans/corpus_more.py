@@ -375,6 +375,39 @@ def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20% sample by key hash (operators.sampling.hash_sample):
+    reproducible by ANY engine, stable under reruns/repartitioning —
+    auditable training-data subsets, unlike seeded sample()."""
+    from ..operators.sampling import hash_sample
+
+    docs = load(_prep(spark), sf, "documents")
+    return hash_sample(docs, "doc_id", 20).select("doc_id", "lang", "source")
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling (the training-mix shape: keep all
+    English, half of German, drop the rest), still fully oracle-checkable."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load(_prep(spark), sf, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": (100, 100), "de": (50, 100)}
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_unpivot_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide -> long, the melt inverse of q_pivot_priority_by_month):
+    pivot then unpivot must round-trip to the plain long-form aggregation
+    (null cells from the pivot are dropped on the way back)."""
+    wide = q_pivot_priority_by_month(spark, sf)
+    long = wide.unpivot(
+        ["month"], PRIORITIES, "o_orderpriority", "total_award_amount"
+    )
+    return long.filter(F.col("total_award_amount").isNotNull())
+
+
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     """§2.8 breadth: the string/regex scalar surface (upper, substring,
     concat_ws, regexp_extract + try_cast, length, coalesce) in one codegen'd
@@ -571,6 +604,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_priority_by_month": q_pivot_priority_by_month,
     "q_grouped_median": q_grouped_median,
     "q_scalar_functions": q_scalar_functions,
+    "q_hash_sample": q_hash_sample,
+    "q_stratified_sample": q_stratified_sample,
+    "q_unpivot_monthly": q_unpivot_monthly,
     "q_having": q_having,
     "q_window_ntile": q_window_ntile,
     "q_range_join_tiers": q_range_join_tiers,
@@ -701,6 +737,24 @@ ORACLE_SQL: dict[str, str] = {
           AND funding_sub_agency IS NOT NULL
           AND award_amount > 0
     """,
+    "q_hash_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100 < 20
+    """,
+    "q_stratified_sample": """
+        SELECT lang, count(*) AS n_docs FROM documents
+        WHERE (lang = 'en')
+           OR (lang = 'de' AND
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 < 50)
+        GROUP BY lang
+    """,
+    "q_unpivot_monthly": (
+        f"SELECT CAST(month(o_orderdate) AS INTEGER) AS month, "
+        f"o_orderpriority, {SUM2.format(c='o_totalprice')} AS total_award_amount "
+        "FROM orders GROUP BY CAST(month(o_orderdate) AS INTEGER), o_orderpriority"
+    ),
     "q_scalar_functions": """
         SELECT c_custkey,
                upper(c_name) AS name_upper,

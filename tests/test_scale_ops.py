@@ -33,6 +33,38 @@ def test_salted_plan_has_two_aggregation_stages(spark, sf_small):
     assert "_salt" in plan
 
 
+def test_hash_sample_deterministic_and_joinable(spark, sf_small):
+    from bigdata_usaspending_spark.operators.sampling import hash_sample
+
+    orders = load(spark, sf_small, "orders")
+    a = {r.o_orderkey for r in hash_sample(orders, "o_custkey", 30).select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in hash_sample(orders.repartition(7), "o_custkey", 30).select("o_orderkey").collect()}
+    assert a == b and 0 < len(a) < orders.count()  # stable under repartition
+    # joinable samples: sampling lineitem-side facts by the SAME entity key
+    # keeps exactly the orders of sampled customers (consistent entities)
+    kept_custs = {r.o_custkey for r in hash_sample(orders, "o_custkey", 30).collect()}
+    cust = load(spark, sf_small, "customer")
+    sampled_custs = {
+        r.o_custkey
+        for r in hash_sample(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 30).collect()
+    }
+    assert kept_custs <= sampled_custs  # same entities survive in both tables
+
+
+def test_stratified_hash_sample_rates(spark, sf_small):
+    from bigdata_usaspending_spark.operators.sampling import stratified_hash_sample
+
+    docs = load(spark, sf_small, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": (100, 100), "de": (50, 100)}
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["en"] == full["en"]            # keep-all stratum intact
+    assert 0 < got.get("de", 0) < full["de"]  # partial stratum downsampled
+    assert set(got) == {"en", "de"}           # unlisted strata dropped
+
+
 def test_salted_join_equals_plain_join(spark, sf_small):
     from bigdata_usaspending_spark.operators.skew import salted_join
 
