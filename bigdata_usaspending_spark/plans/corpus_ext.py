@@ -221,6 +221,41 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The capstone composition — a full training-data preprocessing run as
+    ONE oracle-checked dataflow: quality filters (token count, punctuation
+    ratio) -> language-ID gate -> exact dedup (min-id survivor per
+    fingerprint) -> deterministic 50% hash sample. Every stage is a pure
+    map or one hash shuffle; the whole pipeline is replayable bit-for-bit
+    by an external engine, which is the auditability property a real
+    training-data pipeline needs."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_gate
+
+    docs = load(_prep(spark), sf, "documents")
+    quality = docs.select(
+        "doc_id",
+        "text",
+        text.token_count("text", "n_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.langid("text"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") < 0.25)
+        & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy(text.fingerprint("text")).orderBy(F.asc("doc_id"))
+    survivors = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text")
+    )
+    return survivors.filter(hash_gate("doc_id", 50)).select(
+        "doc_id", "n_tokens", "lang_pred"
+    )
+
+
 # --------------------------------------------------------------------------
 # event-time operators (batch form of the streaming rollups)
 # --------------------------------------------------------------------------
@@ -277,6 +312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
     "q_ann_lsh": q_ann_lsh,
+    "q_training_data_pipeline": q_training_data_pipeline,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
 }
@@ -604,6 +640,31 @@ ORACLE_SQL: dict[str, str] = {
         WHERE a.cell IN (SELECT cell FROM probe2)
         ORDER BY cosine DESC, a.vec_id ASC
         LIMIT 10
+    """,
+    "q_training_data_pipeline": f"""
+        WITH quality AS (
+            SELECT doc_id, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                   {_LANGID_CASE} AS lang_pred
+            FROM documents
+        ),
+        filtered AS (
+            SELECT * FROM quality
+            WHERE n_tokens >= 5 AND punct_ratio < 0.25 AND lang_pred = 'en'
+        ),
+        survivors AS (
+            SELECT doc_id, n_tokens, lang_pred FROM (
+                SELECT doc_id, n_tokens, lang_pred,
+                       row_number() OVER (PARTITION BY md5({_NORMALIZED})
+                                          ORDER BY doc_id ASC) AS rn
+                FROM filtered
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, n_tokens, lang_pred FROM survivors
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100 < 50
     """,
     "q_window_tumbling": (
         "SELECT date_trunc('day', ts) AS day, count(*) AS n_events, "
