@@ -203,6 +203,86 @@ def ivf_topk(
     return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
 
 
+def rp_weight(table: int, dim: int) -> float:
+    """Deterministic pseudo-random projection weight in [-1, 1): derived
+    from md5 of "table,dim" exactly like dedup.portable_hash60, so an
+    external SQL engine regenerates the identical projection matrix
+    (md5 -> first 15 hex digits -> % 2001 -> shift/scale). Replaces the
+    JVM-private RNG that kept the library LSH rows-only-checkable."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{table},{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    num_tables: int = 8,
+    bucket_length: float = 2.0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add one (table, bucket) row per hash table: bucket =
+    floor(dot(v, w_t) / bucket_length) with the deterministic projection
+    matrix above. A pure map + explode — no shuffle; the weights ride along
+    as literals, never a broadcast of learned state."""
+    dim = len(df.select(vec_col).first()[0])
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.floor(
+                    dot(
+                        F.col(vec_col),
+                        F.array(*[F.lit(rp_weight(t, d)) for d in range(dim)]),
+                    )
+                    / bucket_length
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return df.withColumn("_tb", F.explode(tables)).select(
+        "*", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    ).drop("_tb")
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    num_tables: int = 8,
+    bucket_length: float = 2.0,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection LSH ANN with MULTI-PROBE: candidates share the
+    query's bucket in any table, or any bucket within ±multiprobe of it
+    (probing adjacent buckets recovers near-boundary neighbors that
+    single-bucket LSH loses — the classic multi-probe recall lever, at the
+    cost of scanning (2*multiprobe+1)x buckets instead of more tables).
+
+    Scale shape: data-side bucketing is a map + explode; the query's probe
+    set is (num_tables x (2*multiprobe+1)) rows, broadcast; the candidate
+    set is the union of those buckets, then exact cosine top-k. Every stage
+    is deterministic and SQL-replayable (see corpus_ext's oracle)."""
+    data_b = rp_lsh_buckets(df, num_tables, bucket_length, vec_col)
+    offsets = list(range(-multiprobe, multiprobe + 1))
+    q_b = (
+        rp_lsh_buckets(query.select(F.col("q_emb").alias(vec_col)),
+                       num_tables, bucket_length, vec_col)
+        .select("table", F.explode(F.array(*[F.lit(o) for o in offsets])).alias("_off"),
+                "bucket")
+        .select("table", (F.col("bucket") + F.col("_off")).alias("bucket"))
+    )
+    candidates = (
+        data_b.join(F.broadcast(q_b), on=["table", "bucket"], how="semi")
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
+
+
 def random_projection_lsh_neighbors(
     df: DataFrame,
     query_vec: list[float],

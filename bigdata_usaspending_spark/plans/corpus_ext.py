@@ -5,10 +5,10 @@ Same determinism contract as plans/corpus.py. Ratio/score columns are raw
 IEEE divisions of exactly-computed integers (no rounding), so any engine
 reproduces them bit-for-bit; cosine/dot products accumulate in exact decimal.
 
-Seeded/bucketed approximate operators (MinHash LSH, SimHash, IVF/LSH ANN) are
-declared rows-only — their Spark implementations are deterministic, but not
-expressible in portable SQL; pytest golden tests cover them instead
-(tests/test_dedup.py, tests/test_similarity.py).
+Hash-based approximate operators (MinHash LSH, SimHash, RP-LSH ANN) run
+their portable-hash variants here so every stage is replayable in SQL; the
+ONLY rows-only query left is q_ann_lsh (MLlib's JVM-private RNG), covered
+by pytest goldens instead (tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -210,6 +210,20 @@ def q_ann_ivf_refined(spark: SparkSession, sf: str) -> DataFrame:
     return _probe_and_search(assigned2, cent1, _query_vec(emb))
 
 
+def q_ann_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-projection LSH ANN with multi-probe (±1 adjacent buckets),
+    fully oracle-checked: the projection matrix derives from the portable
+    md5 hash (similarity.rp_weight), so bucketing, probing, and the final
+    exact-cosine top-k are all replayable in SQL — unlike the MLlib LSH
+    whose JVM RNG keeps q_ann_lsh rows-only."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    return similarity.rp_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vec(emb),
+        k=10, num_tables=8, bucket_length=0.25, multiprobe=1,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """BucketedRandomProjectionLSH approxNearestNeighbors (rows-only; seeded
     MLlib operator)."""
@@ -311,6 +325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_cosine_topk": q_embedding_cosine_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
+    "q_ann_rp_lsh": q_ann_rp_lsh,
     "q_ann_lsh": q_ann_lsh,
     "q_training_data_pipeline": q_training_data_pipeline,
     "q_window_tumbling": q_window_tumbling,
@@ -360,6 +375,21 @@ def _dot_sql(a: str, b: str) -> str:
 def _cosine_sql(a: str, b: str) -> str:
     return (
         f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def _rp_proj_sql(vec: str, table: str) -> str:
+    """Twin of similarity.rp_lsh_buckets' projection: sequential left-fold
+    dot of the vector with the md5-derived weight matrix (rp_weight) —
+    fold order matches Spark's aggregate HOF, so the double (and its floor
+    bucket) is bit-identical."""
+    w = (
+        "((CAST(('0x' || substr(md5(CAST(" + table + " AS VARCHAR) || ',' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {w}), (acc, v) -> acc + v)"
     )
 
 
@@ -569,6 +599,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM assigned a, q
         WHERE a.cell IN (SELECT cell FROM probe)
         ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT 10
+    """,
+    "q_ann_rp_lsh": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        tables AS (SELECT range AS t FROM range(0, 8)),
+        data_b AS (
+            SELECT e.vec_id, e.embedding, tables.t AS tbl,
+                   floor({_rp_proj_sql('e.embedding', 'tables.t')} / 0.25) AS bucket
+            FROM embeddings e, tables WHERE e.vec_id <> 0
+        ),
+        q_b AS (
+            SELECT tables.t AS tbl,
+                   floor({_rp_proj_sql('q.q_emb', 'tables.t')} / 0.25) + off.o AS bucket
+            FROM q, tables, (VALUES (-1), (0), (1)) off(o)
+        ),
+        cand AS (
+            SELECT DISTINCT d.vec_id, d.embedding
+            FROM data_b d JOIN q_b ON d.tbl = q_b.tbl AND d.bucket = q_b.bucket
+        )
+        SELECT c.vec_id, {_cosine_sql('c.embedding', 'q.q_emb')} AS cosine
+        FROM cand c, q
+        ORDER BY cosine DESC, c.vec_id ASC
         LIMIT 10
     """,
     "q_ann_ivf_refined": f"""

@@ -148,6 +148,44 @@ def test_ivf_recall_at_scale_multi_query(spark):
     emb.unpersist(); centroids.unpersist(); assigned.unpersist()
 
 
+def test_rp_lsh_multiprobe_lifts_recall(spark):
+    """Multi-probe must buy recall at fixed bucket width, and the bucketing
+    must genuinely prune (measured at sf0.1, bucket_length=0.1: mp=0 scans
+    ~28% of vectors for recall 0.5; mp=1 scans ~64% for recall 0.7 —
+    deterministic, so the inequalities are stable gates)."""
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    data = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    n = data.count()
+    exact = {r.vec_id for r in similarity.brute_force_topk(data, q, k=10).collect()}
+
+    def run(mp):
+        got = {
+            r.vec_id
+            for r in similarity.rp_lsh_topk(
+                data, q, k=10, bucket_length=0.1, multiprobe=mp
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    # pruning is real: single-bucket probing must not scan most of the data
+    buckets = similarity.rp_lsh_buckets(data, 8, 0.1)
+    q_b = similarity.rp_lsh_buckets(
+        q.select(F.col("q_emb").alias("embedding")), 8, 0.1
+    ).select("table", "bucket")
+    cand0 = (
+        buckets.join(F.broadcast(q_b), on=["table", "bucket"], how="semi")
+        .select("vec_id").distinct().count()
+    )
+    assert cand0 / n < 0.4, f"no pruning: {cand0}/{n}"
+    r0, r1 = run(0), run(1)
+    assert r1 > r0, f"multi-probe must lift recall: {r0} -> {r1}"
+    assert r1 >= 0.6
+    emb.unpersist()
+
+
 def test_lsh_returns_near_neighbors(spark, sf_small):
     from bigdata_usaspending_spark.plans.corpus_ext import q_ann_lsh
 
