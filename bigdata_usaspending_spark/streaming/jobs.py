@@ -87,6 +87,34 @@ def stream_exact_dedup(
     )
 
 
+def stream_near_dedup_simhash(
+    docs: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: drop documents whose 64-bit
+    SimHash collides with one already seen inside the watermark horizon.
+    A sketch collision means the bit-vote profiles agree exactly — the
+    hamming-0 tier of the batch near-dup family (operators/dedup.py
+    simhash_pairs), which is what a single-pass streaming filter can decide
+    without a candidate join. Lower hamming tiers stay a batch/backfill
+    concern (banding needs a self-join; see the module docstring's state
+    note). State per distinct sketch, expired by the watermark."""
+    # signature via the batch operator's per-row expression path: token
+    # hashes -> 64 bit votes folded per row (no shuffle — a streaming scan
+    # must stay single-pass; the groupBy formulation simhash_table uses for
+    # batch throughput would be a second stateful aggregation here)
+    from ..operators.dedup import simhash_from_token_hashes, token_hashes
+
+    sig = docs.withColumn("_th", token_hashes(text_col)).withColumn(
+        "simhash", simhash_from_token_hashes("_th")
+    ).drop("_th")
+    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     key_col: str = "user_id",

@@ -133,6 +133,41 @@ def test_stream_running_topk_matches_batch(spark, events_dir, events_schema):
     q.stop()
 
 
+def test_stream_near_dedup_simhash(spark, tmp_path):
+    import pandas as pd
+
+    # two exact-text duplicates, one reworded doc, one distinct doc
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05",
+                 "2024-01-01 10:10", "2024-01-01 10:15"]
+            ),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",   # sketch collision
+                "a completely different document about spark engines",
+                "another unrelated text with other words entirely",
+            ],
+        }
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_near_dedup_simhash(stream, "ts"), "near_dedup",
+        output_mode="append",
+    )
+    kept = sorted(r.doc_id for r in spark.table("near_dedup").collect())
+    # exactly ONE of the colliding-sketch pair survives (which one is
+    # arbitrary within a micro-batch — the contract is one-per-sketch,
+    # not first-by-timestamp); the distinct docs always survive
+    assert len(kept) == 3 and {3, 4} <= set(kept)
+    assert len({1, 2} & set(kept)) == 1
+    q.stop()
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_schema):
     def split(df):
         purchases = df.filter(F.col("event_type") == "purchase").select(
