@@ -31,7 +31,7 @@ import functools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, tokens
+from .text import fingerprint, ngram_occurrences, tokens
 
 # Mersenne prime 2^31-1 for the minhash affine family; base hashes are < p
 # and coefficients small, so a*h+b stays far from long overflow (ANSI-safe).
@@ -117,13 +117,7 @@ def shingles_of(col: Column | str, n: int = 3) -> Column:
     per document; the regex stays in codegen and is linear (measured ~10x on
     5k docs).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    word = r"\S+"
-    pattern = "(?<=^| )(?=(" + word + (" " + word) * (n - 1) + "))"
-    return F.array_distinct(
-        F.regexp_extract_all(normalized, F.lit(pattern), F.lit(1))
-    ).alias("shingles")
+    return F.array_distinct(ngram_occurrences(col, n)).alias("shingles")
 
 
 def ngram_jaccard_pairs(
@@ -413,3 +407,112 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair table -> (out_col,
+    component), component = MIN id reachable from the vertex. This is the
+    step that turns pairwise near-dup output into actionable dedup clusters
+    (keep the component min, drop the rest) — pairs alone under-delete when
+    duplicates chain A~B~C without A~C.
+
+    Algorithm: min-label propagation. label(v) starts at v; each round takes
+    the min of v's label and its neighbors' labels, until a fixpoint. Each
+    round is one join + one hash aggregation shuffled on the vertex id, with
+    lineage cut by localCheckpoint (iterative plans otherwise grow
+    exponentially). Rounds needed = graph diameter — small for dup clusters
+    (near-dup graphs are dense blobs, not paths); adversarial long-chain
+    graphs would want the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in O(log n) rounds.
+
+    Convergence check: labels only ever decrease, so the label sum (exact
+    decimal — int64 would overflow at 1e12 docs x 1e12 ids) is strictly
+    decreasing until the fixpoint; one tiny aggregate per round, no
+    old-vs-new join.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("_nmin"), labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(out_col), F.col("comp").alias("component"))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word n-gram with any benchmark document (the GPT-3/Llama
+    training-data hygiene step — eval contamination inflates benchmark
+    scores, so contaminated TRAINING docs are removed, not the benchmark).
+
+    Scale shape: the benchmark shingle-hash set is tiny relative to the
+    corpus (eval suites are MBs against 100 TB), so it is broadcast and the
+    contamination test is a broadcast semi-join on a pure corpus scan — no
+    corpus-wide shuffle; the distinct contaminated-id set is again small and
+    broadcast back for the anti-join. Documents shorter than n tokens have
+    no shingles and trivially survive. ``portable=True`` swaps xxhash64 for
+    the md5-derived portable hash so the whole op is oracle-replayable.
+    """
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    bench_hashes = (
+        benchmark.select(F.explode(shingles_of(text_col, n)).alias("_g"))
+        .select(hash_fn(F.col("_g")).alias("_h"))
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col), F.explode(shingles_of(text_col, n)).alias("_g")
+    ).select(id_col, hash_fn(F.col("_g")).alias("_h"))
+    contaminated = (
+        corpus_shingles.join(F.broadcast(bench_hashes), on="_h", how="semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), on=id_col, how="anti")

@@ -283,6 +283,73 @@ def rp_lsh_topk(
     return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = 127/max|x|,
+    q_i = floor(x_i * scale + 0.5). At 100 TB this is the memory lever for
+    ANN — int8 vectors are 4x smaller than float32 (16 GB/billion 128-d
+    vectors instead of 64), quadrupling what fits in executor memory or one
+    shuffle partition, and int dot products are exact int64 arithmetic.
+
+    floor(x + 0.5) instead of round(): engines disagree on round-half
+    (Spark HALF_UP, DuckDB half-even for doubles) but floor is universal,
+    so the quantized codes — and everything downstream — are
+    engine-reproducible. All-zero vectors get scale 0 -> all-zero codes
+    (guarded; cosine against them is undefined anyway)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
+    return df.withColumn(out_col, q)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two int-code arrays (order-independent —
+    integer addition is associative, unlike the float fold in dot())."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized codes: (1) scan with the EXACT
+    int64 cosine of the quantized codes (per-vector scales cancel in
+    cosine), keep the top k*rerank_factor candidates; (2) rerank those few
+    with the exact float cosine and return the top k.
+
+    The scan stage reads 4x less than float32 brute force and does integer
+    multiply-adds; the rerank touches only k*rerank_factor rows. Quantized
+    and exact cosines differ by O(1/127) per component, so a small rerank
+    margin recovers exact top-k in practice (the recall gate in
+    tests/test_similarity.py measures it). Every stage is deterministic:
+    int dots are exact, and the one float division per candidate follows the
+    same expression tree in any engine."""
+    qd = quantize_int8(df, vec_col)
+    qq = quantize_int8(query.withColumnRenamed("q_emb", "_qv"), "_qv", "q_qvec")
+    joined = qd.crossJoin(F.broadcast(qq))
+    approx = int_dot(F.col("q_vec"), F.col("q_qvec")).cast("double") / (
+        F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
+        * F.sqrt(int_dot(F.col("q_qvec"), F.col("q_qvec")).cast("double"))
+    )
+    candidates = (
+        joined.select(F.col(id_col), F.col(vec_col), approx.alias("_acs"))
+        .orderBy(F.desc("_acs"), F.asc(id_col))
+        .limit(k * rerank_factor)
+        .select(id_col, vec_col)
+    )
+    return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
+
+
 def random_projection_lsh_neighbors(
     df: DataFrame,
     query_vec: list[float],

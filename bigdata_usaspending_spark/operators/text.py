@@ -152,6 +152,68 @@ def tfidf_features(
     return idf_model.transform(tf).drop("_tokens", "_tf")
 
 
+def ngram_occurrences(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-gram occurrences (array<string>, duplicates kept) via one
+    overlapping-match lookahead-regex pass over the normalized text — same
+    linear-time trick as dedup.shingles_of, which returns the distinct set."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    word = r"\S+"
+    pattern = "(?<=^| )(?=(" + word + (" " + word) * (n - 1) + "))"
+    return F.regexp_extract_all(normalized, F.lit(pattern), F.lit(1))
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters: per document,
+
+    - ``dup_token_frac``  = 1 - distinct_tokens/total_tokens — the
+      duplicate-line-fraction analog for single-line documents;
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      over total bigram occurrences (Gopher's top-2-gram fraction).
+
+    High values flag boilerplate / keyword-stuffed / looping text that
+    per-token quality ratios miss. dup_token_frac is a pure codegen
+    projection (array_distinct per row, no shuffle). The top-bigram mode
+    needs a per-(doc, bigram) count: explode -> two hash aggregations keyed
+    by (doc, bigram) then doc — both absorb map-side, linear at 100 TB.
+    (The shuffle-free HOF alternative — fold over distinct bigrams counting
+    occurrences — is O(len^2) per document, which loses on long docs.)
+    All outputs are raw IEEE divisions of exact ints — engine-reproducible.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_nt"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+        ngram_occurrences(text_col, 2).alias("_bg"),
+    )
+    bg_stats = (
+        base.select(id_col, F.explode("_bg").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_nbg"))
+    )
+    return (
+        base.drop("_bg")
+        .join(bg_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("_nt").cast("int").alias("n_tokens"),
+            (
+                (F.col("_nt") - F.col("_nd")).cast("double")
+                / F.col("_nt").cast("double")
+            ).alias("dup_token_frac"),
+            F.coalesce(
+                F.col("_mx").cast("double") / F.col("_nbg").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. The exact-dedup key for noisy duplicates."""

@@ -114,6 +114,36 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", max_hamming=3, portable=True)
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction +
+    top-bigram occurrence fraction per document."""
+    docs = load(_prep(spark), sf, "documents")
+    return text.repetition_metrics(docs)
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components (min-label propagation) over
+    the exact 3-gram Jaccard near-dup pairs — the step that turns pairwise
+    near-dup output into per-document canonical ids (chains A~B~C collapse
+    to one cluster even when A~C was never emitted)."""
+    docs = load(_prep(spark), sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+    return dedup.connected_components(pairs, out_col="doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 play the eval
+    benchmark; every remaining corpus doc sharing a 3-gram shingle with any
+    benchmark doc is dropped (broadcast semi-join on the tiny benchmark
+    shingle set — the GPT-3/Llama training-hygiene step)."""
+    docs = load(_prep(spark), sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, benchmark, "doc_id", portable=True).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.3 within label blocks."""
     emb = load(_prep(spark), sf, "embeddings")
@@ -224,6 +254,18 @@ def q_ann_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage int8-quantized ANN: exact-int64 cosine over 4x-smaller
+    quantized codes prunes to k*4 candidates, float rerank returns top-10.
+    Fully oracle-checked — quantization (floor(x*scale+0.5)), int dots and
+    the rerank are all engine-portable arithmetic."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    return similarity.quantized_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vec(emb), k=10
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """BucketedRandomProjectionLSH approxNearestNeighbors (rows-only; seeded
     MLlib operator)."""
@@ -316,8 +358,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
     "q_text_commonness": q_text_commonness,
+    "q_text_repetition": q_text_repetition,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_decontaminate": q_decontaminate,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
@@ -326,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
     "q_ann_rp_lsh": q_ann_rp_lsh,
+    "q_ann_quantized": q_ann_quantized,
     "q_ann_lsh": q_ann_lsh,
     "q_training_data_pipeline": q_training_data_pipeline,
     "q_window_tumbling": q_window_tumbling,
@@ -376,6 +422,26 @@ def _cosine_sql(a: str, b: str) -> str:
     return (
         f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    """Twin of similarity.int_dot: exact int64 dot of quantized codes —
+    integer addition is order-independent, so a plain left fold matches any
+    summation order Spark picks."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (acc, v) -> acc + v)"
+    )
+
+
+# Twin of similarity.quantize_int8: scale = 127/max|x| (0 when the vector is
+# all zeros), code = floor(x*scale + 0.5) — floor, not round, because engines
+# disagree on round-half for doubles.
+_Q8 = (
+    "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    "(CASE WHEN {amax} > 0 THEN 127.0 / {amax} ELSE 0.0 END) + 0.5) AS BIGINT))"
+)
+_AMAX = "list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE))))"
 
 
 def _rp_proj_sql(vec: str, table: str) -> str:
@@ -518,6 +584,71 @@ ORACLE_SQL: dict[str, str] = {
         FROM tok JOIN freq ON tok.t = freq.t, tot
         GROUP BY tok.doc_id, tot.c
     """,
+    "q_text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM t
+        ),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS nbg FROM bc GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+               coalesce(CAST(bm.mx AS DOUBLE) / CAST(bm.nbg AS DOUBLE), 0.0)
+                   AS top_bigram_frac
+        FROM t LEFT JOIN bm ON t.doc_id = bm.doc_id
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        e AS (SELECT doc_id AS id, len(sh) AS nsh, unnest(sh) AS g FROM s),
+        i AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.g = b.g AND a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       CAST(c AS DOUBLE) / CAST(nsh_a + nsh_b - c AS DOUBLE) AS jaccard
+                FROM i
+            ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id
+        )
+        SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+    """,
+    "q_decontaminate": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        bench AS (
+            SELECT DISTINCT {_basehash_sql('g')} AS h
+            FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)
+        ),
+        corp AS (
+            SELECT doc_id, {_basehash_sql('g')} AS h
+            FROM (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.h = b.h
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id % 20 <> 0
+          AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = d.doc_id)
+    """,
     "q_doc_fingerprint": f"SELECT doc_id, md5({_NORMALIZED}) AS fingerprint FROM documents",
     "q_dedup_exact": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -617,6 +748,36 @@ ORACLE_SQL: dict[str, str] = {
         cand AS (
             SELECT DISTINCT d.vec_id, d.embedding
             FROM data_b d JOIN q_b ON d.tbl = q_b.tbl AND d.bucket = q_b.bucket
+        )
+        SELECT c.vec_id, {_cosine_sql('c.embedding', 'q.q_emb')} AS cosine
+        FROM cand c, q
+        ORDER BY cosine DESC, c.vec_id ASC
+        LIMIT 10
+    """,
+    "q_ann_quantized": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        d0 AS (
+            SELECT vec_id, embedding, {_AMAX.format(v='embedding')} AS amax
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        dq AS (
+            SELECT vec_id, embedding,
+                   {_Q8.format(v='embedding', amax='amax')} AS qv
+            FROM d0
+        ),
+        q0 AS (SELECT q_emb, {_AMAX.format(v='q_emb')} AS amax FROM q),
+        qq AS (
+            SELECT q_emb, {_Q8.format(v='q_emb', amax='amax')} AS qqv FROM q0
+        ),
+        cand AS (
+            SELECT vec_id, embedding FROM (
+                SELECT d.vec_id, d.embedding,
+                       CAST({_idot_sql('d.qv', 'qq.qqv')} AS DOUBLE)
+                       / (sqrt(CAST({_idot_sql('d.qv', 'd.qv')} AS DOUBLE))
+                          * sqrt(CAST({_idot_sql('qq.qqv', 'qq.qqv')} AS DOUBLE)))
+                           AS acs
+                FROM dq d, qq
+            ) ORDER BY acs DESC, vec_id ASC LIMIT 40
         )
         SELECT c.vec_id, {_cosine_sql('c.embedding', 'q.q_emb')} AS cosine
         FROM cand c, q

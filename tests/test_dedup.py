@@ -109,3 +109,38 @@ def test_near_dedup_pipeline(docs):
     out_lsh = dedup.near_dedup_pipeline(docs, "doc_id", threshold=0.3, use_lsh=True)
     lsh_pairs = {(r.id_a, r.id_b) for r in out_lsh.collect()}
     assert (1, 2) not in lsh_pairs
+
+
+def test_connected_components_chain(spark):
+    # A~B~C chain collapses to one component even though (A,C) was never a
+    # pair; (10,11) forms a separate component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_min_label_flows_both_ways(spark):
+    # the min id sits at the END of the chain: propagation must flow backwards
+    pairs = spark.createDataFrame([(9, 5), (5, 1)], "id_a long, id_b long")
+    out = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 5: 1, 9: 1}
+
+
+def test_decontaminate_drops_shingle_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # shares "the quick brown"
+            (2, "completely unrelated corpus document here"),
+            (3, "tiny"),                                 # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox eval question")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.decontaminate(corpus, benchmark, "doc_id").collect()
+    )
+    assert kept == [2, 3]

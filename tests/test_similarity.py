@@ -193,3 +193,35 @@ def test_lsh_returns_near_neighbors(spark, sf_small):
     assert len(rows) == 10
     dists = [r.distance for r in rows]
     assert dists == sorted(dists)
+
+
+def test_quantize_int8_codes(vecs):
+    out = similarity.quantize_int8(vecs).collect()
+    for r in out:
+        assert max(abs(c) for c in r.q_vec) == 127  # max-|x| component pins to 127
+        assert all(-127 <= c <= 127 for c in r.q_vec)
+
+
+def test_quantized_topk_matches_exact_on_small(vecs):
+    got = similarity.quantized_topk(
+        vecs.filter(F.col("vec_id") != 0), _q(vecs), k=3, rerank_factor=2
+    ).collect()
+    exact = similarity.brute_force_topk(
+        vecs.filter(F.col("vec_id") != 0), _q(vecs), k=3
+    ).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+    for g, e in zip(got, exact):
+        assert g.cosine == e.cosine  # rerank uses the exact float cosine
+
+
+def test_quantized_topk_recall_on_real_embeddings(spark, sf_small):
+    """int8 quantization error is O(1/127) per component, so a 4x rerank
+    margin should recover (nearly) the exact top-10 on real embeddings."""
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    exact = {r.vec_id for r in similarity.brute_force_topk(data, q, k=10).collect()}
+    approx = {r.vec_id for r in similarity.quantized_topk(data, q, k=10).collect()}
+    assert len(exact & approx) >= 9

@@ -70,3 +70,21 @@ def test_quality_columns_shape(docs):
         out.columns
     )
     assert out.count() == 5
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all dup tokens; only bigram is "a a"
+            (2, "a b c d"),          # no dups; 3 distinct bigrams
+            (3, "x"),                # single token: no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_metrics(df).collect()}
+    assert out[1].n_tokens == 4
+    assert abs(out[1].dup_token_frac - 3 / 4) < 1e-12
+    assert out[1].top_bigram_frac == 1.0
+    assert out[2].dup_token_frac == 0.0
+    assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-12
+    assert out[3].top_bigram_frac == 0.0  # no bigrams -> coalesced to 0
