@@ -419,6 +419,7 @@ def connected_components(
     id_b: str = "id_b",
     out_col: str = "doc_id",
     max_iter: int = 50,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair table -> (out_col,
     component), component = MIN id reachable from the vertex. This is the
@@ -439,19 +440,31 @@ def connected_components(
     decimal — int64 would overflow at 1e12 docs x 1e12 ids) is strictly
     decreasing until the fixpoint; one tiny aggregate per round, no
     old-vs-new join.
+
+    ``num_partitions`` sizes the per-round shuffles. The dup-pair graph is
+    orders of magnitude smaller than the corpus (only near-duplicates emit
+    pairs), so callers should size it to the PAIR volume, not the corpus —
+    with the session default (32 here, thousands on a real cluster) a
+    500-vertex graph pays ~10x its compute in empty-task overhead per
+    round. Pre-hash-partitioning edges by dst and labels by id also lets
+    every round's join reuse the layout instead of re-shuffling both sides.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
     )
+    if num_partitions is not None:
+        edges = edges.repartition(num_partitions, "dst")
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
     )
+    if num_partitions is not None:
+        labels = labels.repartition(num_partitions, "id")
+    labels = labels.localCheckpoint()
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         nbr_min = (

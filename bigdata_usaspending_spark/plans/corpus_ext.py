@@ -128,7 +128,9 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     to one cluster even when A~C was never emitted)."""
     docs = load(_prep(spark), sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=JACCARD_THRESHOLD)
-    return dedup.connected_components(pairs, out_col="doc_id")
+    # the dup graph is tiny relative to the corpus: size the per-round
+    # shuffles to the pair volume (see connected_components docstring)
+    return dedup.connected_components(pairs, out_col="doc_id", num_partitions=4)
 
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
