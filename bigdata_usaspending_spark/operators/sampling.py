@@ -56,3 +56,81 @@ def stratified_hash_sample(
     other = ~F.col(stratum_col).isin(*rates.keys()) & hash_gate(key, *default)
     gate = other if gate is None else gate | other
     return df.filter(gate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining step that lays
+    documents end to end in a deterministic order (ascending ``id_col``) and
+    cuts the token stream into fixed ``budget``-token training sequences.
+    Every document gets (seq_id, seq_offset) = where its first token lands;
+    documents straddle sequence boundaries freely, exactly like the
+    tokenizer-side packing used for GPT-style training.
+
+    The naive formulation — ``SUM(n_tokens) OVER (ORDER BY id)`` — is a
+    single-partition window: the full corpus funnels through one task, the
+    same scale-killer the exact-median once had. This implementation is the
+    scalable two-pass prefix sum:
+
+    1. assign each row a MONOTONE bucket ``_pid = floor((id-lo)*P/span)``
+       from a one-pass min/max of the id (monotone: bucket order == id
+       order, so bucket-local prefix sums compose globally). Cumsum within
+       each bucket — a parallel window, hash-shuffled on ``_pid``;
+    2. aggregate one row per bucket (its token total — map-side partial
+       aggregation means only ~P rows per map task cross the wire, never
+       the corpus), prefix-sum those P rows (a window over num_partitions
+       rows, trivially small), and broadcast the per-bucket starting
+       offsets back.
+
+    Global position = bucket-local cumsum + bucket offset — identical to
+    the single-partition answer for ANY bucket boundaries (integer addition
+    is associative). Cost: one cheap min/max scan + ONE corpus shuffle.
+    (An earlier spark_partition_id()-based variant paid a second full
+    shuffle: Catalyst cannot know physical partition ids are co-located,
+    so the window re-exchanged on _pid anyway.) Bucket balance follows id
+    density; wildly skewed id spaces should pre-densify (zipWithIndex-style)
+    or raise num_partitions. seq_id/seq_offset stay exact below 2^53 total
+    tokens (~9e15 — two orders above a 100-TB corpus).
+    """
+    from pyspark.sql import Window
+
+    n_buckets = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        lo, hi = 0, 0
+    span = float(hi - lo + 1)
+    part = df.select(F.col(id_col), F.col(tokens_col)).withColumn(
+        "_pid",
+        F.floor(
+            (F.col(id_col) - F.lit(lo)).cast("double") * n_buckets / F.lit(span)
+        ).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_lcum", F.sum(tokens_col).over(w_local))
+    # one row per bucket; the prefix window runs over num_partitions rows
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.sum(tokens_col).alias("_ptot"))
+        .withColumn("_poff", F.coalesce(F.sum("_ptot").over(w_pid), F.lit(0)))
+        .select("_pid", "_poff")
+    )
+    start = (F.col("_lcum") - F.col(tokens_col) + F.col("_poff")).cast("long")
+    return (
+        local.join(F.broadcast(offsets), on="_pid")
+        .select(
+            F.col(id_col),
+            F.col(tokens_col),
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
+        )
+    )

@@ -318,6 +318,19 @@ def q_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # event-time operators (batch form of the streaming rollups)
 # --------------------------------------------------------------------------
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512): per document, the
+    training sequence and offset where its first token lands. Runs the
+    scalable two-pass prefix sum (range partitions + broadcast partition
+    offsets) — the single-partition-window formulation it replaces is the
+    oracle's SUM() OVER (ORDER BY), and both agree exactly."""
+    from ..operators.sampling import pack_sequences
+
+    docs = load(_prep(spark), sf, "documents")
+    with_tokens = docs.select("doc_id", text.token_count("text", "n_tokens"))
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", budget=512, num_partitions=8)
+
+
 def q_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-day event-time window aggregate (batch equivalent of the
     streaming rollup in streaming/)."""
@@ -376,6 +389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_quantized": q_ann_quantized,
     "q_ann_lsh": q_ann_lsh,
     "q_training_data_pipeline": q_training_data_pipeline,
+    "q_pack_sequences": q_pack_sequences,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
 }
@@ -880,6 +894,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_tokens, lang_pred FROM survivors
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 100 < 50
+    """,
+    "q_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor(start / 512) AS BIGINT) AS seq_id,
+               CAST(start % 512 AS BIGINT) AS seq_offset
+        FROM c
     """,
     "q_window_tumbling": (
         "SELECT date_trunc('day', ts) AS day, count(*) AS n_events, "

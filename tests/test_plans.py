@@ -77,3 +77,14 @@ def test_whole_stage_codegen_covers_relational_path(spark, sf):
     assert "*(" in plan
     # no Python evaluation anywhere in a relational query
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_window_is_per_partition(spark, sf):
+    from bigdata_usaspending_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.q_pack_sequences(spark, sf))
+    # the corpus-sized cumsum must run inside range partitions (windowed by
+    # _pid); the only global-order window allowed is the per-partition-total
+    # prefix sum, whose input is num_partitions rows
+    assert "partitionBy _pid" in plan.replace("partition by", "partitionBy") or \
+        "_pid" in plan.split("Window")[1]

@@ -142,3 +142,29 @@ def test_report_text_and_metrics(spark, sf_small, tmp_path):
     metrics = {r.metric: r.value for r in metrics_df(spark, result).collect()}
     assert metrics["n_clusters"] == 5.0
     assert metrics["regression_rmse"] > 0
+
+
+def test_pack_sequences_layout_and_partition_invariance(spark):
+    from bigdata_usaspending_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 100) for i in range(1, 11)]  # 10 docs x 100 tokens, budget 256
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=256).collect()
+    }
+    # doc1 starts at 0; doc3 starts at 200 and STRADDLES into seq 1;
+    # doc4 starts at 300 -> seq 1 offset 44
+    assert out[1] == (0, 0)
+    assert out[3] == (0, 200)
+    assert out[4] == (1, 44)
+    assert out[10] == (3, 132)  # start 900 = 3*256 + 132
+    # the two-pass prefix sum must not depend on partition boundaries
+    for n in (1, 3, 7):
+        again = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in pack_sequences(
+                df, "doc_id", "n_tokens", budget=256, num_partitions=n
+            ).collect()
+        }
+        assert again == out
