@@ -299,6 +299,79 @@ def stream_incremental_rollup(
     return query
 
 
+def decontaminate_batch(
+    batch_df: DataFrame,
+    benchmark: DataFrame,
+    sink_path: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """One idempotent micro-batch of the streaming decontamination gate:
+    run the exact batch operator (operators/dedup.decontaminate) against the
+    static benchmark and land the surviving documents in a batch_id-keyed
+    partition. A replayed batch overwrites its own partition (dynamic
+    partition overwrite), never appending duplicates — idempotent under
+    foreachBatch's at-least-once contract."""
+    from ..operators.dedup import decontaminate
+
+    clean = decontaminate(batch_df, benchmark, id_col, text_col, n)
+    (
+        clean.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(sink_path)
+    )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    sink_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    checkpoint: str | None = None,
+):
+    """Streaming benchmark-decontamination gate: documents flow in, and only
+    those sharing no word n-gram with the static eval benchmark flow out —
+    the ingest-time version of the GPT-3/Llama training-data hygiene step
+    (batch form: operators/dedup.decontaminate, q_decontaminate).
+
+    Contamination is a per-document predicate against a STATIC set, so each
+    micro-batch can be decided exactly with zero cross-batch state. The gate
+    runs the verified batch operator inside foreachBatch rather than as a
+    declarative stream-static join, deliberately:
+
+    - the declarative equi-join shape (explode shingles -> semi-join bench ->
+      distinct ids -> anti-join back) needs the contaminated-id set derived
+      FROM the stream joined back TO the stream — stream-stream anti,
+      unsupported;
+    - the one-row-per-doc alternative (LEFT ANTI on
+      ``array_contains(doc_hashes, bench._h)``) is a broadcast nested-loop
+      anti: every clean document scans the whole benchmark hash set, O(|B|)
+      per doc vs the O(shingles) hash lookups of the equi-join plan.
+
+    foreachBatch keeps the exact broadcast-semi-join plan (and its 100-TB
+    shape: no corpus shuffle, benchmark hashes broadcast) at streaming
+    freshness. Output is idempotent per batch (see decontaminate_batch);
+    readers ignore the ``_batch_id`` partition column."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_batch(
+            batch_df, benchmark, sink_path, batch_id, id_col, text_col, n
+        )
+
+    writer = docs.writeStream.foreachBatch(gate).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink (test harness)."""
     query = (

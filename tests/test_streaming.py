@@ -168,6 +168,61 @@ def test_stream_near_dedup_simhash(spark, tmp_path):
     q.stop()
 
 
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.dedup import decontaminate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "training corpora must not include benchmark questions",
+                "a completely clean document about spark engines",
+                "the quick brown fox appears here too",          # shares 3-gram with bench
+                "short doc",                                      # < n tokens: survives
+                "benchmark questions leak into training sets sometimes",
+            ],
+        }
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the quick brown fox ran away",
+                    "do training sets include benchmark questions today",
+                ]
+            }
+        )
+    )
+    # two parquet files -> two micro-batches with maxFilesPerTrigger=1
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs.iloc[:3]).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(docs.iloc[3:]).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sink = str(tmp_path / "clean")
+    q = jobs.stream_decontaminate(
+        stream, bench, sink, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    expected = sorted(
+        r.doc_id
+        for r in decontaminate(spark.createDataFrame(docs), bench, "doc_id").collect()
+    )
+    assert got == expected  # exact agreement with the batch operator
+    assert got == [3, 5, 6]  # contaminated 1,2,4 dropped; short doc 5 survives
+    # replaying a batch is idempotent: rerun batch 0's content as batch 0
+    batch0 = spark.read.parquet(path).filter(F.col("doc_id") <= 3)
+    jobs.decontaminate_batch(batch0, bench, sink, 0, "doc_id")
+    assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == expected
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_schema):
     def split(df):
         purchases = df.filter(F.col("event_type") == "purchase").select(
