@@ -220,3 +220,78 @@ def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(normalized.cast("binary")).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# (category, pattern, replacement), applied IN ORDER. Patterns stay inside the
+# Java-regex ∩ RE2 common subset (no lookaround, no backreferences) so the
+# scrub replays identically in any engine. Order matters: email's @-anchored
+# shape goes first; SSN's 3-2-4 digit shape must be consumed before the
+# 3-3-4 phone shape scans the text; IPv4 last.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(col: Column | str, alias: str = "scrubbed") -> Column:
+    """Redact emails / SSNs / phone numbers / IPv4s with typed placeholder
+    tokens — the pre-training privacy pass. A chain of JVM regexp_replace
+    calls: pure codegen map, no shuffle, linear at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c.alias(alias)
+
+
+def pii_redaction_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrubbed text plus per-category redaction counts (pipeline audit
+    metric). Each count is taken on the text AFTER the previous categories
+    were replaced, so overlapping shapes never double-count — an SSN already
+    rewritten to <SSN> is invisible to the phone pattern, exactly mirroring
+    what the sequential scrub actually removed."""
+    cur: Column = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("int").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("scrubbed"))
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# context-window chunking
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with per-document
+    ordinals — the pre-chunking step before context-window packing or
+    chunk-level dedup. One posexplode over slices of the token array: a pure
+    codegen map with no shuffle, embarrassingly parallel at any corpus size
+    (contrast sampling.pack_sequences, which needs a global prefix sum
+    because its bin boundaries cross documents)."""
+    toks = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int"), F.lit(1)
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("chunk_id", "chunk_text")
+    )

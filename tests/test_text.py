@@ -88,3 +88,44 @@ def test_repetition_metrics(spark):
     assert out[2].dup_token_frac == 0.0
     assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-12
     assert out[3].top_bigram_frac == 0.0  # no bigrams -> coalesced to 0
+
+
+def test_pii_scrub_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b_c%d@sub.example.co and 555-123-4567 twice 555.123.4567"),
+            (2, "ssn 123-45-6789 then ip 192.168.0.1 end"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_redaction_stats(df).collect()}
+    assert out[1].scrubbed == "mail <EMAIL> and <PHONE> twice <PHONE>"
+    assert (out[1].n_email, out[1].n_phone) == (1, 2)
+    assert out[2].scrubbed == "ssn <SSN> then ip <IP> end"
+    assert (out[2].n_ssn, out[2].n_ipv4) == (1, 1)
+    # SSN consumed before the phone pattern: never double-counted
+    assert out[2].n_phone == 0
+    assert out[3].scrubbed == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0, 0)
+
+
+def test_chunk_documents_slicing(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in text.chunk_documents(df, chunk_tokens=3).collect()
+    }
+    assert got == {
+        (1, 0): "a b c",
+        (1, 1): "d e f",
+        (1, 2): "g",        # ragged tail keeps the remainder
+        (2, 0): "x y",      # short doc: one chunk
+        (3, 0): "solo",
+    }
+    # chunking is a pure map: no exchange in the physical plan
+    plan = text.chunk_documents(df, chunk_tokens=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
