@@ -58,6 +58,72 @@ def stratified_hash_sample(
     return df.filter(gate)
 
 
+def token_budget_head(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-stratum token-budget head selection: walk each stratum (source,
+    language, quality tier) in deterministic ascending ``id_col`` order and
+    keep documents that START before the stratum's cumulative token count
+    reaches ``budget`` — how a training mix pins "N tokens of source X"
+    exactly, reproducibly, instead of approximating via sampling rates.
+
+    The kept set is defined by the PRE-document running total
+    (``tokens_before < budget``), so each stratum keeps at least one
+    document and the boundary document straddles the budget rather than
+    being dropped — matching sequence-packing downstream, which can cut it.
+
+    Scale shape: the naive ``SUM OVER (PARTITION BY stratum ORDER BY id)``
+    serializes each stratum through one task — fatal when a stratum is most
+    of a 100-TB corpus. This uses the pack_sequences two-pass prefix sum
+    with the stratum prepended to the keys: monotone id-range buckets make
+    (stratum, bucket)-local cumsums compose, the per-bucket offsets table
+    (|strata| x num_partitions rows, map-side partially aggregated) is
+    broadcast back, and the only corpus-sized shuffle is the bucket-local
+    window's. Emits ``tokens_before`` for auditability."""
+    from pyspark.sql import Window
+
+    n_buckets = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        lo, hi = 0, 0
+    span = float(hi - lo + 1)
+    part = df.withColumn(
+        "_pid",
+        F.floor(
+            (F.col(id_col) - F.lit(lo)).cast("double") * n_buckets / F.lit(span)
+        ).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy(stratum_col, "_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_lcum", F.sum(tokens_col).over(w_local))
+    w_pid = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy(stratum_col, "_pid")
+        .agg(F.sum(tokens_col).alias("_ptot"))
+        .withColumn("_poff", F.coalesce(F.sum("_ptot").over(w_pid), F.lit(0)))
+        .select(stratum_col, "_pid", "_poff")
+    )
+    before = (F.col("_lcum") - F.col(tokens_col) + F.col("_poff")).cast("long")
+    return (
+        local.join(F.broadcast(offsets), on=[stratum_col, "_pid"])
+        .withColumn("tokens_before", before)
+        .filter(F.col("tokens_before") < budget)
+        .drop("_pid", "_lcum", "_poff")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -16,10 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators import text
+from ..operators import sampling, text
 from ..session import apply_runtime_confs
 
 CHUNK_TOKENS = 32
+TOKEN_BUDGET = 3000
 DEDUP_CHUNK_TOKENS = 8
 
 
@@ -86,10 +87,24 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
 
 
+def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source token budgets for a training mix: keep documents (in
+    deterministic doc_id order) that start before their source's cumulative
+    token count hits TOKEN_BUDGET (operators/sampling.token_budget_head —
+    two-pass distributed prefix sum, no per-source serialization)."""
+    docs = load(_prep(spark), sf, "documents")
+    with_tokens = docs.select("doc_id", "source", text.token_count("text"))
+    out = sampling.token_budget_head(
+        with_tokens, "source", "doc_id", "n_tokens", TOKEN_BUDGET
+    )
+    return out.select("doc_id", "source", "n_tokens", "tokens_before")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scrub": q_pii_scrub,
     "q_chunk_documents": q_chunk_documents,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_token_budget_mix": q_token_budget_mix,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -149,6 +164,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM c3
     """,
     "q_chunk_documents": _CHUNK_SQL_TMPL.format(toks=_TOKS, c=CHUNK_TOKENS),
+    "q_token_budget_mix": f"""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tokens_before
+              FROM t)
+        SELECT doc_id, source, n_tokens, tokens_before
+        FROM c WHERE tokens_before < {TOKEN_BUDGET}
+    """,
     "q_chunk_dedup": f"""
         WITH ch AS ({_CHUNK_SQL_TMPL.format(toks=_TOKS, c=DEDUP_CHUNK_TOKENS)}),
         f AS (SELECT doc_id, chunk_id, md5(chunk_text) AS fp FROM ch),

@@ -369,6 +369,60 @@ def q_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-shaped composition: bilateral shipping volume between two
+    nations by ship year. The defining feature is the disjunctive
+    cross-dimension predicate — (supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A) —
+    which no single join key expresses. Scale shape: both dims are
+    pre-filtered to the two named nations BEFORE joining (a semi-filter
+    that shrinks them to broadcast size regardless of dim cardinality), the
+    pair disjunction runs post-join on broadcast-tagged rows, and lineitem
+    reaches the final (supp_nation, cust_nation, year) aggregation with the
+    order join as its only shuffle."""
+    spark = _prep(spark)
+    nations = ("NATION_1", "NATION_2")
+    nat = load(spark, sf, "nation").filter(F.col("n_name").isin(*nations))
+    sup = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nations[0])
+                & (F.col("cust_nation") == nations[1])
+            )
+            | (
+                (F.col("supp_nation") == nations[1])
+                & (F.col("cust_nation") == nations[0])
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_revenue_col())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 # the TPC-H priority domain, pinned so the pivot schema is static (dynamic
 # pivot would need a distinct-values job first and a nondeterministic
 # column order)
@@ -612,6 +666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join_tiers": q_range_join_tiers,
     "q_tpch_q3_shape": q_tpch_q3_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
+    "q_tpch_q7_shape": q_tpch_q7_shape,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
     "q_agg_salted": q_agg_salted,
@@ -862,6 +917,23 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "q_tpch_q7_shape": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_REV_SQL} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
     """,
     "q_multimodal_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len "

@@ -168,3 +168,26 @@ def test_pack_sequences_layout_and_partition_invariance(spark):
             ).collect()
         }
         assert again == out
+
+
+def test_token_budget_head_boundary_and_partition_invariance(spark):
+    from bigdata_usaspending_spark.operators.sampling import token_budget_head
+
+    # source a: 4 docs x 100 tokens, budget 250 -> docs starting at 0/100/200
+    # are kept (doc 3 straddles), doc 4 (starts at 300) is dropped.
+    # source b: one 999-token doc -> kept (every stratum keeps >= 1 doc).
+    rows = [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "a", 100), (9, "b", 999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = {
+        r.doc_id: r.tokens_before
+        for r in token_budget_head(df, "source", "doc_id", "n_tokens", 250).collect()
+    }
+    assert out == {1: 0, 2: 100, 3: 200, 9: 0}
+    for n in (1, 2, 5):
+        again = {
+            r.doc_id: r.tokens_before
+            for r in token_budget_head(
+                df, "source", "doc_id", "n_tokens", 250, num_partitions=n
+            ).collect()
+        }
+        assert again == out
