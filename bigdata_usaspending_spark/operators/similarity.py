@@ -350,6 +350,251 @@ def quantized_topk(
     return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a deterministic sequential left fold (same
+    engine-reproducibility argument as dot())."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+# rp_weight table id reserved for the PQ init projection direction
+PQ_PROJ_TABLE = 100
+
+
+def _explode_subspaces(df, vec_col: str, m: int, dsub: int) -> DataFrame:
+    """One row per (input row, subspace): (sub, v=the dsub-wide subvector),
+    all original columns carried."""
+    return df.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sv"),
+    ).select(*df.columns, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
+
+
+def _subspace_means(subs: DataFrame) -> DataFrame:
+    """Per-(sub, cell) centroid as deterministic decimal-mean components
+    (mean_centroids generalized to subspace codebooks): one (sub, cell, pos)
+    shuffle of cardinality m x k x dsub after map-side partial aggregation,
+    independent of N."""
+    return (
+        subs.select("sub", "cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("sub", "cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,7)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mv")
+        )
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+        .select(
+            "sub", "cell", F.transform("pm", lambda s: s["mv"]).alias("centroid")
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    subvectors and learn ``k`` centroids per subspace.
+
+    Init must be SPATIALLY diverse — any random partition's means all
+    collapse to the global subspace mean (measured recall@10 0.1 on the
+    synthetic embeddings). Each subvector is projected onto a deterministic
+    pseudo-random direction (rp_weight, engine-reproducible) and cells are
+    equal-width bins of that projection between the subspace's min/max — a
+    pure map after one tiny per-subspace min/max aggregate, no window, no
+    per-subspace serialization. ``refine_iterations`` of per-subspace Lloyd
+    (pq_refine) then tighten the codebooks; measured on sf0.1: init-only
+    0.4 recall@10 -> 1 iter 0.8 -> 2 iters 0.9 (rerank_factor=8).
+
+    Every stage (projection fold, equal-width binning, decimal means,
+    argmin encoding) replays exactly in SQL. Requires dim % m == 0."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    subs = _explode_subspaces(df.select(vec_col), vec_col, m, dsub)
+    direction = F.array(*[F.lit(rp_weight(PQ_PROJ_TABLE, d)) for d in range(dsub)])
+    proj = subs.withColumn("_p", dot(F.col("v"), direction))
+    rng = proj.groupBy("sub").agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi"))
+    cells = proj.join(F.broadcast(rng), on="sub").withColumn(
+        "cell",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(k - 1),
+                F.floor(
+                    (F.col("_p") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / k)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    cb = _subspace_means(cells.select("sub", "cell", "v"))
+    if refine_iterations:
+        cb = pq_refine(df, cb, iterations=refine_iterations, vec_col=vec_col)
+    return cb
+
+
+def pq_refine(
+    df: DataFrame,
+    codebooks: DataFrame,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd refinement (the PQ twin of ivf_refine): iterations
+    of (encode every subvector to its nearest centroid, recompute centroids
+    as member decimal-means). Deterministic given deterministic input
+    codebooks; cells that lose all members disappear (standard
+    empty-cluster drop — pq_encode/pq_topk tolerate gaps)."""
+    dsub = len(codebooks.select("centroid").first()[0])
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    for _ in range(iterations):
+        enc = pq_encode(df, codebooks, vec_col=vec_col)
+        subs = enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("sub"),
+                            F.element_at(F.col("codes"), s + 1).alias("cell"),
+                            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_sv")
+        ).select(
+            F.col("_sv.sub").alias("sub"),
+            F.col("_sv.cell").alias("cell"),
+            F.col("_sv.v").alias("v"),
+        )
+        codebooks = _subspace_means(subs)
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes: codes[s] = the subspace
+    centroid minimizing squared L2 to subvector s (ties -> lowest cell).
+    The codebook (m x k rows) is broadcast; encoding is a pure map — at
+    100 TB the codes are the memory lever beyond int8: 64 float32 dims
+    (256 B) compress to m bytes, so a billion-vector index fits in a few
+    executors' memory for the ADC scan."""
+    dsub = len(codebooks.select("centroid").first()[0])
+    cb = (
+        codebooks.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cents"))).alias("_cb"))
+    )
+    joined = df.crossJoin(F.broadcast(cb))
+
+    def best_cell(sc):
+        sub_v = F.slice(F.col(vec_col), sc["sub"] * dsub + 1, dsub)
+        return F.aggregate(
+            sc["cents"],
+            F.struct(
+                F.lit(-1).cast("int").alias("cell"),
+                F.lit(float("inf")).alias("d"),
+            ),
+            lambda acc, c: F.when(
+                l2sq(sub_v, c["centroid"]) < acc["d"],
+                F.struct(
+                    c["cell"].alias("cell"), l2sq(sub_v, c["centroid"]).alias("d")
+                ),
+            ).otherwise(acc),
+        )["cell"]
+
+    codes = F.transform(F.col("_cb"), best_cell)
+    return joined.select(*df.columns, codes.alias("codes"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): precompute the
+    query's squared-L2 table against every subspace centroid (m x k doubles,
+    broadcast), score each vector as the SUM of table entries selected by
+    its codes — m array lookups and adds per vector, no float-vector reads —
+    then exactly rerank the k*rerank_factor best candidates on the original
+    vectors. Returns (id, l2sq) ascending.
+
+    Determinism: the per-vector sum folds over subspaces in ascending sub
+    order (the broadcast table array is sub-sorted), so the approximate
+    distances — and therefore the candidate cut — replay exactly in SQL."""
+    dsub = len(codebooks.select("centroid").first()[0])
+    dtab = (
+        codebooks.crossJoin(F.broadcast(query))
+        .select(
+            "sub",
+            "cell",
+            l2sq(
+                F.slice(F.col("q_emb"), F.col("sub") * dsub + 1, dsub),
+                F.col("centroid"),
+            ).alias("d"),
+        )
+        .groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "d"))).alias("ds"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "ds"))).alias("_dt"))
+    )
+    scored = encoded.crossJoin(F.broadcast(dtab))
+    # robust lookup (filter on cell, not positional indexing): survives
+    # codebooks with dropped cells
+    adist = F.aggregate(
+        F.col("_dt"),
+        F.lit(0.0),
+        lambda acc, sd: acc
+        + F.element_at(
+            F.filter(
+                sd["ds"],
+                lambda c: c["cell"] == F.element_at(F.col("codes"), sd["sub"] + 1),
+            ),
+            1,
+        )["d"],
+    )
+    candidates = (
+        scored.select(F.col(id_col), F.col(vec_col), adist.alias("_ad"))
+        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .limit(k * rerank_factor)
+    )
+    reranked = candidates.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), l2sq(F.col(vec_col), F.col("q_emb")).alias("l2sq")
+    )
+    return reranked.orderBy(F.asc("l2sq"), F.asc(id_col)).limit(k)
+
+
 def random_projection_lsh_neighbors(
     df: DataFrame,
     query_vec: list[float],

@@ -256,6 +256,30 @@ def q_ann_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PQ_M = 16          # subspaces (dsub = 64/16 = 4)
+PQ_K = 16          # centroids per subspace
+PQ_RERANK = 8      # candidate pool = k * PQ_RERANK
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN top-10 (similarity.pq_train/pq_encode/
+    pq_topk): 16 subspaces x 16 deterministic centroids — equal-width
+    projection init + ONE per-subspace Lloyd iteration — codes by argmin-L2,
+    ADC scan over the broadcast query distance table, exact squared-L2
+    rerank of the top 80. Every stage — projection binning, decimal-mean
+    codebooks, the Lloyd re-assignment, the sub-ordered ADC fold, the
+    rerank — is replayable SQL (the refinement iteration is generated as a
+    CTE pair in the oracle)."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    cb = similarity.pq_train(data, m=PQ_M, k=PQ_K, refine_iterations=1)
+    enc = similarity.pq_encode(data, cb)
+    return similarity.pq_topk(
+        enc, cb, _query_vec(emb), k=10, rerank_factor=PQ_RERANK
+    )
+
+
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage int8-quantized ANN: exact-int64 cosine over 4x-smaller
     quantized codes prunes to k*4 candidates, float rerank returns top-10.
@@ -386,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
     "q_ann_rp_lsh": q_ann_rp_lsh,
+    "q_ann_pq_topk": q_ann_pq_topk,
     "q_ann_quantized": q_ann_quantized,
     "q_ann_lsh": q_ann_lsh,
     "q_training_data_pipeline": q_training_data_pipeline,
@@ -438,6 +463,94 @@ def _cosine_sql(a: str, b: str) -> str:
     return (
         f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     )
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Twin of similarity.l2sq: sequential left-fold squared L2 (list_reduce
+    folds left like Spark's aggregate; 0.0 + x == x, so the missing init is
+    harmless)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _pq_means_sql(src: str) -> str:
+    """Decimal-mean subspace centroids over a (s, cell, v) source — the SQL
+    twin of similarity._subspace_means."""
+    return f"""SELECT s, cell, list(mv ORDER BY pos) AS centroid FROM (
+        SELECT s, cell, pos,
+               CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mv
+        FROM (SELECT s, cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+              FROM {src})
+        GROUP BY s, cell, pos) GROUP BY s, cell"""
+
+
+def _pq_encode_sql(cent: str) -> str:
+    """argmin-L2 code assignment of every subvector against codebook CTE
+    ``cent`` — the SQL twin of similarity.pq_encode (ties -> lowest cell,
+    matching the fold's strict-< over the cell-sorted centroid array)."""
+    return f"""SELECT vec_id, s, cell FROM (
+        SELECT b.vec_id, b.s, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id, b.s
+                                  ORDER BY {_l2_sql('b.v', 'c.centroid')} ASC,
+                                           c.cell ASC) AS rn
+        FROM sub b JOIN {cent} c ON b.s = c.s) WHERE rn = 1"""
+
+
+def _pq_oracle_sql() -> str:
+    """Full PQ ANN oracle: equal-width projection init -> decimal-mean
+    codebooks -> one Lloyd iteration (re-encode + re-mean) -> final encode
+    -> ADC (sub-ordered fold) -> exact rerank. Mirrors q_ann_pq_topk's
+    PQ_M=16 x PQ_K=16 x rerank 8 configuration stage by stage."""
+    from ..operators.similarity import PQ_PROJ_TABLE, rp_weight
+
+    m, k, dsub, rerank = 16, 16, 4, 8
+    w = "[" + ", ".join(repr(rp_weight(PQ_PROJ_TABLE, d)) for d in range(dsub)) + "]"
+    return f"""
+        WITH sub AS (
+            SELECT vec_id, embedding, CAST(t.s AS INTEGER) AS s,
+                   embedding[CAST(t.s * {dsub} + 1 AS INTEGER):CAST((t.s + 1) * {dsub} AS INTEGER)] AS v
+            FROM embeddings, (SELECT unnest(range({m})) AS s) t
+            WHERE vec_id <> 0
+        ),
+        proj AS (SELECT vec_id, s, v, {_dot_sql('v', w)} AS p FROM sub),
+        rng AS (SELECT s, min(p) AS lo, max(p) AS hi FROM proj GROUP BY s),
+        cells AS (
+            SELECT vec_id, proj.s, v,
+                   CAST(CASE WHEN hi > lo
+                             THEN LEAST({k - 1},
+                                  CAST(floor((p - lo) / ((hi - lo) / {k})) AS INTEGER))
+                             ELSE 0 END AS INTEGER) AS cell
+            FROM proj JOIN rng ON proj.s = rng.s
+        ),
+        cent0 AS ({_pq_means_sql('cells')}),
+        enc0 AS ({_pq_encode_sql('cent0')}),
+        cent AS ({_pq_means_sql('(SELECT b.s, e.cell, b.v FROM sub b JOIN enc0 e ON b.vec_id = e.vec_id AND b.s = e.s)')}),
+        enc AS ({_pq_encode_sql('cent')}),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        qsub AS (
+            SELECT c.s, c.cell,
+                   q.q_emb[CAST(c.s * {dsub} + 1 AS INTEGER):CAST((c.s + 1) * {dsub} AS INTEGER)] AS qv,
+                   c.centroid
+            FROM cent c, q
+        ),
+        dtab AS (SELECT s, cell, {_l2_sql('qv', 'centroid')} AS d FROM qsub),
+        adist AS (
+            SELECT e.vec_id,
+                   list_reduce(list(t.d ORDER BY t.s), (acc, v) -> acc + v) AS ad
+            FROM enc e JOIN dtab t ON e.s = t.s AND e.cell = t.cell
+            GROUP BY e.vec_id
+        ),
+        cand AS (SELECT vec_id FROM adist ORDER BY ad ASC, vec_id ASC LIMIT {10 * rerank})
+        SELECT e.vec_id, {_l2_sql('e.embedding', 'q.q_emb')} AS l2sq
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY l2sq ASC, e.vec_id ASC
+        LIMIT 10
+    """
 
 
 def _idot_sql(a: str, b: str) -> str:
@@ -800,6 +913,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cosine DESC, c.vec_id ASC
         LIMIT 10
     """,
+    "q_ann_pq_topk": _pq_oracle_sql(),
     "q_ann_ivf_refined": f"""
         WITH px AS (
             SELECT label, unnest(embedding) AS x,
