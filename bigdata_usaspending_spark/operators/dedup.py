@@ -70,6 +70,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return df.join(keep, on=id_col, how="semi")
 
 
+def fingerprint_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus's distinct fingerprint set — the persistent dedup index an
+    incremental pipeline maintains (write it partitioned/bucketed by
+    fingerprint so batch joins co-locate)."""
+    return df.select(fingerprint(text_col)).distinct()
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against an existing
+    corpus fingerprint index (``fingerprint_index`` output).
+
+    At 100 TB you never re-dedup the whole corpus per ingest — you keep the
+    fingerprint set as a table and dedup each batch against it: (1) anti-join
+    the batch's fingerprints against the index (drops docs already in the
+    corpus), then (2) min-id within-batch dedup of what remains (a batch can
+    carry internal duplicates the index has never seen). Cost: one shuffle
+    on fingerprint sized to the BATCH, plus the batch⋈index join — which
+    co-locates without a corpus-side shuffle when the index table is
+    bucketed by fingerprint. The streaming twin (stream_dedup_keyed) applies
+    the same key inside a watermark horizon; this is the batch/backfill
+    form. Union the survivors' fingerprints back into the index afterwards.
+    """
+    keyed = batch.select(F.col(id_col), fingerprint(text_col))
+    fresh = keyed.join(index, on="fingerprint", how="anti")
+    keep = (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return batch.join(keep, on=id_col, how="semi")
+
+
 def near_dedup_pipeline(
     df: DataFrame,
     id_col: str,

@@ -200,3 +200,53 @@ def pack_sequences(
             F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
         )
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    ``position`` = its rank under a seeded pseudo-random permutation. The
+    epoch-shuffle step of a pretraining pipeline — ``df.orderBy(rand())``
+    is irreproducible and a bare sort gives no addressable position.
+
+    The permutation key is ``portable_hash60(seed || key)`` — replayable in
+    any engine (same portability argument as hash_gate) and re-seedable per
+    epoch. Rank is computed WITHOUT a single-partition window: buckets are
+    equal-width ranges of the 60-bit hash space (hash is uniform, so
+    buckets balance regardless of key skew; int64→double bucketing is
+    monotone, so bucket order composes with hash order), bucket-local
+    row_number windows run in parallel, and the per-bucket counts —
+    num_partitions rows after map-side partial aggregation — prefix-sum on
+    the driver-side-tiny window and broadcast back (the pack_sequences
+    two-pass shape on the hash axis). One corpus-sized shuffle total.
+    Ties on the 60-bit hash break by key, so position is a permutation of
+    [0, N) for ANY key collision pattern."""
+    from pyspark.sql import Window
+
+    n_buckets = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    h = portable_hash60(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    part = df.withColumn("_h", h).withColumn(
+        "_pid",
+        F.floor(F.col("_h").cast("double") * n_buckets / F.lit(float(1 << 60)))
+        .cast("int"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_h", key_col)
+    local = part.withColumn("_lrn", F.row_number().over(w_local))
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+        .withColumn("_poff", F.coalesce(F.sum("_pn").over(w_pid), F.lit(0)))
+        .select("_pid", "_poff")
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_pid")
+        .withColumn("position", (F.col("_lrn") - 1 + F.col("_poff")).cast("long"))
+        .drop("_h", "_pid", "_lrn", "_poff")
+    )

@@ -88,6 +88,39 @@ def cosine_pairs_blocked(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every embedding to its nearest centroid, find
+    cosine-similar pairs ONLY within clusters, and keep the min-id survivor
+    of each near-dup pair. Returns the surviving (id, cell) rows.
+
+    This is the scale path for embedding dedup at 100 TB: all-pairs cosine
+    is O(N^2); clustering first makes the comparison quadratic only within
+    a cluster (expected N^2/C for C balanced clusters), and the cluster
+    assignment itself is one broadcast-centroid map pass (ivf_assign). The
+    drop set (ids appearing as the larger id of any qualifying pair) stays
+    a fraction of N and joins back as an anti-join — AQE picks broadcast
+    when it is small.
+
+    Pass ``assigned`` (an (id, vec, cell) frame) to reuse an existing
+    assignment — e.g. the deterministic rank-window assignment the oracle
+    corpus uses, or a partition-by-cell materialized layout."""
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    pairs = cosine_pairs_blocked(
+        assigned, "cell", id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(drops, on=id_col, how="anti").select(id_col, "cell")
+
+
 def mean_centroids(
     assigned: DataFrame,
     cell_col: str = "cell",

@@ -154,6 +154,43 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): cluster
+    every embedding to its nearest deterministic label-mean centroid,
+    cosine-compare ONLY within clusters, keep the min-id survivor of each
+    >= 0.4 pair. The scale path for embedding dedup — pairwise cost is
+    quadratic only inside clusters, assignment is a broadcast-centroid
+    pass. The rank-window assignment here is the oracle-replayable twin of
+    the production fold (same argument as q_ann_ivf_topk)."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    cent = _ivf_centroids(emb)
+    assigned = _assign_by_rank(emb, cent)
+    return similarity.semantic_dedup(
+        emb, cent, threshold=SEMANTIC_DEDUP_THRESHOLD, assigned=assigned
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup (dedup.dedup_against_index): docs with
+    doc_id % 3 == 0 play the already-ingested corpus whose fingerprint
+    index is persistent; the rest arrive as a new batch. Survivors = batch
+    docs whose fingerprint is unseen, one min-id winner per within-batch
+    duplicate group — the per-ingest dedup step that never re-scans the
+    corpus at 100 TB."""
+    spark = _prep(spark)
+    docs = load(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    index = dedup.fingerprint_index(corpus)
+    return dedup.dedup_against_index(batch, index, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -406,6 +443,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_semantic": q_dedup_semantic,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_embedding_cosine_topk": q_embedding_cosine_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
@@ -810,6 +849,57 @@ ORACLE_SQL: dict[str, str] = {
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+    """,
+    "q_dedup_semantic": f"""
+        WITH px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        scores AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_cosine_sql('e.embedding', 'c.centroid')} AS cs
+            FROM embeddings e, cent c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')}
+                  >= {SEMANTIC_DEDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cell FROM assigned a
+        WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = a.vec_id)
+    """,
+    "q_dedup_incremental": f"""
+        WITH fp AS (SELECT doc_id, md5({_NORMALIZED}) AS f FROM documents),
+        idx AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+        fresh AS (
+            SELECT doc_id, f FROM fp b
+            WHERE doc_id % 3 <> 0
+              AND NOT EXISTS (SELECT 1 FROM idx i WHERE i.f = b.f)
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY f)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN keep USING (doc_id)
     """,
     "q_embedding_cosine_topk": f"""
         WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -100,11 +100,29 @@ def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "tokens_before")
 
 
+SHUFFLE_SEED = 0
+
+
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.global_shuffle):
+    every document gets its rank under the seed-0 portable-hash permutation
+    — the reproducible training-order step (df.orderBy(rand()) cannot be
+    replayed by any other engine, and a bare sort gives no addressable
+    position). Rank is a two-pass prefix count over hash-range buckets —
+    no single-partition window anywhere in the plan."""
+    docs = load(_prep(spark), sf, "documents")
+    out = sampling.global_shuffle(
+        docs.select("doc_id"), "doc_id", seed=SHUFFLE_SEED
+    )
+    return out.select("doc_id", "position")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scrub": q_pii_scrub,
     "q_chunk_documents": q_chunk_documents,
     "q_chunk_dedup": q_chunk_dedup,
     "q_token_budget_mix": q_token_budget_mix,
+    "q_corpus_shuffle": q_corpus_shuffle,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -176,6 +194,17 @@ ORACLE_SQL: dict[str, str] = {
               FROM t)
         SELECT doc_id, source, n_tokens, tokens_before
         FROM c WHERE tokens_before < {TOKEN_BUDGET}
+    """,
+    "q_corpus_shuffle": f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+                   AS position
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('{SHUFFLE_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM documents
+        )
     """,
     "q_chunk_dedup": f"""
         WITH ch AS ({_CHUNK_SQL_TMPL.format(toks=_TOKS, c=DEDUP_CHUNK_TOKENS)}),

@@ -423,6 +423,81 @@ def q_tpch_q7_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MKT_NATION = "NATION_1"   # Q8's "national" supplier nation
+MKT_REGION = "AMERICA"    # Q8's customer market region
+MKT_PTYPE = "ECONOMY"     # Q8's part-type filter
+
+
+def q_tpch_q8_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: of all ECONOMY-part revenue
+    sold to customers in region AMERICA per order year, the fraction
+    supplied by NATION_1 suppliers. The defining feature beyond Q7 is the
+    share-of-total — a conditional aggregate (CASE inside SUM) divided by
+    the unconditional one in the SAME grouped pass, so the ratio costs no
+    second scan and no window.
+
+    Scale shape: nation/region and the supplier→nation tag are true
+    broadcast dims; part and customer are left unhinted (AQE decides —
+    the p_type/region filters keep a constant FRACTION of two big dims, not
+    a broadcastable absolute size at 100 TB). Lineitem pays exactly two
+    shuffles (l_partkey, then l_orderkey) — the Q8 minimum — and the final
+    per-year aggregate is map-side partial. Both sums accumulate in exact
+    decimal; the share divides the two ROUNDED doubles, so any engine
+    reproduces it bit-for-bit."""
+    spark = _prep(spark)
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load(spark, sf, "region").filter(F.col("r_name") == MKT_REGION)
+    amer_keys = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        load(spark, sf, "customer")
+        .join(F.broadcast(amer_keys), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load(spark, sf, "part").filter(F.col("p_type") == MKT_PTYPE).select("p_partkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        F.col("l_extendedprice").cast(_REV_D)
+        * (F.lit(1.0) - F.col("l_discount")).cast(_REV_D)
+    ).cast("decimal(38,6)")
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == MKT_NATION, vol).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("nation_rev"),
+        F.round(F.sum(vol), 2).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
 # the TPC-H priority domain, pinned so the pivot schema is static (dynamic
 # pivot would need a distinct-values job first and a nondeterministic
 # column order)
@@ -667,6 +742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q3_shape": q_tpch_q3_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
     "q_tpch_q7_shape": q_tpch_q7_shape,
+    "q_tpch_q8_shape": q_tpch_q8_shape,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
     "q_agg_salted": q_agg_salted,
@@ -934,6 +1010,27 @@ ORACLE_SQL: dict[str, str] = {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q_tpch_q8_shape": f"""
+        SELECT o_year, nation_rev, total_rev,
+               nation_rev / total_rev AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {D2D.format(x=f"ROUND(SUM(CASE WHEN n_name = '{MKT_NATION}' THEN CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(1.0 - l_discount AS DECIMAL(19,4)) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END), 2)")} AS nation_rev,
+                   {_REV_SQL} AS total_rev
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE p_type = '{MKT_PTYPE}'
+              AND c_nationkey IN (
+                  SELECT n_nationkey FROM nation JOIN region
+                    ON n_regionkey = r_regionkey
+                  WHERE r_name = '{MKT_REGION}')
+            GROUP BY o_year
+        ) ORDER BY o_year
     """,
     "q_multimodal_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len "

@@ -144,3 +144,37 @@ def test_decontaminate_drops_shingle_overlap(spark):
         r.doc_id for r in dedup.decontaminate(corpus, benchmark, "doc_id").collect()
     )
     assert kept == [2, 3]
+
+
+def test_dedup_against_index(spark):
+    """Batch survivors: index hits drop, within-batch dups keep min-id,
+    normalization ('A  b' == 'a b') applies to both the index and the batch."""
+    corpus = spark.createDataFrame(
+        [(1, "already ingested doc"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already   ingested DOC"),   # index hit via normalization
+            (11, "brand new document"),
+            (12, "brand  NEW document"),      # within-batch dup of 11
+            (13, "second fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.fingerprint_index(corpus)
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_index(batch, index, "doc_id").collect()
+    )
+    assert kept == [11, 13]
+    # idempotent: dedup the survivors against the UPDATED index -> unchanged
+    survivors = dedup.dedup_against_index(batch, index, "doc_id")
+    updated = index.union(dedup.fingerprint_index(survivors)).distinct()
+    again = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_index(survivors, index, "doc_id").collect()
+    )
+    assert again == kept
+    # everything already indexed -> nothing survives a replayed batch
+    assert dedup.dedup_against_index(batch, updated, "doc_id").count() == 0

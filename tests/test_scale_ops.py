@@ -191,3 +191,40 @@ def test_token_budget_head_boundary_and_partition_invariance(spark):
             ).collect()
         }
         assert again == out
+
+
+def test_global_shuffle_is_reproducible_permutation(spark):
+    """position is a permutation of [0, N), matches the single-partition
+    rank oracle, is stable under repartitioning, and re-seeds to a
+    different order."""
+    from pyspark.sql import Window
+
+    from bigdata_usaspending_spark.operators import sampling
+    from bigdata_usaspending_spark.operators.dedup import portable_hash60
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = sampling.global_shuffle(df, "doc_id", seed=7, num_partitions=8)
+    got = {r.doc_id: r.position for r in out.collect()}
+    assert sorted(got.values()) == list(range(500))
+    # single-partition oracle: rank by (hash, key)
+    h = portable_hash60(F.concat(F.lit("7"), F.lit(":"), F.col("doc_id").cast("string")))
+    expect = {
+        r.doc_id: r.pos
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy(h, "doc_id")) - 1
+        ).collect()
+    }
+    assert got == expect
+    repart = {
+        r.doc_id: r.position
+        for r in sampling.global_shuffle(
+            df.repartition(13), "doc_id", seed=7, num_partitions=3
+        ).collect()
+    }
+    assert repart == got
+    reseeded = {
+        r.doc_id: r.position
+        for r in sampling.global_shuffle(df, "doc_id", seed=8, num_partitions=8).collect()
+    }
+    assert sorted(reseeded.values()) == list(range(500))
+    assert reseeded != got

@@ -281,3 +281,25 @@ def test_pq_encode_tiny_exact(spark):
     q = spark.createDataFrame([([9.0, 9.0],)], "q_emb array<float>")
     out = [r.vec_id for r in similarity.pq_topk(enc, cb, q, k=4, rerank_factor=2).collect()]
     assert out[0] == 4 and out[-1] == 1  # nearest and farthest by true L2
+
+
+def test_semantic_dedup_tiny(spark):
+    """Two tight clusters + one outlier: within-cluster near-dups collapse
+    to the min id, cross-cluster similarity is never compared."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 0),   # near-dup of 1 (same cell)
+        (3, [0.0, 1.0], 1),
+        (4, [0.01, 0.999], 1),   # near-dup of 3
+        (5, [-1.0, 0.0], 2),     # alone in its cell
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "cell int, centroid array<double>",
+    )
+    out = similarity.semantic_dedup(df, cents, threshold=0.95)
+    kept = sorted((r.vec_id, r.cell) for r in out.collect())
+    assert kept == [(1, 0), (3, 1), (5, 2)]
