@@ -214,6 +214,55 @@ def repetition_metrics(
     )
 
 
+def remove_high_df_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.4,
+) -> DataFrame:
+    """Corpus-adaptive boilerplate scrub: drop every token whose document
+    frequency exceeds ``max_df_frac`` of the corpus, preserving the order of
+    the surviving tokens — the single-line analog of CCNet-style boilerplate
+    line removal (the synthetic corpus has no newlines, so the unit of
+    boilerplate is the token, discovered from the corpus itself rather than
+    a fixed stopword list).
+
+    Scale shape (100 TB): the dropset is PROVABLY broadcast-small — a token
+    needs > max_df_frac·N documents to qualify, and the corpus only has
+    (avg distinct tokens per doc)·N document-token incidences, so at most
+    avg_doc_len/max_df_frac distinct tokens can clear the bar (a few hundred
+    rows regardless of corpus size). So: one shuffle to build the per-token
+    document-frequency histogram from per-doc DISTINCT tokens (map-side
+    partial absorbs the explode volume; "the" contributes once per doc, not
+    once per occurrence), then the scrub itself is a pure codegen map —
+    higher-order ``filter`` against the broadcast dropset array, NO
+    occurrence-level join, no skew anywhere.
+
+    Returns (id, scrubbed, n_tokens, n_removed).
+    """
+    toks = tokens(text_col)
+    doctok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("_tok")
+    )
+    dfreq = doctok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("_ndocs"))
+    dropset = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("_df").cast("double")
+            > F.lit(max_df_frac) * F.col("_ndocs").cast("double")
+        )
+        .agg(F.sort_array(F.collect_list("_tok")).alias("_drop"))
+    )
+    kept = F.filter(toks, lambda t: ~F.array_contains(F.col("_drop"), t))
+    return df.crossJoin(F.broadcast(dropset)).select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("scrubbed"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
 def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. The exact-dedup key for noisy duplicates."""

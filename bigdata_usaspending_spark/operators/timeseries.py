@@ -1,0 +1,148 @@
+"""Time-series operators: calendar resampling with gap fill, per-group
+z-score outlier flagging, and fixed-width histograms.
+
+The reference's dashboards aggregate award amounts by calendar month
+(app/spark_cassandra_groupby_month.py:25-32) but silently render nothing for
+months with no awards and have no outlier/distribution view at all. These
+operators generalize that family the way a warehouse engine would:
+
+- ``monthly_gap_fill``    — dense per-key monthly spine (missing months
+  materialized) with forward-filled totals. Spine generation is
+  ``sequence()`` per key (pure codegen, no driver loop); the fill is a
+  single running ``last(ignorenulls)`` window per key — one shuffle on the
+  key, partition sizes bounded by months-per-key (~tens), so the plan is
+  unchanged at 1000 executors.
+- ``zscore_flags``        — per-group mean/stddev from exact-decimal sums
+  (same determinism contract as aggregates.describe_stats) computed with
+  window aggregates so each row gets its z-score in ONE shuffle on the
+  group key; no join back, no driver collect.
+- ``fixed_width_histogram`` — global min/max (one tiny all-to-one partial
+  agg) broadcast-cross-joined onto the scan, then a groupBy on the bin
+  index: two linear passes, no sort, bin count fixed — the distribution
+  sketch you can afford on 100 TB.
+
+Determinism: every double here is produced by the same IEEE expression an
+external SQL engine would evaluate ((x-mn)*nbins/(mx-mn), (x-mean)/std with
+decimal-backed sums), so the DuckDB twins match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum
+
+_DIN = "decimal(19,4)"
+_DPROD = "decimal(38,6)"
+
+
+def monthly_gap_fill(
+    df: DataFrame,
+    key: str,
+    date_col: str,
+    amount_col: str,
+    alias: str = "amount_filled",
+) -> DataFrame:
+    """Dense monthly resample per key with forward fill.
+
+    Aggregates ``amount_col`` per (key, calendar month), materializes every
+    month between each key's first and last active month via
+    ``sequence(min_month, max_month, interval 1 month)``, left-joins the
+    observed totals onto the spine, and forward-fills gaps with the last
+    observed total. ``gap_filled`` marks spine rows that had no data.
+
+    Scale shape: the monthly pre-aggregation is one shuffle on
+    (key, month); bounds + spine + fill all reuse the SAME key partitioning
+    (Catalyst sees the common key), and the fill window is bounded by the
+    calendar span, never by fact cardinality.
+    """
+    month = F.date_trunc("month", F.col(date_col)).alias("month")
+    monthly = df.groupBy(F.col(key), month).agg(exact_sum(amount_col, "_amt"))
+    bounds = monthly.groupBy(key).agg(
+        F.min("month").alias("_mn"), F.max("month").alias("_mx")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 month"))
+        ).alias("month"),
+    )
+    joined = spine.join(monthly, [key, "month"], "left")
+    fill = Window.partitionBy(key).orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        key,
+        "month",
+        F.last("_amt", ignorenulls=True).over(fill).alias(alias),
+        F.col("_amt").isNull().alias("gap_filled"),
+    )
+
+
+def zscore_flags(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging.
+
+    mean and stddev come from exact-decimal Σx / Σx² window aggregates over
+    the group (order-independent, reproducible by any engine), final
+    arithmetic in double: z = (x − Σx/n) / sqrt((Σx² − (Σx)²/n)/(n−1)).
+    Returns only rows with \\|z\\| > ``z_threshold``.
+
+    One shuffle on the group key; the window aggregates are unbounded-frame
+    (computed once per partition, not per row), and no second pass or join
+    is needed to attach group stats to rows.
+    """
+    w = Window.partitionBy(key)
+    x = F.col(value_col)
+    xd = x.cast(_DIN)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(xd).over(w).cast("double")
+    s2 = F.sum((xd * xd).cast(_DPROD)).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt((s2 - (s * s) / n) / (n - F.lit(1.0)))
+    z = (x.cast("double") - mean) / std
+    return (
+        df.select(key, value_col, z.alias("z"))
+        .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+    )
+
+
+def fixed_width_histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
+    """Equi-width histogram: bin = min(floor((x−mn)·nbins/(mx−mn)), nbins−1).
+
+    Global min/max is a 1-row partial aggregate broadcast back onto the
+    scan (no shuffle of the fact side); the bin groupBy is map-side partial
+    with at most ``nbins`` groups. ``bin_lo`` is the inclusive lower edge,
+    reproduced bit-for-bit by any engine evaluating the same expression.
+    """
+    stats = df.agg(
+        F.min(F.col(col)).cast("double").alias("_mn"),
+        F.max(F.col(col)).cast("double").alias("_mx"),
+    )
+    x = F.col(col).cast("double")
+    width_num = F.col("_mx") - F.col("_mn")
+    bin_idx = F.least(
+        F.floor((x - F.col("_mn")) * F.lit(float(nbins)) / width_num),
+        F.lit(nbins - 1).cast("bigint"),
+    ).cast("int")
+    binned = df.join(F.broadcast(stats)).select(
+        bin_idx.alias("bin"), "_mn", "_mx"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.first("_mn")
+                + F.col("bin").cast("double")
+                * ((F.first("_mx") - F.first("_mn")) / F.lit(float(nbins)))
+            ).alias("bin_lo"),
+        )
+        .select("bin", "bin_lo", "n")
+        .orderBy("bin")
+    )
