@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.catalog import load
+from bigdata_usaspending_spark.operators import text, timeseries
+
+
+def _mini(spark):
+    rows = [
+        (1, datetime.date(2020, 1, 15), 10.0),
+        (1, datetime.date(2020, 1, 20), 5.0),
+        (1, datetime.date(2020, 4, 2), 7.0),
+        (2, datetime.date(2020, 2, 1), 3.0),
+    ]
+    return spark.createDataFrame(rows, "k int, d date, v double")
+
+
+def test_monthly_gap_fill_materializes_missing_months(spark):
+    out = timeseries.monthly_gap_fill(_mini(spark), "k", "d", "v").collect()
+    k1 = sorted(
+        [r for r in out if r["k"] == 1], key=lambda r: r["month"]
+    )
+    # Jan..Apr dense spine: Feb and Mar materialized as gaps
+    assert [r["month"].month for r in k1] == [1, 2, 3, 4]
+    assert [r["gap_filled"] for r in k1] == [False, True, True, False]
+    # forward fill carries the Jan total through the gap
+    assert [r["amount_filled"] for r in k1] == [15.0, 15.0, 15.0, 7.0]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["amount_filled"] == 3.0
+
+
+def test_zscore_flags_finds_planted_outlier(spark):
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 11, 9, 100]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = timeseries.zscore_flags(df, "k", "v", z_threshold=2.0).collect()
+    assert [r["v"] for r in out] == [100.0]
+    assert out[0]["z"] > 2.0
+
+
+def test_fixed_width_histogram_counts_and_edges(spark):
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    out = timeseries.fixed_width_histogram(df, "v", 10).collect()
+    assert [r["bin"] for r in out] == list(range(10))
+    # mirror the operator's IEEE binning expression exactly
+    import math
+
+    expected = [0] * 10
+    for x in range(100):
+        expected[min(math.floor((x - 0.0) * 10.0 / 99.0), 9)] += 1
+    assert [r["n"] for r in out] == expected
+    assert sum(r["n"] for r in out) == 100
+    assert out[0]["bin_lo"] == 0.0
+    assert out[9]["bin_lo"] == 0.0 + 9.0 * (99.0 / 10.0)
+
+
+def test_remove_high_df_tokens_drops_only_ubiquitous(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common filler word{i} extra{i % 2}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_high_df_tokens(docs, max_df_frac=0.5).collect()
+    }
+    # 'common'/'filler' appear in 100% of docs -> dropped; 'extra0'/'extra1'
+    # are at exactly 50% which does NOT exceed the threshold -> kept
+    assert out[0]["scrubbed"] == "word0 extra0"
+    assert out[0]["n_tokens"] == 4 and out[0]["n_removed"] == 2
+
+
+def test_gap_fill_plan_has_single_key_shuffle(spark, sf_small):
+    orders = load(spark, sf_small, "orders").filter(F.col("o_custkey") <= 300)
+    out = timeseries.monthly_gap_fill(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no cartesian/broadcast-nested-loop anywhere in the spine construction
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
