@@ -51,8 +51,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to microseconds — the same truncation a micros-native engine applies.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Newer generations of the fixture store TIMESTAMP(MICROS) with
+            # isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ.
+            # Downstream time arithmetic (unix_millis, window(), watermarks)
+            # wants the session-zone TIMESTAMP type; the session zone is
+            # pinned to UTC (session.RUNTIME_CONFS), so this cast preserves
+            # the stored wall-clock values exactly — identical to how DuckDB
+            # reads the same naive column.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
