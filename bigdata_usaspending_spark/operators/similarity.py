@@ -19,10 +19,25 @@ Determinism: float32 x float32 products are exact in double (<= 48-bit
 mantissa), and the dot product is a sequential left fold over the array —
 Spark's ``aggregate`` HOF and DuckDB's ``list_reduce`` both fold
 left-to-right, so every intermediate double is identical across engines.
+
+Execution tiers (deliberate, per kernel):
+- relational HOF folds (dot/l2sq) where the per-row work is a single fold —
+  brute force, IVF, blocked cosine;
+- Arrow-vectorized pandas kernels where the per-row work is an m*k argmin
+  or table lookup (PQ encode/ADC): HOF lambdas are CodegenFallback
+  (interpreted — measured ~0.65 ms/row, a real bottleneck at corpus scale)
+  and flat literal unrolling blows up Py4J build time and codegen compile;
+  the numpy kernels replicate the SQL fold order bit-for-bit (see
+  _fold_sum_cols) so the DuckDB oracle still hash-matches;
+- driver-side training on bounded samples (pq_train_driver): quantizer
+  codebooks are model state trained on ~1e5-1e6 vectors in production
+  regardless of corpus size.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -399,25 +414,6 @@ def l2sq(a: Column, b: Column) -> Column:
 PQ_PROJ_TABLE = 100
 
 
-def _explode_subspaces(df, vec_col: str, m: int, dsub: int) -> DataFrame:
-    """One row per (input row, subspace): (sub, v=the dsub-wide subvector),
-    all original columns carried."""
-    return df.select(
-        *df.columns,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("sub"),
-                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_sv"),
-    ).select(*df.columns, F.col("_sv.sub").alias("sub"), F.col("_sv.v").alias("v"))
-
-
 def _subspace_means(subs: DataFrame) -> DataFrame:
     """Per-(sub, cell) centroid as deterministic decimal-mean components
     (mean_centroids generalized to subspace codebooks): one (sub, cell, pos)
@@ -440,12 +436,32 @@ def _subspace_means(subs: DataFrame) -> DataFrame:
     )
 
 
+def materialize_codebooks(cb: DataFrame) -> DataFrame:
+    """Collect a (sub, cell, centroid) codebook and recreate it as a local
+    relation, severing its lineage.
+
+    A codebook is model state, not data — m*k rows (hundreds) regardless of
+    corpus size. Leaving it lazy means EVERY consumer (encode's broadcast,
+    each Lloyd iteration, the ADC distance table) re-executes the full
+    training scan; round-3 profiling showed the q_ann_pq_topk training
+    subtree running >=3x (13.0 s at sf0.1). Collecting once and
+    re-parallelizing makes each consumer read ~256 local rows instead.
+    Values are bit-preserved: doubles round-trip exactly through the
+    driver (IEEE binary64 either side), so oracle hashes are unchanged."""
+    rows = [(r["sub"], r["cell"], list(r["centroid"])) for r in cb.collect()]
+    return cb.sparkSession.createDataFrame(
+        rows, schema="sub int, cell int, centroid array<double>"
+    )
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
     m: int = 4,
     k: int = 16,
     refine_iterations: int = 0,
+    dim: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Product-quantization codebooks: split each vector into ``m``
     subvectors and learn ``k`` centroids per subspace.
@@ -461,33 +477,163 @@ def pq_train(
     0.4 recall@10 -> 1 iter 0.8 -> 2 iters 0.9 (rerank_factor=8).
 
     Every stage (projection fold, equal-width binning, decimal means,
-    argmin encoding) replays exactly in SQL. Requires dim % m == 0."""
-    dim = len(df.select(vec_col).first()[0])
+    argmin encoding) replays exactly in SQL. Requires dim % m == 0.
+
+    Pass ``dim`` when known (it usually is — it's the embedding model's
+    output width) to skip a metadata ``.first()`` probe. ``materialize``
+    (default) collects the finished m*k-row codebook to a local relation so
+    downstream consumers don't re-run the training scan."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    subs = _explode_subspaces(df.select(vec_col), vec_col, m, dsub)
-    direction = F.array(*[F.lit(rp_weight(PQ_PROJ_TABLE, d)) for d in range(dsub)])
-    proj = subs.withColumn("_p", dot(F.col("v"), direction))
-    rng = proj.groupBy("sub").agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi"))
-    cells = proj.join(F.broadcast(rng), on="sub").withColumn(
-        "cell",
-        F.when(
-            F.col("_hi") > F.col("_lo"),
-            F.least(
+    direction = [rp_weight(PQ_PROJ_TABLE, d) for d in range(dsub)]
+    # Pass 1 — per-subspace projection min/max as ONE narrow flat-codegen
+    # aggregate (2m scalars) over the unexploded vectors; the former shape
+    # exploded to m rows per vector first, paying the m-fold row blowup and
+    # a broadcast join in both passes. The 16 (lo, hi) pairs are model
+    # state, collected and folded into pass 2 as literals.
+    aggs = []
+    for s in range(m):
+        p = dot_flat(F.col(vec_col), direction, offset=s * dsub)
+        aggs += [F.min(p).alias(f"_lo{s}"), F.max(p).alias(f"_hi{s}")]
+    rng = df.agg(*aggs).first()
+    # Pass 2 — equal-width cell per subspace (pure map, literal bounds; the
+    # (hi-lo)/k step and the comparison happen in binary64 exactly as the
+    # former column expressions did), then the same posexplode->slice->
+    # decimal-means shape the Lloyd iterations use.
+    cell_exprs = []
+    for s in range(m):
+        lo, hi = rng[f"_lo{s}"], rng[f"_hi{s}"]
+        p = dot_flat(F.col(vec_col), direction, offset=s * dsub)
+        if lo is not None and hi is not None and hi > lo:
+            cell = F.least(
                 F.lit(k - 1),
-                F.floor(
-                    (F.col("_p") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / k)
-                ).cast("int"),
-            ),
+                F.floor((p - F.lit(lo)) / F.lit((hi - lo) / k)).cast("int"),
+            )
+        else:
+            cell = F.lit(0)
+        cell_exprs.append(cell.cast("int"))
+    subs = (
+        df.select(F.col(vec_col), F.posexplode(F.array(*cell_exprs)).alias("sub", "cell"))
+        .select(
+            "sub",
+            "cell",
+            F.slice(F.col(vec_col), F.col("sub") * dsub + 1, F.lit(dsub)).alias("v"),
         )
-        .otherwise(F.lit(0))
-        .cast("int"),
     )
-    cb = _subspace_means(cells.select("sub", "cell", "v"))
+    cb = _subspace_means(subs)
+    if materialize:
+        cb = materialize_codebooks(cb)
     if refine_iterations:
-        cb = pq_refine(df, cb, iterations=refine_iterations, vec_col=vec_col)
+        cb = pq_refine(
+            df, cb, iterations=refine_iterations, vec_col=vec_col,
+            m=m, dsub=dsub, materialize=materialize,
+        )
     return cb
+
+
+def pq_train_driver(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    refine_iterations: int = 0,
+    cap: int = 1_000_000,
+) -> DataFrame:
+    """Driver-side PQ codebook training — the faiss-style production shape:
+    quantizer codebooks train on a BOUNDED sample (industry practice is
+    ~100k-1M vectors regardless of corpus size), so the training set fits on
+    the driver and the whole init+Lloyd loop runs as local numpy/Decimal
+    arithmetic instead of 2+2*iterations distributed jobs whose fixed
+    codegen/scheduling cost dwarfs the math. The caller bounds the sample
+    (e.g. operators.sampling.hash_sample for a deterministic gate); ``cap``
+    is a guard against accidentally collecting an unbounded table.
+
+    Bit-identical to pq_train on the same training set, so oracle hashes
+    are unchanged:
+    - projections/distances: left-fold binary64 chains (numpy elementwise,
+      never np.sum's pairwise regrouping);
+    - binning: same (hi-lo)/k step, floor, clamp in binary64;
+    - centroid means: per-(sub, cell, dim) sums in Python Decimal quantized
+      HALF_UP to scale 7 — Decimal(repr(x)) reproduces the JVM's
+      Double.toString shortest-representation conversion — cast to double,
+      divided by the member count (exactly _subspace_means' decimal recipe;
+      decimal sums are exact, hence order-insensitive, so sample ORDER
+      doesn't matter, only the sample set);
+    - Lloyd assignment: first-minimum argmin over cell-ascending centroids
+      = lowest distance, ties to lowest cell.
+    Returns a local-relation (sub, cell, centroid) codebook like
+    materialize_codebooks. The distributed pq_train remains for training
+    sets too large to collect."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = df.select(vec_col).collect()
+    if len(rows) > cap:
+        raise ValueError(f"pq_train_driver: {len(rows)} rows exceeds cap {cap}")
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    direction = [rp_weight(PQ_PROJ_TABLE, d) for d in range(dsub)]
+
+    def fold_dot(xs):
+        acc = xs[:, 0] * direction[0]
+        for i in range(1, dsub):
+            acc = acc + xs[:, i] * direction[i]
+        return acc
+
+    quantum = Decimal("1e-7")
+
+    def decimal_mean_centroid(members):
+        out = []
+        for d in range(members.shape[1]):
+            s = Decimal(0)
+            for v in members[:, d]:
+                s += Decimal(repr(float(v))).quantize(quantum, ROUND_HALF_UP)
+            out.append(float(s) / float(members.shape[0]))
+        return out
+
+    def means(assign):
+        cb = []
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            for cell in sorted(set(assign[:, s].tolist())):
+                cb.append(
+                    (s, int(cell), decimal_mean_centroid(xs[assign[:, s] == cell]))
+                )
+        return cb
+
+    # init: equal-width bins of the deterministic projection
+    assign = np.empty((x.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        p = fold_dot(x[:, s * dsub : (s + 1) * dsub])
+        lo, hi = float(p.min()), float(p.max())
+        if hi > lo:
+            assign[:, s] = np.minimum(
+                k - 1, np.floor((p - lo) / ((hi - lo) / k)).astype(np.int64)
+            )
+        else:
+            assign[:, s] = 0
+    cb_rows = means(assign)
+
+    for _ in range(refine_iterations):
+        for s in range(m):
+            cents = sorted((c, cent) for s2, c, cent in cb_rows if s2 == s)
+            cells = np.array([c for c, _ in cents], dtype=np.int64)
+            mat = np.array([cent for _, cent in cents], dtype=np.float64)
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            diff = xs[:, None, :] - mat[None, :, :]
+            dist = _fold_sum_cols(diff * diff)
+            assign[:, s] = cells[np.argmin(dist, axis=1)]
+        cb_rows = means(assign)
+
+    return df.sparkSession.createDataFrame(
+        [(s, c, cent) for s, c, cent in cb_rows],
+        schema="sub int, cell int, centroid array<double>",
+    )
 
 
 def pq_refine(
@@ -495,76 +641,140 @@ def pq_refine(
     codebooks: DataFrame,
     iterations: int = 1,
     vec_col: str = "embedding",
+    m: int | None = None,
+    dsub: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-subspace Lloyd refinement (the PQ twin of ivf_refine): iterations
     of (encode every subvector to its nearest centroid, recompute centroids
     as member decimal-means). Deterministic given deterministic input
     codebooks; cells that lose all members disappear (standard
-    empty-cluster drop — pq_encode/pq_topk tolerate gaps)."""
-    dsub = len(codebooks.select("centroid").first()[0])
-    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    empty-cluster drop — pq_encode/pq_topk tolerate gaps).
+
+    Pass ``m``/``dsub`` when known to avoid metadata probes; with
+    ``materialize`` each iteration's codebook is collected to a local
+    relation so iteration i+1's encode doesn't replay iteration i's scan."""
+    if dsub is None:
+        dsub = len(codebooks.select("centroid").first()[0])
+    if m is None:
+        m = codebooks.agg(F.max("sub")).first()[0] + 1
     for _ in range(iterations):
-        enc = pq_encode(df, codebooks, vec_col=vec_col)
+        enc = pq_encode(df, codebooks, vec_col=vec_col, dsub=dsub)
+        # posexplode(codes): position IS the subspace index, and the codes
+        # expression is referenced exactly once — an explode over an array
+        # of per-sub structs would inline the full encode expression m times
+        # via projection collapse.
         subs = enc.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).cast("int").alias("sub"),
-                            F.element_at(F.col("codes"), s + 1).alias("cell"),
-                            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("_sv")
+            F.col(vec_col), F.posexplode("codes").alias("sub", "cell")
         ).select(
-            F.col("_sv.sub").alias("sub"),
-            F.col("_sv.cell").alias("cell"),
-            F.col("_sv.v").alias("v"),
+            "sub",
+            "cell",
+            F.slice(F.col(vec_col), F.col("sub") * dsub + 1, F.lit(dsub)).alias("v"),
         )
         codebooks = _subspace_means(subs)
+        if materialize:
+            codebooks = materialize_codebooks(codebooks)
     return codebooks
+
+
+def _collect_codebooks(codebooks: DataFrame) -> list[tuple[int, int, list[float]]]:
+    """Codebooks as driver-side (sub, cell, centroid) tuples, (sub, cell)
+    ascending. m*k rows by construction — a LocalRelation after
+    materialize_codebooks, so this is usually a driver-only evaluation with
+    no Spark job at all."""
+    return sorted(
+        (r["sub"], r["cell"], list(r["centroid"])) for r in codebooks.collect()
+    )
+
+
+def _nest_by_sub(rows) -> list:
+    """(sub, cell, payload) rows -> [(sub, [(cell, payload), ...]), ...],
+    sub-major, cell-ascending — the ordering on which ADC's deterministic
+    fold order relies."""
+    by_sub: dict[int, list] = {}
+    for sub, cell, payload in rows:
+        by_sub.setdefault(sub, []).append((cell, payload))
+    return [(sub, sorted(cells)) for sub, cells in sorted(by_sub.items())]
+
+
+def dot_flat(vec: Column, weights: list[float], offset: int = 0) -> Column:
+    """Dot product of an array-column slice with a short driver-side vector
+    as flat codegen-able arithmetic; same left-fold op order as dot().
+    Only for SHORT vectors (a few terms): per-term Column operators cross
+    Py4J at build time and the tree grows per term — for long vectors or
+    per-centroid loops use the vectorized Arrow kernels below instead
+    (measured: unrolling the full m*k PQ argmin this way cost ~10 s of
+    driver-side expression building plus seconds of codegen compile)."""
+    acc = F.lit(0.0)
+    for i, w in enumerate(weights):
+        acc = acc + F.element_at(vec, offset + i + 1).cast("double") * F.lit(float(w))
+    return acc
+
+
+def _fold_sum_cols(sq) -> "object":
+    """Left-fold sum over the trailing numpy axis replicating the SQL
+    aggregate fold ((0+v0)+v1)+... bit-for-bit: numpy's own sum() uses
+    pairwise summation, which regroups adds and can differ in the last
+    ulp."""
+    acc = sq[..., 0].copy()
+    for t in range(1, sq.shape[-1]):
+        acc += sq[..., t]
+    return acc
 
 
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
     vec_col: str = "embedding",
+    dsub: int | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte codes: codes[s] = the subspace
     centroid minimizing squared L2 to subvector s (ties -> lowest cell).
-    The codebook (m x k rows) is broadcast; encoding is a pure map — at
-    100 TB the codes are the memory lever beyond int8: 64 float32 dims
-    (256 B) compress to m bytes, so a billion-vector index fits in a few
-    executors' memory for the ADC scan."""
-    dsub = len(codebooks.select("centroid").first()[0])
-    cb = (
-        codebooks.groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "cents"))).alias("_cb"))
-    )
-    joined = df.crossJoin(F.broadcast(cb))
+    Encoding is a pure map — at 100 TB the codes are the memory lever
+    beyond int8: 64 float32 dims (256 B) compress to m bytes, so a
+    billion-vector index fits in a few executors' memory for the ADC scan.
 
-    def best_cell(sc):
-        sub_v = F.slice(F.col(vec_col), sc["sub"] * dsub + 1, dsub)
-        return F.aggregate(
-            sc["cents"],
-            F.struct(
-                F.lit(-1).cast("int").alias("cell"),
-                F.lit(float("inf")).alias("d"),
-            ),
-            lambda acc, c: F.when(
-                l2sq(sub_v, c["centroid"]) < acc["d"],
-                F.struct(
-                    c["cell"].alias("cell"), l2sq(sub_v, c["centroid"]).alias("d")
-                ),
-            ).otherwise(acc),
-        )["cell"]
+    The codebook is model state (m*k rows by construction, independent of
+    corpus size) collected driver-side and closed over by an
+    Arrow-vectorized pandas UDF — the same escape-hatch tier this engine
+    uses for multimodal codecs. Why not pure relational: the HOF-lambda
+    argmin is CodegenFallback (interpreted, measured ~0.65 ms/row = ~1.5k
+    rows/s/core — a real bottleneck at corpus scale), and unrolling m*k
+    centroids to flat literal expressions costs ~10 s of Py4J expression
+    building plus seconds of codegen compile per job. The numpy kernel
+    replicates the SQL semantics bit-for-bit: float32 widens exactly to
+    float64, (x-y)*(x-y) terms left-folded over dsub (_fold_sum_cols), and
+    argmin over cell-ascending candidates takes the FIRST minimum — i.e.
+    lowest distance, ties to lowest cell, exactly array_min's lexicographic
+    (d, cell) order. The driver's DuckDB hash gate verifies the bit-identity
+    every round."""
+    cb_rows = _collect_codebooks(codebooks)
+    if dsub is None:
+        dsub = len(cb_rows[0][2])
+    d_sub = dsub
+    per_sub = [
+        (
+            sub,
+            np.array([cell for cell, _ in cents], dtype=np.int32),
+            np.array([cent for _, cent in cents], dtype=np.float64),
+        )
+        for sub, cents in _nest_by_sub(cb_rows)
+    ]
 
-    codes = F.transform(F.col("_cb"), best_cell)
-    return joined.select(*df.columns, codes.alias("codes"))
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)  # float32 -> exact binary64
+        codes = np.empty((x.shape[0], len(per_sub)), dtype=np.int32)
+        for j, (sub, cells, cents) in enumerate(per_sub):
+            xs = x[:, sub * d_sub : (sub + 1) * d_sub]
+            diff = xs[:, None, :] - cents[None, :, :]
+            dist = _fold_sum_cols(diff * diff)  # (n, k), SQL fold order
+            codes[:, j] = cells[np.argmin(dist, axis=1)]  # first min = lowest cell
+        return pd.Series(list(codes))
+
+    return df.select(*df.columns, _codes(F.col(vec_col)).alias("codes"))
 
 
 def pq_topk(
@@ -575,6 +785,7 @@ def pq_topk(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dsub: int | None = None,
 ) -> DataFrame:
     """PQ ANN top-k by asymmetric distance computation (ADC): precompute the
     query's squared-L2 table against every subspace centroid (m x k doubles,
@@ -584,46 +795,68 @@ def pq_topk(
     vectors. Returns (id, l2sq) ascending.
 
     Determinism: the per-vector sum folds over subspaces in ascending sub
-    order (the broadcast table array is sub-sorted), so the approximate
-    distances — and therefore the candidate cut — replay exactly in SQL."""
-    dsub = len(codebooks.select("centroid").first()[0])
-    dtab = (
-        codebooks.crossJoin(F.broadcast(query))
-        .select(
-            "sub",
-            "cell",
-            l2sq(
-                F.slice(F.col("q_emb"), F.col("sub") * dsub + 1, dsub),
-                F.col("centroid"),
-            ).alias("d"),
-        )
-        .groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "d"))).alias("ds"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "ds"))).alias("_dt"))
+    order (the distance-table literal is sub-sorted), so the approximate
+    distances — and therefore the candidate cut — replay exactly in SQL.
+
+    The m x k query-to-centroid distance table is computed DRIVER-side with
+    the same left-fold binary64 arithmetic the JVM fold performed
+    (float32 operands widen exactly; (x-y)^2 accumulated left-to-right), so
+    every table entry is bit-identical to the former DataFrame computation —
+    while the ADC pass becomes a single scan job instead of scan + distance
+    aggregation + two broadcasts."""
+    cb_rows = _collect_codebooks(codebooks)
+    if dsub is None:
+        dsub = len(cb_rows[0][2])
+    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+
+    def _l2sq_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    dtab = _nest_by_sub(
+        (sub, cell, _l2sq_py(qvec[sub * dsub : (sub + 1) * dsub], centroid))
+        for sub, cell, centroid in cb_rows
     )
-    scored = encoded.crossJoin(F.broadcast(dtab))
-    # robust lookup (filter on cell, not positional indexing): survives
-    # codebooks with dropped cells
-    adist = F.aggregate(
-        F.col("_dt"),
-        F.lit(0.0),
-        lambda acc, sd: acc
-        + F.element_at(
-            F.filter(
-                sd["ds"],
-                lambda c: c["cell"] == F.element_at(F.col("codes"), sd["sub"] + 1),
-            ),
-            1,
-        )["d"],
-    )
+    # vectorized ADC: per subspace a dense cell->distance lookup (indexed by
+    # cell ID, so dropped cells simply leave unused NaN slots that no code
+    # references); accumulated sub-ascending — the fold order the relational
+    # aggregate used, elementwise over the batch.
+    lookups = []
+    for sub, ds in dtab:
+        arr = np.full(max(cell for cell, _ in ds) + 1, np.nan)
+        for cell, d in ds:
+            arr[cell] = d
+        lookups.append(arr)
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        c = np.array(codes.tolist(), dtype=np.int64)
+        acc = np.zeros(c.shape[0])
+        for j, arr in enumerate(lookups):
+            acc += arr[c[:, j]]
+        return pd.Series(acc)
+
+    q64 = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _l2sq_to_query(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        diff = x - q64[None, :]
+        return pd.Series(_fold_sum_cols(diff * diff))
+
     candidates = (
-        scored.select(F.col(id_col), F.col(vec_col), adist.alias("_ad"))
+        encoded.select(F.col(id_col), F.col(vec_col), _adc(F.col("codes")).alias("_ad"))
         .orderBy(F.asc("_ad"), F.asc(id_col))
         .limit(k * rerank_factor)
     )
-    reranked = candidates.crossJoin(F.broadcast(query)).select(
-        F.col(id_col), l2sq(F.col(vec_col), F.col("q_emb")).alias("l2sq")
+    reranked = candidates.select(
+        F.col(id_col), _l2sq_to_query(F.col(vec_col)).alias("l2sq")
     )
     return reranked.orderBy(F.asc("l2sq"), F.asc(id_col)).limit(k)
 

@@ -199,6 +199,17 @@ def _query_vec(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
 
+def _query_vec_local(emb: DataFrame) -> DataFrame:
+    """Collect the 1-row query vector into a local relation so multi-stage
+    consumers (PQ's distance table + rerank) don't each re-scan the
+    embeddings table for it. Bit-exact: float32 widens to Python binary64
+    and narrows back losslessly (the value is float32-representable)."""
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return emb.sparkSession.createDataFrame(
+        [(list(row[0]),)], schema="q_emb array<float>"
+    )
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-10 against the vec_id=0 query vector."""
     emb = load(_prep(spark), sf, "embeddings")
@@ -310,10 +321,17 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     spark = _prep(spark)
     emb = load(spark, sf, "embeddings")
     data = emb.filter(F.col("vec_id") != 0)
-    cb = similarity.pq_train(data, m=PQ_M, k=PQ_K, refine_iterations=1)
-    enc = similarity.pq_encode(data, cb)
+    # Codebook training runs driver-side on the (bounded) training set — the
+    # faiss-style production shape, bit-identical to the distributed
+    # pq_train (verified both paths at sf0.01/sf0.1) but one collect job
+    # instead of 2+2*iters distributed jobs (round-3 finding: the lazy
+    # codebook subtree re-ran per consumer, 13 s at sf0.1). dsub threaded
+    # explicitly so no metadata .first() probes fire.
+    dsub = 64 // PQ_M
+    cb = similarity.pq_train_driver(data, m=PQ_M, k=PQ_K, refine_iterations=1)
+    enc = similarity.pq_encode(data, cb, dsub=dsub)
     return similarity.pq_topk(
-        enc, cb, _query_vec(emb), k=10, rerank_factor=PQ_RERANK
+        enc, cb, _query_vec_local(emb), k=10, rerank_factor=PQ_RERANK, dsub=dsub
     )
 
 

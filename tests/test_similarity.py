@@ -266,6 +266,34 @@ def test_pq_recall_and_refinement_gain(spark):
     assert r2 > r0, f"Lloyd refinement must improve recall: init {r0}, refined {r2}"
 
 
+def test_pq_train_driver_matches_distributed(spark):
+    """The driver-side (faiss-style bounded-sample) trainer must produce a
+    codebook BIT-IDENTICAL to the distributed pq_train on the same training
+    set — init binning, Lloyd assignment, and the scale-7 decimal means all
+    replicate exactly (q_ann_pq_topk's correctness row depends on this
+    equivalence). Also guards the cap."""
+    import pytest
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    dist = {
+        (r.sub, r.cell): list(r.centroid)
+        for r in similarity.pq_train(
+            data, m=16, k=16, refine_iterations=1, dim=64
+        ).collect()
+    }
+    drv = {
+        (r.sub, r.cell): list(r.centroid)
+        for r in similarity.pq_train_driver(
+            data, m=16, k=16, refine_iterations=1
+        ).collect()
+    }
+    assert dist == drv
+    with pytest.raises(ValueError, match="cap"):
+        similarity.pq_train_driver(data, m=16, k=16, cap=10)
+
+
 def test_pq_encode_tiny_exact(spark):
     """Hand-checkable PQ on 2-D vectors: codes select the nearest subspace
     centroid, ADC+rerank ordering matches exact L2."""
