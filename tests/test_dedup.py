@@ -128,6 +128,44 @@ def test_connected_components_min_label_flows_both_ways(spark):
     assert out == {1: 1, 5: 1, 9: 1}
 
 
+def test_star_contract_adversarial_chain_logarithmic(spark):
+    """A 1000-vertex path graph is the adversarial case for min-label
+    propagation (diameter 999 -> 999 synchronous rounds). The
+    large-star/small-star contraction must collapse it to the single
+    component 0 in O(log^2 n) rounds — gate at <12 (measured: 11,
+    including the final confirming round)."""
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(999)], "a long, b long"
+    )
+    stats = {}
+    out = dedup._star_contract(edges, 50, 4, stats).collect()
+    assert len(out) == 1000
+    assert {r.comp for r in out} == {0}
+    assert stats["rounds"] < 12, f"contraction took {stats['rounds']} rounds"
+
+
+def test_connected_components_adversarial_chain_hybrid(spark):
+    """End-to-end hybrid on the 1k path: the propagation budget (dense-blob
+    fast path) plus quotient contraction must stay within budget+12 rounds
+    total — versus 999 for pure propagation."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    stats = {}
+    out = dedup.connected_components(pairs, num_partitions=4, stats=stats).collect()
+    assert len(out) == 1000
+    assert {r.component for r in out} == {0}
+    assert stats["rounds"] < 4 + 12, f"hybrid took {stats['rounds']} rounds"
+
+
+def test_connected_components_self_pair_vertex_kept(spark):
+    # a self-pair contributes a vertex (its own singleton component) even
+    # though the self-loop edge carries no connectivity
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    out = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 7: 7}
+
+
 def test_decontaminate_drops_shingle_overlap(spark):
     corpus = spark.createDataFrame(
         [
