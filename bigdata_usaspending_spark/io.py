@@ -62,10 +62,33 @@ def compact(df: DataFrame, target_partitions: int) -> DataFrame:
 
 VERSION_COL = "_version"
 
+# URI schemes treated as local-filesystem (atomic-rename capable)
+_LOCAL_SCHEMES = ("file",)
+
+
+def _require_rename_capable(path: str, op: str) -> None:
+    """Refuse object-store paths for operations whose crash-safety depends
+    on atomic rename (os.replace / shutil.move). s3://, s3a://, gs://,
+    abfs:// etc. have no atomic rename — a crash mid-swap can lose the
+    table. The public-knowledge answer there is a real table format with
+    snapshot commits (Delta/Iceberg, not installable in this environment);
+    failing fast beats silently unsafe semantics."""
+    scheme, sep, _ = path.partition("://")
+    if sep and scheme.lower() not in _LOCAL_SCHEMES:
+        raise ValueError(
+            f"{op} requires an atomic-rename filesystem; got scheme "
+            f"'{scheme}://'. Use a table format with snapshot commits "
+            "(Delta/Iceberg) for object-store state."
+        )
+
 
 def append_versions(df: DataFrame, path: str, version: int) -> None:
     """Append a batch stamped with its version (e.g. the ingest run's epoch
-    millis — caller supplies it so replays are idempotent)."""
+    millis — caller supplies it so replays are idempotent). Guarded to
+    rename-capable filesystems: the append itself is object-store-safe, but
+    the table's upsert contract includes compact_versions, which is not —
+    better to refuse at first write than corrupt at first compaction."""
+    _require_rename_capable(path, "append_versions")
     df.withColumn(VERSION_COL, F.lit(version).cast("long")).write.mode("append").parquet(path)
 
 
@@ -91,8 +114,9 @@ def compact_versions(spark: SparkSession, path: str, key: str) -> None:
     delete the old copy — at no point is the data unrecoverable (a crash
     between the two renames leaves the full old table at ``path__old_*``).
     Object stores have no atomic rename; there the public-knowledge answer
-    is a real table format (Delta/Iceberg snapshot commit) — documented
-    limitation, same as the versioned-state manifest below."""
+    is a real table format (Delta/Iceberg snapshot commit) — enforced by
+    _require_rename_capable, same as the versioned-state manifest below."""
+    _require_rename_capable(path, "compact_versions")
     latest = read_latest(spark, path, key).withColumn(
         VERSION_COL, F.lit(0).cast("long")
     )
@@ -146,6 +170,7 @@ def commit_versioned_state(df: DataFrame, path: str, batch_id: int) -> None:
     manifest. Prior versions older than the immediate predecessor are
     pruned (the predecessor is kept so a reader that loaded the manifest
     just before the swap can still finish its scan)."""
+    _require_rename_capable(path, "commit_versioned_state")
     manifest = read_state_manifest(path)
     version = (manifest["version"] + 1) if manifest else 0
     df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))

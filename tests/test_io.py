@@ -63,3 +63,23 @@ def test_upsert_merge_on_read_and_compaction(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
     after = {r.award_id: r.award_amount for r in io.read_latest(spark, path, "award_id").collect()}
     assert after == latest
+
+
+def test_rename_dependent_ops_refuse_object_store_paths(spark, tmp_path):
+    """Operations whose crash-safety depends on atomic rename must fail
+    fast on object-store URIs instead of offering silently-unsafe
+    semantics (a crash mid-swap on s3:// can lose the table)."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "award_id string, award_amount double")
+    for fn in (
+        lambda p: io.append_versions(df, p, version=1),
+        lambda p: io.compact_versions(spark, p, "award_id"),
+        lambda p: io.commit_versioned_state(df, p, batch_id=0),
+    ):
+        for bad in ("s3://bucket/state", "s3a://bucket/state", "gs://bucket/state"):
+            with pytest.raises(ValueError, match="atomic-rename"):
+                fn(bad)
+    # file:// and bare local paths remain accepted
+    io.commit_versioned_state(df, str(tmp_path / "state"), batch_id=0)
+    assert io.read_versioned_state(spark, str(tmp_path / "state")).count() == 1
