@@ -58,6 +58,11 @@ FEATURES_SCHEMA = T.StructType(
 # deterministic fake header: magic 'FAKE' + u16 width + u16 height
 _FAKE_MAGIC = b"FAKE"
 
+# PNG signature (public spec: RFC 2083 / W3C PNG, first 8 bytes) followed by
+# the IHDR chunk: 4-byte length, 'IHDR', then u32 width, u32 height (big
+# endian) — so width/height live at fixed offsets 16 and 20.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
     """Build a fake media blob the stub decoder understands (test fixture)."""
@@ -70,9 +75,20 @@ def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
     if len(content) >= 8 and content[:4] == _FAKE_MAGIC:
         w, h = struct.unpack("<HH", content[4:8])
         return len(content), w, h, True
-    # A real implementation calls PIL.Image.open here; without codecs we
-    # report undecodable rather than raise (poisoned blobs must not kill a
-    # 100-TB scan).
+    if (
+        len(content) >= 24
+        and content[:8] == _PNG_MAGIC
+        and content[12:16] == b"IHDR"
+    ):
+        # real PNG header parse (dependency-free): IHDR is mandated to be
+        # the first chunk, so width/height are the two big-endian u32s
+        # right after its type tag
+        w, h = struct.unpack(">II", content[16:24])
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+            return len(content), w, h, True
+    # Full raster decode (JPEG/WebP/...) calls PIL.Image.open here; without
+    # codec libs we report undecodable rather than raise (poisoned blobs
+    # must not kill a 100-TB scan).
     return len(content), 0, 0, False
 
 

@@ -85,3 +85,36 @@ def test_media_embed_then_search_and_dedup_pipeline(spark, sf_small):
         id_col="media_id", vec_col="features", threshold=0.999999,
     ).collect()
     assert (first.media_id, 999_999) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_decode_real_png_header(spark):
+    """decode_image_meta parses genuine PNG bytes (zlib-built 3x2 RGB image,
+    valid end-to-end: signature, IHDR, IDAT, IEND), not just the fixture
+    format; truncated/corrupt PNGs report ok=False instead of raising."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    w, h = 3, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(png[:10])), (3, bytearray(b"\x89PNG\r\n\x1a\nJUNKJUNKJUNKJUNKJUNK"))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in mm.decode_image_meta(media).collect()}
+    assert (out[1].width, out[1].height, out[1].ok) == (w, h, True)
+    assert out[2].ok is False and out[3].ok is False
