@@ -50,6 +50,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # type, so read it as long (legacy.parquet.nanosAsLong) and truncate
         # to microseconds — the same truncation a micros-native engine applies.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->TIMESTAMP cast below is only value-preserving under a UTC
+        # session zone; pin it here so load() is self-contained on a bare
+        # SparkSession instead of silently depending on the caller having
+        # applied session.RUNTIME_CONFS (a non-UTC host would otherwise
+        # shift every event instant).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = df.schema["ts"].dataType

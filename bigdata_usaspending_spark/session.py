@@ -32,8 +32,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The synthetic events table stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects; read as long and convert in catalog.load.
+    # The synthetic events table stores its ts column as either
+    # TIMESTAMP(NANOS) (older fixture generations — Spark's parquet reader
+    # rejects nanos unless read as long via this conf) or TIMESTAMP(MICROS)
+    # with isAdjustedToUTC=false (newer generations — read as TIMESTAMP_NTZ
+    # and cast under the UTC session zone). catalog.load handles both.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
