@@ -24,11 +24,11 @@ _VERIFY_FIRST = [
     "q_chunk_documents", "q_chunk_dedup", "q_token_budget_mix",
     "q_corpus_shuffle", "q_monthly_gap_fill", "q_zscore_outliers",
     "q_fixed_histogram", "q_boilerplate_scrub",
-    # plans modified in round 4 — keep their green rows in the window:
-    "q_ann_pq_topk", "q_dedup_clusters",
+    # plans modified or added in round 4 — keep their rows in the window:
+    "q_ann_pq_topk", "q_dedup_clusters", "q_dashboard_payload",
     # rest of the heavy ANN/dedup family (plan-hygiene regressions show here):
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_semantic",
-    "q_ann_ivf_topk", "q_ann_ivf_refined", "q_dedup_embedding",
+    "q_ann_ivf_topk", "q_ann_ivf_refined",
 ]
 
 

@@ -212,6 +212,40 @@ def q_dashboard_sankey(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dashboard_payload(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end /dashboard payload assembly (serving.dashboard_payload —
+    reference app/ml_app.py:86-147): both geo map datasets, the sankey, the
+    top-30 month rows, and the exact pie/line/grand-total rollup are all
+    collected driver-side exactly as the serving tier does. The returned
+    frame records each dataset's collected row count, making the bench time
+    the full assembly and the oracle verify every collect stays k-bounded
+    (the reference pulled entire rollup tables into Flask,
+    app/ml_app.py:107,117). Geo dims derive deterministically from the
+    star (customer/nation keys -> lat/lon; every third customer geocoded,
+    mirroring a partially-geocoded dimension)."""
+    spark = _prep(spark)
+    from ..ml.adapter import awards_view
+    from .serving import dashboard_payload
+
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    recipient_geo = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_name").alias("recipient_name"),
+        (F.col("c_custkey") % 180 - 90 + F.lit(0.25)).cast("double").alias("latitude"),
+        ((F.col("c_custkey") * 7) % 360 - 180 + F.lit(0.25)).cast("double").alias("longitude"),
+    )
+    sub_agency_geo = nation.select(
+        F.col("n_name").alias("awarding_sub_agency"),
+        (F.col("n_nationkey") * 3.0 - 30).cast("double").alias("latitude"),
+        (F.col("n_nationkey") * 7.0 - 80).cast("double").alias("longitude"),
+    )
+    payload = dashboard_payload(awards_view(spark, sf), recipient_geo, sub_agency_geo)
+    rows = [
+        (k, len(v) if isinstance(v, list) else 1) for k, v in sorted(payload.items())
+    ]
+    return spark.createDataFrame(rows, "dataset string, n_rows int").orderBy("dataset")
+
+
 def q_ml_prepare(spark: SparkSession, sf: str) -> DataFrame:
     """The ML cleaning/derivation chain (dropna on the reference's 7 required
     columns + positive filter + month/year) as a checkable query (reference
@@ -727,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_moving_sum": q_window_moving_sum,
     "q_flagship_etl": q_flagship_etl,
     "q_dashboard_sankey": q_dashboard_sankey,
+    "q_dashboard_payload": q_dashboard_payload,
     "q_ml_prepare": q_ml_prepare,
     "q_asof_attribution": q_asof_attribution,
     "q_join_salted": q_join_salted,
@@ -854,6 +889,39 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY awarding_sub_agency, recipient_name
         ORDER BY total_award_amount DESC, awarding_sub_agency ASC, recipient_name ASC
         LIMIT 15
+    """,
+    "q_dashboard_payload": f"""
+        WITH aw AS ({_AWARDS_VIEW}),
+        rg AS (SELECT c_name AS recipient_name FROM customer WHERE c_custkey % 3 = 0)
+        SELECT * FROM (
+            SELECT 'grand_total' AS dataset, 1 AS n_rows
+            UNION ALL SELECT 'line_data', CAST((
+                SELECT COUNT(*) FROM (SELECT month(start_date) FROM aw GROUP BY 1)
+            ) AS INT)
+            UNION ALL SELECT 'map_recipient_data', CAST((
+                SELECT COUNT(*) FROM (
+                    SELECT recipient_name FROM aw JOIN rg USING (recipient_name)
+                    GROUP BY 1)
+            ) AS INT)
+            UNION ALL SELECT 'map_subagency_data', CAST((
+                SELECT COUNT(*) FROM (SELECT awarding_sub_agency FROM aw GROUP BY 1)
+            ) AS INT)
+            UNION ALL SELECT 'month_data', CAST((
+                SELECT LEAST(30, COUNT(*)) FROM (
+                    SELECT awarding_sub_agency, month(start_date) FROM aw
+                    GROUP BY 1, 2)
+            ) AS INT)
+            UNION ALL SELECT 'pie_data', CAST((
+                SELECT COUNT(*) FROM (
+                    SELECT awarding_sub_agency FROM aw
+                    WHERE awarding_sub_agency IS NOT NULL GROUP BY 1)
+            ) AS INT)
+            UNION ALL SELECT 'sankey_data', CAST((
+                SELECT LEAST(15, COUNT(*)) FROM (
+                    SELECT awarding_sub_agency, recipient_name FROM aw
+                    GROUP BY 1, 2)
+            ) AS INT)
+        ) ORDER BY dataset
     """,
     "q_ml_prepare": f"""
         WITH aw AS ({_AWARDS_VIEW})
