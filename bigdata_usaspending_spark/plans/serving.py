@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ..functions import exact_sum, month_of
 from ..ml.pipelines import classify_with_confidence, infer_single
-from .dashboard import map_totals, monthly_rollup, sankey_links
 
 # the reference's single-row inference schema (app/ml_app.py:194-208):
 # the 5 categorical candidates + month/year/amount
@@ -43,44 +42,136 @@ def dashboard_payload(
     of-dict datasets under the reference's exact keys, plus the engine's
     exact pie/line datasets (the reference's browser re-aggregated the
     top-30 month rows client-side and silently showed partial totals —
-    templates/dashboard.html:148-189)."""
-    month_totals = awards.groupBy(
-        "awarding_sub_agency", month_of("start_date").alias("month")
-    ).agg(exact_sum("award_amount", "total_award_amount"))
-    rollup = monthly_rollup(awards).collect()
-    return {
-        # the reference's four template variables, same shapes
-        "map_recipient_data": _rows(
-            map_totals(awards, recipient_geo, "recipient_name")
+    templates/dashboard.html:148-189).
+
+    All seven datasets derive from ONE grouping-sets pass over the fact —
+    a single scan + shuffle instead of six independent aggregations (at
+    100 TB the fact scan dominates; the standalone operators in
+    plans/dashboard.py remain for per-dataset use). Each grouping set is
+    aggregated independently from raw rows, so every exact-decimal total
+    is bit-identical to the corresponding standalone aggregation; the geo
+    joins happen AFTER aggregation (1:1 on the key, so totals are
+    unchanged and the join input is k-bounded, not fact-sized). The
+    materialized aggregate is bounded by the sets' combined key
+    cardinality, never the fact."""
+    agg = (
+        awards.select(
+            "recipient_name",
+            "awarding_sub_agency",
+            month_of("start_date").alias("month"),
+            "award_amount",
+        )
+        .groupingSets(
+            [
+                ["recipient_name"],
+                ["awarding_sub_agency"],
+                ["awarding_sub_agency", "recipient_name"],
+                ["awarding_sub_agency", "month"],
+                ["month"],
+                [],
+            ],
+            "recipient_name",
+            "awarding_sub_agency",
+            "month",
+        )
+        .agg(
+            exact_sum("award_amount", "total_award_amount"),
+            F.grouping_id().alias("_gid"),
+        )
+        .localCheckpoint()
+    )
+
+    # grouping_id bits over (recipient_name, awarding_sub_agency, month):
+    # 4 = recipient aggregated away, 2 = sub-agency, 1 = month
+    def sel(gid: int) -> DataFrame:
+        return agg.filter(F.col("_gid") == gid)
+
+    _UNION_COLS = ("recipient_name", "awarding_sub_agency", "month",
+                   "latitude", "longitude")
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            F.lit(name).alias("_ds"),
+            *[
+                (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
+                for c, t in zip(
+                    _UNION_COLS, ("string", "string", "int", "double", "double")
+                )
+            ],
+            F.col("total_award_amount"),
+        )
+
+    # every dataset as one branch of a single union over the materialized
+    # aggregate -> the whole payload is ONE collect round-trip (plus the
+    # aggregate job), not one job per chart. The k-cuts (sankey/month)
+    # happen engine-side via TakeOrderedAndProject; presentation ordering
+    # is (re)applied on the collected driver rows.
+    branches = [
+        tag(sel(3).join(F.broadcast(recipient_geo), "recipient_name"), "map_recipient"),
+        tag(sel(5).join(F.broadcast(sub_agency_geo), "awarding_sub_agency"), "map_subagency"),
+        tag(
+            sel(1).orderBy(
+                F.desc("total_award_amount"),
+                F.asc("awarding_sub_agency"),
+                F.asc("recipient_name"),
+            ).limit(sankey_k),
+            "sankey",
         ),
-        "map_subagency_data": _rows(
-            map_totals(awards, sub_agency_geo, "awarding_sub_agency")
-        ),
-        "sankey_data": _rows(sankey_links(awards, k=sankey_k)),
-        "month_data": _rows(
-            month_totals.orderBy(
+        tag(
+            sel(4).orderBy(
                 F.desc("total_award_amount"),
                 F.asc("awarding_sub_agency"),
                 F.asc("month"),
-            ).limit(month_k)
+            ).limit(month_k),
+            "month",
+        ),
+        tag(sel(5).filter(F.col("awarding_sub_agency").isNotNull()), "pie"),
+        tag(sel(6), "line"),
+        tag(sel(7), "grand"),
+    ]
+    combined = branches[0]
+    for b in branches[1:]:
+        combined = combined.unionByName(b)
+    by_ds: dict[str, list] = {}
+    for r in combined.collect():
+        by_ds.setdefault(r["_ds"], []).append(r)
+
+    def rows(name: str, cols: tuple[str, ...], key) -> list[dict]:
+        return [
+            {c: r[c] for c in (*cols, "total_award_amount")}
+            for r in sorted(by_ds.get(name, []), key=key)
+        ]
+
+    desc_total = lambda *tb: (lambda r: (-r["total_award_amount"], *[r[c] for c in tb]))  # noqa: E731
+    return {
+        # the reference's four template variables, same shapes
+        "map_recipient_data": rows(
+            "map_recipient",
+            ("recipient_name", "latitude", "longitude"),
+            desc_total("recipient_name"),
+        ),
+        "map_subagency_data": rows(
+            "map_subagency",
+            ("awarding_sub_agency", "latitude", "longitude"),
+            desc_total("awarding_sub_agency"),
+        ),
+        "sankey_data": rows(
+            "sankey",
+            ("awarding_sub_agency", "recipient_name"),
+            desc_total("awarding_sub_agency", "recipient_name"),
+        ),
+        "month_data": rows(
+            "month",
+            ("awarding_sub_agency", "month"),
+            desc_total("awarding_sub_agency", "month"),
         ),
         # engine extensions: exact server-side pie/line/grand-total (A9 fix)
-        "pie_data": [
-            {"awarding_sub_agency": r.awarding_sub_agency,
-             "total_award_amount": r.total_award_amount}
-            for r in rollup
-            if r.awarding_sub_agency is not None and r.month is None
-        ],
-        "line_data": _rows(
-            awards.groupBy(month_of("start_date").alias("month"))
-            .agg(exact_sum("award_amount", "total_award_amount"))
-            .orderBy(F.asc("month"))
+        "pie_data": rows(
+            "pie", ("awarding_sub_agency",), lambda r: r["awarding_sub_agency"]
         ),
-        "grand_total": next(
-            r.total_award_amount
-            for r in rollup
-            if r.awarding_sub_agency is None and r.month is None
-        ),
+        "line_data": rows("line", ("month",), lambda r: r["month"]),
+        "grand_total": by_ds["grand"][0]["total_award_amount"],
     }
 
 
