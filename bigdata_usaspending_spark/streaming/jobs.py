@@ -115,6 +115,77 @@ def stream_near_dedup_simhash(
     )
 
 
+def stream_near_dedup_minhash_lsh(
+    docs: DataFrame,
+    ts_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming banded MinHash-LSH near-dup suppression: a document is
+    suppressed when ANY of its LSH band signatures collides with one
+    already seen inside the watermark horizon — the full LSH candidate
+    tier (P[collision | jaccard j] = 1-(1-j^r)^b, same banding math as the
+    batch minhash_lsh_pairs), strictly stronger than the signature- or
+    sketch-equality tiers (stream_exact_dedup / stream_near_dedup_simhash).
+
+    Two chained stateful operators, both append-mode with watermarks
+    (supported since Spark 4):
+      1. explode the ``bands`` band signatures and
+         dropDuplicatesWithinWatermark per (band, sig) bucket — the first
+         arrival owns a bucket for the watermark horizon;
+      2. tumbling-window per-document count of SURVIVING band rows — a
+         document that kept all ``bands`` rows collided nowhere and is
+         emitted when its window finalizes (all a doc's band rows share
+         its event time, so they land in one window).
+    Emission is delayed by window+watermark — the price of append-mode
+    exactness; state is O(distinct band buckets) within the horizon.
+    Backfills use the batch twin (minhash_lsh_pairs + dedup clusters),
+    which also verifies exact Jaccard — the streaming tier suppresses LSH
+    CANDIDATES (banding false-positive rate applies, tunable via
+    num_hashes/bands).
+    """
+    from ..operators.dedup import minhash_signature, shingles_of
+
+    rows_per_band = num_hashes // bands
+    sig = (
+        docs.withColumn("_sh", shingles_of(text_col, n))
+        # empty shingle sets (< n tokens) have the all-p signature and
+        # would band-match each other; exclude like the batch operator
+        .filter(F.size("_sh") > 0)
+        .withColumn("_mh", minhash_signature("_sh", num_hashes))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice("_mh", b * rows_per_band + 1, rows_per_band))
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.col(ts_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, ts_col, "bs.band", "bs.sig")
+    surviving_bands = exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "sig"]
+    )
+    return (
+        surviving_bands.groupBy(
+            F.window(ts_col, window).alias("win"), F.col(id_col)
+        )
+        .agg(F.count(F.lit(1)).alias("_kept"))
+        .filter(F.col("_kept") == bands)
+        .select(id_col, F.col("win.start").alias("window_start"))
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     key_col: str = "user_id",

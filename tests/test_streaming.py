@@ -322,3 +322,52 @@ def test_stream_enriched_rollup_matches_batch(spark, events_dir, events_schema):
     }
     assert got == expected
     q.stop()
+
+
+def test_stream_near_dedup_minhash_lsh(spark, tmp_path):
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators import dedup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        2: "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        3: "the quick brown fox jumps over the lazy dog near the quiet river bank now",
+        4: "a completely different document describing spark structured streaming engines",
+        99: "late sentinel document that advances the watermark far past earlier windows",
+    }
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:06",
+                 "2024-01-01 10:07", "2024-01-01 13:00"]
+            ),
+            "text": list(texts.values()),
+        }
+    )
+    # self-check the fixture: 3 is a true near-dup of 1 (the LSH candidate
+    # tier must catch it), 4 collides with nothing
+    batch = spark.createDataFrame(rows[["doc_id", "text"]])
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dedup.minhash_lsh_pairs(batch, "doc_id", threshold=0.0).collect()
+    }
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_near_dedup_minhash_lsh(stream, "ts"), "lsh_dedup",
+        output_mode="append",
+    )
+    kept = sorted(r.doc_id for r in spark.table("lsh_dedup").collect())
+    q.stop()
+    # doc 4 always survives; exactly one of the {1,2,3} collision group
+    # survives (one-per-bucket within a micro-batch, like the simhash
+    # test); the sentinel's window never finalizes so 99 is absent
+    assert 4 in kept and 99 not in kept
+    assert len({1, 2, 3} & set(kept)) == 1
+    assert len(kept) == 2
