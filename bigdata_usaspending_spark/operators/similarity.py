@@ -54,6 +54,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _fold_dot_mat(a, b):
+    """Rowwise dot of two (n, d) float64 matrices with the SQL fold's
+    left-to-right accumulation (see _fold_sum_cols)."""
+    return _fold_sum_cols(a * b)
+
+
+def cosine_to_query_kernel(qvec: list[float]):
+    """Arrow-vectorized cosine against a fixed query vector, bit-identical
+    to the cosine() HOF form: per-element float32->float64 widening is
+    exact, products/squares fold left-to-right, np.sqrt and the final
+    division are correctly-rounded IEEE ops on identical inputs."""
+    q64 = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        num = _fold_dot_mat(x, q64[None, :])
+        den = np.sqrt(_fold_sum_cols(x * x)) * np.sqrt(
+            _fold_sum_cols((q64 * q64)[None, :])
+        )
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def brute_force_topk(
     df: DataFrame,
     query: DataFrame,
@@ -62,10 +89,12 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k of ``df`` vectors against a 1-row ``query``
-    DataFrame with column ``q_emb``. Ties broken by id ASC."""
-    joined = df.crossJoin(F.broadcast(query))
-    scored = joined.select(
-        F.col(id_col), cosine(F.col(vec_col), F.col("q_emb")).alias("cosine")
+    DataFrame with column ``q_emb``. Ties broken by id ASC. The scan is an
+    Arrow-vectorized kernel (see module docstring execution tiers); the
+    cut is TakeOrderedAndProject."""
+    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    scored = df.select(
+        F.col(id_col), cosine_to_query_kernel(qvec)(F.col(vec_col)).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -95,10 +124,25 @@ def cosine_pairs_blocked(
         F.col("_blk"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     )
     pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf("double")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # Arrow-vectorized pairwise dot, same left-fold accumulation as the
+        # dot() HOF (execution-tier rationale in the module docstring: the
+        # per-pair row count is quadratic within blocks, so the interpreted
+        # fold is the scan bottleneck there)
+        if va.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(va.tolist(), dtype=np.float64)
+        y = np.array(vb.tolist(), dtype=np.float64)
+        return pd.Series(_fold_dot_mat(x, y))
+
     scored = pairs.select(
         "id_a",
         "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        (_pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine"
+        ),
     )
     return scored.filter(F.col("cosine") >= threshold)
 
@@ -197,31 +241,37 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF cell).
 
-    centroids is small (O(sqrt(N)) rows) and broadcast; the argmax is a
-    per-row reduction over the broadcast list — no shuffle. At 100 TB the
-    assignment is a single map pass; write the result partitioned by cell so
-    probes prune at the file level.
+    centroids is model state (O(sqrt(N)) rows by construction), collected
+    driver-side and closed over by an Arrow-vectorized kernel — the
+    broadcast-variable pattern; the assignment stays a single map pass with
+    no shuffle. At 100 TB write the result partitioned by cell so probes
+    prune at the file level. Ties (equal cosine) go to the LOWEST cell id —
+    deterministic, unlike the former fold over an unordered collect_list.
+    Cosines use the same left-fold arithmetic as the cosine() HOF, so
+    assignments are bit-for-bit reproducible in SQL (rank-window with
+    cosine DESC, cell ASC — the oracle corpus replays exactly that).
     """
-    cents = centroids.select(
-        F.collect_list(F.struct(F.col(centroid_id), F.col(centroid_vec))).alias("_cents")
+    cent_rows = sorted(
+        (r[centroid_id], list(r[centroid_vec])) for r in centroids.collect()
     )
-    joined = df.crossJoin(F.broadcast(cents))
-    best = F.aggregate(
-        F.col("_cents"),
-        F.struct(
-            F.lit(None).cast("int").alias(centroid_id), F.lit(-2.0).alias("_score")
-        ),
-        lambda acc, c: F.when(
-            cosine(F.col(vec_col), c[centroid_vec]) > acc["_score"],
-            F.struct(
-                c[centroid_id].cast("int").alias(centroid_id),
-                cosine(F.col(vec_col), c[centroid_vec]).alias("_score"),
-            ),
-        ).otherwise(acc),
-    )
-    return joined.select(
-        F.col(id_col), F.col(vec_col), best[centroid_id].alias(centroid_id)
-    )
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int32)
+    mats = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(_fold_sum_cols(mats * mats))  # per-centroid sqrt(fold(c*c))
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int32")
+        x = np.array(v.tolist(), dtype=np.float64)
+        # exact left-fold cosines: (n, C) scores built per centroid column
+        # (no matmul — BLAS regroups the adds and can differ in the last ulp)
+        scores = np.empty((x.shape[0], len(cells)))
+        xn = np.sqrt(_fold_sum_cols(x * x))
+        for j in range(len(cells)):
+            scores[:, j] = _fold_dot_mat(x, mats[j][None, :]) / (xn * cnorm[j])
+        return pd.Series(cells[np.argmax(scores, axis=1)])  # first max = lowest cell
+
+    return df.select(F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias(centroid_id))
 
 
 def ivf_topk(

@@ -227,24 +227,14 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
 
 
 def _assign_by_rank(data: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Deterministic cell assignment for oracle twins: score every (vector,
-    centroid) pair and keep rank 1 by (cosine DESC, cell ASC). The window
-    form is replayable in SQL; the production path (similarity.ivf_assign)
-    folds over a broadcast list with no shuffle instead."""
-    from pyspark.sql import Window
-
-    scores = data.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        similarity.cosine(F.col("embedding"), F.col("centroid")).alias("_cs"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cell"))
-    return (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
+    """Deterministic cell assignment: since round 4 this IS the production
+    operator (similarity.ivf_assign — Arrow-vectorized argmax over
+    driver-side centroids, ties to the lowest cell), whose output is
+    bit-identical to the SQL rank-window the oracle replays (cosine DESC,
+    cell ASC over the same left-fold cosines). The former crossJoin +
+    row_number window twin paid a C-fold row expansion plus a per-vector
+    shuffle for the same answer."""
+    return similarity.ivf_assign(data, centroids)
 
 
 def _probe_and_search(
