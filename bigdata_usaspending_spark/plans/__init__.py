@@ -26,9 +26,9 @@ _VERIFY_FIRST = [
     "q_fixed_histogram", "q_boilerplate_scrub",
     # plans modified or added in round 4 — keep their rows in the window:
     "q_ann_pq_topk", "q_dedup_clusters", "q_dashboard_payload",
-    # rest of the heavy ANN/dedup family (plan-hygiene regressions show here):
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_semantic",
-    "q_ann_ivf_topk", "q_ann_ivf_refined",
+    "q_tpch_q4_shape", "q_tpch_q18_shape",
+    # round-4-changed similarity paths (vectorized kernels / ivf_assign):
+    "q_dedup_semantic", "q_ann_ivf_topk", "q_ann_ivf_refined",
 ]
 
 

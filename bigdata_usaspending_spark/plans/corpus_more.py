@@ -298,6 +298,103 @@ _REV_SQL = D2D.format(
 )
 
 
+def q_tpch_q4_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped composition: order-priority counts over a quarter,
+    restricted to orders with at least one LATE line (EXISTS semi-join —
+    here l_shipdate > o_orderdate + 90 days stands in for the reference
+    schema's commit/receipt lag). The semi-join keeps the orders side
+    shuffle-free of lineitem payload columns."""
+    spark = _prep(spark)
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+def q_tpch_q6_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue scan: single-table filtered exact
+    SUM(extendedprice * discount) — the canonical pushdown + map-only
+    aggregate (PushedFilters on shipdate/discount/quantity, no shuffle
+    beyond the 1-row final agg)."""
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    prod = (
+        F.col("l_extendedprice").cast(_REV_D) * F.col("l_discount").cast(_REV_D)
+    ).cast("decimal(38,6)")
+    return li.agg(F.round(F.sum(prod), 2).cast("double").alias("revenue"))
+
+
+def q_tpch_q12_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts: per return-flag (the synthetic
+    schema's shipmode analog), high- vs low-priority line counts for a
+    shipdate year — CASE-sum aggregation after an equi-join, one shuffle on
+    the single grouping key."""
+    spark = _prep(spark)
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )
+
+
+def q_tpch_q18_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total line
+    quantity exceeds a threshold (aggregate-then-HAVING subquery), joined
+    back to customer and ranked. The HAVING aggregate shuffles only
+    (orderkey, quantity); the winner set is tiny and broadcast into the
+    customer join."""
+    spark = _prep(spark)
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250.0)
+    )
+    joined = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).join(
+        F.broadcast(cust.select("c_custkey", "c_name")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        joined.select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Backward as-of join (operators.joins.asof_join): attribute each
     purchase event to the user's most recent at-or-before view event — the
@@ -775,9 +872,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_ntile": q_window_ntile,
     "q_range_join_tiers": q_range_join_tiers,
     "q_tpch_q3_shape": q_tpch_q3_shape,
+    "q_tpch_q4_shape": q_tpch_q4_shape,
     "q_tpch_q5_shape": q_tpch_q5_shape,
+    "q_tpch_q6_shape": q_tpch_q6_shape,
     "q_tpch_q7_shape": q_tpch_q7_shape,
     "q_tpch_q8_shape": q_tpch_q8_shape,
+    "q_tpch_q12_shape": q_tpch_q12_shape,
+    "q_tpch_q18_shape": q_tpch_q18_shape,
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_dedup_survivors": q_dedup_survivors,
     "q_agg_salted": q_agg_salted,
@@ -1037,6 +1138,55 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN ranges
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY tier ORDER BY tier ASC
+    """,
+    "q_tpch_q4_shape": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority ASC
+    """,
+    "q_tpch_q6_shape": f"""
+        SELECT {D2D.format(x="ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))"
+                             " * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,6))), 2)")}
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_tpch_q12_shape": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag ASC
+    """,
+    "q_tpch_q18_shape": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   {D2D.format(x="SUM(CAST(l_quantity AS DECIMAL(27,6)))")} AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING total_qty > 250.0
+        )
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 20
     """,
     "q_tpch_q3_shape": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
