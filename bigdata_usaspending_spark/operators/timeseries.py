@@ -146,3 +146,71 @@ def fixed_width_histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
         .select("bin", "bin_lo", "n")
         .orderBy("bin")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k: float = 1.8,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags — the robust twin of
+    zscore_flags (mean/std are themselves dragged by the outliers they
+    should expose; median/MAD have a 50% breakdown point).
+
+    Exact per-group medians via the built-in ``percentile`` aggregate
+    (mergeable per-partition value->count maps — no global sort, same
+    contract as aggregates.exact_median), one for x and one for |x - med|,
+    each one keyed shuffle; group stats are tiny and broadcast back.
+    Returns rows with |x - med| > k * MAD. Every double (median
+    interpolation lo*0.5+hi*0.5, abs, compare) is reproducible SQL."""
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(key).agg(
+        F.percentile(x, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), key).select(
+        key, x.alias(value_col), F.abs(x - F.col("_med")).alias("abs_dev"), "_med"
+    )
+    mad = dev.groupBy(key).agg(
+        F.percentile(F.col("abs_dev"), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key)
+        .filter(F.col("abs_dev") > F.lit(k) * F.col("_mad"))
+        .select(key, value_col, "abs_dev")
+    )
+
+
+def ewma_monthly(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key EWMA over the monthly exact-decimal totals: s_1 = x_1,
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} folded in month order.
+
+    The monthly rollup is the usual two-phase decimal aggregate; the fold
+    runs per KEY over its month array (bounded by the calendar, ~tens of
+    elements — the one place an interpreted HOF fold is the right tool:
+    one fold per key, not per row). Replayable externally: DuckDB's
+    ``list_reduce`` seeds with the first element and folds left, exactly
+    like the slice-seeded ``aggregate`` here; alpha=0.5 keeps both
+    coefficient literals exact binary64."""
+    monthly = df.groupBy(
+        F.col(key), F.date_trunc("month", F.col(ts_col)).alias("month")
+    ).agg(exact_sum(value_col, "_amt"))
+    series = monthly.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("month", "_amt"))).alias("pm")
+    )
+    vals = F.transform("pm", lambda s: s["_amt"])
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ew = F.aggregate(
+        rest,
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return series.select(
+        key, F.size("pm").cast("int").alias("n_periods"), ew.alias("ewma")
+    ).orderBy(key)

@@ -76,11 +76,31 @@ def q_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) outlier flags per order priority — the
+    50%-breakdown twin of q_zscore_outliers (uniform o_totalprice puts the
+    extreme deviation at ~2x MAD, so k=1.8 exercises a non-empty tail)."""
+    orders = load(_prep(spark), sf, "orders")
+    return timeseries.mad_outliers(orders, "o_orderpriority", "o_totalprice", k=1.8)
+
+
+def q_ewma_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority EWMA (alpha=0.5) over monthly exact-decimal order
+    totals — the trend-smoothing view on the reference's by-month rollup;
+    the ordered fold replays in DuckDB via list_reduce."""
+    orders = load(_prep(spark), sf, "orders")
+    return timeseries.ewma_monthly(
+        orders, "o_orderpriority", "o_orderdate", "o_totalprice", alpha=0.5
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_monthly_gap_fill": q_monthly_gap_fill,
     "q_zscore_outliers": q_zscore_outliers,
     "q_fixed_histogram": q_fixed_histogram,
     "q_boilerplate_scrub": q_boilerplate_scrub,
+    "q_mad_outliers": q_mad_outliers,
+    "q_ewma_monthly": q_ewma_monthly,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -99,6 +119,60 @@ _ZS_S2 = D2D.format(
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "q_mad_outliers": """
+WITH ranked AS (
+    SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS vd,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice ASC) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+med AS (
+    SELECT o_orderpriority, MIN(vd) * 0.5 + MAX(vd) * 0.5 AS _med
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY o_orderpriority
+),
+dev AS (
+    SELECT o.o_orderpriority,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           abs(CAST(o.o_totalprice AS DOUBLE) - m._med) AS abs_dev
+    FROM orders o JOIN med m USING (o_orderpriority)
+),
+dranked AS (
+    SELECT o_orderpriority, abs_dev AS dd,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY abs_dev ASC) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM dev
+),
+mad AS (
+    SELECT o_orderpriority, MIN(dd) * 0.5 + MAX(dd) * 0.5 AS _mad
+    FROM dranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority, d.o_totalprice, d.abs_dev
+FROM dev d JOIN mad m USING (o_orderpriority)
+WHERE d.abs_dev > 1.8 * m._mad
+""",
+    "q_ewma_monthly": f"""
+WITH monthly AS (
+    SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+           {SUM2.format(c='o_totalprice')} AS _amt
+    FROM orders
+    GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+),
+ser AS (
+    SELECT o_orderpriority, list(_amt ORDER BY month ASC) AS vals
+    FROM monthly GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(len(vals) AS INT) AS n_periods,
+       list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+FROM ser
+ORDER BY o_orderpriority
+""",
     "q_monthly_gap_fill": f"""
 WITH monthly AS (
     SELECT o_custkey, date_trunc('month', o_orderdate) AS month,

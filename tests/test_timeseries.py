@@ -78,3 +78,30 @@ def test_gap_fill_plan_has_single_key_shuffle(spark, sf_small):
     # no cartesian/broadcast-nested-loop anywhere in the spine construction
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_robustness(spark):
+    # one extreme value: MAD ignores it (mean/std would be dragged);
+    # exactly the planted outlier is flagged
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 9, 10, 1000]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = timeseries.mad_outliers(df, "k", "v", k=3.0).collect()
+    assert [(r.k, r.v) for r in out] == [("a", 1000.0)]
+
+
+def test_ewma_monthly_fold(spark):
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 5), 10.0),
+        ("a", datetime.datetime(2024, 1, 20), 10.0),   # same month: sums to 20
+        ("a", datetime.datetime(2024, 2, 1), 40.0),
+        ("a", datetime.datetime(2024, 3, 1), 0.0),
+        ("b", datetime.datetime(2024, 1, 1), 7.0),     # single period: ewma = x1
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: (r.n_periods, r.ewma) for r in
+           timeseries.ewma_monthly(df, "k", "ts", "v", alpha=0.5).collect()}
+    # a: s1=20, s2=0.5*40+0.5*20=30, s3=0.5*0+0.5*30=15
+    assert out["a"] == (3, 15.0)
+    assert out["b"] == (1, 7.0)
