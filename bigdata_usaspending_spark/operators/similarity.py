@@ -99,6 +99,71 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def maxsim_topk(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tokens: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-k (Khattab & Zaharia
+    2020, arXiv:2004.12832): documents and the query are MULTI-vector —
+    here ``n_tokens`` equal slices of the embedding column (the adapter for
+    single-array storage; a real token-matrix column slices the same way) —
+    and score(doc) = sum over query tokens of the MAX cosine against any
+    document token.
+
+    Relational shape: explode document tokens (n_tokens rows per doc), one
+    Arrow-vectorized pass computes every query-token cosine per row, then
+    ONE keyed aggregation takes the per-query-token maxes and their
+    (q-token-ascending, fold-ordered) sum, and TakeOrderedAndProject cuts
+    the top k. One shuffle on the doc id, cardinality n_tokens * N rows —
+    the standard late-interaction scan; at 100 TB the same plan runs over
+    an ANN-pruned candidate set instead of the full corpus."""
+    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    dim = len(qvec)
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    dsub = dim // n_tokens
+    qtoks = np.array(
+        [qvec[t * dsub : (t + 1) * dsub] for t in range(n_tokens)], dtype=np.float64
+    )
+    qnorm = np.sqrt(_fold_sum_cols(qtoks * qtoks))
+
+    tok_structs = F.array(
+        *[
+            F.slice(F.col(vec_col), t * dsub + 1, dsub)
+            for t in range(n_tokens)
+        ]
+    )
+    toks = df.select(F.col(id_col), F.explode(tok_structs).alias("dv"))
+
+    @F.pandas_udf("array<double>")
+    def _qcos(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        xn = np.sqrt(_fold_sum_cols(x * x))
+        out = np.empty((x.shape[0], n_tokens))
+        for t in range(n_tokens):
+            out[:, t] = _fold_dot_mat(x, qtoks[t][None, :]) / (xn * qnorm[t])
+        return pd.Series(list(out))
+
+    scored = toks.select(id_col, _qcos(F.col("dv")).alias("cs"))
+    per_doc = scored.groupBy(id_col).agg(
+        *[F.max(F.element_at("cs", t + 1)).alias(f"_m{t}") for t in range(n_tokens)]
+    )
+    total = F.col("_m0")
+    for t in range(1, n_tokens):
+        total = total + F.col(f"_m{t}")
+    return (
+        per_doc.select(F.col(id_col), total.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     block_col: str,

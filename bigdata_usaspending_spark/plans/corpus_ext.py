@@ -218,6 +218,20 @@ def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction top-10
+    (similarity.maxsim_topk): embeddings treated as 4 concatenated
+    16-dim token vectors; score = sum over query tokens of the max cosine
+    against any document token. Explode + one keyed max-aggregation +
+    TakeOrdered — fully replayable SQL (slices, fold cosines, MAX, and the
+    token-ascending sum all reproduce in DuckDB)."""
+    spark = _prep(spark)
+    emb = load(spark, sf, "embeddings")
+    return similarity.maxsim_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vec_local(emb), n_tokens=4, k=10
+    )
+
+
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     """Label-mean centroids via similarity.mean_centroids (deterministic
     decimal-mean — see its docstring). Output: (cell, centroid)."""
@@ -454,6 +468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_incremental": q_dedup_incremental,
     "q_embedding_cosine_topk": q_embedding_cosine_topk,
+    "q_maxsim_topk": q_maxsim_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_ivf_refined": q_ann_ivf_refined,
     "q_ann_rp_lsh": q_ann_rp_lsh,
@@ -915,6 +930,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings e, q
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "q_maxsim_topk": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        ts AS (SELECT unnest(range(1, 5)) AS t),
+        dt AS (
+            SELECT e.vec_id, e.embedding[(ts.t - 1) * 16 + 1 : ts.t * 16] AS dv
+            FROM embeddings e, ts
+            WHERE e.vec_id <> 0
+        ),
+        qt AS (
+            SELECT ts.t AS qtok, q.q_emb[(ts.t - 1) * 16 + 1 : ts.t * 16] AS qv
+            FROM q, ts
+        ),
+        mx AS (
+            SELECT d.vec_id, qt.qtok,
+                   MAX({_cosine_sql('d.dv', 'qt.qv')}) AS m
+            FROM dt d, qt
+            GROUP BY d.vec_id, qt.qtok
+        ),
+        tot AS (
+            SELECT vec_id,
+                   list_reduce(list(m ORDER BY qtok), (acc, v) -> acc + v) AS maxsim
+            FROM mx GROUP BY vec_id
+        )
+        SELECT vec_id, maxsim FROM tot
+        ORDER BY maxsim DESC, vec_id ASC
         LIMIT 10
     """,
     "q_ann_ivf_topk": f"""

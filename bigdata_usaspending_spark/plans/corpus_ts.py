@@ -76,6 +76,30 @@ def q_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantile_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority exact quartile summary in ONE pass: the built-in
+    ``percentile`` aggregate with a quantile array (mergeable value->count
+    maps — no sort, no window). Spark's R-7 linear interpolation is
+    bit-identical to DuckDB's quantile_cont (verified empirically at
+    sf0.01), so the continuous-quantile surface is fully oracle-checked."""
+    orders = load(_prep(spark), sf, "orders")
+    q = F.percentile(
+        F.col("o_totalprice").cast("double"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(q.alias("_q"))
+        .select(
+            "o_orderpriority",
+            F.element_at("_q", 1).alias("p25"),
+            F.element_at("_q", 2).alias("p50"),
+            F.element_at("_q", 3).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust (median/MAD) outlier flags per order priority — the
     50%-breakdown twin of q_zscore_outliers (uniform o_totalprice puts the
@@ -101,6 +125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_boilerplate_scrub": q_boilerplate_scrub,
     "q_mad_outliers": q_mad_outliers,
     "q_ewma_monthly": q_ewma_monthly,
+    "q_quantile_summary": q_quantile_summary,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -119,6 +144,15 @@ _ZS_S2 = D2D.format(
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "q_quantile_summary": """
+WITH q AS (
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), [0.25, 0.5, 0.75]) AS _q
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, _q[1] AS p25, _q[2] AS p50, _q[3] AS p75
+FROM q ORDER BY o_orderpriority
+""",
     "q_mad_outliers": """
 WITH ranked AS (
     SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS vd,

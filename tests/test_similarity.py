@@ -331,3 +331,33 @@ def test_semantic_dedup_tiny(spark):
     out = similarity.semantic_dedup(df, cents, threshold=0.95)
     kept = sorted((r.vec_id, r.cell) for r in out.collect())
     assert kept == [(1, 0), (3, 1), (5, 2)]
+
+
+def test_maxsim_degenerates_to_cosine_with_one_token(spark):
+    """With n_tokens=1 MaxSim IS brute-force cosine ranking (one token, max
+    of one value, sum of one term) — the two operators must agree."""
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    ms = [r.vec_id for r in similarity.maxsim_topk(data, q, n_tokens=1, k=10).collect()]
+    bf = [r.vec_id for r in similarity.brute_force_topk(data, q, k=10).collect()]
+    assert ms == bf
+
+
+def test_maxsim_rewards_any_token_match(spark):
+    """A document matching the query on ONE token slice outscores a
+    document that is mediocre on every slice — the late-interaction
+    property a single pooled cosine lacks."""
+    q = [1.0, 0.0, 0.0, 1.0]  # tokens: [1,0] and [0,1]
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 5.0, 5.0]),   # token 1 matches q token 1 exactly
+            (2, [0.4, 0.4, 0.4, 0.4]),   # uniformly mediocre
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame([(q,)], "q_emb array<float>")
+    out = [r.vec_id for r in similarity.maxsim_topk(docs, qdf, n_tokens=2, k=2).collect()]
+    assert out[0] == 1
