@@ -250,3 +250,53 @@ def global_shuffle(
         .withColumn("position", (F.col("_lrn") - 1 + F.col("_poff")).cast("long"))
         .drop("_h", "_pid", "_lrn", "_poff")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/multi-source
+    rebalancing rule from the mT5/XLM-R line of work, arXiv:1910.10683
+    §3.1): source s is sampled with probability proportional to n_s^alpha,
+    so alpha=1 preserves the natural distribution and alpha->0 approaches
+    uniform over sources — small sources are boosted, dominant ones
+    tempered.
+
+    Per-source keep rates derive IN-ENGINE from the source counts
+    (expected_s = target_total * w_s / W, rate_s = min(1, expected_s/n_s)),
+    then gate rows with the deterministic portable hash — two linear
+    passes, the rate table is tiny and broadcast. Reproducibility: with
+    alpha=0.5 the weight is sqrt(n) (correctly-rounded IEEE, identical in
+    any engine); other alphas go through pow(), which is NOT guaranteed
+    correctly rounded across libm implementations — fine in production,
+    not bit-portable for an external oracle. The weight SUM accumulates in
+    decimal (order-independent) before one double division chain written
+    left-to-right, and the rate is quantized to an integer threshold in
+    ``denominator``-ths so the gate compares integers."""
+    n = F.count(F.lit(1)).cast("double")
+    counts = df.groupBy(stratum_col).agg(n.alias("_n"))
+    wt = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
+    weights = counts.select(stratum_col, "_n", wt.alias("_wt"))
+    total = weights.agg(
+        F.sum(F.col("_wt").cast("decimal(27,7)")).cast("double").alias("_W")
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(target_total)) * F.col("_wt") / F.col("_W") / F.col("_n")
+    )
+    thresholds = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            stratum_col,
+            F.floor(rate * F.lit(float(denominator))).cast("bigint").alias("_thr"),
+        )
+    )
+    gated = df.join(F.broadcast(thresholds), stratum_col).filter(
+        F.pmod(portable_hash60(F.col(key).cast("string")), F.lit(denominator))
+        < F.col("_thr")
+    )
+    return gated.select(*df.columns)

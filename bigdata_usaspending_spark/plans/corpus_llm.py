@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import sampling, text
+from .corpus import D2D
 from ..session import apply_runtime_confs
 
 CHUNK_TOKENS = 32
@@ -100,6 +101,23 @@ def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "tokens_before")
 
 
+TEMPERATURE_TARGET = 300
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source rebalancing (sampling.temperature_mix,
+    alpha=0.5 — the mT5/XLM-R mixture rule): per-source keep rates derive
+    in-engine from sqrt(n_s) weights, small sources boosted toward the
+    ~300-doc target mix, rows gated by the portable hash. Every rate is
+    reproducible SQL (sqrt is correctly-rounded IEEE; the weight sum
+    accumulates in decimal)."""
+    docs = load(_prep(spark), sf, "documents")
+    out = sampling.temperature_mix(
+        docs, "doc_id", "source", target_total=TEMPERATURE_TARGET, alpha=0.5
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 SHUFFLE_SEED = 0
 
 
@@ -123,6 +141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_token_budget_mix": q_token_budget_mix,
     "q_corpus_shuffle": q_corpus_shuffle,
+    "q_temperature_mix": q_temperature_mix,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -182,6 +201,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM c3
     """,
     "q_chunk_documents": _CHUNK_SQL_TMPL.format(toks=_TOKS, c=CHUNK_TOKENS),
+    "q_temperature_mix": f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+            GROUP BY source
+        ),
+        w AS (SELECT source, n, sqrt(n) AS wt FROM counts),
+        tot AS (
+            SELECT {D2D.format(x='SUM(CAST(wt AS DECIMAL(27,7)))')} AS W FROM w
+        ),
+        thr AS (
+            SELECT source,
+                   CAST(floor(
+                       least(1.0, {TEMPERATURE_TARGET}.0 * wt / W / n) * 1000000.0
+                   ) AS BIGINT) AS t
+            FROM w, tot
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 < thr.t
+    """,
     "q_token_budget_mix": f"""
         WITH t AS (SELECT doc_id, source,
                           CAST(len({_TOKS}) AS INTEGER) AS n_tokens
