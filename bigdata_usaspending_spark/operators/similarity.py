@@ -496,16 +496,35 @@ def quantized_topk(
     margin recovers exact top-k in practice (the recall gate in
     tests/test_similarity.py measures it). Every stage is deterministic:
     int dots are exact, and the one float division per candidate follows the
-    same expression tree in any engine."""
-    qd = quantize_int8(df, vec_col)
-    qq = quantize_int8(query.withColumnRenamed("q_emb", "_qv"), "_qv", "q_qvec")
-    joined = qd.crossJoin(F.broadcast(qq))
-    approx = int_dot(F.col("q_vec"), F.col("q_qvec")).cast("double") / (
-        F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
-        * F.sqrt(int_dot(F.col("q_qvec"), F.col("q_qvec")).cast("double"))
-    )
+    same expression tree in any engine.
+
+    The scan fuses quantize + int-cosine in one Arrow kernel (execution-tier
+    rationale in the module docstring) with identical arithmetic: floor(x *
+    (127/max|x|) + 0.5) codes, exact int64 dots (bounded far below 2^53, so
+    the double conversions are exact), one sqrt/division chain per row. The
+    relational quantize_int8/int_dot remain the stored-codes path — at scale
+    the codes are a persisted int8 column, not recomputed per query."""
+    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    q64 = np.array(qvec, dtype=np.float64)
+    qa = np.abs(q64).max()
+    qscale = 127.0 / qa if qa > 0 else 0.0
+    qq = np.floor(q64 * qscale + 0.5).astype(np.int64)
+    q_selfdot = float((qq * qq).sum())  # exact int64 -> exact double
+
+    @F.pandas_udf("double")
+    def _qcos(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        amax = np.abs(x).max(axis=1)
+        scale = np.where(amax > 0, 127.0 / amax, 0.0)
+        q = np.floor(x * scale[:, None] + 0.5).astype(np.int64)
+        num = (q * qq[None, :]).sum(axis=1).astype(np.float64)
+        den = np.sqrt((q * q).sum(axis=1).astype(np.float64)) * np.sqrt(q_selfdot)
+        return pd.Series(num / den)
+
     candidates = (
-        joined.select(F.col(id_col), F.col(vec_col), approx.alias("_acs"))
+        df.select(F.col(id_col), F.col(vec_col), _qcos(F.col(vec_col)).alias("_acs"))
         .orderBy(F.desc("_acs"), F.asc(id_col))
         .limit(k * rerank_factor)
         .select(id_col, vec_col)
