@@ -88,3 +88,71 @@ def test_pack_sequences_window_is_per_partition(spark, sf):
     # prefix sum, whose input is num_partitions rows
     assert "partitionBy _pid" in plan.replace("partition by", "partitionBy") or \
         "_pid" in plan.split("Window")[1]
+
+
+def test_tpch_q6_pushes_filters_no_join(spark, sf):
+    plan = _plan(corpus_more.q_tpch_q6_shape(spark, sf))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "Join" not in plan  # single-table scan + aggregate only
+
+
+def test_tpch_q18_broadcasts_winner_set(spark, sf):
+    plan = _plan(corpus_more.q_tpch_q18_shape(spark, sf))
+    # the HAVING winner set and the customer dim both broadcast; the orders
+    # side must not sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_single_keyed_shuffle_and_takeordered(spark, sf):
+    from bigdata_usaspending_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.q_maxsim_topk(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one hash-partitioned exchange: the per-doc max aggregation
+    assert plan.count("hashpartitioning") <= 2  # partial/final print twice
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_dashboard_payload_uses_one_grouping_sets_pass(spark, sf):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.ml.adapter import awards_view
+    from bigdata_usaspending_spark.plans.serving import dashboard_payload
+
+    # build the aggregate the payload materializes and audit it: grouping
+    # sets compile to Expand + ONE two-phase aggregate, not one job per set
+    awards = awards_view(spark, sf)
+    agg = (
+        awards.select(
+            "recipient_name",
+            "awarding_sub_agency",
+            F.month("start_date").alias("month"),
+            "award_amount",
+        )
+        .groupingSets(
+            [["recipient_name"], ["awarding_sub_agency"], []],
+            "recipient_name",
+            "awarding_sub_agency",
+            "month",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(agg)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1 or "AQEShuffleRead" in plan
+
+
+def test_temperature_mix_broadcasts_rate_table(spark, sf):
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import sampling
+
+    docs = load(spark, sf, "documents")
+    out = sampling.temperature_mix(docs, "doc_id", "source", target_total=100)
+    plan = _plan(out)
+    # the tiny threshold table broadcasts onto the corpus scan; the corpus
+    # itself must not shuffle for the gate
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
