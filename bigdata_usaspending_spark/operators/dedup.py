@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -241,17 +243,41 @@ def minhash_from_hashes(hashes_col: Column | str, num_hashes: int = 32) -> Colum
 
 
 def _minhash_family(base: Column, num_hashes: int) -> Column:
-    p = F.lit(_MINHASH_PRIME)
-    mins = [
-        F.coalesce(
-            F.array_min(
-                F.transform(base, lambda x: F.pmod(x * (2 * i + 1) + (1000003 * i + 12345), p))
-            ),
-            F.lit(_MINHASH_PRIME),
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    """The (a_i*h + b_i) mod p min-family over a base-hash array, as an
+    Arrow-vectorized kernel: the relational form was ``num_hashes``
+    array_min(transform(...)) expressions, i.e. an interpreted
+    (CodegenFallback) HOF loop of num_hashes x |shingles| per row — the
+    same per-row-loop tier similarity.py moves to numpy kernels. All
+    arithmetic is exact int64 (h < 2^31, coefficients < 2^26, so products
+    stay < 2^57) and numpy's % matches pmod on non-negative ints, so the
+    signatures are bit-identical to the former expressions and to the SQL
+    oracle. Empty arrays keep the all-p sentinel signature."""
+    p = _MINHASH_PRIME
+    coeff_a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)
+    coeff_b = np.array(
+        [1000003 * i + 12345 for i in range(num_hashes)], dtype=np.int64
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def _mh(hs: pd.Series) -> pd.Series:
+        if hs.empty:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.full((len(arrs), num_hashes), p, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a, keep in zip(arrs, nz) if keep])
+            ends = np.cumsum(lens[nz])
+            offsets = np.empty_like(ends)
+            offsets[0] = 0
+            offsets[1:] = ends[:-1]
+            for i in range(num_hashes):
+                vals = (flat * coeff_a[i] + coeff_b[i]) % p
+                out[nz, i] = np.minimum.reduceat(vals, offsets)
+        return pd.Series(list(out))
+
+    return _mh(base)
 
 
 def minhash_lsh_pairs(
