@@ -216,3 +216,54 @@ def test_dedup_against_index(spark):
     assert again == kept
     # everything already indexed -> nothing survives a replayed batch
     assert dedup.dedup_against_index(batch, updated, "doc_id").count() == 0
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property test: on randomized graphs (mixed chains, blobs, self-pairs,
+    singleton islands), connected_components must agree exactly with a
+    driver-side union-find — both the partition structure AND the min-id
+    labels. Runs a handful of seeded graphs through both phases (small
+    propagation budget forces the contraction path too)."""
+    import random
+
+    def union_find_components(pairs, vertices):
+        parent = {v: v for v in vertices}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min = {}
+        for v in vertices:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[find(v)] for v in vertices}
+
+    for seed, propagation_rounds in [(11, 4), (12, 1), (13, 0)]:
+        rng = random.Random(seed)
+        n = 120
+        pairs = []
+        # chain segments
+        for start in range(0, n, 40):
+            for i in range(start, start + rng.randint(10, 30)):
+                pairs.append((i, i + 1))
+        # random extra edges + self-pairs
+        pairs += [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        pairs += [(rng.randrange(n), ) * 2 for _ in range(3)]
+        vertices = {v for p in pairs for v in p}
+        expected = union_find_components(pairs, vertices)
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(
+                df, num_partitions=4, propagation_rounds=propagation_rounds
+            ).collect()
+        }
+        assert got == expected, f"seed {seed} (pr={propagation_rounds}) mismatch"
