@@ -127,3 +127,43 @@ def test_asof_join_matches_naive_reference(spark, lefts, rights):
         # latest ts wins; ties on ts resolved to the max rid (max_by dedup)
         expect = max(candidates)[1] if candidates else None
         assert got[i] == expect, (i, k, ts, candidates)
+
+
+@given(
+    hash_lists=st.lists(
+        st.lists(st.integers(0, (1 << 31) - 2), min_size=0, max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_minhash_family_matches_python_reference(spark, hash_lists):
+    """The reduceat kernel behind _minhash_family must equal the obvious
+    Python computation: min over hashes of (a_i*h + b_i) mod p per family
+    member, p sentinel for empty sets — exact int64 arithmetic, so equality
+    is literal."""
+    from bigdata_usaspending_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        minhash_from_hashes,
+    )
+
+    num_hashes = 8
+    df = spark.createDataFrame(
+        [(i, hs) for i, hs in enumerate(hash_lists)], "i long, hs array<bigint>"
+    )
+    got = {
+        r.i: list(r.mh)
+        for r in df.select(
+            "i", minhash_from_hashes("hs", num_hashes).alias("mh")
+        ).collect()
+    }
+    for i, hs in enumerate(hash_lists):
+        base = [h % _MINHASH_PRIME for h in hs]
+        expected = [
+            min(
+                ((x * (2 * j + 1) + (1000003 * j + 12345)) % _MINHASH_PRIME for x in base),
+                default=_MINHASH_PRIME,
+            )
+            for j in range(num_hashes)
+        ]
+        assert got[i] == expected
