@@ -228,3 +228,27 @@ def test_global_shuffle_is_reproducible_permutation(spark):
     }
     assert sorted(reseeded.values()) == list(range(500))
     assert reseeded != got
+
+
+def test_ivf_cell_partitioned_layout_prunes_probes(spark, sf_small, tmp_path):
+    """The IVF 100-TB story (operators/similarity.py, SCALE.md): persist
+    assignments partitioned by cell, and a probe of nprobe cells must prune
+    to those partitions at the SCAN (PartitionFilters), never reading the
+    other cells' files."""
+    from bigdata_usaspending_spark.operators import similarity
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    emb = load(spark, sf_small, "embeddings")
+    centroids = _ivf_centroids(emb)
+    assigned = similarity.ivf_assign(emb, centroids)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    table = spark.read.parquet(path)
+    probed = table.filter(F.col("cell").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    # directory-level pruning is real: only the probed cells' rows are read
+    n_cells = {r.cell for r in probed.select("cell").distinct().collect()}
+    assert n_cells <= {0, 1}
+    assert probed.count() > 0
