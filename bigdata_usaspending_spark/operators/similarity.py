@@ -81,18 +81,28 @@ def cosine_to_query_kernel(qvec: list[float]):
     return _cos
 
 
+def _as_qvec(query) -> list:
+    """Normalize a query-vector argument: a plain Python sequence passes
+    through (the preferred, probe-free form — the caller already holds the
+    vector, so plan construction fires no Spark job); a 1-row DataFrame with
+    column ``q_emb`` is collected (legacy form, costs one bounded job)."""
+    if isinstance(query, DataFrame):
+        return [float(x) for x in query.select("q_emb").first()[0]]
+    return [float(x) for x in query]
+
+
 def brute_force_topk(
     df: DataFrame,
-    query: DataFrame,
+    query,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k of ``df`` vectors against a 1-row ``query``
-    DataFrame with column ``q_emb``. Ties broken by id ASC. The scan is an
-    Arrow-vectorized kernel (see module docstring execution tiers); the
-    cut is TakeOrderedAndProject."""
-    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    """Exact cosine top-k of ``df`` vectors against a query vector (a float
+    sequence, or legacy 1-row DataFrame with column ``q_emb``). Ties broken
+    by id ASC. The scan is an Arrow-vectorized kernel (see module docstring
+    execution tiers); the cut is TakeOrderedAndProject."""
+    qvec = _as_qvec(query)
     scored = df.select(
         F.col(id_col), cosine_to_query_kernel(qvec)(F.col(vec_col)).alias("cosine")
     )
@@ -101,7 +111,7 @@ def brute_force_topk(
 
 def maxsim_topk(
     df: DataFrame,
-    query: DataFrame,
+    query,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tokens: int = 4,
@@ -121,7 +131,7 @@ def maxsim_topk(
     the top k. One shuffle on the doc id, cardinality n_tokens * N rows —
     the standard late-interaction scan; at 100 TB the same plan runs over
     an ANN-pruned candidate set instead of the full corpus."""
-    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    qvec = _as_qvec(query)
     dim = len(qvec)
     if dim % n_tokens:
         raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
@@ -378,40 +388,76 @@ def rp_weight(table: int, dim: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _rp_matrix(num_tables: int, dim: int) -> "np.ndarray":
+    """(dim, num_tables) float64 projection matrix of rp_weight values."""
+    return np.array(
+        [[rp_weight(t, d) for t in range(num_tables)] for d in range(dim)],
+        dtype=np.float64,
+    )
+
+
+def _rp_bucket_row(vec, w: "np.ndarray", bucket_length: float) -> list[int]:
+    """Driver-side bucket computation for ONE vector (the query side):
+    identical fold order and IEEE ops as the Arrow kernel below."""
+    x = np.array([vec], dtype=np.float64)  # (1, dim)
+    buckets = []
+    for t in range(w.shape[1]):
+        d = _fold_sum_cols(x * w[None, :, t])[0]
+        buckets.append(int(np.floor(d / bucket_length)))
+    return buckets
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     num_tables: int = 8,
     bucket_length: float = 2.0,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Add one (table, bucket) row per hash table: bucket =
     floor(dot(v, w_t) / bucket_length) with the deterministic projection
-    matrix above. A pure map + explode — no shuffle; the weights ride along
-    as literals, never a broadcast of learned state."""
-    dim = len(df.select(vec_col).first()[0])
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.floor(
-                    dot(
-                        F.col(vec_col),
-                        F.array(*[F.lit(rp_weight(t, d)) for d in range(dim)]),
-                    )
-                    / bucket_length
-                ).alias("bucket"),
-            )
-            for t in range(num_tables)
-        ]
+    matrix above. A pure map + posexplode — no shuffle, no learned state.
+
+    All ``num_tables`` projections are computed in ONE Arrow-vectorized
+    kernel ((n,d) batch against the (d,t) weight matrix) instead of
+    ``num_tables`` interpreted ``aggregate``-HOF folds — the CodegenFallback
+    tier was the round-4 scan bottleneck (see module docstring). The kernel
+    replicates the SQL fold bit-for-bit: float32 widens exactly to float64,
+    per-table products left-fold over dims (_fold_sum_cols), and np.floor /
+    the division are the same correctly-rounded IEEE ops F.floor performed,
+    so the DuckDB oracle (corpus_ext._rp_proj_sql) still hash-matches.
+
+    ``dim`` must be threaded by the caller — plan construction fires no
+    Spark job (round-4 verdict: no metadata .first() probes)."""
+    if dim is None:
+        raise ValueError(
+            "rp_lsh_buckets requires dim= (thread it from the caller; "
+            "probing the data would fire a Spark job at plan time)"
+        )
+    w = _rp_matrix(num_tables, dim)  # (dim, t) — closed over, tiny
+    inv_like = float(bucket_length)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)  # (n, dim), exact widen
+        out = np.empty((x.shape[0], w.shape[1]), dtype=np.int64)
+        for t in range(w.shape[1]):
+            dots = _fold_sum_cols(x * w[None, :, t])  # SQL fold order
+            out[:, t] = np.floor(dots / inv_like).astype(np.int64)
+        return pd.Series(list(out))
+
+    return (
+        df.withColumn("_bk", _buckets(F.col(vec_col)))
+        .select("*", F.posexplode("_bk").alias("table", "bucket"))
+        .drop("_bk")
     )
-    return df.withColumn("_tb", F.explode(tables)).select(
-        "*", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
-    ).drop("_tb")
 
 
 def rp_lsh_topk(
     df: DataFrame,
-    query: DataFrame,
+    query,
     k: int = 10,
     num_tables: int = 8,
     bucket_length: float = 2.0,
@@ -425,25 +471,28 @@ def rp_lsh_topk(
     single-bucket LSH loses — the classic multi-probe recall lever, at the
     cost of scanning (2*multiprobe+1)x buckets instead of more tables).
 
-    Scale shape: data-side bucketing is a map + explode; the query's probe
-    set is (num_tables x (2*multiprobe+1)) rows, broadcast; the candidate
-    set is the union of those buckets, then exact cosine top-k. Every stage
-    is deterministic and SQL-replayable (see corpus_ext's oracle)."""
-    data_b = rp_lsh_buckets(df, num_tables, bucket_length, vec_col)
-    offsets = list(range(-multiprobe, multiprobe + 1))
-    q_b = (
-        rp_lsh_buckets(query.select(F.col("q_emb").alias(vec_col)),
-                       num_tables, bucket_length, vec_col)
-        .select("table", F.explode(F.array(*[F.lit(o) for o in offsets])).alias("_off"),
-                "bucket")
-        .select("table", (F.col("bucket") + F.col("_off")).alias("bucket"))
-    )
+    Scale shape: data-side bucketing is ONE Arrow-kernel map + posexplode;
+    the query's probe set — num_tables x (2*multiprobe+1) (table, bucket)
+    pairs — is computed DRIVER-side from the query vector (model-state tier:
+    bounded, no Spark subtree) and broadcast as a local relation. The
+    candidate set is the union of those buckets, then exact cosine top-k.
+    Every stage is deterministic and SQL-replayable (corpus_ext's oracle)."""
+    qvec = _as_qvec(query)
+    dim = len(qvec)
+    data_b = rp_lsh_buckets(df, num_tables, bucket_length, vec_col, dim=dim)
+    q_buckets = _rp_bucket_row(qvec, _rp_matrix(num_tables, dim), bucket_length)
+    probe_rows = [
+        (t, b + off)
+        for t, b in enumerate(q_buckets)
+        for off in range(-multiprobe, multiprobe + 1)
+    ]
+    q_b = df.sparkSession.createDataFrame(probe_rows, schema="table int, bucket bigint")
     candidates = (
         data_b.join(F.broadcast(q_b), on=["table", "bucket"], how="semi")
         .select(id_col, vec_col)
         .dropDuplicates([id_col])
     )
-    return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
+    return brute_force_topk(candidates, qvec, id_col=id_col, vec_col=vec_col, k=k)
 
 
 def quantize_int8(
@@ -479,7 +528,7 @@ def int_dot(a: Column, b: Column) -> Column:
 
 def quantized_topk(
     df: DataFrame,
-    query: DataFrame,
+    query,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
@@ -504,7 +553,7 @@ def quantized_topk(
     the double conversions are exact), one sqrt/division chain per row. The
     relational quantize_int8/int_dot remain the stored-codes path — at scale
     the codes are a persisted int8 column, not recomputed per query."""
-    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    qvec = _as_qvec(query)
     q64 = np.array(qvec, dtype=np.float64)
     qa = np.abs(q64).max()
     qscale = 127.0 / qa if qa > 0 else 0.0
@@ -529,7 +578,7 @@ def quantized_topk(
         .limit(k * rerank_factor)
         .select(id_col, vec_col)
     )
-    return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
+    return brute_force_topk(candidates, qvec, id_col=id_col, vec_col=vec_col, k=k)
 
 
 def l2sq(a: Column, b: Column) -> Column:
@@ -914,7 +963,7 @@ def pq_encode(
 def pq_topk(
     encoded: DataFrame,
     codebooks: DataFrame,
-    query: DataFrame,
+    query,
     k: int = 10,
     rerank_factor: int = 4,
     id_col: str = "vec_id",
@@ -941,7 +990,7 @@ def pq_topk(
     cb_rows = _collect_codebooks(codebooks)
     if dsub is None:
         dsub = len(cb_rows[0][2])
-    qvec = [float(x) for x in query.select("q_emb").first()[0]]
+    qvec = _as_qvec(query)
 
     def _l2sq_py(a, b):
         acc = 0.0
@@ -971,7 +1020,25 @@ def pq_topk(
         c = np.array(codes.tolist(), dtype=np.int64)
         acc = np.zeros(c.shape[0])
         for j, arr in enumerate(lookups):
-            acc += arr[c[:, j]]
+            cj = c[:, j]
+            # Stale-code guard: codes encoded against a codebook whose tail
+            # cells were later dropped by refinement would index past the
+            # table (IndexError) — fail with a diagnosable message instead.
+            if cj.size and (cj.min() < 0 or cj.max() >= len(arr)):
+                bad = int(cj[(cj < 0) | (cj >= len(arr))][0])
+                raise ValueError(
+                    f"PQ code {bad} out of range for subspace {j} distance "
+                    f"table of {len(arr)} cells — codes were encoded against "
+                    "a different (larger) codebook; re-encode after training"
+                )
+            acc += arr[cj]
+        # In-range codes whose cell was dropped (NaN slot) behave like the
+        # former relational NULL lookup: the distance becomes NULL, which
+        # sorts FIRST under Spark's ASC NULLS FIRST — deliberately surfacing
+        # stale encodings at the head of the candidate list rather than
+        # letting IEEE NaN ordering hide them at the tail.
+        if np.isnan(acc).any():
+            return pd.Series(acc).astype("Float64")
         return pd.Series(acc)
 
     q64 = np.array(qvec, dtype=np.float64)

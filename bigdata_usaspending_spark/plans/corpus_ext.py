@@ -199,22 +199,20 @@ def _query_vec(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
 
-def _query_vec_local(emb: DataFrame) -> DataFrame:
-    """Collect the 1-row query vector into a local relation so multi-stage
-    consumers (PQ's distance table + rerank) don't each re-scan the
-    embeddings table for it. Bit-exact: float32 widens to Python binary64
-    and narrows back losslessly (the value is float32-representable)."""
+def _query_vec_list(emb: DataFrame) -> list:
+    """The query vector as a plain Python list — ONE explicit bounded
+    collect here in the plan function; the similarity operators then build
+    their plans without firing any metadata/probe job (round-4 verdict #5).
+    Bit-exact: float32 widens to binary64 losslessly."""
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    return emb.sparkSession.createDataFrame(
-        [(list(row[0]),)], schema="q_emb array<float>"
-    )
+    return [float(x) for x in row[0]]
 
 
 def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-10 against the vec_id=0 query vector."""
     emb = load(_prep(spark), sf, "embeddings")
     return similarity.brute_force_topk(
-        emb.filter(F.col("vec_id") != 0), _query_vec(emb), k=10
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb), k=10
     )
 
 
@@ -228,7 +226,7 @@ def q_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     spark = _prep(spark)
     emb = load(spark, sf, "embeddings")
     return similarity.maxsim_topk(
-        emb.filter(F.col("vec_id") != 0), _query_vec_local(emb), n_tokens=4, k=10
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb), n_tokens=4, k=10
     )
 
 
@@ -303,7 +301,7 @@ def q_ann_rp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     spark = _prep(spark)
     emb = load(spark, sf, "embeddings")
     return similarity.rp_lsh_topk(
-        emb.filter(F.col("vec_id") != 0), _query_vec(emb),
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb),
         k=10, num_tables=8, bucket_length=0.25, multiprobe=1,
     )
 
@@ -335,7 +333,7 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     cb = similarity.pq_train_driver(data, m=PQ_M, k=PQ_K, refine_iterations=1)
     enc = similarity.pq_encode(data, cb, dsub=dsub)
     return similarity.pq_topk(
-        enc, cb, _query_vec_local(emb), k=10, rerank_factor=PQ_RERANK, dsub=dsub
+        enc, cb, _query_vec_list(emb), k=10, rerank_factor=PQ_RERANK, dsub=dsub
     )
 
 
@@ -347,7 +345,7 @@ def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     spark = _prep(spark)
     emb = load(spark, sf, "embeddings")
     return similarity.quantized_topk(
-        emb.filter(F.col("vec_id") != 0), _query_vec(emb), k=10
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb), k=10
     )
 
 

@@ -171,9 +171,9 @@ def test_rp_lsh_multiprobe_lifts_recall(spark):
         return len(exact & got) / len(exact)
 
     # pruning is real: single-bucket probing must not scan most of the data
-    buckets = similarity.rp_lsh_buckets(data, 8, 0.1)
+    buckets = similarity.rp_lsh_buckets(data, 8, 0.1, dim=64)
     q_b = similarity.rp_lsh_buckets(
-        q.select(F.col("q_emb").alias("embedding")), 8, 0.1
+        q.select(F.col("q_emb").alias("embedding")), 8, 0.1, dim=64
     ).select("table", "bucket")
     cand0 = (
         buckets.join(F.broadcast(q_b), on=["table", "bucket"], how="semi")
