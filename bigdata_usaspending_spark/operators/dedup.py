@@ -52,6 +52,25 @@ def portable_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy hashing stage across all cores when the input
+    arrives underpartitioned.
+
+    A small parquet file scans as ONE task (it never crosses
+    files.maxPartitionBytes), which serializes the per-token md5/xxhash work
+    that follows — measured at sf0.1 this single task was ~3 s of the
+    simhash query while 31 cores idled. Repartition round-robin up to the
+    scheduler parallelism ONLY in that case: at production scale the scan
+    already has far more partitions than cores and this is a no-op, so no
+    extra shuffle of the text corpus is ever introduced at 100 TB. Results
+    are partitioning-independent (row-wise hashing then keyed joins)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -178,10 +197,14 @@ def ngram_jaccard_pairs(
     present in more than that many documents (skew/blow-up cap at scale;
     documented recall trade-off).
     """
-    sh = df.select(F.col(id_col).alias("_id"), shingles_of(text_col, n)).select(
-        "_id",
-        F.size("shingles").alias("_nsh"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("_sh"),
+    sh = (
+        _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles_of(text_col, n))
+        .select(
+            "_id",
+            F.size("shingles").alias("_nsh"),
+            F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("_sh"),
+        )
     )
     # Lazy cache shared by both sides of the candidate self-join. Measured at
     # sf0.1 (warm, 2 runs each): lazy 1.6-1.8s, eager cache+count 1.6-2.5s
@@ -262,7 +285,10 @@ def _minhash_family(base: Column, num_hashes: int) -> Column:
     def _mh(hs: pd.Series) -> pd.Series:
         if hs.empty:
             return pd.Series([], dtype=object)
-        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        # None elements (null text -> null shingle array) behave like empty
+        # arrays: the row keeps the all-p sentinel signature, matching the
+        # former coalesce(array_min(transform(...)), p) expression.
+        arrs = [np.asarray(a if a is not None else [], dtype=np.int64) for a in hs]
         lens = np.array([len(a) for a in arrs], dtype=np.int64)
         out = np.full((len(arrs), num_hashes), p, dtype=np.int64)
         nz = lens > 0
@@ -308,7 +334,8 @@ def minhash_lsh_pairs(
     # hashed shingle sets: verification compares 64-bit hashes, not strings
     # (cheaper to shuffle/compare; collision odds negligible)
     hashed = (
-        df.select(F.col(id_col).alias("_id"), shingles_of(text_col, n))
+        _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles_of(text_col, n))
         .select(
             "_id",
             F.array_distinct(F.transform("shingles", lambda s: hash_fn(s))).alias("hs"),
@@ -395,35 +422,124 @@ def simhash_from_token_hashes(th_col: Column | str, alias: str = "simhash") -> C
     return functools.reduce(lambda a, b: a.bitwiseOR(b), bit_exprs).alias(alias)
 
 
+def simhash_kernel():
+    """Arrow-vectorized 64-bit SimHash of a token-hash array column.
+
+    SimHash is per-document state: every bit's vote sum only needs that
+    row's token hashes, so the round-4 explode + groupBy(64 conditional
+    sums) shape paid a shuffle and a 64-aggregate hash-aggregation for what
+    is a pure map (it was the second-slowest bench query at sf0.1). The
+    kernel flattens the batch's ragged hash arrays once, then per bit does
+    one shift/mask pass and an np.add.reduceat per-row sum — exact int64
+    arithmetic, and numpy's arithmetic >> matches F.shiftright on negative
+    hashes, so signatures are bit-identical to the relational form and the
+    SQL oracle. Memory stays O(total_tokens) per batch (the bit loop reuses
+    one flat vector instead of materializing a (tokens, 64) matrix).
+
+    Empty or null arrays yield simhash 0 — callers that previously relied
+    on explode() dropping token-less docs must filter size(...) > 0."""
+
+    @F.pandas_udf("long")
+    def _simhash(th: pd.Series) -> pd.Series:
+        if th.empty:
+            return pd.Series([], dtype=np.int64)
+        arrs = [np.asarray(a if a is not None else [], dtype=np.int64) for a in th]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        sig = np.zeros(len(arrs), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a, keep in zip(arrs, nz) if keep])
+            sig[nz] = _simhash_votes(flat, lens)
+        # view, not astype: bit 63 set means the value exceeds int64 range,
+        # reinterpreting the bits reproduces Spark's shiftleft(1L, 63)
+        return pd.Series(sig.view(np.int64))
+
+    return _simhash
+
+
+def _simhash_votes(flat: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+    """Pack per-row sign-of-vote bits from a flattened token-hash vector.
+    ``flat`` concatenates the hash arrays of rows with lens > 0; returns one
+    uint64 signature per non-empty row. One shift/mask pass + reduceat per
+    bit keeps memory O(total_tokens) instead of a (tokens, 64) matrix."""
+    nz_lens = lens[lens > 0]
+    ends = np.cumsum(nz_lens)
+    offsets = np.empty_like(ends)
+    offsets[0] = 0
+    offsets[1:] = ends[:-1]
+    sig = np.zeros(len(nz_lens), dtype=np.uint64)
+    for i in range(64):
+        ones = np.add.reduceat((flat >> i) & 1, offsets)
+        # votes = ones - (len - ones); bit set iff votes > 0
+        sig |= (2 * ones > nz_lens).astype(np.uint64) << np.uint64(i)
+    return sig
+
+
+def simhash_md5_kernel():
+    """Arrow kernel: token array -> 64-bit SimHash under the PORTABLE hash,
+    fused (md5 per token + bit votes) in one pass.
+
+    The relational portable path evaluated md5/conv/substring inside a
+    ``transform`` HOF — CodegenFallback, interpreted once PER TOKEN, which
+    profiling showed was the actual cost of the simhash query (~3 s of
+    single-core expression interpretation at sf0.1). hashlib.md5 of the
+    UTF-8 token bytes with the first 15 hex digits as an int is exactly
+    portable_hash60 (strings cast to binary as UTF-8 in both engines), so
+    signatures stay bit-identical to the SQL oracle."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _sh(tk: pd.Series) -> pd.Series:
+        if tk.empty:
+            return pd.Series([], dtype=np.int64)
+        lists = [t if t is not None else [] for t in tk]
+        lens = np.array([len(t) for t in lists], dtype=np.int64)
+        sig = np.zeros(len(lists), dtype=np.uint64)
+        if (lens > 0).any():
+            md5 = hashlib.md5
+            flat = np.fromiter(
+                (
+                    int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for toks in lists
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            sig[lens > 0] = _simhash_votes(flat, lens)
+        return pd.Series(sig.view(np.int64))
+
+    return _sh
+
+
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
     """(id, simhash) signature table.
 
-    Computed by exploding token hashes and running 64 vectorized
-    conditional-sum aggregates in one hash-aggregation pass (one shuffle on
-    the id) — measured ~6x faster than folding 64 interpreted HOF aggregates
-    per row, and the shape that scales: partial aggregation happens map-side.
+    A pure Arrow-kernel map over each doc's tokens — no shuffle (the former
+    explode + 64-conditional-sum groupBy paid a full shuffle of the exploded
+    token table for what is per-row state). The portable variant fuses the
+    md5 token hash into the kernel (simhash_md5_kernel) because the
+    transform-HOF hash was interpreted per token; the xxhash64 default keeps
+    the JVM hash (no public bit-exact Python twin) and feeds the hash array
+    to the vote kernel. Docs with no tokens are dropped, matching the former
+    explode semantics.
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(token_hashes(text_col, portable)).alias("_h")
-    )
-    votes = ex.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    bit_exprs = [
-        F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
+    base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    if portable:
+        with_tk = base.select("_id", tokens(text_col).alias("_tk")).filter(
+            F.size("_tk") > 0
         )
-        for i in range(64)
-    ]
-    sim = functools.reduce(lambda a, b: a.bitwiseOR(b), bit_exprs)
-    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+        return with_tk.select(
+            F.col("_id").alias(id_col), simhash_md5_kernel()(F.col("_tk")).alias("simhash")
+        )
+    with_th = base.select("_id", token_hashes(text_col, portable).alias("_th")).filter(
+        F.size("_th") > 0
+    )
+    return with_th.select(
+        F.col("_id").alias(id_col), simhash_kernel()(F.col("_th")).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -444,6 +560,12 @@ def simhash_pairs(
     width = 64 // bands
     mask = (1 << width) - 1
     sig = simhash_table(df, id_col, text_col, portable).withColumnRenamed(id_col, "_id")
+    # Both sides of the banded self-join (and nothing else) consume sig; a
+    # lazy cache stops the signature subtree — dominated by the per-token
+    # md5 in the portable hash — from being computed once per side. Tiny:
+    # one (id, simhash) row per doc. Same ownership pattern as
+    # minhash_lsh_pairs' hashed.cache().
+    sig.cache()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -460,15 +582,18 @@ def simhash_pairs(
     )
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    # compute hamming BEFORE the per-pair dedup and cut failing pairs early:
+    # the multi-band duplicates that survive to the dedup shuffle are only
+    # the actual near-dups, and min() over the (identical) hamming copies is
+    # a cheaper aggregate than carrying both signatures through first()
+    return (
         a.join(b, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+        .select("id_a", "id_b", hamming.alias("_hm"))
+        .filter(F.col("_hm") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_hm").alias("hamming"))
     )
 
 

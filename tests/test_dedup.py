@@ -267,3 +267,56 @@ def test_connected_components_matches_union_find_property(spark):
             ).collect()
         }
         assert got == expected, f"seed {seed} (pr={propagation_rounds}) mismatch"
+
+
+def test_minhash_kernel_null_basehash_keeps_sentinel(spark):
+    """A NULL base-hash array (null text -> null shingles) must keep the
+    all-p sentinel signature, matching the former
+    coalesce(array_min(transform(...)), p) expression — not crash the
+    Arrow kernel."""
+    df = spark.createDataFrame(
+        [(1, [7, 11, 13]), (2, None), (3, [])],
+        "doc_id long, hs array<bigint>",
+    )
+    sig = {
+        r.doc_id: list(r.mh)
+        for r in df.select(
+            "doc_id", dedup.minhash_from_hashes("hs", num_hashes=4).alias("mh")
+        ).collect()
+    }
+    p = (1 << 31) - 1
+    assert sig[2] == [p] * 4 and sig[3] == [p] * 4
+    assert sig[1] != [p] * 4
+
+
+def test_simhash_table_portable_and_null_text(spark):
+    """The fused md5 kernel must match the relational portable hash
+    (simhash_from_token_hashes over portable token_hashes) bit-for-bit, and
+    null/empty-token docs must be dropped like the former explode did."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "pack my box with five dozen jugs"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_table(df, "doc_id", portable=True).collect()
+    }
+    # null text dropped; empty text tokenizes to [''] (one token) and stays
+    assert set(got) == {1, 2, 4}
+    want = {
+        r.doc_id: r.simhash
+        for r in df.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            dedup.simhash_from_token_hashes(
+                dedup.token_hashes("text", portable=True)
+            ),
+        )
+        .collect()
+    }
+    assert got == want

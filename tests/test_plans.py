@@ -156,3 +156,29 @@ def test_temperature_mix_broadcasts_rate_table(spark, sf):
     # itself must not shuffle for the gate
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_plan_construction_fires_no_spark_job(spark, sf):
+    """Round-5 audit: building an ANN operator's plan must not run a job.
+    The query vector / dim are threaded as parameters (the former .first()
+    metadata probes each cost a driver-side job per plan build)."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import similarity
+
+    emb = load(spark, sf, "embeddings")
+    data = emb.filter(emb.vec_id != 0)
+    qvec = [float(x) for x in emb.filter(emb.vec_id == 0).first()["embedding"]]
+
+    sc = spark.sparkContext
+    group = "plan-construction-audit"
+    sc.setJobGroup(group, "audit: no jobs during ANN plan construction")
+    try:
+        similarity.brute_force_topk(data, qvec, k=5)
+        similarity.maxsim_topk(data, qvec, n_tokens=4, k=5)
+        similarity.rp_lsh_topk(data, qvec, k=5, bucket_length=0.25)
+        similarity.quantized_topk(data, qvec, k=5)
+        similarity.rp_lsh_buckets(data, 8, 0.25, dim=len(qvec))
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert not jobs, f"plan construction ran Spark jobs: {jobs}"
