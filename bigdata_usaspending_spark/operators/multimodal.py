@@ -69,6 +69,20 @@ def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
     return _FAKE_MAGIC + struct.pack("<HH", width, height) + payload
 
 
+def _load_pil():
+    """Import PIL.Image if available, else None. Module-level cache so the
+    import attempt happens once per Python worker, not per blob."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _load_pil()
+
+
 def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
     if content is None:
         return 0, 0, 0, False
@@ -86,9 +100,19 @@ def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
         w, h = struct.unpack(">II", content[16:24])
         if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
             return len(content), w, h, True
-    # Full raster decode (JPEG/WebP/...) calls PIL.Image.open here; without
-    # codec libs we report undecodable rather than raise (poisoned blobs
-    # must not kill a 100-TB scan).
+    # Full raster decode (JPEG/WebP/...) runs through PIL when it is
+    # installed; in this container it is not, so blobs beyond the formats
+    # above report undecodable. Either way a poisoned blob must not kill a
+    # 100-TB scan — decode errors degrade to ok=False, never raise.
+    if _PIL_IMAGE is not None:
+        import io
+
+        try:
+            with _PIL_IMAGE.open(io.BytesIO(content)) as img:
+                w, h = img.size
+                return len(content), int(w), int(h), True
+        except Exception:  # noqa: BLE001 — any codec failure means ok=False
+            return len(content), 0, 0, False
     return len(content), 0, 0, False
 
 

@@ -31,6 +31,19 @@ def _rows(df: DataFrame) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
+def _asc_key(v):
+    """None-safe ascending sort key mirroring engine-side ASC NULLS FIRST:
+    real data can carry null grouping values (null sub-agency/month) that
+    the synthetic star never produces, and raw-value keys TypeError against
+    None in Python 3."""
+    return (v is not None, 0 if v is None else v)
+
+
+def _desc_key(v):
+    """None-safe descending sort key mirroring DESC NULLS LAST."""
+    return (v is None, 0.0 if v is None else -v)
+
+
 def dashboard_payload(
     awards: DataFrame,
     recipient_geo: DataFrame,
@@ -143,7 +156,12 @@ def dashboard_payload(
             for r in sorted(by_ds.get(name, []), key=key)
         ]
 
-    desc_total = lambda *tb: (lambda r: (-r["total_award_amount"], *[r[c] for c in tb]))  # noqa: E731
+    desc_total = lambda *tb: (  # noqa: E731
+        lambda r: (
+            _desc_key(r["total_award_amount"]),
+            *[_asc_key(r[c]) for c in tb],
+        )
+    )
     return {
         # the reference's four template variables, same shapes
         "map_recipient_data": rows(
@@ -168,9 +186,9 @@ def dashboard_payload(
         ),
         # engine extensions: exact server-side pie/line/grand-total (A9 fix)
         "pie_data": rows(
-            "pie", ("awarding_sub_agency",), lambda r: r["awarding_sub_agency"]
+            "pie", ("awarding_sub_agency",), lambda r: _asc_key(r["awarding_sub_agency"])
         ),
-        "line_data": rows("line", ("month",), lambda r: r["month"]),
+        "line_data": rows("line", ("month",), lambda r: _asc_key(r["month"])),
         "grand_total": by_ds["grand"][0]["total_award_amount"],
     }
 

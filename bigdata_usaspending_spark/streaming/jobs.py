@@ -173,13 +173,27 @@ def stream_near_dedup_minhash_lsh(
     exploded = sig.select(
         F.col(id_col), F.col(ts_col), F.explode(band_structs).alias("bs")
     ).select(id_col, ts_col, "bs.band", "bs.sig")
-    surviving_bands = exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["band", "sig"]
+    # Same-WINDOW winner resolution must be DETERMINISTIC: feeding raw band
+    # rows straight into dropDuplicatesWithinWatermark let two near-dup docs
+    # arriving together each lose a different shared band to the other
+    # (state-store update order is arrival order), so the whole duplicate
+    # cluster could end with _kept < bands and NO surviving representative.
+    # A windowed min-id pre-aggregation picks one winner per (window, band,
+    # sig) bucket: the min doc id wins EVERY bucket it occupies, so an
+    # isolated same-window duplicate cluster always keeps exactly its
+    # min-id member. (A doc can still lose a band to a smaller-id doc from
+    # another cluster — that is candidate-tier semantics: it collided with
+    # something seen. The batch twin additionally verifies Jaccard.)
+    bucket_winners = (
+        exploded.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "band", "sig")
+        .agg(F.min(id_col).alias(id_col))
     )
+    # cross-window suppression: the first window to own a (band, sig)
+    # bucket keeps it for the watermark horizon
+    surviving_bands = bucket_winners.dropDuplicatesWithinWatermark(["band", "sig"])
     return (
-        surviving_bands.groupBy(
-            F.window(ts_col, window).alias("win"), F.col(id_col)
-        )
+        surviving_bands.groupBy(F.col("win"), F.col(id_col))
         .agg(F.count(F.lit(1)).alias("_kept"))
         .filter(F.col("_kept") == bands)
         .select(id_col, F.col("win.start").alias("window_start"))

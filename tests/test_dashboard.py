@@ -119,3 +119,17 @@ def test_inference_payloads(spark, awards):
     bad = serving.regression_payload(result.regression_model, spark, unseen)
     # handleInvalid=skip drops the row -> the reference's flashed error
     assert not bad["ok"] and bad["message"] == "No valid data to predict on."
+
+
+def test_payload_sort_keys_are_none_safe():
+    """Null grouping values (null sub-agency, month, or even a null total)
+    must sort without TypeError — engine semantics: ASC NULLS FIRST,
+    DESC NULLS LAST."""
+    from bigdata_usaspending_spark.plans.serving import _asc_key, _desc_key
+
+    vals = ["beta", None, "alpha"]
+    assert sorted(vals, key=_asc_key) == [None, "alpha", "beta"]
+    months = [3, None, 1]
+    assert sorted(months, key=_asc_key) == [None, 1, 3]
+    totals = [5.0, None, 9.0]
+    assert sorted(totals, key=_desc_key) == [9.0, 5.0, None]

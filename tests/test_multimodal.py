@@ -118,3 +118,38 @@ def test_decode_real_png_header(spark):
     out = {r.media_id: r for r in mm.decode_image_meta(media).collect()}
     assert (out[1].width, out[1].height, out[1].ok) == (w, h, True)
     assert out[2].ok is False and out[3].ok is False
+
+
+def test_decode_one_pil_branch(monkeypatch):
+    """Both raster-decode branches: with PIL absent unknown formats report
+    ok=False; with a (faked) PIL present the decoder returns its dimensions,
+    and codec exceptions still degrade to ok=False instead of raising."""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"payload-bytes" * 3
+
+    # branch 1: no PIL -> undecodable, never raises
+    monkeypatch.setattr(mm, "_PIL_IMAGE", None)
+    assert mm._decode_one(jpeg_ish) == (len(jpeg_ish), 0, 0, False)
+
+    # branch 2: PIL present -> size reported
+    class _FakeImg:
+        size = (640, 480)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(fh):
+            if fh.read(4) != b"\xff\xd8\xff\xe0":
+                raise OSError("cannot identify image file")
+            return _FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_IMAGE", _FakePIL)
+    assert mm._decode_one(jpeg_ish) == (len(jpeg_ish), 640, 480, True)
+    # decode error degrades, not raises
+    assert mm._decode_one(b"not-an-image-at-all!") == (20, 0, 0, False)
+    # FAKE/PNG fast paths take precedence over PIL
+    assert mm._decode_one(mm.pack_fake_image(3, 4)) == (8, 3, 4, True)
