@@ -1,0 +1,145 @@
+"""Round-5 sf1-scale stress run (SCALE.md protocol).
+
+Builds a measurement-only 10x sf0.1 dataset in /tmp — documents and
+embeddings with SHIFTED ids and per-copy perturbation (one extra distinct
+token per copy / one vector component nudged), so the corpus is realistic
+near-dup-bearing rather than the round-4 copy-hostile one — then times the
+dedup/ANN family at both scales and prints the scaling exponent
+log10(t_10x / t_1x). Exponent ~1 = linear, >1 super-linear.
+
+Run: python scripts/stress_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.catalog import load
+from bigdata_usaspending_spark.operators import dedup, similarity
+from bigdata_usaspending_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+OUT = "/tmp/stress_sf1"
+COPIES = 10
+
+
+def build(spark) -> None:
+    docs = load(spark, SF01, "documents")
+    n_docs = docs.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("_c"))
+    (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("_c") * (n_docs * 10)).alias("doc_id"),
+            # copy 0 keeps the original text; other copies append one
+            # distinct token -> realistic near-dups, not exact copies
+            F.when(F.col("_c") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("v"), "_c")))
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/documents.parquet")
+    )
+    emb = load(spark, SF01, "embeddings")
+    n_emb = emb.count()
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("_c") * (n_emb * 10)).alias("vec_id"),
+            # nudge the first component per copy: near- but not exact-dup
+            F.when(F.col("_c") == 0, F.col("embedding"))
+            .otherwise(
+                F.concat(
+                    F.array(
+                        (F.element_at("embedding", 1) + F.col("_c").cast("float") / 1000.0).cast(
+                            "float"
+                        )
+                    ),
+                    F.slice("embedding", 2, 10_000),
+                )
+            )
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/embeddings.parquet")
+    )
+
+
+def workloads(spark, sf_dir: str) -> dict[str, float]:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        dt = round(time.perf_counter() - t0, 2)
+        print(f"  {name}: {dt} s ({n} rows)", flush=True)
+        return dt
+
+    out = {}
+    out["dedup_exact"] = timed("dedup_exact", lambda: dedup.exact_dedup_groups(docs, "doc_id"))
+    out["dedup_minhash_lsh"] = timed(
+        "dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    )
+    out["dedup_simhash"] = timed(
+        "dedup_simhash", lambda: dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
+    )
+    out["near_dedup_pipeline"] = timed(
+        "near_dedup_pipeline", lambda: dedup.near_dedup_pipeline(docs, "doc_id")
+    )
+    out["ann_brute_force"] = timed(
+        "ann_brute_force", lambda: similarity.brute_force_topk(data, qvec, k=10)
+    )
+    out["ann_rp_lsh"] = timed(
+        "ann_rp_lsh",
+        lambda: similarity.rp_lsh_topk(data, qvec, k=10, bucket_length=0.25, multiprobe=1),
+    )
+    out["ann_quantized"] = timed("ann_quantized", lambda: similarity.quantized_topk(data, qvec, k=10))
+
+    def pq():
+        cb = similarity.pq_train_driver(data, m=16, k=16, refine_iterations=1)
+        enc = similarity.pq_encode(data, cb, dsub=4)
+        return similarity.pq_topk(enc, cb, qvec, k=10, rerank_factor=8, dsub=4)
+
+    out["ann_pq"] = timed("ann_pq", pq)
+    out["maxsim"] = timed("maxsim", lambda: similarity.maxsim_topk(data, qvec, n_tokens=4, k=10))
+    return out
+
+
+def main() -> int:
+    spark = get_spark("stress-sf1")
+    print("building 10x dataset...", flush=True)
+    t0 = time.perf_counter()
+    build(spark)
+    print(f"built in {time.perf_counter() - t0:.1f} s", flush=True)
+
+    print("warm pass at sf0.1:", flush=True)
+    base = workloads(spark, SF01)
+    print("10x pass:", flush=True)
+    big = workloads(spark, OUT)
+    import math
+
+    report = {
+        k: {
+            "sf0.1_s": base[k],
+            "10x_s": big[k],
+            "ratio": round(big[k] / base[k], 2),
+            "exponent": round(math.log10(big[k] / base[k]), 2),
+        }
+        for k in base
+    }
+    print("STRESS " + json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
