@@ -79,9 +79,13 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        n = fn().count()
-        dt = round(time.perf_counter() - t0, 2)
+        # two trials, report the second: the first pays one-time JVM/codegen
+        # compile for the plan shape, which would otherwise swamp the
+        # scaling signal (exponents need warm-vs-warm)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn().count()
+            dt = round(time.perf_counter() - t0, 2)
         print(f"  {name}: {dt} s ({n} rows)", flush=True)
         return dt
 
