@@ -103,23 +103,50 @@ def dedup_against_index(
     index: DataFrame,
     id_col: str,
     text_col: str = "text",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental exact dedup: survivors of a NEW batch against an existing
     corpus fingerprint index (``fingerprint_index`` output).
 
     At 100 TB you never re-dedup the whole corpus per ingest — you keep the
-    fingerprint set as a table and dedup each batch against it: (1) anti-join
-    the batch's fingerprints against the index (drops docs already in the
-    corpus), then (2) min-id within-batch dedup of what remains (a batch can
-    carry internal duplicates the index has never seen). Cost: one shuffle
-    on fingerprint sized to the BATCH, plus the batch⋈index join — which
-    co-locates without a corpus-side shuffle when the index table is
-    bucketed by fingerprint. The streaming twin (stream_dedup_keyed) applies
-    the same key inside a watermark horizon; this is the batch/backfill
-    form. Union the survivors' fingerprints back into the index afterwards.
+    fingerprint set as a table and dedup each batch against it: (1) drop
+    batch docs whose fingerprint is already in the corpus, then (2) min-id
+    within-batch dedup of what remains (a batch can carry internal
+    duplicates the index has never seen). Union the survivors' fingerprints
+    back into the index afterwards. The streaming twin (stream_dedup_keyed)
+    applies the same key inside a watermark horizon; this is the
+    batch/backfill form.
+
+    Join strategy — the index is corpus-sized (billions of fingerprints at
+    100 TB) while a batch is an ingest increment, so a plain
+    ``batch ANTI index`` sort-merge join would shuffle the ENTIRE index for
+    every batch. With ``broadcast_batch=True`` (default) the plan inverts
+    the probe so the index is only ever scanned, never shuffled:
+
+    1. ``hits = index SEMI broadcast(batch fingerprints)`` — one pass over
+       the index with the batch's distinct fingerprint set (batch-sized,
+       tiny) broadcast to every scan task; output is at most batch-sized.
+    2. ``fresh = batch ANTI broadcast(hits)`` — batch keys not already in
+       the corpus; the broadcast side is bounded by the batch again.
+
+    Two BroadcastHashJoins, zero index-side Exchange (pinned by
+    tests/test_plans.py::test_incremental_dedup_never_shuffles_index).
+    Spark's runtime Bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default in
+    session.RUNTIME_CONFS) covers the same pattern probabilistically for
+    shuffle joins; the explicit inversion here is exact and also skips
+    parquet row groups whose fingerprint min/max miss the broadcast set.
+    Set ``broadcast_batch=False`` only for corpus-sized backfill "batches",
+    where the shuffled sort-merge anti-join against a
+    bucketed-by-fingerprint index is the right plan.
     """
     keyed = batch.select(F.col(id_col), fingerprint(text_col))
-    fresh = keyed.join(index, on="fingerprint", how="anti")
+    if broadcast_batch:
+        batch_fp = keyed.select("fingerprint").distinct()
+        hits = index.join(F.broadcast(batch_fp), on="fingerprint", how="semi")
+        fresh = keyed.join(F.broadcast(hits), on="fingerprint", how="anti")
+    else:
+        fresh = keyed.join(index, on="fingerprint", how="anti")
     keep = (
         fresh.groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col))

@@ -7,12 +7,15 @@ pandas functions over ``mapInPandas`` so each partition is processed as
 columnar batches (the only sane shape at 100 TB — per-row Python UDFs are
 10-100x slower).
 
-The actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_image_meta`` parses a deterministic fake header and
-``extract_features`` hashes bytes into a fixed-dim pseudo-embedding. The
-Spark-side contracts — schemas, batch iteration, partitioning, column
-pruning — are real and tested; swapping in PIL/ffmpeg later only changes the
-body of the pandas functions.
+Header-only metadata (dimensions, sample rate, duration) parses
+dependency-free for PNG / GIF / WebP / PCM-WAV straight from the public
+container specs; full raster decode falls back to PIL when installed and
+reports ok=False otherwise (this container has no codec libraries), and
+``extract_features`` hashes bytes into a fixed-dim pseudo-embedding where a
+real pipeline would run its vision/audio encoder. The Spark-side contracts —
+schemas, batch iteration, partitioning, column pruning — are real and
+tested; swapping in PIL/ffmpeg changes only the body of the pandas
+functions.
 """
 
 from __future__ import annotations
@@ -63,6 +66,18 @@ _FAKE_MAGIC = b"FAKE"
 # endian) — so width/height live at fixed offsets 16 and 20.
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
 
 def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
     """Build a fake media blob the stub decoder understands (test fixture)."""
@@ -83,6 +98,33 @@ def _load_pil():
 _PIL_IMAGE = _load_pil()
 
 
+def _webp_dims(content: bytes) -> tuple[int, int] | None:
+    """Dimensions from a WebP container (public spec: RIFF container,
+    'VP8 ' lossy / 'VP8L' lossless / 'VP8X' extended first chunk)."""
+    if len(content) < 25 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        return None
+    four_cc = content[12:16]
+    if (
+        four_cc == b"VP8 "
+        and len(content) >= 30
+        and content[23:26] == b"\x9d\x01\x2a"
+    ):
+        # lossy: 3-byte frame tag, 3-byte start code, then 14-bit u16le dims
+        w = struct.unpack("<H", content[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", content[28:30])[0] & 0x3FFF
+        return w, h
+    if four_cc == b"VP8L" and content[20] == 0x2F:
+        # lossless: signature byte then 14-bit width-1 / height-1 packed LE
+        bits = struct.unpack("<I", content[21:25])[0]
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if four_cc == b"VP8X" and len(content) >= 30:
+        # extended: 4 flag/reserved bytes, then 24-bit LE canvas dims - 1
+        w = int.from_bytes(content[24:27], "little") + 1
+        h = int.from_bytes(content[27:30], "little") + 1
+        return w, h
+    return None
+
+
 def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
     if content is None:
         return 0, 0, 0, False
@@ -100,6 +142,16 @@ def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
         w, h = struct.unpack(">II", content[16:24])
         if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
             return len(content), w, h, True
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF logical screen descriptor: u16le width at 6, height at 8
+        w, h = struct.unpack("<HH", content[6:10])
+        if w > 0 and h > 0:
+            return len(content), w, h, True
+    webp = _webp_dims(content)
+    if webp is not None:
+        w, h = webp
+        if w > 0 and h > 0:
+            return len(content), w, h, True
     # Full raster decode (JPEG/WebP/...) runs through PIL when it is
     # installed; in this container it is not, so blobs beyond the formats
     # above report undecodable. Either way a poisoned blob must not kill a
@@ -114,6 +166,80 @@ def _decode_one(content: bytes | None) -> tuple[int, int, int, bool]:
         except Exception:  # noqa: BLE001 — any codec failure means ok=False
             return len(content), 0, 0, False
     return len(content), 0, 0, False
+
+
+def pack_wav(
+    sample_rate: int, channels: int, bits_per_sample: int, n_frames: int
+) -> bytes:
+    """Minimal PCM WAV blob (header + zeroed data) — test fixture."""
+    block_align = channels * bits_per_sample // 8
+    data_len = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits_per_sample,
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(content: bytes | None) -> tuple[int, int, int, int, float, bool]:
+    """PCM WAV metadata via a real RIFF chunk walk (public spec). Returns
+    (byte_len, sample_rate, channels, bits_per_sample, duration_s, ok);
+    malformed blobs degrade to ok=False — a poisoned blob must not kill a
+    100-TB scan."""
+    if content is None:
+        return 0, 0, 0, 0, 0.0, False
+    n = len(content)
+    if n < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return n, 0, 0, 0, 0.0, False
+    pos = 12
+    sample_rate = channels = bits = 0
+    data_len = -1
+    while pos + 8 <= n:
+        tag = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 8 + 16 <= n:
+            _, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", content[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data_len = min(size, n - pos - 8)
+        pos += 8 + size + (size & 1)  # RIFF chunks are u16-aligned
+    block_align = channels * bits // 8
+    if sample_rate <= 0 or block_align <= 0 or data_len < 0:
+        return n, 0, 0, 0, 0.0, False
+    duration = (data_len // block_align) / float(sample_rate)
+    return n, sample_rate, channels, bits, duration, True
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """binary content -> (sample_rate, channels, bits, duration_s, ok) via
+    mapInPandas — the audio member of the multimodal family. WAV parses
+    dependency-free; compressed codecs (mp3/flac/ogg) need a decoder lib and
+    report ok=False in this container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_wav(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "bits_per_sample": [d[3] for d in decoded],
+                    "duration_s": [d[4] for d in decoded],
+                    "ok": [d[5] for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:

@@ -32,6 +32,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime Bloom-filter injection: for shuffle joins where one side is
+    # selective, the optimizer builds a Bloom filter on the small side and
+    # pushes it into the large side's scan — the probabilistic cousin of the
+    # explicit broadcast-semi inversion dedup.dedup_against_index uses. On
+    # by default since Spark 3.3; pinned here so the engine doesn't regress
+    # if a deployment profile flips the default.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # The synthetic events table stores its ts column as either
     # TIMESTAMP(NANOS) (older fixture generations — Spark's parquet reader
     # rejects nanos unless read as long via this conf) or TIMESTAMP(MICROS)

@@ -153,3 +153,73 @@ def test_decode_one_pil_branch(monkeypatch):
     assert mm._decode_one(b"not-an-image-at-all!") == (20, 0, 0, False)
     # FAKE/PNG fast paths take precedence over PIL
     assert mm._decode_one(mm.pack_fake_image(3, 4)) == (8, 3, 4, True)
+
+
+def test_decode_gif_and_webp_headers():
+    """Dependency-free GIF / WebP dimension parses against spec-built blobs."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert mm._decode_one(gif) == (len(gif), 320, 200, True)
+    # truncated GIF magic only -> undecodable
+    assert mm._decode_one(b"GIF89a")[3] is False
+
+    # VP8 lossy: RIFF header, 'VP8 ' chunk, 3-byte frame tag, start code,
+    # then 14-bit u16le dims
+    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 800, 600)
+    vp8 = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8_payload)) + b"WEBP"
+    vp8 += b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    assert mm._decode_one(vp8) == (len(vp8), 800, 600, True)
+
+    # VP8L lossless: 0x2F signature then packed 14-bit width-1/height-1
+    bits = (1023 - 1) | ((767 - 1) << 14)
+    vp8l_payload = b"\x2f" + struct.pack("<I", bits)
+    vp8l = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l_payload)) + b"WEBP"
+    vp8l += b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+    assert mm._decode_one(vp8l) == (len(vp8l), 1023, 767, True)
+
+    # VP8X extended: flags + reserved, then 24-bit LE canvas dims - 1
+    vp8x_payload = b"\x00\x00\x00\x00" + (4095).to_bytes(3, "little") + (
+        2159
+    ).to_bytes(3, "little")
+    vp8x = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8x_payload)) + b"WEBP"
+    vp8x += b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    assert mm._decode_one(vp8x) == (len(vp8x), 4096, 2160, True)
+
+    # corrupt container (WEBP tag missing) -> undecodable, never raises
+    bad = b"RIFF" + struct.pack("<I", 20) + b"NOPE" + b"\x00" * 20
+    assert mm._decode_one(bad)[3] is False
+
+
+def test_decode_audio_meta_wav(spark):
+    """decode_audio_meta: real RIFF chunk walk over Spark, malformed blobs
+    degrade to ok=False."""
+    wav = mm.pack_wav(sample_rate=16000, channels=2, bits_per_sample=16, n_frames=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio")), (3, None)],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in mm.decode_audio_meta(media).collect()}
+    row = out[1]
+    assert (row.sample_rate, row.channels, row.bits_per_sample, row.ok) == (
+        16000, 2, 16, True,
+    )
+    assert row.duration_s == 0.5
+    assert out[2].ok is False and out[3].ok is False
+
+    # chunk walk must skip unknown chunks before fmt/data (LIST etc.)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE"
+    body += b"LIST" + struct.pack("<I", 4) + b"INFO"      # skipped chunk
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4000) + b"\x00" * 4000
+    wav2 = b"RIFF" + struct.pack("<I", len(body)) + body
+    media2 = spark.createDataFrame(
+        [(9, bytearray(wav2))], "media_id long, content binary"
+    )
+    row2 = mm.decode_audio_meta(media2).collect()[0]
+    assert (row2.sample_rate, row2.channels, row2.duration_s, row2.ok) == (
+        8000, 1, 0.5, True,
+    )

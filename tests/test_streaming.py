@@ -371,3 +371,43 @@ def test_stream_near_dedup_minhash_lsh(spark, tmp_path):
     # a different shared band and suppress the whole cluster. Doc 4 collides
     # with nothing and survives; the sentinel's window never finalizes.
     assert kept == [1, 4]
+
+
+def test_rocksdb_state_backend_runs_stateful_query(spark, events_dir, events_schema):
+    """The RocksDB state backend (streaming.state) must actually drive a
+    stateful aggregation end-to-end — provider class resolution, rocksdbjni
+    loading, changelog checkpointing conf — and produce the same result as
+    the default HDFS backend."""
+    from bigdata_usaspending_spark.streaming import state
+
+    confs = state.rocksdb_state_confs(bounded_memory_mb=256)
+    assert confs["spark.sql.streaming.stateStore.providerClass"] == state.ROCKSDB_PROVIDER
+    assert confs["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] == "256"
+
+    state.enable_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == state.ROCKSDB_PROVIDER
+        )
+        stream = jobs.read_events_stream(spark, events_dir, events_schema)
+        q = jobs.run_to_memory(
+            jobs.stream_keyed_rollup(stream, "event_type"), "rocksdb_rollup",
+            output_mode="complete",
+        )
+        got = {
+            r.event_type: r.total_award_amount
+            for r in spark.table("rocksdb_rollup").collect()
+        }
+        q.stop()
+    finally:
+        state.disable_rocksdb_state(spark)
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.event_type: r.t
+        for r in batch.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("t"))
+        .collect()
+    }
+    assert got == expected
