@@ -21,7 +21,8 @@ _VERIFY_FIRST = [
     # plans/operators touched in round 5 (RP-LSH Arrow kernel, sessionize
     # read path, simhash kernel, minhash null handling, PQ stale-code guard,
     # dim-probe removal, serving sort, multimodal JPEG branch):
-    "q_ann_rp_lsh", "q_sessionize", "q_dedup_simhash", "q_dedup_minhash_lsh",
+    "q_ann_rp_lsh", "q_sessionize", "q_session_window", "q_dedup_simhash",
+    "q_dedup_minhash_lsh",
     "q_ann_pq_topk", "q_embedding_cosine_topk", "q_dashboard_payload",
     "q_multimodal_bytes", "q_dedup_incremental",
     # oldest greens (last checked r2/r3) rotated back for re-verification:
@@ -34,7 +35,7 @@ _VERIFY_FIRST = [
     "q_union_branches", "q_cast_to_date", "q_dedup_exact",
     "q_dedup_ngram_jaccard", "q_decontaminate", "q_dedup_embedding",
     "q_pack_sequences", "q_training_data_pipeline", "q_window_tumbling",
-    "q_text_quality", "q_text_langid", "q_text_tokens", "q_doc_fingerprint",
+    "q_text_quality", "q_text_langid", "q_text_tokens",
 ]
 
 

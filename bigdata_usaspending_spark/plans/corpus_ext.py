@@ -449,6 +449,36 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via the NATIVE session-window operator
+    (F.session_window, gap 30 min): one shuffle on user_id with in-partition
+    session merging, versus the two-pass lag + cumulative-sum formulation of
+    q_sessionize (window shuffle + re-agg shuffle). Batch twin of
+    streaming/jobs.stream_sessionize, so batch backfill and the streaming
+    job share one session definition. Boundary semantics are the operator's:
+    a session's end is exclusive, so a gap >= the timeout opens a new
+    session (q_sessionize's hand-rolled flag uses strict >)."""
+    ev = load(_prep(spark), sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sess"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sess.start").alias("session_start_us"),
+            "n_events",
+            "duration_s",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
@@ -477,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
+    "q_session_window": q_session_window,
 }
 
 ROWS_ONLY_QUERIES = {
@@ -1188,5 +1219,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, session_idx, count(*) AS n_events,
                CAST(max(ms) - min(ms) AS DOUBLE) / 1000.0 AS duration_s
         FROM sessions GROUP BY user_id, session_idx
+    """,
+    # session_window semantics: the window end is EXCLUSIVE, so a gap equal
+    # to the 30-minute timeout opens a new session (>=, not >), and the
+    # comparison happens at the store's full microsecond precision.
+    "q_session_window": """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL
+        ),
+        flagged AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+                       AS new_session
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, us,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS si
+            FROM flagged
+        )
+        SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+               CAST(max(us) - min(us) AS DOUBLE) / 1000000.0 AS duration_s
+        FROM sessions GROUP BY user_id, si
     """,
 }
