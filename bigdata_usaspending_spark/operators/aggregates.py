@@ -148,6 +148,58 @@ def pearson_corr(df: DataFrame, x: str, y: str, alias: str) -> DataFrame:
     return agg.select((num / den).alias(alias))
 
 
+def hll_distinct_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fine_col,
+    lgk: int = 14,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Mergeable-sketch COUNT DISTINCT (Apache DataSketches HLL) with an
+    exact audit.
+
+    The 100-TB story for distinct counting is NOT ``countDistinct`` (which
+    shuffles every distinct value) but a mergeable sketch: bounded
+    ``O(2^lgk)`` state per group, map-side partial aggregation, and — the
+    property exact counts lack — reusable partial results: sketches built
+    per (group, fine) bucket (e.g. per day/partition) can be stored and
+    later ``hll_union_agg``-merged to any coarser rollup without rescanning
+    the facts. HLL registers are max-based, so the merged estimate is
+    insensitive to how the data was split.
+
+    This operator exercises BOTH paths — a direct per-group sketch and a
+    union of per-(group, fine) sketches — and returns, per group, the exact
+    distinct count plus booleans asserting each estimate lands within
+    ``rel_err`` of it. The exact count exists here as the oracle-verifiable
+    witness; a production pipeline would emit the estimates alone.
+    """
+    fine = fine_col if not isinstance(fine_col, str) else F.col(fine_col)
+    direct = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lgk))).alias("_est_d"),
+    )
+    merged = (
+        df.groupBy(F.col(group_col), fine.alias("_fine"))
+        .agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("_sk"))
+        .groupBy(group_col)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_m"))
+    )
+    tol = F.lit(float(rel_err))
+    within = lambda est: (  # noqa: E731 — tiny local predicate
+        F.abs(est.cast("double") / F.col("exact_distinct").cast("double") - 1.0) <= tol
+    )
+    return (
+        direct.join(merged, [group_col])
+        .select(
+            group_col,
+            "exact_distinct",
+            within(F.col("_est_d")).alias("est_direct_ok"),
+            within(F.col("_est_m")).alias("est_merged_ok"),
+        )
+    )
+
+
 def rollup_two_level(
     df: DataFrame,
     key1: str,

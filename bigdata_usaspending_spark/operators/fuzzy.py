@@ -1,0 +1,112 @@
+"""Fuzzy string matching / entity resolution.
+
+The reference matches recipient and agency records only by exact string
+equality (e.g. the groupBy keys in app/spark_cassandra_etl_award_amount_aggregator.py
+and the dict lookups in app/fetch_recipient_name_geo_data.py:99-105), so any
+typo'd or OCR-damaged name silently becomes a distinct entity.  This module
+adds the similarity-join the reference lacks: all record pairs within a small
+edit distance, without the quadratic all-pairs comparison.
+
+Algorithm (FastSS deletion neighborhoods, Bocek et al. 2007):
+for ``levenshtein(a, b) <= 1`` it is necessary that the deletion
+neighborhoods of ``a`` and ``b`` intersect — i.e. ``a == b``, or ``a`` equals
+``b`` with one character deleted (or vice versa), or deleting one character
+from EACH yields the same string.  So each row emits its string plus every
+single-character-deletion variant (``len+1`` keys), candidates are the pairs
+sharing a variant (an equality join Catalyst shuffles on the variant string),
+and a final banded ``levenshtein(a, b, threshold)`` pass removes the
+false positives the del-del case admits (it can reach distance 2).
+
+Scale shape: the variant explode is linear — ``O(len+1)`` rows per input row
+— and candidate blocks are as small as the variant-key entropy allows: unlike
+prefix blocking, a shared constant prefix (every customer name starts with
+``Customer#``) creates NO quadratic block, because a full deletion variant
+still carries the discriminating tail.  Worst-case skew is a run of IDENTICAL
+strings (their shared full-string key forms a clique); that clique is exactly
+the exact-duplicate set a dedup pass upstream removes.  The method targets
+short entity strings (names, codes, titles ~10-100 chars); for long texts use
+the MinHash/SimHash family in operators/dedup.py, and for edit distance k>=2
+the segment-based PassJoin generalization of the same blocking idea.
+
+Everything stays in whole-stage codegen: variants are built with
+``explode(sequence(...))`` + ``substring`` arithmetic (no interpreted
+higher-order functions — the round-4 lesson), and verification uses the
+threshold form of ``levenshtein`` which abandons a pair once the running
+distance exceeds the band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(
+    df: DataFrame, id_col: str, str_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode each row into its FastSS order-1 deletion neighborhood.
+
+    Emits one row per (original string + each single-deletion variant):
+    ``i = 0`` keeps the string intact, ``i = 1..len`` deletes the i-th
+    character.  NULL strings produce no variants (no match semantics).
+    """
+    s = F.col(str_col)
+    base = df.where(s.isNotNull()).select(
+        F.col(id_col), s.alias("_s"), *[F.col(c) for c in keep_cols]
+    )
+    exploded = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.length("_s"))).alias("_i")
+    )
+    variant = F.when(F.col("_i") == 0, F.col("_s")).otherwise(
+        F.concat(
+            F.expr("substring(_s, 1, _i - 1)"),
+            F.expr("substring(_s, _i + 1, length(_s) - _i)"),
+        )
+    )
+    return exploded.select(
+        F.col(id_col), F.col("_s"), *keep_cols, variant.alias("_variant")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self similarity-join: all pairs with ``levenshtein <= max_dist``.
+
+    Returns ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``.
+    Only ``max_dist=1`` is implemented (the order-1 deletion neighborhood);
+    the candidate set is provably complete for distance <= 1 and the final
+    banded-levenshtein filter makes emitted pairs exact.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_pairs implements max_dist=1 (FastSS order-1 "
+            "neighborhood); use segment blocking (PassJoin) for larger k"
+        )
+    va = deletion_variants(df, id_col, str_col)
+    a = va.select(
+        F.col(id_col).alias("id_a"), F.col("_s").alias("name_a"), "_variant"
+    )
+    b = va.select(
+        F.col(id_col).alias("id_b"), F.col("_s").alias("name_b"), "_variant"
+    )
+    cand = (
+        a.join(b, ["_variant"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair sharing several variants (e.g. equal strings share all of
+        # them) must surface once, not once per shared variant
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b", max_dist)
+    return (
+        cand.withColumn("dist", dist)
+        # threshold form returns -1 when the banded scan exceeds max_dist
+        .where(F.col("dist") >= 0)
+        .select(
+            "id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist")
+        )
+    )

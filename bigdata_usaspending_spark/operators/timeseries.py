@@ -214,3 +214,41 @@ def ewma_monthly(
     return series.select(
         key, F.size("pm").cast("int").alias("n_periods"), ew.alias("ewma")
     ).orderBy(key)
+
+
+def active_intervals_by_month(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    amount_col: str | None = None,
+) -> DataFrame:
+    """Interval-overlap aggregation: for every calendar month, how many
+    ``[start, end]`` intervals overlap it (and optionally the exact-decimal
+    sum of ``amount_col`` over those intervals).
+
+    This is the scale-safe formulation of the interval/temporal join the
+    reference could not express at all: instead of a non-equi theta join
+    (``month BETWEEN start AND end`` — which Spark can only execute as a
+    broadcast nested loop), each interval is EXPLODED into the months it
+    covers via ``sequence(date_trunc(start), date_trunc(end), 1 month)``
+    and the overlap count becomes a plain hash aggregation on the month.
+    Cost is linear in (rows x months-per-interval); the same bin-explode
+    trick generalizes to any band/overlap join where one side's ranges are
+    bounded (explode to fixed-width bins, equi-join on bin, post-filter the
+    exact predicate). Intervals with ``end < start`` or NULL endpoints are
+    dropped (no well-defined coverage).
+    """
+    start = F.date_trunc("month", F.col(start_col))
+    end = F.date_trunc("month", F.col(end_col))
+    spans = df.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    ).select(
+        F.explode(F.sequence(start, end, F.expr("interval 1 month"))).alias("month"),
+        *([F.col(amount_col)] if amount_col else []),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_active")]
+    if amount_col:
+        aggs.append(exact_sum(amount_col, "open_amount"))
+    return spans.groupBy("month").agg(*aggs)

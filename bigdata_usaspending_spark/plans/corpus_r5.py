@@ -1,0 +1,203 @@
+"""Corpus wave 5: entity resolution, sketch aggregates, interval overlap,
+and the remaining rank/string-agg SQL surface.
+
+The reference's analytics treat every distinct string as a distinct entity
+(exact-equality groupBy keys), count distincts exactly with one job per
+column (app/machine_learning_models.py:159-167), and have no temporal
+overlap view at all. This wave adds the operators a warehouse actually
+runs at scale for those jobs:
+
+- ``q_fuzzy_name_pairs``     — edit-distance<=1 similarity self-join via
+  FastSS deletion-neighborhood blocking (operators/fuzzy.py) — linear
+  candidate generation, no quadratic block even under shared prefixes.
+- ``q_hll_distinct``         — mergeable DataSketches HLL distinct counts
+  (direct AND partial-sketch-union paths) audited against the exact count;
+  the booleans are oracle-verified so a silent estimator drift turns the
+  gate red.
+- ``q_orders_open_by_month`` — interval-overlap aggregation (orders open
+  between order date and last shipment) via bin-explode, replacing the
+  broadcast-nested-loop a BETWEEN theta-join would force.
+- ``q_window_rank_family``   — rank / dense_rank / percent_rank /
+  cume_dist in one window (SURVEY §2.5 rank surface).
+- ``q_string_agg_per_nation`` — deterministic ordered string aggregation
+  (listagg) per dimension key.
+
+Same determinism contract as plans/corpus.py: exact-decimal money sums via
+the VARCHAR hop, rank family over a total order or tie-invariant outputs,
+sorted collect_list so aggregation order never leaks into results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import fuzzy, timeseries
+from ..operators.aggregates import hll_distinct_audit
+from ..operators.joins import join_dim_fact
+from ..session import apply_runtime_confs
+from .corpus import SUM2
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return apply_runtime_confs(spark)
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1 — the typo-tolerant
+    entity match the reference's exact-equality grouping lacks. Candidate
+    generation is the order-1 deletion neighborhood (len+1 keys/row, an
+    equality join), never the all-pairs product."""
+    cust = load(_prep(spark), sf, "customer")
+    return fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct customers per order priority via mergeable HLL sketches —
+    both the direct per-group sketch and the union of per-month partial
+    sketches — each asserted within 5% of the exact count (lgk=14 keeps the
+    expected error ~0.4%, so the tolerance still catches a broken merge
+    while never flaking). The exact count doubles as the oracle witness."""
+    orders = load(_prep(spark), sf, "orders")
+    return hll_distinct_audit(
+        orders,
+        "o_orderpriority",
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")),
+        lgk=14,
+        rel_err=0.05,
+    ).orderBy("o_orderpriority")
+
+
+def q_orders_open_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders in flight per calendar month (open from order date until the
+    last line shipment): interval-overlap aggregation by month bin-explode
+    — linear in (orders x months open), one hash agg, no theta join."""
+    spark = _prep(spark)
+    last_ship = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_last_ship"))
+    )
+    orders = load(spark, sf, "orders")
+    iv = orders.join(
+        last_ship, orders["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        "o_orderdate",
+        F.greatest("_last_ship", "o_orderdate").alias("_end"),
+        "o_totalprice",
+    )
+    return timeseries.active_intervals_by_month(
+        iv, "o_orderdate", "_end", "o_totalprice"
+    )
+
+
+def q_window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The full rank-function surface in ONE window pass: rank, dense_rank,
+    percent_rank, cume_dist of order totals within each priority, keeping
+    each priority's 3 cheapest ranks (ties included, so the result set is
+    tie-invariant and deterministic)."""
+    orders = load(_prep(spark), sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"))
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+    return ranked.where(F.col("rnk") <= 3)
+
+
+def q_string_agg_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (listagg): customer roster per nation as a
+    comma-joined, lexically sorted string. collect_list order is execution
+    dependent, so the sort inside the aggregate is what makes the value
+    deterministic; the dim join broadcasts."""
+    spark = _prep(spark)
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = join_dim_fact(cust, nation, "c_nationkey")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "q_hll_distinct": q_hll_distinct,
+    "q_orders_open_by_month": q_orders_open_by_month,
+    "q_window_rank_family": q_window_rank_family,
+    "q_string_agg_per_nation": q_string_agg_per_nation,
+}
+
+ROWS_ONLY_QUERIES: set[str] = set()
+
+ORACLE_SQL: dict[str, str] = {
+    "q_fuzzy_name_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+    "q_hll_distinct": """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_distinct,
+       true AS est_direct_ok,
+       true AS est_merged_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "q_orders_open_by_month": f"""
+WITH ls AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+    SELECT o.o_orderdate AS s,
+           greatest(ls.last_ship, o.o_orderdate) AS e,
+           o.o_totalprice
+    FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+),
+m AS (
+    SELECT unnest(generate_series(date_trunc('month', s),
+                                  date_trunc('month', e),
+                                  INTERVAL 1 MONTH)) AS month,
+           o_totalprice
+    FROM iv
+)
+SELECT month, COUNT(*) AS n_active,
+       {SUM2.format(c='o_totalprice')} AS open_amount
+FROM m GROUP BY month
+""",
+    "q_window_rank_family": """
+WITH ranked AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rank() OVER win AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER win AS INTEGER) AS drnk,
+           percent_rank() OVER win AS prnk,
+           cume_dist() OVER win AS cdist
+    FROM orders
+    WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+)
+SELECT * FROM ranked WHERE rnk <= 3
+""",
+    "q_string_agg_per_nation": """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_name ASC) AS names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+}

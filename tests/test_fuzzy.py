@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.operators import fuzzy, timeseries
+from bigdata_usaspending_spark.operators.aggregates import hll_distinct_audit
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NAMES = [
+    (0, "Customer#000000001"),
+    (1, "Customer#000000002"),   # substitution of 0 at one position
+    (2, "Customer#00000001"),    # deletion vs 0
+    (3, "Customer#0000000011"),  # insertion vs 0
+    (4, "Customer#000000001"),   # exact duplicate of 0
+    (5, "totally different"),
+    (6, "Xustomer#000000901"),   # distance 2 from 0 — must NOT pair with it
+    (7, None),                   # null string: no pairs
+    (8, ""),                     # empty string
+    (9, "a"),                    # 1 char: pairs with "" (one deletion)
+]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy.edit_distance_pairs(df, "id", "name").collect()
+    }
+    want = set()
+    for i, a in NAMES:
+        for j, b in NAMES:
+            if i < j and a is not None and b is not None and _lev(a, b) <= 1:
+                want.add((i, j, _lev(a, b)))
+    assert got == want
+    assert (0, 4, 0) in got      # exact duplicates surface with dist 0
+    assert (8, 9, 1) in got      # empty vs 1-char
+    assert not any(i == 6 or j == 6 for i, j, _ in got)  # distance-2 excluded
+
+
+def test_edit_distance_pairs_no_quadratic_plan(spark):
+    """Shared constant prefixes must not create a nested-loop/cartesian
+    block: the candidate join is an equi-join on the deletion variant."""
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    plan = fuzzy.edit_distance_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deletion_variants_shape(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, name string")
+    rows = fuzzy.deletion_variants(df, "id", "name").collect()
+    assert sorted(r["_variant"] for r in rows) == ["ab", "abc", "ac", "bc"]
+
+
+def test_edit_distance_pairs_rejects_large_k(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, name string")
+    try:
+        fuzzy.edit_distance_pairs(df, "id", "name", max_dist=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_hll_distinct_audit_exact_and_within_tolerance(spark):
+    rows = [(k % 3, k % 50, k % 7) for k in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v int, fine int")
+    out = hll_distinct_audit(df, "g", "v", "fine").collect()
+    assert len(out) == 3
+    for r in out:
+        # every group sees all 50 distinct values (2000 rows, coprime cycles)
+        assert r["exact_distinct"] == 50
+        assert r["est_direct_ok"] and r["est_merged_ok"]
+
+
+def test_active_intervals_by_month_counts(spark):
+    d = datetime.date
+    rows = [
+        (d(2020, 1, 10), d(2020, 3, 5), 10.0),   # Jan, Feb, Mar
+        (d(2020, 2, 1), d(2020, 2, 28), 5.0),    # Feb only
+        (d(2020, 3, 1), d(2020, 1, 1), 99.0),    # end < start: dropped
+        (None, d(2020, 1, 1), 7.0),              # null start: dropped
+    ]
+    df = spark.createDataFrame(rows, "s date, e date, amt double")
+    out = {
+        r["month"].strftime("%Y-%m"): (r["n_active"], float(r["open_amount"]))
+        for r in timeseries.active_intervals_by_month(df, "s", "e", "amt").collect()
+    }
+    assert out == {
+        "2020-01": (1, 10.0),
+        "2020-02": (2, 15.0),
+        "2020-03": (1, 10.0),
+    }
+
+
+def test_active_intervals_without_amount(spark):
+    d = datetime.date
+    df = spark.createDataFrame([(d(2020, 1, 1), d(2020, 1, 31))], "s date, e date")
+    out = timeseries.active_intervals_by_month(df, "s", "e").collect()
+    assert len(out) == 1 and out[0]["n_active"] == 1
+    assert out[0].asDict().keys() == {"month", "n_active"}
