@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _ensure_parallelism
+
 
 def deletion_variants(
     df: DataFrame, id_col: str, str_col: str, keep_cols: tuple[str, ...] = ()
@@ -87,8 +89,15 @@ def edit_distance_pairs(
             "neighborhood); use segment blocking (PassJoin) for larger k"
         )
     va = deletion_variants(df, id_col, str_col)
-    a = va.select(
-        F.col(id_col).alias("id_a"), F.col("_s").alias("name_a"), "_variant"
+    # The verify-side levenshtein runs inside the candidate join; when the
+    # input arrives as one small-file scan partition that join would run on
+    # a single task (measured ~4 s at sf0.1 on one core). Spread the PROBE
+    # side across the scheduler parallelism — a no-op at production scale
+    # where the scan already has more partitions than cores.
+    a = _ensure_parallelism(
+        va.select(
+            F.col(id_col).alias("id_a"), F.col("_s").alias("name_a"), "_variant"
+        )
     )
     b = va.select(
         F.col(id_col).alias("id_b"), F.col("_s").alias("name_b"), "_variant"

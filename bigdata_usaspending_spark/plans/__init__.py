@@ -18,9 +18,11 @@ _VERIFY_FIRST = [
     "q_maxsim_topk", "q_tpch_q6_shape", "q_tpch_q12_shape",
     "q_temperature_mix", "q_mad_outliers", "q_ewma_monthly",
     "q_quantile_summary",
-    # new in round 5 (plans/corpus_r5.py):
+    # new in round 5 (plans/corpus_r5.py, plans/corpus_tpch2.py):
     "q_fuzzy_name_pairs", "q_hll_distinct", "q_orders_open_by_month",
     "q_window_rank_family", "q_string_agg_per_nation",
+    "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
+    "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q22_shape",
     # plans/operators touched in round 5 (RP-LSH Arrow kernel, sessionize
     # read path, simhash kernel, minhash null handling, PQ stale-code guard,
     # dim-probe removal, serving sort, multimodal JPEG branch):
@@ -35,12 +37,12 @@ _VERIFY_FIRST = [
     "q_value_counts", "q_approx_median", "q_describe_stats", "q_corr",
     "q_rollup_two_level", "q_orderby_desc", "q_topk", "q_topn_frequency",
     "q_orderby_asc", "q_first_row", "q_window_topk_per_group",
-    "q_union_branches", "q_cast_to_date", "q_dedup_exact",
-    "q_dedup_ngram_jaccard", "q_decontaminate", "q_dedup_embedding",
-    "q_pack_sequences",
-    # (q_training_data_pipeline, q_window_tumbling, q_text_quality,
+    "q_union_branches",
+    # (q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
+    # q_decontaminate, q_dedup_embedding, q_pack_sequences,
+    # q_training_data_pipeline, q_window_tumbling, q_text_quality,
     # q_text_langid, q_text_tokens displaced to the round-6 rotation by the
-    # five new round-5 queries — the window holds 50.)
+    # eleven new round-5 queries — the window holds 50.)
 ]
 
 
@@ -48,7 +50,7 @@ def all_queries():
     """Merged registry: reference-parity corpus + training-data extensions
     + the generalized operator surface, ordered so the external gate's
     50-entry verification window rotates over not-yet-checked queries."""
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_ts
+    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
 
     merged = dict(corpus.QUERIES)
     merged.update(corpus_ext.QUERIES)
@@ -56,13 +58,14 @@ def all_queries():
     merged.update(corpus_llm.QUERIES)
     merged.update(corpus_ts.QUERIES)
     merged.update(corpus_r5.QUERIES)
+    merged.update(corpus_tpch2.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
     ordered.update(merged)
     return ordered
 
 
 def all_oracles():
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_ts
+    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
 
     merged = dict(corpus.ORACLE_SQL)
     merged.update(corpus_ext.ORACLE_SQL)
@@ -70,11 +73,12 @@ def all_oracles():
     merged.update(corpus_llm.ORACLE_SQL)
     merged.update(corpus_ts.ORACLE_SQL)
     merged.update(corpus_r5.ORACLE_SQL)
+    merged.update(corpus_tpch2.ORACLE_SQL)
     return merged
 
 
 def rows_only_queries():
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_ts
+    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
 
     return (
         set(corpus.ROWS_ONLY_QUERIES)
@@ -83,4 +87,5 @@ def rows_only_queries():
         | set(corpus_llm.ROWS_ONLY_QUERIES)
         | set(corpus_ts.ROWS_ONLY_QUERIES)
         | set(corpus_r5.ROWS_ONLY_QUERIES)
+        | set(corpus_tpch2.ROWS_ONLY_QUERIES)
     )

@@ -224,3 +224,42 @@ def test_incremental_dedup_never_shuffles_index(spark, sf, tmp_path):
         ).collect()
     )
     assert a == b and a
+
+
+def test_tpch2_shapes_broadcast_and_join_strategies(spark, sf):
+    from bigdata_usaspending_spark.plans import corpus_tpch2
+
+    # Q14/Q19: the part dim must broadcast; the lineitem side never sorts
+    for q in (corpus_tpch2.q_tpch_q14_shape, corpus_tpch2.q_tpch_q19_shape):
+        plan = _plan(q(spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    # Q22: dormant check is a real anti-join, not a NOT EXISTS re-scan
+    plan = _plan(corpus_tpch2.q_tpch_q22_shape(spark, sf))
+    assert "LeftAnti" in plan
+    # Q13: zero-order customers require an outer join
+    plan = _plan(corpus_tpch2.q_tpch_q13_shape(spark, sf))
+    assert "LeftOuter" in plan
+
+
+def test_tpch_q15_scans_lineitem_once(spark, sf):
+    from bigdata_usaspending_spark.plans import corpus_tpch2
+
+    plan = _plan(corpus_tpch2.q_tpch_q15_shape(spark, sf))
+    # the revenue view feeds both the max scalar and the winner filter; the
+    # fact scan must appear at most twice (view + scalar reuse), and the
+    # scalar max must come back as a broadcast, never a sort-merge side
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_probe_side_parallelized(spark, sf):
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import fuzzy
+
+    cust = load(spark, sf, "customer")
+    df = fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name")
+    plan = _plan(df)
+    # single-small-file scans must not serialize the verify join on one task
+    assert "RoundRobinPartitioning" in plan
+    assert "CartesianProduct" not in plan
