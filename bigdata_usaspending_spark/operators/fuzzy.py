@@ -70,6 +70,57 @@ def deletion_variants(
     )
 
 
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record-linkage join: rows of ``left`` matched to rows of ``right``
+    within ``levenshtein <= max_dist`` (the dirty-table -> canonical-table
+    direction of entity resolution).
+
+    Returns ``(left_id, right_id, left_str, right_str, dist)``. Same
+    FastSS order-1 blocking and banded verification as
+    ``edit_distance_pairs``; both deletion neighborhoods are linear in
+    their input, and the candidate equi-join shuffles on the variant key.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_join implements max_dist=1 (FastSS order-1 "
+            "neighborhood); use segment blocking (PassJoin) for larger k"
+        )
+    if len({left_id, left_str, right_id, right_str}) != 4:
+        raise ValueError(
+            "left/right id and string column names must be distinct in the "
+            "output; alias one side before joining"
+        )
+    a = _ensure_parallelism(
+        deletion_variants(left, left_id, left_str).select(
+            F.col(left_id).alias("_lid"), F.col("_s").alias("_ls"), "_variant"
+        )
+    )
+    b = deletion_variants(right, right_id, right_str).select(
+        F.col(right_id).alias("_rid"), F.col("_s").alias("_rs"), "_variant"
+    )
+    cand = a.join(b, ["_variant"]).select("_lid", "_rid", "_ls", "_rs").distinct()
+    dist = F.levenshtein("_ls", "_rs", max_dist)
+    return (
+        cand.withColumn("_d", dist)
+        .where(F.col("_d") >= 0)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_ls").alias(left_str),
+            F.col("_rs").alias(right_str),
+            F.col("_d").cast("int").alias("dist"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -110,3 +110,36 @@ def test_active_intervals_without_amount(spark):
     out = timeseries.active_intervals_by_month(df, "s", "e").collect()
     assert len(out) == 1 and out[0]["n_active"] == 1
     assert out[0].asDict().keys() == {"month", "n_active"}
+
+
+def test_edit_distance_join_links_dirty_to_canonical(spark):
+    canonical = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue gadget"), (3, "green gizmo")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "red widget"),    # exact
+            (11, "red widgets"),   # insertion
+            (12, "blu gadget"),    # deletion
+            (13, "green gizmos"),  # insertion
+            (14, "purple thing"),  # no match
+        ],
+        "did long, dname string",
+    )
+    got = {
+        (r["did"], r["cid"], r["dist"])
+        for r in fuzzy.edit_distance_join(
+            dirty, canonical, "did", "dname", "cid", "cname"
+        ).collect()
+    }
+    assert got == {(10, 1, 0), (11, 1, 1), (12, 2, 1), (13, 3, 1)}
+
+
+def test_edit_distance_join_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    try:
+        fuzzy.edit_distance_join(df, df, "id", "name", "id", "name")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
