@@ -75,3 +75,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every catalog table as a temp view so the full corpus is
+    queryable through plain ``spark.sql`` — the surface a SQL-first user of
+    the reference's CQL shell would reach for. Views are lazy: nothing is
+    scanned until a query runs, and every ``spark.sql`` plan gets the same
+    Catalyst pushdown/pruning as the DataFrame API (they compile to the
+    same logical plans)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)

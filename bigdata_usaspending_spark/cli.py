@@ -50,6 +50,14 @@ def _parser() -> argparse.ArgumentParser:
         help="write the annotated correlation heatmap SVG here "
         "(reference: static/images/correlation_heatmap.png)",
     )
+
+    q = sub.add_parser(
+        "sql", help="run ANSI SQL over the star-schema views (ad-hoc surface)"
+    )
+    q.add_argument("--sf-dir", required=True, help="directory of *.parquet tables")
+    q.add_argument("--query", required=True, help="SQL text; tables are view names")
+    q.add_argument("--output", default=None, help="write result parquet here")
+    q.add_argument("--limit", type=int, default=20, help="rows to print without --output")
     return p
 
 
@@ -96,6 +104,20 @@ def main(argv: list[str] | None = None) -> int:
             f"auc={result.classification_auc:.4f} "
             f"centers={len(result.cluster_centers)} -> {args.models_dir}"
         )
+        return 0
+
+    if args.job == "sql":
+        from .catalog import register_views
+        from .session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        register_views(spark, args.sf_dir)
+        out = spark.sql(args.query)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
+        else:
+            out.show(args.limit, truncate=False)
         return 0
     return 2
 

@@ -18,7 +18,8 @@ import time
 from pyspark.sql import functions as F
 
 from bigdata_usaspending_spark.catalog import load
-from bigdata_usaspending_spark.operators import dedup, similarity
+from bigdata_usaspending_spark.operators import dedup, fuzzy, similarity, timeseries
+from bigdata_usaspending_spark.operators.aggregates import hll_distinct_audit
 from bigdata_usaspending_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
@@ -71,6 +72,48 @@ def build(spark) -> None:
         .parquet(f"{OUT}/embeddings.parquet")
     )
 
+    # relational 10x: customers with digit-perturbed name copies (realistic
+    # fuzzy near-dup names) and orders with shifted keys for the sketch /
+    # interval workloads
+    cust = load(spark, SF01, "customer")
+    n_cust = cust.count()
+    (
+        cust.crossJoin(copies)
+        .select(
+            (F.col("c_custkey") + F.col("_c") * (n_cust * 10)).alias("c_custkey"),
+            # copy 0 keeps the name; others append one letter -> each copy is
+            # a distance-1 insertion neighbor of the original and a
+            # distance-1 substitution neighbor of its sibling copies, WITHOUT
+            # colliding across customers (substituting the shared last-digit
+            # position instead collapses whole id-decades onto 10 identical
+            # strings -> degenerate exact-dup cliques and a quadratic result)
+            F.when(F.col("_c") == 0, F.col("c_name"))
+            .otherwise(
+                F.concat(
+                    F.col("c_name"),
+                    F.char(F.lit(96) + F.col("_c")),  # 'a'..'i'
+                )
+            )
+            .alias("c_name"),
+            *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/customer.parquet")
+    )
+    orders = load(spark, SF01, "orders")
+    n_ord = orders.count()
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("_c") * (n_ord * 10)).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/orders.parquet")
+    )
+
 
 def workloads(spark, sf_dir: str) -> dict[str, float]:
     docs = load(spark, sf_dir, "documents")
@@ -116,6 +159,29 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["ann_pq"] = timed("ann_pq", pq)
     out["maxsim"] = timed("maxsim", lambda: similarity.maxsim_topk(data, qvec, n_tokens=4, k=10))
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    out["fuzzy_pairs"] = timed(
+        "fuzzy_pairs", lambda: fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name")
+    )
+    out["hll_distinct"] = timed(
+        "hll_distinct",
+        lambda: hll_distinct_audit(
+            orders, "o_orderpriority", "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")),
+        ),
+    )
+    out["interval_overlap"] = timed(
+        "interval_overlap",
+        lambda: timeseries.active_intervals_by_month(
+            orders.select(
+                "o_orderdate",
+                F.date_add(F.col("o_orderdate"), 90).alias("_end"),
+                "o_totalprice",
+            ),
+            "o_orderdate", "_end", "o_totalprice",
+        ),
+    )
     return out
 
 

@@ -62,3 +62,23 @@ def test_rollup_cli_rejects_bad_aggregator(awards_path, geo_path, tmp_path):
     # argparse choices validation, as in the reference (:100-116)
     assert proc.returncode == 2
     assert "invalid choice" in proc.stderr
+
+
+def test_cli_sql_prints_and_writes(tmp_path):
+    res = _run(
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "1-URGENT" in res.stdout
+
+    out = str(tmp_path / "sql_out")
+    res = _run(
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query", "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "--output", out,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "wrote 1 rows" in res.stdout

@@ -167,3 +167,40 @@ def test_minhash_family_matches_python_reference(spark, hash_lists):
             for j in range(num_hashes)
         ]
         assert got[i] == expected
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_names = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@given(names=st.lists(_names, min_size=2, max_size=12))
+@SLOW
+def test_edit_distance_pairs_complete_and_exact(spark, names):
+    """FastSS blocking must be COMPLETE for levenshtein<=1 (no candidate
+    lost to blocking) and the banded verify EXACT (no false pair kept) —
+    checked against a quadratic DP reference over adversarially short,
+    low-alphabet strings (maximal collision pressure on the variant keys)."""
+    from bigdata_usaspending_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+    want = {
+        (i, j, _lev_ref(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev_ref(a, b) <= 1
+    }
+    assert got == want
