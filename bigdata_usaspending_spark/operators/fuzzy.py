@@ -25,8 +25,10 @@ still carries the discriminating tail.  Worst-case skew is a run of IDENTICAL
 strings (their shared full-string key forms a clique); that clique is exactly
 the exact-duplicate set a dedup pass upstream removes.  The method targets
 short entity strings (names, codes, titles ~10-100 chars); for long texts use
-the MinHash/SimHash family in operators/dedup.py, and for edit distance k>=2
-the segment-based PassJoin generalization of the same blocking idea.
+the MinHash/SimHash family in operators/dedup.py.  k=2 uses the order-2
+neighborhood (every <=2-deletion variant, ~len^2/2 keys per row, length
+capped); for k>=3 use the segment-based PassJoin generalization of the same
+blocking idea.
 
 Everything stays in whole-stage codegen: variants are built with
 ``explode(sequence(...))`` + ``substring`` arithmetic (no interpreted
@@ -70,6 +72,79 @@ def deletion_variants(
     )
 
 
+# Order-2 neighborhoods are O(len^2) variants per row; past this length the
+# blow-up dwarfs the quadratic block it avoids — use PassJoin segments there.
+MAX_LEN_ORDER2 = 64
+
+
+def deletion_variants_order2(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Explode each row into its FastSS order-2 deletion neighborhood: the
+    string itself, every single deletion, and every deletion of two distinct
+    positions — ``1 + len + C(len,2)`` variants per row.
+
+    Completeness argument (why sharing a <=2-deletion variant is a complete
+    candidate set for ``levenshtein <= 2``): fix an optimal alignment; drop
+    from each string its characters involved in a substitution, plus the
+    deleted (left side) / inserted (right side) characters.  At most k
+    characters leave each string and what remains is IDENTICAL — so both
+    deletion neighborhoods of order k contain that common string.
+
+    Pairs are generated as (i, j) with ``i = 0`` meaning "no first
+    deletion" and double deletions requiring ``j > i`` — pure
+    explode + substring codegen, no interpreted higher-order functions.
+    Rows longer than ``MAX_LEN_ORDER2`` raise rather than silently explode.
+    """
+    s = F.col(str_col)
+    base = df.where(s.isNotNull()).select(F.col(id_col), s.alias("_s"))
+    # fail loudly on oversized strings instead of materializing C(len,2) rows
+    guard = F.when(
+        F.length("_s") > MAX_LEN_ORDER2,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"deletion_variants_order2: string longer than "
+                    f"{MAX_LEN_ORDER2} chars (use PassJoin segment blocking "
+                    f"for long strings): "
+                ),
+                F.substring("_s", 1, 80),
+            )
+        ),
+    ).otherwise(F.col("_s"))
+    base = base.select(F.col(id_col), guard.alias("_s"))
+    pairs = (
+        base.select("*", F.explode(F.sequence(F.lit(0), F.length("_s"))).alias("_i"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.length("_s"))).alias("_j"))
+        .where((F.col("_i") == 0) | (F.col("_j") > F.col("_i")))
+    )
+    i, j = F.col("_i"), F.col("_j")
+    single = F.concat(
+        F.expr("substring(_s, 1, _j - 1)"),
+        F.expr("substring(_s, _j + 1, length(_s) - _j)"),
+    )
+    double = F.concat(
+        F.expr("substring(_s, 1, _i - 1)"),
+        F.expr("substring(_s, _i + 1, _j - _i - 1)"),
+        F.expr("substring(_s, _j + 1, length(_s) - _j)"),
+    )
+    variant = (
+        F.when((i == 0) & (j == 0), F.col("_s"))
+        .when(i == 0, single)
+        .otherwise(double)
+    )
+    return pairs.select(F.col(id_col), F.col("_s"), variant.alias("_variant"))
+
+
+def _neighborhood(df: DataFrame, id_col: str, str_col: str, k: int) -> DataFrame:
+    if k == 1:
+        return deletion_variants(df, id_col, str_col)
+    if k == 2:
+        return deletion_variants_order2(df, id_col, str_col)
+    raise ValueError(
+        f"max_dist={k} not supported: FastSS neighborhoods are implemented "
+        "for k in (1, 2); use segment blocking (PassJoin) for larger k"
+    )
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -84,26 +159,21 @@ def edit_distance_join(
     direction of entity resolution).
 
     Returns ``(left_id, right_id, left_str, right_str, dist)``. Same
-    FastSS order-1 blocking and banded verification as
-    ``edit_distance_pairs``; both deletion neighborhoods are linear in
+    FastSS blocking (order ``max_dist`` in {1, 2}) and banded verification
+    as ``edit_distance_pairs``; both deletion neighborhoods are linear in
     their input, and the candidate equi-join shuffles on the variant key.
     """
-    if max_dist != 1:
-        raise ValueError(
-            "edit_distance_join implements max_dist=1 (FastSS order-1 "
-            "neighborhood); use segment blocking (PassJoin) for larger k"
-        )
     if len({left_id, left_str, right_id, right_str}) != 4:
         raise ValueError(
             "left/right id and string column names must be distinct in the "
             "output; alias one side before joining"
         )
     a = _ensure_parallelism(
-        deletion_variants(left, left_id, left_str).select(
+        _neighborhood(left, left_id, left_str, max_dist).select(
             F.col(left_id).alias("_lid"), F.col("_s").alias("_ls"), "_variant"
         )
     )
-    b = deletion_variants(right, right_id, right_str).select(
+    b = _neighborhood(right, right_id, right_str, max_dist).select(
         F.col(right_id).alias("_rid"), F.col("_s").alias("_rs"), "_variant"
     )
     cand = a.join(b, ["_variant"]).select("_lid", "_rid", "_ls", "_rs").distinct()
@@ -130,16 +200,12 @@ def edit_distance_pairs(
     """Self similarity-join: all pairs with ``levenshtein <= max_dist``.
 
     Returns ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``.
-    Only ``max_dist=1`` is implemented (the order-1 deletion neighborhood);
-    the candidate set is provably complete for distance <= 1 and the final
-    banded-levenshtein filter makes emitted pairs exact.
+    ``max_dist`` of 1 (order-1 deletion neighborhood, len+1 keys/row) or 2
+    (order-2, ~len^2/2 keys/row — still linear in rows, bounded by
+    ``MAX_LEN_ORDER2``); either way the candidate set is provably complete
+    and the final banded-levenshtein filter makes emitted pairs exact.
     """
-    if max_dist != 1:
-        raise ValueError(
-            "edit_distance_pairs implements max_dist=1 (FastSS order-1 "
-            "neighborhood); use segment blocking (PassJoin) for larger k"
-        )
-    va = deletion_variants(df, id_col, str_col)
+    va = _neighborhood(df, id_col, str_col, max_dist)
     # The verify-side levenshtein runs inside the candidate join; when the
     # input arrives as one small-file scan partition that join would run on
     # a single task (measured ~4 s at sf0.1 on one core). Spread the PROBE

@@ -67,10 +67,46 @@ def test_deletion_variants_shape(spark):
 def test_edit_distance_pairs_rejects_large_k(spark):
     df = spark.createDataFrame([(1, "abc")], "id long, name string")
     try:
-        fuzzy.edit_distance_pairs(df, "id", "name", max_dist=2)
+        fuzzy.edit_distance_pairs(df, "id", "name", max_dist=3)
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_edit_distance_pairs_k2_matches_bruteforce(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy.edit_distance_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    want = set()
+    for i, a in NAMES:
+        for j, b in NAMES:
+            if i < j and a is not None and b is not None and _lev(a, b) <= 2:
+                want.add((i, j, _lev(a, b)))
+    assert got == want
+    # the distance-2 neighbor excluded at k=1 must now pair with id 0
+    assert any(i == 6 or j == 6 for i, j, _ in got)
+
+
+def test_order2_variant_count(spark):
+    df = spark.createDataFrame([(1, "abcd")], "id long, name string")
+    rows = fuzzy.deletion_variants_order2(df, "id", "name").collect()
+    # 1 + len + C(len,2) = 1 + 4 + 6
+    assert len(rows) == 11
+    variants = sorted(r["_variant"] for r in rows)
+    assert "abcd" in variants and "ab" in variants and "cd" in variants
+
+
+def test_order2_rejects_oversized_strings(spark):
+    import pyspark.errors
+
+    df = spark.createDataFrame([(1, "x" * 100)], "id long, name string")
+    try:
+        fuzzy.deletion_variants_order2(df, "id", "name").collect()
+        raise AssertionError("expected raise_error to fire")
+    except Exception as exc:
+        assert "PassJoin" in str(exc)
 
 
 def test_hll_distinct_audit_exact_and_within_tolerance(spark):

@@ -182,9 +182,9 @@ def _lev_ref(a: str, b: str) -> int:
 _names = st.text(alphabet="abc", min_size=0, max_size=6)
 
 
-@given(names=st.lists(_names, min_size=2, max_size=12))
+@given(names=st.lists(_names, min_size=2, max_size=12), k=st.sampled_from([1, 2]))
 @SLOW
-def test_edit_distance_pairs_complete_and_exact(spark, names):
+def test_edit_distance_pairs_complete_and_exact(spark, names, k):
     """FastSS blocking must be COMPLETE for levenshtein<=1 (no candidate
     lost to blocking) and the banded verify EXACT (no false pair kept) —
     checked against a quadratic DP reference over adversarially short,
@@ -195,12 +195,12 @@ def test_edit_distance_pairs_complete_and_exact(spark, names):
     df = spark.createDataFrame(rows, "id long, name string")
     got = {
         (r["id_a"], r["id_b"], r["dist"])
-        for r in edit_distance_pairs(df, "id", "name").collect()
+        for r in edit_distance_pairs(df, "id", "name", max_dist=k).collect()
     }
     want = {
         (i, j, _lev_ref(a, b))
         for i, a in rows
         for j, b in rows
-        if i < j and _lev_ref(a, b) <= 1
+        if i < j and _lev_ref(a, b) <= k
     }
     assert got == want
