@@ -19,7 +19,8 @@ _VERIFY_FIRST = [
     "q_temperature_mix", "q_mad_outliers", "q_ewma_monthly",
     "q_quantile_summary",
     # new in round 5 (plans/corpus_r5.py, plans/corpus_tpch2.py):
-    "q_fuzzy_name_pairs", "q_hll_distinct", "q_orders_open_by_month",
+    "q_fuzzy_name_pairs", "q_fuzzy_name_pairs_k2", "q_hll_distinct",
+    "q_orders_open_by_month",
     "q_window_rank_family", "q_string_agg_per_nation",
     "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
     "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q22_shape",
@@ -37,8 +38,7 @@ _VERIFY_FIRST = [
     "q_value_counts", "q_approx_median", "q_describe_stats", "q_corr",
     "q_rollup_two_level", "q_orderby_desc", "q_topk", "q_topn_frequency",
     "q_orderby_asc", "q_first_row", "q_window_topk_per_group",
-    "q_union_branches",
-    # (q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
+    # (q_union_branches, q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
     # q_decontaminate, q_dedup_embedding, q_pack_sequences,
     # q_training_data_pipeline, q_window_tumbling, q_text_quality,
     # q_text_langid, q_text_tokens displaced to the round-6 rotation by the

@@ -55,6 +55,18 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
 
 
+def q_fuzzy_name_pairs_k2(spark: SparkSession, sf: str) -> DataFrame:
+    """The k=2 neighborhood on a segment-bounded roster: order-2 deletion
+    blocking (1+len+C(len,2) keys/row) with the same banded verification.
+    Distance-2 name pairs differ in up to two digits, so the match set is
+    ~30x denser than k=1 — the segment filter keeps the demonstration
+    bounded while exercising the full order-2 path end-to-end."""
+    cust = load(_prep(spark), sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2)
+
+
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct customers per order priority via mergeable HLL sketches —
     both the direct per-group sketch and the union of per-month partial
@@ -133,6 +145,7 @@ def q_string_agg_per_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
     "q_hll_distinct": q_hll_distinct,
     "q_orders_open_by_month": q_orders_open_by_month,
     "q_window_rank_family": q_window_rank_family,
@@ -150,6 +163,16 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND abs(length(a.c_name) - length(b.c_name)) <= 1
  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+    "q_fuzzy_name_pairs_k2": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+ AND abs(length(a.c_name) - length(b.c_name)) <= 2
+ AND levenshtein(a.c_name, b.c_name) <= 2
 """,
     "q_hll_distinct": """
 SELECT o_orderpriority,
