@@ -118,3 +118,20 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> Non
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Columnar ORC source — the other splittable columnar format a
+    warehouse migration brings along. Spark's native vectorized ORC reader
+    gives the same pushdown/pruning surface as parquet (predicate ->
+    row-group stride stats, column pruning to the read schema), so every
+    operator in this engine runs unchanged over ORC-resident tables."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC sink with zstd block compression (splittable, stats-bearing)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)

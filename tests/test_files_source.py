@@ -89,3 +89,26 @@ def test_jsonl_round_trip(spark, tmp_path):
         (1, "one"),
         (2, "two"),
     ]
+
+
+def test_orc_round_trip_preserves_pushdown(spark, tmp_path, sf_small):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.sources import files
+
+    orders = load(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_orc")
+    files.write_orc(orders, path)
+    back = files.read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # the filter must reach the ORC scan (stride-stats pruning), mirroring
+    # the parquet plan audits
+    plan = (
+        back.filter(F.col("o_totalprice") > 100.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
