@@ -1,4 +1,4 @@
-"""File-format sources for training-data ingest: JSONL and CSV.
+"""File-format sources for training-data ingest: JSONL, CSV, and ORC.
 
 Web-scale text corpora arrive as line-delimited JSON (one document per
 line, usually gzipped) and tabular sidecars arrive as CSV; parquet is the
