@@ -24,6 +24,10 @@ _VERIFY_FIRST = [
     "q_window_rank_family", "q_string_agg_per_nation",
     "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
     "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q22_shape",
+    # round-5 wave 3 (plans/corpus_tpch3.py): completes all 22 TPC-H shapes
+    "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q10_shape",
+    "q_tpch_q11_shape", "q_tpch_q16_shape", "q_tpch_q20_shape",
+    "q_tpch_q21_shape",
     # plans/operators touched in round 5 (RP-LSH Arrow kernel, sessionize
     # read path, simhash kernel, minhash null handling, PQ stale-code guard,
     # dim-probe removal, serving sort, multimodal JPEG branch):
@@ -36,13 +40,13 @@ _VERIFY_FIRST = [
     "q_month_derive", "q_join_dim_fact", "q_agg_sum_by_key",
     "q_agg_sum_two_keys", "q_agg_by_month", "q_count_distinct",
     "q_value_counts", "q_approx_median", "q_describe_stats", "q_corr",
-    "q_rollup_two_level", "q_orderby_desc", "q_topk", "q_topn_frequency",
-    "q_orderby_asc", "q_first_row", "q_window_topk_per_group",
-    # (q_union_branches, q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
+    # (q_rollup_two_level, q_orderby_desc, q_topk, q_topn_frequency,
+    # q_orderby_asc, q_first_row, q_window_topk_per_group, plus
+    # q_union_branches, q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
     # q_decontaminate, q_dedup_embedding, q_pack_sequences,
     # q_training_data_pipeline, q_window_tumbling, q_text_quality,
     # q_text_langid, q_text_tokens displaced to the round-6 rotation by the
-    # eleven new round-5 queries — the window holds 50.)
+    # round-5 additions — the window holds 50.)
 ]
 
 
@@ -50,7 +54,10 @@ def all_queries():
     """Merged registry: reference-parity corpus + training-data extensions
     + the generalized operator surface, ordered so the external gate's
     50-entry verification window rotates over not-yet-checked queries."""
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
+    from . import (
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus_tpch2, corpus_tpch3, corpus_ts,
+    )
 
     merged = dict(corpus.QUERIES)
     merged.update(corpus_ext.QUERIES)
@@ -59,13 +66,17 @@ def all_queries():
     merged.update(corpus_ts.QUERIES)
     merged.update(corpus_r5.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
+    merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
     ordered.update(merged)
     return ordered
 
 
 def all_oracles():
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
+    from . import (
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus_tpch2, corpus_tpch3, corpus_ts,
+    )
 
     merged = dict(corpus.ORACLE_SQL)
     merged.update(corpus_ext.ORACLE_SQL)
@@ -74,11 +85,15 @@ def all_oracles():
     merged.update(corpus_ts.ORACLE_SQL)
     merged.update(corpus_r5.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
+    merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
 
 
 def rows_only_queries():
-    from . import corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_tpch2, corpus_ts
+    from . import (
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus_tpch2, corpus_tpch3, corpus_ts,
+    )
 
     return (
         set(corpus.ROWS_ONLY_QUERIES)
@@ -88,4 +103,5 @@ def rows_only_queries():
         | set(corpus_ts.ROWS_ONLY_QUERIES)
         | set(corpus_r5.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
+        | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )
