@@ -213,3 +213,67 @@ def rollup_two_level(
     browser). Single shuffle; Catalyst expands the grouping sets."""
     k2 = F.col(key2) if isinstance(key2, str) else key2
     return df.rollup(F.col(key1), k2).agg(exact_sum(amount_col, alias))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT frequent-item detection (count*k > total) with sketch-bounded
+    memory: a per-partition Misra-Gries summary proposes candidates, then
+    one exact recount confirms them — output is provably identical to the
+    naive full GROUP BY, but the shuffle only ever carries candidate rows.
+
+    Why not plain ``groupBy(value).count()``: at 100 TB the value column
+    (tokens, URLs, user ids) has billions of distincts, so the full
+    aggregate shuffles and materializes the entire long tail to find the
+    handful of head items. Here:
+
+    1. **Sketch pass** (map-only, no shuffle): each partition folds its
+       Arrow batches into a Misra-Gries summary of at most ``k`` counters
+       (per batch: vectorized ``value_counts``, merge, then the standard
+       MG merge-trim — subtract the (k+1)-th largest count from all and
+       drop non-positives). An item with global count > total/k must
+       exceed n_p/k in at least one partition (pigeonhole) and MG's
+       undercount is < n_p/k, so every true heavy hitter survives SOME
+       partition's summary — candidates are a guaranteed superset.
+    2. **Exact pass**: candidates (≤ k·partitions rows) broadcast back as
+       a LEFT SEMI filter; the exact count aggregates only matching rows
+       (map-side partials absorb the duplicates), and the final
+       ``count*k > total`` filter discards false positives.
+
+    The total row count rides along as a broadcast 1-row aggregate — no
+    driver-side ``.count()`` action during plan construction.
+    """
+    out = out_col or value_col
+    vals = df.select(F.col(value_col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        acc: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf["_v"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thresh
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"_v": [] if acc is None else acc.index.astype(str)})
+
+    cands = vals.mapInPandas(_mg, schema="_v string").distinct()
+    counts = (
+        vals.join(F.broadcast(cands), "_v", "left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_occurrences") * F.lit(k) > F.col("_total"))
+        .select(F.col("_v").alias(out), "n_occurrences")
+    )

@@ -852,3 +852,44 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(contaminated), on=id_col, how="anti")
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-passage detection: word ``n``-gram spans that
+    occur in at least ``min_docs`` DISTINCT documents.
+
+    This is the shuffle-friendly stand-in for suffix-array exact-substring
+    dedup (the ExactSubstr pass of corpus-dedup pipelines): any repeated
+    substring of >= n tokens necessarily contains a repeated n-token span,
+    so the span table locates a superset of the offending regions, and the
+    spans themselves are what a masking/cutting pass consumes. The
+    reference engine has no cross-document text analysis at all (its text
+    columns are only groupBy keys — app/machine_learning_models.py), so
+    this is part of the §7.4 training-data surface.
+
+    Plan shape: one linear explode of overlapping spans (the same
+    lookahead-regex pass as ``shingles_of`` — O(tokens) per doc, stays in
+    codegen), then ONE hash aggregate keyed by the span with map-side
+    partials (count-distinct over doc ids expands to two hash aggregates,
+    both absorbing map-side). ``min(doc_id)`` rides along as the canonical
+    occurrence pointer. No pairwise joins; linear in corpus token count,
+    and the min_docs filter keeps output to the repeated head.
+    """
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_occurrences(text_col, n)).alias("passage"),
+    )
+    return (
+        spans.groupBy("passage")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+    )

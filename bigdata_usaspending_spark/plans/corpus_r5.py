@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import fuzzy, timeseries
-from ..operators.aggregates import hll_distinct_audit
+from ..operators.aggregates import heavy_hitters, hll_distinct_audit
+from ..operators.dedup import repeated_passages
 from ..operators.joins import join_dim_fact
 from ..session import apply_runtime_confs
 from .corpus import SUM2
@@ -143,6 +144,26 @@ def q_string_agg_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repeated_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated 8-token passages (ExactSubstr-style span
+    dedup): one linear span explode + one hash aggregate — no pairwise
+    join anywhere (operators/dedup.repeated_passages)."""
+    docs = load(_prep(spark), sf, "documents")
+    return repeated_passages(docs, "doc_id", "text", n=8, min_docs=3)
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token heavy hitters (count*200 > corpus total) via the
+    Misra-Gries candidate sketch + exact recount
+    (operators/aggregates.heavy_hitters): the full-GROUP-BY answer without
+    ever shuffling the long tail."""
+    docs = load(_prep(spark), sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=200)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -150,11 +171,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_orders_open_by_month": q_orders_open_by_month,
     "q_window_rank_family": q_window_rank_family,
     "q_string_agg_per_nation": q_string_agg_per_nation,
+    "q_repeated_passages": q_repeated_passages,
+    "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
 
+# DuckDB twin of the whitespace tokenizer (same as corpus_ext._TOKS) and the
+# overlapping 8-token span list for repeated-passage detection.
+_TOKS_R5 = "string_split_regex(trim(lower(text)), '\\s+')"
+_SPAN8 = (
+    "list_transform(range(1, greatest(len(toks) - 6, 1)), i -> "
+    + " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(8))
+    + ")"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "q_repeated_passages": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_R5} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest({_SPAN8}) AS passage FROM t)
+        SELECT passage, COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM e GROUP BY passage
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+    "q_heavy_hitter_tokens": f"""
+        WITH e AS (SELECT unnest({_TOKS_R5}) AS token FROM documents
+                   WHERE {_TOKS_R5} IS NOT NULL),
+        cnt AS (SELECT token, COUNT(*) AS n_occurrences FROM e
+                WHERE token IS NOT NULL GROUP BY token),
+        tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
+        SELECT token, n_occurrences FROM cnt, tot
+        WHERE n_occurrences * 200 > c
+    """,
     "q_fuzzy_name_pairs": """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        a.c_name AS name_a, b.c_name AS name_b,

@@ -320,3 +320,77 @@ def test_simhash_table_portable_and_null_text(spark):
         .collect()
     }
     assert got == want
+
+
+def test_repeated_passages_finds_shared_spans(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.dedup import repeated_passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro one {shared} tail one"),
+        (2, f"{shared} different ending here"),
+        (3, f"prefix words again {shared}"),
+        (4, "completely unrelated text with no overlap at all whatsoever"),
+        (5, "short doc"),  # < 8 tokens -> no spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_passages(df, "doc_id", "text", n=8, min_docs=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.passage == shared
+    assert row.n_docs == 3
+    assert row.first_doc == 1
+    # with min_docs=2 still nothing new (the shared span is the only repeat)
+    out2 = repeated_passages(df, "doc_id", "text", n=8, min_docs=2).collect()
+    assert {r.passage for r in out2} == {shared}
+
+
+def test_heavy_hitters_matches_naive_groupby(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.aggregates import heavy_hitters
+
+    rng = random.Random(42)
+    # skewed vocabulary: 3 head items + a 500-item long tail, shuffled and
+    # spread over many partitions so per-partition MG summaries must trim
+    vals = (
+        ["head_a"] * 400 + ["head_b"] * 250 + ["head_c"] * 120
+        + [f"tail_{i}" for i in range(500) for _ in range(rng.randint(1, 3))]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["token"]).repartition(13)
+    k = 50
+    got = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters(df, "token", k=k).collect()
+    }
+    total = len(vals)
+    naive = {
+        (r.token, r.n)
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > F.lit(total))
+        .collect()
+    }
+    assert got == naive
+    assert {t for t, _ in got} == {"head_a", "head_b", "head_c"}
+
+
+def test_heavy_hitters_skips_nulls_and_handles_empty(spark):
+    from bigdata_usaspending_spark.operators.aggregates import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("x",), ("y",), (None,)], ["token"]
+    )
+    # total non-null = 3; x: 2*2=4 > 3 qualifies, y: 1*2=2 > 3 does not
+    got = {(r.token, r.n_occurrences) for r in heavy_hitters(df, "token", k=2).collect()}
+    assert got == {("x", 2)}
+    # k=1: x needs 2*1 > 3 -> no heavy hitters at all
+    got1 = {(r.token, r.n_occurrences) for r in heavy_hitters(df, "token", k=1).collect()}
+    assert got1 == set()
+    empty = spark.createDataFrame([], "token string")
+    assert heavy_hitters(empty, "token", k=5).count() == 0
