@@ -263,3 +263,64 @@ def test_fuzzy_probe_side_parallelized(spark, sf):
     # single-small-file scans must not serialize the verify join on one task
     assert "RoundRobinPartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch3_shapes_broadcast_and_join_strategies(spark, sf):
+    from bigdata_usaspending_spark.plans import corpus_tpch3
+
+    # Q2: dim chain broadcasts, top-100 is TakeOrderedAndProject
+    plan = _plan(corpus_tpch3.q_tpch_q2_shape(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # Q9: all three dims broadcast onto the lineitem scan
+    plan = _plan(corpus_tpch3.q_tpch_q9_shape(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # Q10: top-20 customers never trigger a global sort
+    plan = _plan(corpus_tpch3.q_tpch_q10_shape(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    # Q11: the scalar total joins back as a broadcast, lineitem scanned
+    # at most twice (value aggregate + total reuse), never sort-merged
+    plan = _plan(corpus_tpch3.q_tpch_q11_shape(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2
+    # Q16: the complaint-supplier exclusion is a broadcast anti-join
+    plan = _plan(corpus_tpch3.q_tpch_q16_shape(spark, sf))
+    assert "LeftAnti" in plan
+    # Q20: qualifying pairs reach suppliers through a semi-join (each
+    # supplier appears once without a distinct aggregate)
+    plan = _plan(corpus_tpch3.q_tpch_q20_shape(spark, sf))
+    assert "LeftSemi" in plan
+    # Q21: the double-correlation is aggregates + joins, no nested scans:
+    # lineitem read at most twice (pairs + join-back of per-order stats)
+    plan = _plan(corpus_tpch3.q_tpch_q21_shape(spark, sf))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_sketch_pass_has_no_shuffle_before_candidates(spark, sf):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators.aggregates import heavy_hitters
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    plan = _plan(heavy_hitters(toks, "token", k=50))
+    # candidates come back via broadcast (semi) — the big side must never
+    # sort-merge, and the final exact count keeps a partial aggregate
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_repeated_passages_single_aggregate_no_join(spark, sf):
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators.dedup import repeated_passages
+
+    docs = load(spark, sf, "documents")
+    plan = _plan(repeated_passages(docs, "doc_id", "text", n=8, min_docs=3))
+    # linear pipeline: no join of any kind, exactly hash aggregates over
+    # the exploded spans (count-distinct expands to two agg phases)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
