@@ -99,8 +99,14 @@ def check_all(spark, sf_dir: str, keys=None, queries=None, oracles=None) -> dict
 def main() -> int:
     from ..session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    keys = sys.argv[2:] or None
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    keys = args[1:] or None
     spark = get_spark("oracle-check")
     results = check_all(spark, sf_dir, keys)
     failed = 0
@@ -112,6 +118,22 @@ def main() -> int:
         for p in problems[:4]:
             print(f"      {p}")
     print(f"\n{len(results) - failed}/{len(results)} queries match")
+    if json_out:
+        import json
+
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        record = {
+            "round": int(os.environ.get("SPARK_GRAFT_ROUND", "0")) or None,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(results),
+            "n_ok": len(results) - failed,
+            "results": {
+                name: {"ok": not problems, "problems": problems[:4]}
+                for name, problems in sorted(results.items())
+            },
+        }
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1)
     return 1 if failed else 0
 
 

@@ -264,6 +264,73 @@ def stream_running_topk(
     )
 
 
+def stream_heavy_hitters(
+    events: DataFrame,
+    value_col: str = "event_type",
+    k: int = 20,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Streaming frequent-item detection: SHARDED Misra-Gries via
+    applyInPandasWithState — the streaming twin of
+    operators/aggregates.heavy_hitters.
+
+    Every value hashes to exactly ONE shard (group key =
+    pmod(xxhash64(value), num_shards)), so each shard's Misra-Gries summary
+    sees ALL occurrences of its values and the batch guarantee carries
+    over unchanged: an item with global count > N/k exceeds n_shard/k in
+    its own shard (n_shard <= N) and therefore survives that shard's
+    summary. Sharding is what makes the operator scale — state and update
+    work spread over num_shards groups instead of one global summary, at
+    zero cost to the guarantee (summaries never need cross-shard merging
+    because their value sets are disjoint).
+
+    State per shard: at most k (value, residual-count) counters. Update
+    mode emits each shard's current survivors per micro-batch; residuals
+    are MG lower-bound residuals (undercounts), so a consumer confirms
+    candidates with an exact recount exactly as the batch operator does.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.select(
+        F.col(value_col).cast("string").alias("_v")
+    ).filter(F.col("_v").isNotNull()).select(
+        "_v", F.pmod(F.xxhash64("_v"), F.lit(num_shards)).cast("int").alias("_shard")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            vals, counts = state.get
+            acc = pd.Series(list(counts), index=list(vals), dtype="float64")
+        else:
+            acc = None
+        for pdf in pdfs:
+            vc = pdf["_v"].value_counts().astype("float64")
+            acc = vc if acc is None else acc.add(vc, fill_value=0.0)
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thresh
+                acc = acc[acc > 0]
+        if acc is None:
+            acc = pd.Series(dtype="float64")
+        state.update((list(acc.index.astype(str)), [float(x) for x in acc.values]))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(acc),
+                "value": acc.index.astype(str),
+                "mg_count": acc.values,
+            }
+        )
+
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType="shard int, value string, mg_count double",
+        stateStructType="vals array<string>, counts array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_enriched_rollup(
     events: DataFrame,
     dim: DataFrame,

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from bigdata_usaspending_spark.catalog import load
 from bigdata_usaspending_spark.operators import dedup, fuzzy, similarity, timeseries
-from bigdata_usaspending_spark.operators.aggregates import hll_distinct_audit
+from bigdata_usaspending_spark.operators.aggregates import heavy_hitters, hll_distinct_audit
 from bigdata_usaspending_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
@@ -159,6 +159,18 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["ann_pq"] = timed("ann_pq", pq)
     out["maxsim"] = timed("maxsim", lambda: similarity.maxsim_topk(data, qvec, n_tokens=4, k=10))
+    out["repeated_passages"] = timed(
+        "repeated_passages",
+        lambda: dedup.repeated_passages(docs, "doc_id", "text", n=8, min_docs=3),
+    )
+
+    def hh():
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        return heavy_hitters(toks, "token", k=200)
+
+    out["heavy_hitter_tokens"] = timed("heavy_hitter_tokens", hh)
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     out["fuzzy_pairs"] = timed(

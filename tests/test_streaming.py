@@ -411,3 +411,36 @@ def test_rocksdb_state_backend_runs_stateful_query(spark, events_dir, events_sch
         .collect()
     }
     assert got == expected
+
+
+def test_stream_heavy_hitters_superset_and_undercount(spark, events_dir, events_schema):
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    k = 4
+    q = jobs.run_to_memory(
+        jobs.stream_heavy_hitters(stream, "event_type", k=k, num_shards=4),
+        "hh_stream",
+        output_mode="update",
+    )
+    emitted = spark.table("hh_stream").collect()
+    assert emitted
+    # final state per shard = the last emission batch for that shard; the
+    # memory sink accumulates, so keep the last mg_count seen per value
+    final: dict[str, float] = {}
+    for r in emitted:
+        final[r.value] = r.mg_count
+    batch = spark.read.parquet(events_dir)
+    exact = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    # guarantee: every item with count*k > total must survive as a candidate
+    for v, n in exact.items():
+        if n * k > total:
+            assert v in final, f"true heavy hitter {v} missing from MG state"
+    # residuals are lower bounds (undercounts), never overcounts
+    for v, mg in final.items():
+        assert mg <= exact[v] + 1e-9
+    q.stop()
