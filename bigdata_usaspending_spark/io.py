@@ -274,3 +274,76 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    eff_date_col: str = "eff_date",
+    eff_from_col: str = "eff_from",
+    eff_to_col: str = "eff_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 merge: apply a batch of dimension
+    updates, closing changed open rows and appending new versions, keeping
+    full history.
+
+    The reference refreshes its dimension data by re-downloading and
+    overwriting whole tables (app/ml_app.py ingest path); at 100 TB the
+    scalable pattern is incremental history maintenance:
+
+    - ``current``: the history table — ``key``, tracked attrs,
+      ``eff_from``, ``eff_to`` (NULL = open row).
+    - ``updates``: one row per key — ``key``, tracked attrs, ``eff_date``.
+
+    Plan shape: closed history rows PASS THROUGH with no shuffle; open rows
+    full-outer-join updates on the key (ONE shuffle — broadcast if the
+    update batch is small), then each joined row expands through
+    ``inline(array(struct...))`` into 0–2 output rows (close + insert for
+    changed keys, insert for brand-new keys, identity otherwise) — the
+    single-join alternative to the three-branch MERGE rewrite, which would
+    re-shuffle the open set once per branch.
+
+    Update rows are taken as-is (dedupe/latest-wins upstream); attribute
+    comparison is null-safe (``eqNullSafe``), so NULL -> value and
+    value -> NULL both count as changes.
+    """
+    open_rows = current.filter(F.col(eff_to_col).isNull())
+    closed_rows = current.filter(F.col(eff_to_col).isNotNull())
+
+    upd = updates.select(
+        F.col(key).alias("_uk"),
+        F.col(eff_date_col).alias("_ud"),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+    )
+    j = open_rows.join(upd, open_rows[key] == F.col("_uk"), "full_outer")
+
+    changed = ~F.lit(True)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+
+    def _row(key_c, from_c, to_c, cols):
+        return F.struct(
+            key_c.alias(key),
+            *[c.alias(name) for c, name in zip(cols, tracked)],
+            from_c.alias(eff_from_col),
+            to_c.alias(eff_to_col),
+        )
+
+    old_cols = [F.col(c) for c in tracked]
+    new_cols = [F.col(f"_u_{c}") for c in tracked]
+    keep_old = _row(F.col(key), F.col(eff_from_col), F.lit(None).cast("timestamp"), old_cols)
+    close_old = _row(F.col(key), F.col(eff_from_col), F.col("_ud"), old_cols)
+    insert_new = _row(F.col("_uk"), F.col("_ud"), F.lit(None).cast("timestamp"), new_cols)
+
+    rows = (
+        F.when(F.col("_uk").isNull(), F.array(keep_old))  # no update for key
+        .when(F.col(key).isNull(), F.array(insert_new))  # brand-new key
+        .when(changed, F.array(close_old, insert_new))  # SCD2 close + insert
+        .otherwise(F.array(keep_old))  # update arrived, nothing changed
+    )
+    out_cols = [key, *tracked, eff_from_col, eff_to_col]
+    return closed_rows.select(*out_cols).unionByName(
+        j.select(F.inline(rows)).select(*out_cols)
+    )

@@ -164,6 +164,38 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters(toks, "token", k=200)
 
 
+def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
+    1999+ big spenders promoted to 'VIP' — changed keys close their open
+    row and append a new version, unchanged/absent keys pass through.
+    Spend is an exact-decimal sum so the promotion threshold is
+    bit-deterministic; ONE key shuffle for the open⋈updates join."""
+    from .. import io as engine_io
+
+    spark = _prep(spark)
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    cur = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("eff_from"),
+        F.lit(None).cast("timestamp").alias("eff_to"),
+    )
+    spend = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("_spend"))
+    )
+    upd = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_custkey",
+        F.when(F.col("_spend") > F.lit(1_500_000), F.lit("VIP"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit("1999-01-01").cast("timestamp").alias("eff_date"),
+    )
+    return engine_io.scd2_apply(cur, upd, "c_custkey", ["c_mktsegment"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -173,6 +205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg_per_nation": q_string_agg_per_nation,
     "q_repeated_passages": q_repeated_passages,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "q_scd2_customer_segment": q_scd2_customer_segment,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -203,6 +236,34 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_scd2_customer_segment": """
+        WITH cur AS (
+            SELECT c_custkey, c_mktsegment,
+                   TIMESTAMP '1995-01-01' AS eff_from,
+                   CAST(NULL AS TIMESTAMP) AS eff_to
+            FROM customer
+        ),
+        spend AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS s
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+            GROUP BY o_custkey
+        ),
+        upd AS (
+            SELECT c_custkey AS uk,
+                   CASE WHEN s > 1500000 THEN 'VIP' ELSE c_mktsegment END AS useg,
+                   TIMESTAMP '1999-01-01' AS ud
+            FROM customer JOIN spend ON c_custkey = o_custkey
+        )
+        SELECT c.c_custkey, c.c_mktsegment, c.eff_from,
+               CASE WHEN u.uk IS NOT NULL AND u.useg <> c.c_mktsegment
+                    THEN u.ud END AS eff_to
+        FROM cur c LEFT JOIN upd u ON c.c_custkey = u.uk
+        UNION ALL
+        SELECT u.uk, u.useg, u.ud, CAST(NULL AS TIMESTAMP)
+        FROM cur c JOIN upd u ON c.c_custkey = u.uk
+        WHERE u.useg <> c.c_mktsegment
     """,
     "q_fuzzy_name_pairs": """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -83,3 +83,68 @@ def test_rename_dependent_ops_refuse_object_store_paths(spark, tmp_path):
     # file:// and bare local paths remain accepted
     io.commit_versioned_state(df, str(tmp_path / "state"), batch_id=0)
     assert io.read_versioned_state(spark, str(tmp_path / "state")).count() == 1
+
+
+def test_scd2_apply_all_paths_and_two_batches(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2021, 1, 1), datetime(2022, 1, 1)
+    cur = spark.createDataFrame(
+        [
+            (1, "A", t0, None),   # will change in batch 1
+            (2, "B", t0, None),   # update arrives, unchanged
+            (3, "C", t0, None),   # no update at all
+        ],
+        "k long, attr string, eff_from timestamp, eff_to timestamp",
+    )
+    upd1 = spark.createDataFrame(
+        [
+            (1, "A2", t1),  # change
+            (2, "B", t1),   # no-op update
+            (9, "NEW", t1), # brand-new key
+        ],
+        "k long, attr string, eff_date timestamp",
+    )
+    h1 = io.scd2_apply(cur, upd1, "k", ["attr"])
+    rows = {(r.k, r.attr, r.eff_from, r.eff_to) for r in h1.collect()}
+    assert rows == {
+        (1, "A", t0, t1),     # closed
+        (1, "A2", t1, None),  # new version
+        (2, "B", t0, None),   # unchanged despite update
+        (3, "C", t0, None),   # untouched
+        (9, "NEW", t1, None), # inserted
+    }
+    # second batch applies on top of the produced history
+    upd2 = spark.createDataFrame(
+        [(1, "A3", t2)], "k long, attr string, eff_date timestamp"
+    )
+    h2 = io.scd2_apply(h1, upd2, "k", ["attr"])
+    rows2 = {(r.k, r.attr, r.eff_from, r.eff_to) for r in h2.collect()}
+    assert (1, "A2", t1, t2) in rows2 and (1, "A3", t2, None) in rows2
+    assert (1, "A", t0, t1) in rows2  # closed history passes through
+    # exactly one open row per key
+    open_per_key = {
+        r.k: r.n
+        for r in h2.filter(F.col("eff_to").isNull()).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(open_per_key.values()) == {1}
+
+
+def test_scd2_null_safe_attribute_comparison(spark):
+    from datetime import datetime
+
+    t0, t1 = datetime(2020, 1, 1), datetime(2021, 1, 1)
+    cur = spark.createDataFrame(
+        [(1, None, t0, None), (2, "X", t0, None)],
+        "k long, attr string, eff_from timestamp, eff_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(1, "set", t1), (2, None, t1)],
+        "k long, attr string, eff_date timestamp",
+    )
+    out = {(r.k, r.attr, r.eff_to) for r in io.scd2_apply(cur, upd, "k", ["attr"]).collect()}
+    # NULL -> value and value -> NULL both count as changes
+    assert (1, None, t1) in out and (1, "set", None) in out
+    assert (2, "X", t1) in out and (2, None, None) in out
