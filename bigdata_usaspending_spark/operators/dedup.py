@@ -893,3 +893,52 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") >= F.lit(min_docs))
     )
+
+
+def scrub_repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """The consuming side of :func:`repeated_passages`: remove every
+    cross-document repeated ``n``-token span from each document's text
+    (ExactSubstr-style cut — boilerplate headers, license blocks, chain
+    letters vanish from the corpus instead of being memorized).
+
+    Plan shape: the repeated-passage table (small — the repeated head) is
+    re-joined to the span explode to find which docs contain which
+    passages, aggregated to a per-doc sorted passage list (ONE shuffle on
+    doc id), LEFT-joined back to the corpus, and applied as a sorted
+    left-fold of ``replace`` calls. The fold is an interpreted HOF but
+    over the per-doc passage list (bounded, typically 0–3 elements), not
+    the corpus — the per-row cost is O(passages), unlike the per-token
+    HOFs the engine bans from hot paths. Sorting the list pins the fold
+    order, so cascading replacements are deterministic and the DuckDB
+    ``list_reduce`` twin is bit-identical.
+    """
+    rep = repeated_passages(df, id_col, text_col, n, min_docs).select("passage")
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_occurrences(text_col, n)).alias("passage"),
+    ).distinct()
+    per_doc = (
+        spans.join(F.broadcast(rep), "passage")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("passage")).alias("_ps"))
+    )
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    scrubbed = F.aggregate(
+        F.coalesce(F.col("_ps"), F.array().cast("array<string>")),
+        normalized,
+        lambda acc, p: F.replace(acc, p, F.lit("")),
+    )
+    return (
+        df.join(per_doc, df[id_col] == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.trim(F.regexp_replace(scrubbed, r"\s+", " ")).alias("clean_text"),
+            F.coalesce(F.size("_ps"), F.lit(0)).cast("int").alias("n_scrubbed"),
+        )
+    )

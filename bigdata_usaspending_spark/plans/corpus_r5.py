@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators import fuzzy, timeseries
 from ..operators.aggregates import heavy_hitters, hll_distinct_audit
-from ..operators.dedup import repeated_passages
+from ..operators.dedup import repeated_passages, scrub_repeated_passages
 from ..operators.joins import join_dim_fact
 from ..session import apply_runtime_confs
 from .corpus import SUM2
@@ -164,6 +164,15 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters(toks, "token", k=200)
 
 
+def q_passage_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Cut every cross-document repeated 8-token span out of each doc
+    (dedup.scrub_repeated_passages): detection reused from
+    q_repeated_passages, application as a sorted bounded fold of replaces
+    — list_reduce-replayable so the oracle is bit-identical."""
+    docs = load(_prep(spark), sf, "documents")
+    return scrub_repeated_passages(docs, "doc_id", "text", n=8, min_docs=3)
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
     1999+ big spenders promoted to 'VIP' — changed keys close their open
@@ -206,6 +215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repeated_passages": q_repeated_passages,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_scd2_customer_segment": q_scd2_customer_segment,
+    "q_passage_scrub": q_passage_scrub,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -236,6 +246,31 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_passage_scrub": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_R5} AS toks,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+            FROM documents
+        ),
+        e AS (SELECT DISTINCT doc_id, unnest({_SPAN8}) AS passage FROM t),
+        rep AS (
+            SELECT passage FROM e GROUP BY passage
+            HAVING COUNT(DISTINCT doc_id) >= 3
+        ),
+        perdoc AS (
+            SELECT doc_id, list_sort(list(passage)) AS ps
+            FROM e JOIN rep USING (passage)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               trim(regexp_replace(
+                   list_reduce(
+                       list_prepend(t.ntext, coalesce(ps, [])),
+                       (acc, p) -> replace(acc, p, '')
+                   ), '\\s+', ' ', 'g')) AS clean_text,
+               CAST(coalesce(len(ps), 0) AS INTEGER) AS n_scrubbed
+        FROM t LEFT JOIN perdoc USING (doc_id)
     """,
     "q_scd2_customer_segment": """
         WITH cur AS (

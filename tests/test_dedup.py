@@ -394,3 +394,27 @@ def test_heavy_hitters_skips_nulls_and_handles_empty(spark):
     assert got1 == set()
     empty = spark.createDataFrame([], "token string")
     assert heavy_hitters(empty, "token", k=5).count() == 0
+
+
+def test_scrub_repeated_passages_cuts_shared_span_only(spark):
+    from bigdata_usaspending_spark.operators.dedup import scrub_repeated_passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro one {shared} tail one"),
+        (2, f"{shared} different ending here"),
+        (3, f"prefix words again {shared}"),
+        (4, "completely unrelated text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_repeated_passages(df, n=8, min_docs=3).collect()}
+    assert len(out) == 4
+    for d in (1, 2, 3):
+        assert shared not in out[d].clean_text
+        assert out[d].n_scrubbed >= 1
+    assert out[1].clean_text == "intro one tail one"
+    assert out[2].clean_text == "different ending here"
+    assert out[3].clean_text == "prefix words again"
+    # untouched doc: normalized but intact
+    assert out[4].clean_text == rows[3][1]
+    assert out[4].n_scrubbed == 0
