@@ -39,6 +39,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # by default since Spark 3.3; pinned here so the engine doesn't regress
     # if a deployment profile flips the default.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Python DataSource filter pushdown (sources/datasource.py claims
+    # award-type filters into the REST payload); runtime-settable, default
+    # off in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # The synthetic events table stores its ts column as either
     # TIMESTAMP(NANOS) (older fixture generations — Spark's parquet reader
     # rejects nanos unless read as long via this conf) or TIMESTAMP(MICROS)

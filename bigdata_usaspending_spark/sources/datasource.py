@@ -1,0 +1,211 @@
+"""Spark 4 Python DataSource for the USAspending REST API:
+``spark.read.format("usaspending")``.
+
+This lifts sources/usaspending_api.py (the reference's driver-side download
+loop, app/ml_app.py:394-551) into a first-class Spark source, which buys
+three things the hand-rolled loop cannot have:
+
+1. **Parallel ingest**: ``numPartitions`` page-strided input partitions —
+   partition ``i`` fetches pages ``i+1, i+1+N, …`` concurrently on
+   executors, where the reference (and the round-1 ingest job) paged
+   serially on the driver. Stride termination uses the empty-results page
+   the API returns past the end (the same guard client.pages uses for
+   hasNext-spin protection), so no total-count probe is needed.
+2. **Filter pushdown into the HTTP payload** (``pushFilters``):
+   ``EqualTo``/``In`` on ``contract_award_type`` narrows the
+   ``award_type_codes`` list the API filters server-side — the filter
+   LEAVES the Spark plan and rides the POST body, the definition of
+   source-side pushdown the reference hard-coded (:423).
+3. **Schema-on-read contract**: the source lands the reference's 13-field
+   projection as the all-string raw shape; typing stays an engine-side
+   transformation (sources.ingest.coerce_awards), same null-on-malformed
+   semantics everywhere.
+
+Offline operation (tests, this container): ``transport=file`` serves pages
+from ``{path}/page_{n}.json`` files with the exact API response shape
+(results + page_metadata), and emulates the server-side award-type filter
+the real API would apply. HTTP mode uses the shared retry/throttle client.
+
+Register once per session::
+
+    spark.dataSource.register(UsaspendingDataSource)
+    df = (spark.read.format("usaspending")
+          .option("start_date", "2024-01-01").option("end_date", "2024-12-31")
+          .option("transport", "file").option("path", fixture_dir)
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+from .usaspending_api import (
+    AWARD_TYPE_CODES,
+    PAGE_SIZE,
+    THROTTLE_EVERY_ROWS,
+    THROTTLE_SECONDS,
+    UsaspendingClient,
+)
+
+
+def _raw_schema() -> T.StructType:
+    from .ingest import FIELD_TO_COLUMN
+
+    return T.StructType(
+        [T.StructField(c, T.StringType()) for c in FIELD_TO_COLUMN.values()]
+    )
+
+
+class UsaspendingDataSource(DataSource):
+    """``format("usaspending")`` — options:
+
+    - ``start_date`` / ``end_date`` (required): the time_period filter.
+    - ``transport``: ``http`` (default) or ``file`` (offline fixtures).
+    - ``path``: fixture directory for ``transport=file``.
+    - ``url``: API endpoint override (http mode).
+    - ``numPartitions`` (default 4), ``maxPages`` (default 1000),
+      ``pageSize`` (default 100).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "usaspending"
+
+    def schema(self) -> T.StructType:
+        return _raw_schema()
+
+    def reader(self, schema: T.StructType) -> "UsaspendingReader":
+        return UsaspendingReader(self.options, schema)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, start_page: int, stride: int):
+        self.start_page = start_page
+        self.stride = stride
+
+
+class UsaspendingReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        if "start_date" not in options or "end_date" not in options:
+            raise ValueError(
+                "usaspending source requires start_date and end_date options"
+            )
+        self.options = dict(options)
+        self.columns = [f.name for f in schema.fields]
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self.max_pages = int(options.get("maxpages", 1000))
+        self.page_size = int(options.get("pagesize", PAGE_SIZE))
+        # narrowed by pushFilters; order-preserving subset of the default
+        self.award_codes: list[str] = list(AWARD_TYPE_CODES)
+
+    # -- pushdown --------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Claim equality/membership filters on contract_award_type by
+        narrowing the award_type_codes POST payload (the API applies them
+        server-side); every other filter goes back to Spark."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if (
+                isinstance(f, EqualTo)
+                and attr == ("contract_award_type",)
+                and f.value in self.award_codes
+            ):
+                self.award_codes = [f.value]
+            elif isinstance(f, In) and attr == ("contract_award_type",):
+                wanted = [c for c in self.award_codes if c in set(f.value)]
+                if wanted:
+                    self.award_codes = wanted
+                else:
+                    yield f  # contradictory with the code list: let Spark judge
+            else:
+                yield f
+
+    # -- planning --------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(i + 1, self.num_partitions)
+            for i in range(self.num_partitions)
+        ]
+
+    # -- execution (runs on executors) -----------------------------------
+    def _client(self) -> UsaspendingClient:
+        opts = self.options
+        transport_kind = opts.get("transport", "http")
+        kwargs: dict = {}
+        if transport_kind == "file":
+            path = opts.get("path")
+            if not path:
+                raise ValueError("transport=file requires the path option")
+            codes = list(self.award_codes)
+
+            def file_transport(url: str, payload: dict, timeout: float) -> dict:
+                page = payload["page"]
+                fp = os.path.join(path, f"page_{page}.json")
+                if not os.path.exists(fp):
+                    return {"results": [], "page_metadata": {"hasNext": False}}
+                with open(fp) as fh:
+                    body = json.load(fh)
+                # emulate the server-side award_type_codes filter
+                allowed = set(payload["filters"]["award_type_codes"])
+                body["results"] = [
+                    r
+                    for r in body.get("results", [])
+                    if r.get("Contract Award Type") in allowed
+                ]
+                assert set(codes) == allowed  # payload carries the pushdown
+                return body
+
+            kwargs["transport"] = file_transport
+        elif opts.get("url"):
+            kwargs["url"] = opts["url"]
+        client = UsaspendingClient(
+            start_date=opts["start_date"],
+            end_date=opts["end_date"],
+            page_size=self.page_size,
+            **kwargs,
+        )
+        # narrow the payload's award_type_codes to the pushed-down subset
+        base_payload = client.payload
+
+        def payload(page: int) -> dict:
+            body = base_payload(page)
+            body["filters"]["award_type_codes"] = list(self.award_codes)
+            return body
+
+        client.payload = payload  # type: ignore[method-assign]
+        return client
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        from .ingest import FIELD_TO_COLUMN
+
+        client = self._client()
+        api_fields = list(FIELD_TO_COLUMN)
+        page = partition.start_page
+        rows_since_throttle = 0
+        while page <= self.max_pages:
+            body = client._fetch_page(page)
+            rows = body.get("results", [])
+            if not rows and not body.get("page_metadata", {}).get("hasNext"):
+                return  # past the end of the result set
+            for row in rows:
+                yield tuple(
+                    None if row.get(f) is None else str(row.get(f))
+                    for f in api_fields
+                )
+            rows_since_throttle += len(rows)
+            if rows_since_throttle >= THROTTLE_EVERY_ROWS:
+                client.sleep(THROTTLE_SECONDS)
+                rows_since_throttle = 0
+            page += partition.stride
