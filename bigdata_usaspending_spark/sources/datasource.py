@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from .usaspending_api import (
@@ -88,6 +89,9 @@ class UsaspendingDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "UsaspendingReader":
         return UsaspendingReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: T.StructType) -> "UsaspendingStreamReader":
+        return UsaspendingStreamReader(self.options, schema)
 
 
 class _PagePartition(InputPartition):
@@ -209,3 +213,65 @@ class UsaspendingReader(DataSourceReader):
                 client.sleep(THROTTLE_SECONDS)
                 rows_since_throttle = 0
             page += partition.stride
+
+
+class UsaspendingStreamReader(SimpleDataSourceStreamReader):
+    """Incremental ingest: ``spark.readStream.format("usaspending")``.
+
+    The offset is simply the next API page to fetch (pages are append-only
+    for a fixed time_period window: a re-published dataset appends pages),
+    so a restart resumes from the checkpointed page — the streaming twin of
+    the reference's cron-style full re-download (app/ml_app.py:394-551),
+    reading only what's new instead of everything every time.
+
+    Each micro-batch drains up to ``maxPagesPerBatch`` (default 10)
+    currently-available pages; an empty page leaves the offset parked so
+    the next trigger re-probes it. ``readBetweenOffsets`` replays an exact
+    page range for recovery, which is deterministic because the offset
+    range pins the pages, and page contents are immutable once published.
+    SimpleDataSourceStreamReader reads on the driver — right-sized here
+    (API throughput is throttle-bound at ~100 rows/page); the parallel
+    batch reader above is the backfill path.
+    """
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.inner = UsaspendingReader(options, schema)
+        self.max_pages_per_batch = int(options.get("maxpagesperbatch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 1}
+
+    def _fetch(self, page: int) -> dict:
+        return self.inner._client()._fetch_page(page)
+
+    def _rows(self, body: dict) -> list[tuple]:
+        from .ingest import FIELD_TO_COLUMN
+
+        api_fields = list(FIELD_TO_COLUMN)
+        return [
+            tuple(None if r.get(f) is None else str(r.get(f)) for f in api_fields)
+            for r in body.get("results", [])
+        ]
+
+    def read(self, start: dict) -> tuple:
+        page = int(start["next_page"])
+        out: list[tuple] = []
+        consumed = 0
+        while consumed < self.max_pages_per_batch:
+            body = self._fetch(page)
+            rows = self._rows(body)
+            if not rows:
+                break  # park on this page; re-probe next trigger
+            out.extend(rows)
+            page += 1
+            consumed += 1
+            if not body.get("page_metadata", {}).get("hasNext"):
+                break
+        return iter(out), {"next_page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for page in range(int(start["next_page"]), int(end["next_page"])):
+            yield from self._rows(self._fetch(page))
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -444,3 +444,67 @@ def test_stream_heavy_hitters_superset_and_undercount(spark, events_dir, events_
     for v, mg in final.items():
         assert mg <= exact[v] + 1e-9
     q.stop()
+
+
+def test_usaspending_stream_reader_incremental_pages(spark, tmp_path):
+    import json as _json
+
+    from bigdata_usaspending_spark.sources.datasource import UsaspendingDataSource
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+
+    def write_page(p, ids, has_next):
+        rows = [
+            {
+                "Award ID": f"AW-{i}",
+                "Recipient Name": "R",
+                "Start Date": "2024-01-01",
+                "End Date": "2024-06-30",
+                "Award Amount": "10",
+                "Awarding Agency": "A",
+                "Awarding Sub Agency": "S",
+                "Contract Award Type": "A",
+                "Funding Agency": "F",
+                "Funding Sub Agency": "FS",
+                "Description": "d",
+                "Last Modified Date": "2024-07-01",
+                "Base Obligation Date": "2024-01-01",
+            }
+            for i in ids
+        ]
+        (pages_dir / f"page_{p}.json").write_text(
+            _json.dumps({"results": rows, "page_metadata": {"hasNext": has_next}})
+        )
+
+    write_page(1, range(0, 3), True)
+    write_page(2, range(3, 5), False)
+    spark.dataSource.register(UsaspendingDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("usaspending")
+            .option("start_date", "2024-01-01")
+            .option("end_date", "2024-12-31")
+            .option("transport", "file")
+            .option("path", str(pages_dir))
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r.award_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {f"AW-{i}" for i in range(5)}
+    # new page published later: a restarted query resumes from the
+    # checkpointed page offset and ingests ONLY the new rows
+    write_page(2, range(3, 5), True)  # prior tail now points onward
+    write_page(3, range(5, 9), False)
+    run_once()
+    got2 = sorted(r.award_id for r in spark.read.parquet(out_dir).collect())
+    assert got2 == sorted(f"AW-{i}" for i in range(9))  # no re-ingest of 0-4
