@@ -451,6 +451,80 @@ def stream_incremental_rollup(
     return query
 
 
+def scd2_merge_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    key: str,
+    tracked: list[str],
+    eff_date_col: str = "eff_date",
+    batch_id: int = 0,
+) -> bool:
+    """One idempotent micro-batch of streaming SCD Type-2 dimension
+    maintenance: reduce the batch to its LATEST update per key
+    (deterministic max over (eff_date, *tracked) struct order, so replayed
+    or reordered rows can't flap), apply io.scd2_apply against the
+    committed history, and commit the new history version atomically.
+    Same exactly-once contract as merge_rollup_batch: replayed batch_ids
+    are skipped, a crash before the manifest flip leaves the previous
+    history intact."""
+    from pyspark.sql import types as T
+
+    from ..io import (
+        commit_versioned_state,
+        read_state_manifest,
+        read_versioned_state,
+        scd2_apply,
+    )
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    spark = batch_df.sparkSession
+    latest = (
+        batch_df.groupBy(key)
+        .agg(F.max(F.struct(eff_date_col, *tracked)).alias("_m"))
+        .select(key, *[F.col(f"_m.{c}").alias(c) for c in [*tracked, eff_date_col]])
+    )
+    cur = read_versioned_state(spark, state_path)
+    if cur is None:
+        key_type = batch_df.schema[key].dataType
+        fields = [T.StructField(key, key_type)]
+        fields += [T.StructField(c, batch_df.schema[c].dataType) for c in tracked]
+        fields += [
+            T.StructField("eff_from", batch_df.schema[eff_date_col].dataType),
+            T.StructField("eff_to", batch_df.schema[eff_date_col].dataType),
+        ]
+        cur = spark.createDataFrame([], T.StructType(fields))
+    hist = scd2_apply(cur, latest, key, tracked, eff_date_col)
+    commit_versioned_state(hist, state_path, batch_id)
+    return True
+
+
+def stream_scd2(
+    updates: DataFrame,
+    state_path: str,
+    key: str,
+    tracked: list[str],
+    eff_date_col: str = "eff_date",
+    checkpoint: str | None = None,
+):
+    """Keep an SCD Type-2 history table incrementally fresh from an update
+    stream — the streaming twin of the batch q_scd2 plan and the engine's
+    answer to the reference's re-download-and-overwrite dimension refresh.
+    foreachBatch + versioned-state commits give exactly-once history
+    evolution under the at-least-once replay contract."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_merge_batch(batch_df, state_path, key, tracked, eff_date_col, batch_id)
+
+    writer = updates.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def decontaminate_batch(
     batch_df: DataFrame,
     benchmark: DataFrame,

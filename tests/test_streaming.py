@@ -508,3 +508,48 @@ def test_usaspending_stream_reader_incremental_pages(spark, tmp_path):
     run_once()
     got2 = sorted(r.award_id for r in spark.read.parquet(out_dir).collect())
     assert got2 == sorted(f"AW-{i}" for i in range(9))  # no re-ingest of 0-4
+
+
+def test_stream_scd2_evolves_history_exactly_once(spark, tmp_path):
+    from datetime import datetime
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "scd2_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, attr string, eff_date timestamp"
+    t1, t2 = datetime(2021, 1, 1), datetime(2022, 1, 1)
+    spark.createDataFrame(
+        [(1, "A", t1), (2, "B", t1)], schema
+    ).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        jobs.stream_scd2(stream, state, "k", ["attr"], checkpoint=ckpt)
+
+    run()
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    h1 = {(r.k, r.attr, r.eff_to) for r in read_versioned_state(spark, state).collect()}
+    assert h1 == {(1, "A", None), (2, "B", None)}
+    # second batch: key 1 changes, key 2 repeats unchanged, key 3 is new;
+    # two updates for key 1 in ONE batch -> only the latest (struct-max) wins
+    spark.createDataFrame(
+        [(1, "A1", t2), (1, "A2", t2), (2, "B", t2), (3, "C", t2)], schema
+    ).write.mode("append").parquet(landing)
+    run()
+    h2 = {(r.k, r.attr, r.eff_from, r.eff_to) for r in read_versioned_state(spark, state).collect()}
+    assert h2 == {
+        (1, "A", t1, t2),
+        (1, "A2", t2, None),  # struct-max picked A2 over A1
+        (2, "B", t1, None),   # unchanged: no new version
+        (3, "C", t2, None),
+    }
+    # replaying with a fresh checkpoint but stale batch ids must not
+    # double-apply: same landing data, new checkpoint -> batch_id restarts
+    # at 0 which is <= committed 1 -> skipped
+    jobs.scd2_merge_batch(
+        spark.read.schema(schema).parquet(landing), state, "k", ["attr"],
+        batch_id=1,
+    ) is False
+    h3 = {(r.k, r.attr, r.eff_from, r.eff_to) for r in read_versioned_state(spark, state).collect()}
+    assert h3 == h2
