@@ -479,19 +479,36 @@ def rp_lsh_topk(
     Every stage is deterministic and SQL-replayable (corpus_ext's oracle)."""
     qvec = _as_qvec(query)
     dim = len(qvec)
-    data_b = rp_lsh_buckets(df, num_tables, bucket_length, vec_col, dim=dim)
-    q_buckets = _rp_bucket_row(qvec, _rp_matrix(num_tables, dim), bucket_length)
-    probe_rows = [
-        (t, b + off)
-        for t, b in enumerate(q_buckets)
-        for off in range(-multiprobe, multiprobe + 1)
+    w = _rp_matrix(num_tables, dim)
+    q_buckets = _rp_bucket_row(qvec, w, bucket_length)
+    # The probe set is MODEL STATE (num_tables x (2*multiprobe+1) pairs,
+    # known at plan time), so candidate generation fuses into the
+    # bucketing kernel as a per-table membership test: one map + filter,
+    # no posexplode row blowup, no join, no dropDuplicates — nothing
+    # shuffles before the top-k. The general (table, bucket) relation
+    # remains available via rp_lsh_buckets for pair-mining callers.
+    allowed = [
+        np.array(
+            [b + off for off in range(-multiprobe, multiprobe + 1)],
+            dtype=np.int64,
+        )
+        for b in q_buckets
     ]
-    q_b = df.sparkSession.createDataFrame(probe_rows, schema="table int, bucket bigint")
-    candidates = (
-        data_b.join(F.broadcast(q_b), on=["table", "bucket"], how="semi")
-        .select(id_col, vec_col)
-        .dropDuplicates([id_col])
-    )
+    inv_like = float(bucket_length)
+
+    @F.pandas_udf("boolean")
+    def _probe_hit(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=bool)
+        x = np.array(v.tolist(), dtype=np.float64)  # (n, dim), exact widen
+        hit = np.zeros(x.shape[0], dtype=bool)
+        for t in range(w.shape[1]):
+            dots = _fold_sum_cols(x * w[None, :, t])  # SQL fold order
+            buckets = np.floor(dots / inv_like).astype(np.int64)
+            hit |= np.isin(buckets, allowed[t])
+        return pd.Series(hit)
+
+    candidates = df.filter(_probe_hit(F.col(vec_col))).select(id_col, vec_col)
     return brute_force_topk(candidates, qvec, id_col=id_col, vec_col=vec_col, k=k)
 
 
