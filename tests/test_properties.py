@@ -204,3 +204,86 @@ def test_edit_distance_pairs_complete_and_exact(spark, names, k):
         if i < j and _lev_ref(a, b) <= k
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=2, max_value=12),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@SLOW
+def test_heavy_hitters_equals_naive_reference(spark, vals, k, parts):
+    """The Misra-Gries candidate pass + exact recount must return EXACTLY
+    the naive full-GROUP-BY heavy hitters (count*k > total), for any data,
+    any k, and any partitioning — the sketch only bounds memory, never
+    changes the answer."""
+    from collections import Counter
+
+    from bigdata_usaspending_spark.operators.aggregates import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(parts)
+    got = {
+        (r.v, r.n_occurrences) for r in heavy_hitters(df, "v", k=k).collect()
+    }
+    counts = Counter(vals)
+    total = len(vals)
+    expected = {(v, n) for v, n in counts.items() if n * k > total}
+    assert got == expected
+
+
+@given(
+    updates=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),           # key
+            st.sampled_from(["A", "B", "C", None]),          # attr
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@SLOW
+def test_scd2_batches_keep_history_invariants(spark, updates):
+    """Applying any sequence of update batches one-by-one preserves the
+    SCD2 invariants: exactly one open row per key ever seen, closed rows
+    never mutate, and each key's open attr equals its LAST update."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from bigdata_usaspending_spark.io import scd2_apply
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("eff_from", T.TimestampType()),
+            T.StructField("eff_to", T.TimestampType()),
+        ]
+    )
+    hist = spark.createDataFrame([], schema)
+    last_attr: dict[int, object] = {}
+    for i, (key, attr) in enumerate(updates):
+        t = datetime(2020, 1, 1 + i)
+        upd = spark.createDataFrame(
+            [(key, attr, t)], "k long, attr string, eff_date timestamp"
+        )
+        hist = scd2_apply(hist, upd, "k", ["attr"])
+        last_attr[key] = attr
+    rows = hist.collect()
+    open_rows = {r.k: r.attr for r in rows if r.eff_to is None}
+    assert set(open_rows) == set(last_attr)
+    for key, attr in last_attr.items():
+        assert open_rows[key] == attr
+    # closed intervals are well-formed and non-overlapping per key
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for key, rs in by_key.items():
+        closed = sorted(
+            [r for r in rs if r.eff_to is not None], key=lambda r: r.eff_from
+        )
+        for a, b in zip(closed, closed[1:]):
+            assert a.eff_to <= b.eff_from
+        assert sum(1 for r in rs if r.eff_to is None) == 1
