@@ -200,6 +200,81 @@ def stream_near_dedup_minhash_lsh(
     )
 
 
+def stream_windowed_heavy_hitters(
+    events: DataFrame,
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    k: int = 20,
+    num_shards: int = 4,
+) -> DataFrame:
+    """Per-event-time-window heavy-hitter candidates: the sharded
+    Misra-Gries state of stream_heavy_hitters, keyed by
+    (window_start, shard) instead of shard alone — "what was trending
+    TODAY", not since the job started.
+
+    Composition stays pure DataFrame ops: window bucketing + value
+    sharding are codegen projections; the stateful summary is the same
+    O(k)-per-group update kernel. Each (window, shard) group still sees
+    ALL occurrences of its values within the window (values hash to one
+    shard), so the superset guarantee is per-window exact. The watermark
+    bounds state: groups whose window closed past the horizon stop
+    receiving updates and their final emission stands as the window's
+    candidate set — at 100 TB the live state is
+    O(windows_in_horizon x num_shards x k), independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window).start.alias("window_start"),
+            F.col(value_col).cast("string").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .select(
+            "window_start",
+            "_v",
+            F.pmod(F.xxhash64("_v"), F.lit(num_shards)).cast("int").alias("_shard"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            vals, counts = state.get
+            acc = pd.Series(list(counts), index=list(vals), dtype="float64")
+        else:
+            acc = None
+        for pdf in pdfs:
+            vc = pdf["_v"].value_counts().astype("float64")
+            acc = vc if acc is None else acc.add(vc, fill_value=0.0)
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thresh
+                acc = acc[acc > 0]
+        if acc is None:
+            acc = pd.Series(dtype="float64")
+        state.update((list(acc.index.astype(str)), [float(x) for x in acc.values]))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(acc),
+                "shard": [int(key[1])] * len(acc),
+                "value": acc.index.astype(str),
+                "mg_count": acc.values,
+            }
+        )
+
+    return keyed.groupBy("window_start", "_shard").applyInPandasWithState(
+        update,
+        outputStructType="window_start timestamp, shard int, value string, mg_count double",
+        stateStructType="vals array<string>, counts array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     key_col: str = "user_id",

@@ -553,3 +553,45 @@ def test_stream_scd2_evolves_history_exactly_once(spark, tmp_path):
     ) is False
     h3 = {(r.k, r.attr, r.eff_from, r.eff_to) for r in read_versioned_state(spark, state).collect()}
     assert h3 == h2
+
+
+def test_stream_windowed_heavy_hitters_per_window_guarantee(
+    spark, events_dir, events_schema
+):
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    k = 8  # the fixture's event types are near-uniform (~5 types): any
+    # type above total/8 qualifies, so the guarantee path actually fires
+    q = jobs.run_to_memory(
+        jobs.stream_windowed_heavy_hitters(
+            stream, "event_type", window="30 days", k=k, num_shards=2
+        ),
+        "hh_win",
+        output_mode="update",
+    )
+    emitted = spark.table("hh_win").collect()
+    assert emitted
+    final: dict[tuple, float] = {}
+    for r in emitted:
+        final[(r.window_start, r.value)] = r.mg_count
+    batch = spark.read.parquet(events_dir)
+    exact = {
+        (r.w, r.event_type): r.n
+        for r in batch.select(
+            F.window(F.col("ts"), "30 days").start.alias("w"), "event_type"
+        )
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals: dict = {}
+    for (w, _), n in exact.items():
+        totals[w] = totals.get(w, 0) + n
+    hit_windows = 0
+    for (w, v), n in exact.items():
+        if n * k > totals[w]:
+            assert (w, v) in final, f"window {w} heavy hitter {v} missing"
+            hit_windows += 1
+    assert hit_windows > 0  # the fixture must actually exercise the path
+    for (w, v), mg in final.items():
+        assert mg <= exact[(w, v)] + 1e-9
+    q.stop()
