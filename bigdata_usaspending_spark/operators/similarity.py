@@ -1110,3 +1110,168 @@ def random_projection_lsh_neighbors(
     return model.approxNearestNeighbors(vecs, Vectors.dense(query_vec), k).select(
         id_col, F.col("distCol").alias("distance")
     )
+
+
+def _collect_query_matrix(
+    queries: DataFrame,
+    q_id_col: str,
+    vec_col: str,
+    max_queries: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Materialize the query side driver-side (the broadcast-model-state
+    pattern pq_train_driver established: bounded, cap-guarded, collected
+    ONCE at operator-build time). A k-NN JOIN's query side is dim-sized by
+    definition — if it isn't, block both sides (ivf_knn_join) instead."""
+    rows = queries.select(q_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_queries={max_queries}; "
+            "use ivf_knn_join or raise the cap explicitly"
+        )
+    rows = sorted((int(r[0]), list(r[1])) for r in rows)
+    qids = np.array([i for i, _ in rows], dtype=np.int64)
+    qmat = np.array([v for _, v in rows], dtype=np.float64)
+    return qids, qmat
+
+
+def _partial_topk_frame(
+    qids: "np.ndarray",
+    qmat: "np.ndarray",
+    cids: "np.ndarray",
+    x: "np.ndarray",
+    k: int,
+    sel: "np.ndarray | None" = None,
+) -> "pd.DataFrame":
+    """Per-batch exact partial top-k of corpus rows ``x`` against every
+    query in ``qmat`` (optionally only queries selected by ``sel``),
+    with cosine arithmetic bit-identical to cosine_to_query_kernel and
+    the GLOBAL total order (-cosine, neighbor_id) applied locally so a
+    boundary tie can never evict the globally-winning id."""
+    xnorm = np.sqrt(_fold_sum_cols(x * x))
+    out_q, out_c, out_s = [], [], []
+    idxs = range(qmat.shape[0]) if sel is None else sel
+    for qi in idxs:
+        q = qmat[qi]
+        num = _fold_dot_mat(x, q[None, :])
+        den = xnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
+        cos = num / den
+        order = np.lexsort((cids, -cos))[:k]
+        out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+        out_c.append(cids[order])
+        out_s.append(cos[order])
+    if not out_q:
+        return pd.DataFrame({"q_id": [], "neighbor_id": [], "cosine": []})
+    return pd.DataFrame(
+        {
+            "q_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_c),
+            "cosine": np.concatenate(out_s),
+        }
+    )
+
+
+def _global_topk(partials: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id_col: str = "vec_id",
+    c_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor JOIN: for every query vector, its top-k
+    corpus neighbors by cosine — the batch generalization of
+    brute_force_topk (one query) that a retrieval/eval pipeline actually
+    runs.
+
+    Scale shape: the query matrix broadcasts into ONE Arrow kernel over
+    the corpus scan (never a |Q| x |C| crossJoin row blowup — the (n, m)
+    dot products exist only inside a numpy batch); each batch emits at
+    most m x k partial rows already cut under the global total order
+    (-cosine, neighbor_id), and the only shuffle is the final per-query
+    top-k over batches x m x k partials. Cosines reuse the exact fold of
+    cosine_to_query_kernel, so results are bit-identical to the SQL
+    cross-join + window oracle.
+    """
+    qids, qmat = _collect_query_matrix(queries, q_id_col, vec_col, max_queries)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            cids = pdf["_cid"].to_numpy(dtype=np.int64)
+            yield _partial_topk_frame(qids, qmat, cids, x, k)
+
+    partials = corpus.select(
+        F.col(c_id_col).cast("long").alias("_cid"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(scan, schema="q_id long, neighbor_id long, cosine double")
+    return _global_topk(partials, k)
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    q_id_col: str = "vec_id",
+    c_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """IVF-blocked approximate k-NN join: corpus rows are assigned to
+    their nearest centroid cell (ivf_assign — one kernel map, no shuffle),
+    each query probes only its ``nprobe`` nearest cells, and batches score
+    a corpus row against ONLY the queries probing that row's cell. Work
+    drops from |Q| x |C| to ~|Q| x |C| x (nprobe / num_cells); recall is
+    gated in tests against the exact knn_join. Same partial-top-k /
+    single-final-shuffle shape as knn_join."""
+    qids, qmat = _collect_query_matrix(queries, q_id_col, vec_col, max_queries)
+    cent_rows = sorted(
+        (int(r["cell"]), list(r["centroid"])) for r in centroids.collect()
+    )
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(_fold_sum_cols(cmat * cmat))
+    # per-query probe cells (driver-side: queries are already model state)
+    probes: dict[int, list[int]] = {}
+    for qi in range(qmat.shape[0]):
+        q = qmat[qi]
+        cos = _fold_dot_mat(cmat, q[None, :]) / (
+            cnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
+        )
+        for c_idx in np.lexsort((cells, -cos))[:nprobe]:
+            probes.setdefault(int(cells[c_idx]), []).append(qi)
+
+    assigned = ivf_assign(corpus, centroids, id_col=c_id_col, vec_col=vec_col)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cell, grp in pdf.groupby("cell"):
+                sel = probes.get(int(cell))
+                if not sel:
+                    continue
+                x = np.array(grp["_vec"].tolist(), dtype=np.float64)
+                cids = grp["_cid"].to_numpy(dtype=np.int64)
+                yield _partial_topk_frame(qids, qmat, cids, x, k, sel=np.array(sel))
+
+    partials = assigned.select(
+        F.col(c_id_col).cast("long").alias("_cid"),
+        F.col(vec_col).alias("_vec"),
+        "cell",
+    ).mapInPandas(scan, schema="q_id long, neighbor_id long, cosine double")
+    return _global_topk(partials, k)

@@ -173,6 +173,20 @@ def q_passage_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_repeated_passages(docs, "doc_id", "text", n=8, min_docs=3)
 
 
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-NN JOIN (similarity.knn_join): the 20 lowest-id vectors as
+    the query batch, top-5 cosine neighbors each from the rest — the
+    broadcast-kernel batch generalization of q_embedding_cosine_topk.
+    Partial top-k per Arrow batch under the global total order, ONE final
+    per-query shuffle; bit-identical to the cross-join + window oracle."""
+    from ..operators.similarity import knn_join
+
+    emb = load(_prep(spark), sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return knn_join(queries, corpus, k=5)
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
     1999+ big spenders promoted to 'VIP' — changed keys close their open
@@ -216,6 +230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_scd2_customer_segment": q_scd2_customer_segment,
     "q_passage_scrub": q_passage_scrub,
+    "q_knn_join": q_knn_join,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -246,6 +261,27 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_knn_join": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 20
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+            WHERE vec_id >= 20
+        ),
+        scored AS (
+            SELECT q_id, neighbor_id, __COS__ AS cosine FROM q, c
+        ),
+        ranked AS (
+            SELECT q_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT q_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
     """,
     "q_passage_scrub": f"""
         WITH t AS (
@@ -369,3 +405,12 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
 }
+
+
+# resolve the k-NN join cosine against the shared fold SQL (same
+# list_reduce left-fold corpus_ext's embedding oracles use)
+from .corpus_ext import _cosine_sql as _cos_sql_r5  # noqa: E402
+
+ORACLE_SQL["q_knn_join"] = ORACLE_SQL["q_knn_join"].replace(
+    "__COS__", _cos_sql_r5("qv", "cv")
+)

@@ -361,3 +361,88 @@ def test_maxsim_rewards_any_token_match(spark):
     qdf = spark.createDataFrame([(q,)], "q_emb array<float>")
     out = [r.vec_id for r in similarity.maxsim_topk(docs, qdf, n_tokens=2, k=2).collect()]
     assert out[0] == 1
+
+
+def test_knn_join_matches_per_query_brute_force(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    got = {}
+    for r in knn_join(queries, corpus, k=4).collect():
+        got.setdefault(r.q_id, []).append((r.neighbor_id, r.cosine))
+    for q_row in queries.collect():
+        expect = [
+            (r.vec_id, r.cosine)
+            for r in brute_force_topk(
+                corpus, [float(x) for x in q_row.embedding], k=4
+            ).collect()
+        ]
+        assert sorted(got[q_row.vec_id], key=lambda t: (-t[1], t[0])) == expect
+
+
+def test_knn_join_plan_has_no_cartesian_product(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators.similarity import knn_join
+
+    emb = load(spark, sf_small, "embeddings")
+    df = knn_join(emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_knn_join_recall_against_exact(spark):
+    """On a deterministically clustered corpus (4 well-separated clusters,
+    queries near the centers), probing 2 of 4 cells must recover >= 0.9 of
+    the exact top-5 — the blocking is what's under test, so the data must
+    actually cluster (the sf0.001 fixture's labels are not geometric)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join,
+        mean_centroids,
+    )
+
+    centers = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    vid = 100
+    for c_idx, c in enumerate(centers):
+        for j in range(25):  # deterministic in-cluster jitter
+            v = [x + ((j * 7 + d * 3) % 11 - 5) / 100.0 for d, x in enumerate(c)]
+            rows.append((vid, [float(x) for x in v], c_idx))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q_rows = [
+        (i, [float(x + 0.01 * i) for x in centers[i]], i) for i in range(4)
+    ]
+    queries = spark.createDataFrame(
+        q_rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = mean_centroids(corpus.withColumn("cell", F.col("label")), "cell")
+    exact = {}
+    for r in knn_join(queries, corpus, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_knn_join(queries, corpus, cents, k=5, nprobe=2).collect():
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
