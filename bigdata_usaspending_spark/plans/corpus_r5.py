@@ -187,6 +187,22 @@ def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return knn_join(queries, corpus, k=5)
 
 
+def q_ann_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-blocked k-NN join (similarity.ivf_knn_join), fully
+    oracle-checked: label-seeded mean centroids over the corpus side,
+    10 query vectors probing their 3 nearest cells, top-5 within the
+    probed candidates. Every stage — decimal-exact centroid means, kernel
+    cell assignment, driver-side probe ranking, fold cosine — replays in
+    SQL (the q_ann_ivf_topk contract, extended per-query)."""
+    from ..operators.similarity import ivf_knn_join, mean_centroids
+
+    emb = load(_prep(spark), sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = mean_centroids(corpus.withColumn("cell", F.col("label")), "cell")
+    return ivf_knn_join(queries, corpus, cents, k=5, nprobe=3)
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
     1999+ big spenders promoted to 'VIP' — changed keys close their open
@@ -231,6 +247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_customer_segment": q_scd2_customer_segment,
     "q_passage_scrub": q_passage_scrub,
     "q_knn_join": q_knn_join,
+    "q_ann_ivf_knn_join": q_ann_ivf_knn_join,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -261,6 +278,58 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_ann_ivf_knn_join": """
+        WITH corpus AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 10
+        ),
+        px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM corpus
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY __CCOS__ DESC, c.cell ASC) AS rn
+                FROM corpus e, cent c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                                          ORDER BY __QCOS__ DESC, c.cell ASC) AS rn
+                FROM cent c, q
+            ) WHERE rn <= 3
+        ),
+        ranked AS (
+            SELECT q_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM (
+                SELECT p.q_id, a.vec_id AS neighbor_id, __ACOS__ AS cosine
+                FROM assigned a
+                JOIN probe p ON a.cell = p.cell
+                JOIN q ON q.q_id = p.q_id
+            )
+        )
+        SELECT q_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
     """,
     "q_knn_join": """
         WITH q AS (
@@ -413,4 +482,10 @@ from .corpus_ext import _cosine_sql as _cos_sql_r5  # noqa: E402
 
 ORACLE_SQL["q_knn_join"] = ORACLE_SQL["q_knn_join"].replace(
     "__COS__", _cos_sql_r5("qv", "cv")
+)
+ORACLE_SQL["q_ann_ivf_knn_join"] = (
+    ORACLE_SQL["q_ann_ivf_knn_join"]
+    .replace("__CCOS__", _cos_sql_r5("e.embedding", "c.centroid"))
+    .replace("__QCOS__", _cos_sql_r5("c.centroid", "q.qv"))
+    .replace("__ACOS__", _cos_sql_r5("a.embedding", "q.qv"))
 )
