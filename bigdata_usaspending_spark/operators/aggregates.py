@@ -277,3 +277,106 @@ def heavy_hitters(
         .filter(F.col("n_occurrences") * F.lit(k) > F.col("_total"))
         .select(F.col("_v").alias(out), "n_occurrences")
     )
+
+
+def hll_intersection_audit(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lgk: int = 14,
+    rel_err: float = 0.1,
+) -> DataFrame:
+    """Sketch-estimated DISTINCT INTERSECTION via inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B), the union from ONE
+    ``hll_union_agg`` merge of the two partial sketches) audited against
+    the exact semi-join count. HLL has no native intersection, so this is
+    the standard derived estimator; its relative error grows as the true
+    intersection shrinks relative to the union — callers pick ``rel_err``
+    accordingly (the audit makes drift visible instead of silent).
+
+    Scale shape: each side folds to ONE sketch row (map-side partials,
+    2^lgk bytes of state); the exact witness is a distinct-project
+    LEFT SEMI join — the one part a production pipeline would drop, at
+    which point no full values shuffle at all."""
+    sk_a = df_a.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("_sk"))
+    sk_b = df_b.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("_sk"))
+    est_a = sk_a.select(F.hll_sketch_estimate("_sk").alias("_ea"))
+    est_b = sk_b.select(F.hll_sketch_estimate("_sk").alias("_eb"))
+    est_u = (
+        sk_a.unionByName(sk_b)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_eu"))
+    )
+    exact = (
+        df_a.select(F.col(value_col).alias("_v"))
+        .distinct()
+        .join(
+            df_b.select(F.col(value_col).alias("_v")).distinct(),
+            "_v",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    tol = F.lit(float(rel_err))
+    est = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    return (
+        exact.join(F.broadcast(est_a))
+        .join(F.broadcast(est_b))
+        .join(F.broadcast(est_u))
+        .select(
+            "exact_intersection",
+            (
+                F.abs(
+                    est.cast("double")
+                    / F.col("exact_intersection").cast("double")
+                    - 1.0
+                )
+                <= tol
+            ).alias("est_within_tol"),
+        )
+    )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: "Sequence[str] | None" = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass table profiler (the warehouse ``ANALYZE`` surface): per
+    column — row count, non-null count, distinct count, lexical min/max
+    (cast to string so heterogeneous column types share one schema).
+
+    One aggregate over one scan; the per-column stats unpivot driver-free
+    through ``inline``. With ``exact_distinct`` the multi-column
+    COUNT(DISTINCT) expands the scan len(columns)-fold before the partial
+    aggregate (fine for profiling runs); at 100 TB pass
+    ``exact_distinct=False`` for one-pass HLL estimates with no expand.
+    """
+    cols = list(columns or df.columns)
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            nd(c).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_non_null"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.inline(structs))

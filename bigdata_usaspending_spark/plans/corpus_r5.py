@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import fuzzy, timeseries
-from ..operators.aggregates import heavy_hitters, hll_distinct_audit
+from ..operators.aggregates import (
+    heavy_hitters,
+    hll_distinct_audit,
+    hll_intersection_audit,
+    profile_table,
+)
 from ..operators.dedup import repeated_passages, scrub_repeated_passages
 from ..operators.joins import join_dim_fact
 from ..session import apply_runtime_confs
@@ -203,6 +208,28 @@ def q_ann_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_knn_join(queries, corpus, cents, k=5, nprobe=3)
 
 
+def q_hll_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-estimated distinct intersection (inclusion-exclusion over
+    HLL union) with exact audit: customers active in BOTH calendar halves.
+    The intersection here is ~99% of the union, so the derived estimator
+    sits well inside the 10% audit tolerance — the oracle pins the exact
+    count and the audit boolean."""
+    from ..functions import month_of
+
+    orders = load(_prep(spark), sf, "orders")
+    h1 = orders.filter(month_of("o_orderdate") <= 6)
+    h2 = orders.filter(month_of("o_orderdate") > 6)
+    return hll_intersection_audit(h1, h2, "o_custkey", lgk=14, rel_err=0.1)
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass ANALYZE-style profile of the orders table: per column,
+    row/non-null/exact-distinct counts and lexical min/max as strings
+    (aggregates.profile_table); one scan, inline unpivot."""
+    orders = load(_prep(spark), sf, "orders")
+    return profile_table(orders)
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
     1999+ big spenders promoted to 'VIP' — changed keys close their open
@@ -248,6 +275,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_passage_scrub": q_passage_scrub,
     "q_knn_join": q_knn_join,
     "q_ann_ivf_knn_join": q_ann_ivf_knn_join,
+    "q_hll_intersection": q_hll_intersection,
+    "q_table_profile": q_table_profile,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -278,6 +307,33 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_hll_intersection": """
+        WITH h1 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE CAST(month(o_orderdate) AS INT) <= 6
+        ),
+        h2 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE CAST(month(o_orderdate) AS INT) > 6
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection,
+               TRUE AS est_within_tol
+        FROM h1 WHERE EXISTS (SELECT 1 FROM h2 WHERE h2.o_custkey = h1.o_custkey)
+    """,
+    "q_table_profile": """
+        """ + "\n        UNION ALL\n        ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT({c}) AS n_non_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM orders"""
+        for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    ) + """
     """,
     "q_ann_ivf_knn_join": """
         WITH corpus AS (
