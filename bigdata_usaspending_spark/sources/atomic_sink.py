@@ -1,0 +1,144 @@
+"""Exactly-once streaming parquet sink via the Spark 4 Python DataSource
+writer API: ``df.writeStream.format("atomic_parquet")``.
+
+Completes the engine's Python-DataSource quadrant (batch read + stream
+read live in sources/datasource.py) and packages the versioned-state
+commit discipline io.py uses for rollup/SCD2 state as a general sink:
+
+- executors write partition files into a STAGING area (invisible to
+  readers) and return them as commit messages;
+- the driver's ``commit(messages, batchId)`` moves the batch's files into
+  ``batch={id}/`` and then — the single atomic visibility point — writes
+  ``_commits/{id}.json`` via ``os.replace``;
+- a REPLAYED batch (foreachBatch/at-least-once restart) finds its commit
+  record already present, discards its freshly staged files, and changes
+  nothing — no duplicate rows, ever;
+- ``abort`` discards staged files, so a failed batch leaves no trace.
+
+``read_committed(spark, path)`` is the reader contract: it lists the
+commit records and reads ONLY committed batch directories — a half-moved
+batch is never observable. Same rename-capable-filesystem requirement as
+io.commit_versioned_state (object stores need a manifest-pointer variant).
+
+At scale: staging + rename is O(files), the commit record is O(1), and
+readers pay no listing penalty beyond the committed-batch listing — the
+shape table formats (Delta/Iceberg) generalize; this sink is the
+dependency-free core of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class AtomicParquetSink(DataSource):
+    """``format("atomic_parquet")`` — options: ``path`` (required)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "atomic_parquet"
+
+    def schema(self) -> str:
+        return "value string"  # sinks receive the input schema via writer()
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> "AtomicParquetStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("atomic_parquet sink requires the path option")
+        return AtomicParquetStreamWriter(path, schema)
+
+
+class AtomicParquetStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, schema: T.StructType):
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    # -- executors --------------------------------------------------------
+    def write(self, iterator: Iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        cols: dict[str, list] = {f: [] for f in self.fields}
+        n = 0
+        for row in iterator:
+            for f in self.fields:
+                cols[f].append(row[f])
+            n += 1
+        fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({f: pa.array(cols[f]) for f in self.fields}), fp)
+        return _StagedFile(fp, n)
+
+    # -- driver -----------------------------------------------------------
+    def _commit_record(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_commits", f"{batch_id}.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        record = self._commit_record(batchId)
+        staged = [m.staged_path for m in messages if m is not None]
+        if os.path.exists(record):
+            # replayed batch: its rows are already visible — discard the
+            # duplicate staging output and change nothing
+            for fp in staged:
+                if os.path.exists(fp):
+                    os.remove(fp)
+            return
+        batch_dir = os.path.join(self.path, f"batch={batchId}")
+        os.makedirs(batch_dir, exist_ok=True)
+        moved = []
+        for fp in staged:
+            dest = os.path.join(batch_dir, os.path.basename(fp))
+            os.replace(fp, dest)
+            moved.append(os.path.basename(fp))
+        os.makedirs(os.path.dirname(record), exist_ok=True)
+        tmp = record + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "files": sorted(moved),
+                    "n_rows": sum(m.n_rows for m in messages if m is not None),
+                },
+                fh,
+            )
+        os.replace(tmp, record)  # the atomic visibility point
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read ONLY committed batches of an atomic_parquet sink directory —
+    staged or half-moved files are never observable."""
+    commits_dir = os.path.join(path, "_commits")
+    ids = []
+    if os.path.isdir(commits_dir):
+        for name in os.listdir(commits_dir):
+            if name.endswith(".json"):
+                ids.append(int(name[:-5]))
+    if not ids:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    dirs = [os.path.join(path, f"batch={i}") for i in sorted(ids)]
+    return spark.read.parquet(*dirs)

@@ -595,3 +595,59 @@ def test_stream_windowed_heavy_hitters_per_window_guarantee(
     for (w, v), mg in final.items():
         assert mg <= exact[(w, v)] + 1e-9
     q.stop()
+
+
+def test_atomic_parquet_sink_exactly_once_and_replay(spark, tmp_path):
+    from bigdata_usaspending_spark.sources.atomic_sink import (
+        AtomicParquetSink,
+        AtomicParquetStreamWriter,
+        read_committed,
+    )
+    from pyspark.sql import types as T
+
+    spark.dataSource.register(AtomicParquetSink)
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.mode(
+        "append"
+    ).parquet(landing)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .writeStream.format("atomic_parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {(r.k, r.v) for r in read_committed(spark, out).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # second batch appends atomically
+    spark.createDataFrame([(3, "c")], schema).write.mode("append").parquet(landing)
+    run()
+    got2 = {(r.k, r.v) for r in read_committed(spark, out).collect()}
+    assert got2 == {(1, "a"), (2, "b"), (3, "c")}
+    # simulate an at-least-once REPLAY of batch 0: driver commit path with a
+    # stale batch id must discard its staging output and change nothing
+    st = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    w = AtomicParquetStreamWriter(out, st)
+    msg = w.write(iter(spark.createDataFrame([(1, "a")], schema).collect()))
+    w.commit([msg], 0)
+    got3 = {(r.k, r.v) for r in read_committed(spark, out).collect()}
+    assert got3 == got2  # no duplicates
+    import os as _os
+    assert not _os.listdir(_os.path.join(out, "_staging"))
+    # abort leaves no trace
+    msg2 = w.write(iter(spark.createDataFrame([(9, "z")], schema).collect()))
+    w.abort([msg2], 99)
+    assert not _os.listdir(_os.path.join(out, "_staging"))
+    assert {(r.k, r.v) for r in read_committed(spark, out).collect()} == got2
