@@ -58,6 +58,17 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--query", required=True, help="SQL text; tables are view names")
     q.add_argument("--output", default=None, help="write result parquet here")
     q.add_argument("--limit", type=int, default=20, help="rows to print without --output")
+
+    pr = sub.add_parser(
+        "profile", help="one-pass ANALYZE-style column profile of a table"
+    )
+    pr.add_argument("--sf-dir", required=True, help="directory of *.parquet tables")
+    pr.add_argument("--table", required=True, help="table/view name to profile")
+    pr.add_argument(
+        "--approx", action="store_true",
+        help="HLL distinct counts (one pass, no expand) instead of exact",
+    )
+    pr.add_argument("--output", default=None, help="write result parquet here")
     return p
 
 
@@ -118,6 +129,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
         else:
             out.show(args.limit, truncate=False)
+        return 0
+
+    if args.job == "profile":
+        from .catalog import load
+        from .operators.aggregates import profile_table
+        from .session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        out = profile_table(
+            load(spark, args.sf_dir, args.table),
+            exact_distinct=not args.approx,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote profile to {args.output}")
+        else:
+            out.show(100, truncate=False)
         return 0
     return 2
 

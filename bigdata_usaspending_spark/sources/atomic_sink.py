@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -58,36 +59,49 @@ class AtomicParquetSink(DataSource):
     def schema(self) -> str:
         return "value string"  # sinks receive the input schema via writer()
 
-    def streamWriter(
-        self, schema: T.StructType, overwrite: bool
-    ) -> "AtomicParquetStreamWriter":
+    def _path(self) -> str:
         path = self.options.get("path")
         if not path:
             raise ValueError("atomic_parquet sink requires the path option")
-        return AtomicParquetStreamWriter(path, schema)
+        return path
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> "AtomicParquetStreamWriter":
+        return AtomicParquetStreamWriter(self._path(), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "AtomicParquetWriter":
+        return AtomicParquetWriter(self._path(), schema)
 
 
 class AtomicParquetStreamWriter(DataSourceStreamWriter):
     def __init__(self, path: str, schema: T.StructType):
         self.path = path
+        self.schema = schema
         self.fields = [f.name for f in schema.fields]
 
     # -- executors --------------------------------------------------------
     def write(self, iterator: Iterator) -> _StagedFile:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
+        rows = list(iterator)
+        if not rows:
+            # an empty partition must not stage a file: pyarrow would infer
+            # null-typed columns that poison later schema merges
+            return _StagedFile("", 0)
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
-        cols: dict[str, list] = {f: [] for f in self.fields}
-        n = 0
-        for row in iterator:
-            for f in self.fields:
-                cols[f].append(row[f])
-            n += 1
+        arrays = {
+            f.name: pa.array(
+                [r[f.name] for r in rows], type=to_arrow_type(f.dataType)
+            )
+            for f in self.schema.fields
+        }
         fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table({f: pa.array(cols[f]) for f in self.fields}), fp)
-        return _StagedFile(fp, n)
+        pq.write_table(pa.table(arrays), fp)
+        return _StagedFile(fp, len(rows))
 
     # -- driver -----------------------------------------------------------
     def _commit_record(self, batch_id: int) -> str:
@@ -95,7 +109,9 @@ class AtomicParquetStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         record = self._commit_record(batchId)
-        staged = [m.staged_path for m in messages if m is not None]
+        staged = [
+            m.staged_path for m in messages if m is not None and m.staged_path
+        ]
         if os.path.exists(record):
             # replayed batch: its rows are already visible — discard the
             # duplicate staging output and change nothing
@@ -125,8 +141,35 @@ class AtomicParquetStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.staged_path):
+            if m is not None and m.staged_path and os.path.exists(m.staged_path):
                 os.remove(m.staged_path)
+
+
+class AtomicParquetWriter(DataSourceWriter):
+    """Batch ``df.write.format("atomic_parquet")``: same staging + atomic
+    commit record, with the batch id drawn from the next free slot so
+    successive batch appends land as batch=N directories and a crashed
+    write leaves only invisible staged files."""
+
+    def __init__(self, path: str, schema: T.StructType):
+        self._stream = AtomicParquetStreamWriter(path, schema)
+        self.path = path
+
+    def write(self, iterator: Iterator) -> _StagedFile:
+        return self._stream.write(iterator)
+
+    def _next_batch_id(self) -> int:
+        commits = os.path.join(self.path, "_commits")
+        if not os.path.isdir(commits):
+            return 0
+        ids = [int(n[:-5]) for n in os.listdir(commits) if n.endswith(".json")]
+        return max(ids) + 1 if ids else 0
+
+    def commit(self, messages) -> None:
+        self._stream.commit(messages, self._next_batch_id())
+
+    def abort(self, messages) -> None:
+        self._stream.abort(messages, -1)
 
 
 def read_committed(spark: SparkSession, path: str) -> DataFrame:

@@ -148,3 +148,21 @@ def test_scd2_null_safe_attribute_comparison(spark):
     # NULL -> value and value -> NULL both count as changes
     assert (1, None, t1) in out and (1, "set", None) in out
     assert (2, "X", t1) in out and (2, None, None) in out
+
+
+def test_atomic_parquet_batch_writer_appends(spark, tmp_path):
+    from bigdata_usaspending_spark.sources.atomic_sink import (
+        AtomicParquetSink,
+        read_committed,
+    )
+
+    spark.dataSource.register(AtomicParquetSink)
+    out = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.format(
+        "atomic_parquet"
+    ).option("path", out).mode("append").save()
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "atomic_parquet"
+    ).option("path", out).mode("append").save()
+    got = {(r.k, r.v) for r in read_committed(spark, out).collect()}
+    assert got == {(1, "a"), (2, "b")}
