@@ -18,6 +18,8 @@ Rates are expressed as integer numerator/denominator so the gate is exact
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -300,3 +302,42 @@ def temperature_mix(
         < F.col("_thr")
     )
     return gated.select(*df.columns)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    salt_cols: "Sequence[str]",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic k-row sample PER GROUP: rank rows inside each group by
+    a seeded hash of their identifying columns and keep the first ``k``.
+
+    ``rand()`` re-rolls per execution (retried tasks under AQE can emit a
+    DIFFERENT sample — the reproducibility bug hash_gate exists to avoid);
+    hashing row identity instead makes the sample a pure function of the
+    data and the seed: re-runs, retries, and engine changes all agree, and
+    the oracle can replay it. One window shuffle on the group key; the
+    hash order is uniform, so this is a uniform without-replacement sample
+    of each group (ties broken by the salt columns for total order).
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit bridge so
+    the sample replays bit-for-bit in any engine with md5 (the oracle
+    corpus uses it; production keeps the cheaper xxhash64)."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
+    if portable:
+        h = portable_hash60(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols],
+                        F.lit(str(seed)))
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in salt_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -230,6 +230,21 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(orders)
 
 
+def q_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 3-row uniform sample per order priority
+    (sampling.sample_k_per_group, portable hash order): rand()-free so
+    retries/replans reproduce the exact sample; md5-bridge hash makes the
+    oracle replay it bit-for-bit."""
+    from ..operators.sampling import sample_k_per_group
+
+    orders = load(_prep(spark), sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return sample_k_per_group(
+        orders, "o_orderpriority", 3, ["o_orderkey"], seed=7, portable=True
+    )
+
+
 def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension merge (io.scd2_apply): customer segments with
     1999+ big spenders promoted to 'VIP' — changed keys close their open
@@ -277,6 +292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_knn_join": q_ann_ivf_knn_join,
     "q_hll_intersection": q_hll_intersection,
     "q_table_profile": q_table_profile,
+    "q_sample_k_per_group": q_sample_k_per_group,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -307,6 +323,19 @@ ORACLE_SQL: dict[str, str] = {
         tot AS (SELECT COUNT(*) AS c FROM e WHERE token IS NOT NULL)
         SELECT token, n_occurrences FROM cnt, tot
         WHERE n_occurrences * 200 > c
+    """,
+    "q_sample_k_per_group": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(('0x' || substr(md5(
+                                    CAST(o_orderkey AS VARCHAR) || '|7'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                o_orderkey ASC
+                   ) AS _rk
+            FROM orders
+        ) WHERE _rk <= 3
     """,
     "q_hll_intersection": """
         WITH h1 AS (
