@@ -82,3 +82,26 @@ def test_cli_sql_prints_and_writes(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "wrote 1 rows" in res.stdout
+
+
+def test_cli_profile_prints_and_writes(spark, tmp_path):
+    out = str(tmp_path / "profile_out")
+    res = _run(
+        "profile", "--sf-dir", "/root/testdata/sf0.001",
+        "--table", "orders", "--output", out,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = {r.col_name: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    ok = rows["o_orderkey"]
+    assert ok.n_rows == ok.n_non_null == ok.n_distinct  # unique key column
+    # approx mode runs too and keeps the same schema
+    res2 = _run(
+        "profile", "--sf-dir", "/root/testdata/sf0.001",
+        "--table", "orders", "--approx",
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "o_orderpriority" in res2.stdout
