@@ -158,6 +158,10 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
         return similarity.pq_topk(enc, cb, qvec, k=10, rerank_factor=8, dsub=4)
 
     out["ann_pq"] = timed("ann_pq", pq)
+    qside = emb.filter(F.col("vec_id") < 20)
+    out["knn_join"] = timed(
+        "knn_join", lambda: similarity.knn_join(qside, data, k=5)
+    )
     out["maxsim"] = timed("maxsim", lambda: similarity.maxsim_topk(data, qvec, n_tokens=4, k=10))
     out["repeated_passages"] = timed(
         "repeated_passages",
