@@ -155,6 +155,52 @@ def dedup_against_index(
     return batch.join(keep, on=id_col, how="semi")
 
 
+def dedup_against_index_bloom(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Incremental exact dedup with a Bloom-prefiltered index probe — the
+    middle regime between ``dedup_against_index``'s two strategies.
+
+    ``broadcast_batch=True`` inverts the probe with an EXACT broadcast
+    hash set, which stops working once the batch's distinct fingerprints
+    outgrow the broadcast budget (~100M keys is gigabytes of hash map).
+    ``broadcast_batch=False`` shuffles the corpus-sized index. This variant
+    extends the probe inversion ~100x further: a Bloom bitmap over the
+    batch keys is O(1.44 * n * log2(1/fp)) BITS — 2^23 bits (1 MiB) covers
+    ~5.8M keys at 1% false positives, 100M keys fit in ~170 MiB where the
+    exact set would not fit at all.
+
+    1. bloom = bitmap over the batch's fingerprints (sketches.bloom_build:
+       per-partition partials OR-reduced, one pass over the batch);
+    2. hits = index rows passing the broadcast bitmap — a pure SCAN of the
+       index, no shuffle; |hits| <= |batch ∩ index| + fp_rate * |index|;
+    3. fresh = batch ANTI broadcast(hits) — false positives from (2) are
+       index keys NOT in the batch, so they match nothing here and the
+       result is EXACT (same rows as dedup_against_index, same oracle);
+    4. min-id within-batch dedup of the fresh keys, as in the exact path.
+
+    The index never shuffles; driver + broadcast traffic is one bitmap
+    plus the batch-bounded hits set.
+    """
+    from .sketches import bloom_build, bloom_filter_rows
+
+    keyed = batch.select(F.col(id_col), fingerprint(text_col))
+    bloom = bloom_build(keyed, "fingerprint", num_bits, num_hashes)
+    hits = bloom_filter_rows(index, "fingerprint", bloom)
+    fresh = keyed.join(F.broadcast(hits), on="fingerprint", how="anti")
+    keep = (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return batch.join(keep, on=id_col, how="semi")
+
+
 def near_dedup_pipeline(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,334 @@
+"""Mergeable probabilistic sketches: t-digest quantiles and Bloom filters.
+
+Completes the sketch family alongside the HLL distinct sketches in
+operators/aggregates.py (hll_distinct_audit / hll_intersection_audit) and
+the Misra-Gries heavy hitters. The 100-TB story is identical for all of
+them: bounded per-group state, map-side partial aggregation, and partials
+that can be PERSISTED and re-merged to any coarser rollup later without
+rescanning the facts — the property exact computations lack.
+
+t-digest (Dunning & Ertl, "Computing extremely accurate quantiles using
+t-digests") here is the fully-vectorized MERGING variant:
+
+- a digest is a sorted centroid list (means[], weights[]) of bounded size
+  (<= ~2*delta centroids) built by clustering sorted values under the k1
+  scale function k(q) = delta/(2pi) * asin(2q-1), which concentrates
+  resolution at the tails;
+- building and merging are the SAME numpy kernel (_compress): sort by
+  mean, take each centroid's mid-quantile, floor(k1(q)) assigns a cluster
+  id, np.add.reduceat folds weights/weighted-means per cluster — no
+  per-value Python loop, deterministic for a given input order;
+- merge(concat(digest_a, digest_b)) is how partials combine, so per-
+  (group, day) digests stored as arrays re-roll to per-group monthlies
+  with a groupBy + one kernel call.
+
+Estimates are approximate by construction, so the corpus query follows the
+HLL-audit contract: the oracle-checkable output carries the EXACT quantile
+witness (Spark's percentile is bit-identical to DuckDB quantile_cont, see
+plans/corpus_ts.q_quantile_summary) plus booleans asserting the digest
+estimate lands within rel_err — drift is visible, not silent.
+
+The Bloom filter is the probe-side prefilter for incremental dedup
+(dedup.dedup_against_index_bloom): build one compact bitmap over a batch's
+keys (per-partition partial bitmaps, OR-reduced — a bitwise-max sketch,
+layout-insensitive like HLL registers), broadcast it, and filter a
+corpus-sized index SCAN down to near-hits before any join. Hashing is
+double-hashing over two JVM-side xxhash64 columns, so the Python kernel
+never touches strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# t-digest kernel
+# --------------------------------------------------------------------------
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """k1 scale function: tail-accurate cluster sizing."""
+    return delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def _compress(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster (means, weights) into <= ~2*delta centroids under k1.
+
+    Vectorized: cluster id = floor(k1(mid-quantile)); equal ids fold via
+    np.add.reduceat. Deterministic (stable sort, fixed fold order).
+    """
+    if means.size == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    total = w.sum()
+    cum = np.cumsum(w)
+    mid_q = (cum - 0.5 * w) / total
+    cid = np.floor(_k1(mid_q, delta)).astype(np.int64)
+    # reduceat segment starts: first index of each distinct cluster id
+    starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+    w_out = np.add.reduceat(w, starts)
+    m_out = np.add.reduceat(m * w, starts) / w_out
+    return m_out, w_out
+
+
+def _digest_quantiles(
+    means: np.ndarray, weights: np.ndarray, qs: Sequence[float]
+) -> np.ndarray:
+    """Piecewise-linear interpolation between centroid centers (clamped to
+    the extreme centroid means at the tails)."""
+    if means.size == 0:
+        return np.full(len(qs), np.nan)
+    total = weights.sum()
+    centers = np.cumsum(weights) - 0.5 * weights
+    targets = np.asarray(qs, dtype=np.float64) * total
+    return np.interp(targets, centers, means)
+
+
+# --------------------------------------------------------------------------
+# t-digest DataFrame operators
+# --------------------------------------------------------------------------
+
+def tdigest_groups(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    delta: float = 200.0,
+) -> DataFrame:
+    """Per-group t-digest: (group, means array<double>, weights
+    array<double>), one row per group.
+
+    Two stages, mirroring any mergeable-sketch aggregation:
+
+    1. partials — mapInPandas over the scan builds one digest per
+       (group, arrow-batch): sort the batch's values, one _compress call.
+       State per task is bounded (groups-in-batch x 2*delta doubles);
+       nothing shuffles yet.
+    2. merge — groupBy(group).applyInPandas concatenates the partial
+       centroid lists and re-compresses. The shuffle moves DIGESTS
+       (bounded rows of <= 2*delta centroids), not values — at 100 TB the
+       shuffle volume is O(groups x partitions x delta), independent of
+       row count.
+
+    The output arrays are a storable sketch: persist them per fine bucket
+    and re-merge to coarser rollups with merge_tdigests.
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    partial_schema = (
+        f"{group_col} {gtype}, means array<double>, weights array<double>"
+    )
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, sub in pdf.groupby(group_col, sort=True, dropna=True):
+                vals = sub[value_col].to_numpy(dtype=np.float64)
+                vals = vals[~np.isnan(vals)]
+                if vals.size == 0:
+                    continue
+                m, w = _compress(vals, np.ones_like(vals), delta)
+                rows.append({group_col: key, "means": m, "weights": w})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = df.select(group_col, value_col).mapInPandas(
+        build_partials, schema=partial_schema
+    )
+    return merge_tdigests(partials, group_col, delta)
+
+
+def merge_tdigests(
+    partials: DataFrame, group_col: str, delta: float = 200.0
+) -> DataFrame:
+    """Merge per-group digest partials (rows of means[]/weights[]) into one
+    digest row per group — the re-rollup path for persisted sketches."""
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["means"]])
+        w = np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["weights"]])
+        mm, mw = _compress(m, w, delta)
+        return pd.DataFrame(
+            [{group_col: key[0], "means": mm, "weights": mw}]
+        )
+
+    return partials.groupBy(group_col).applyInPandas(
+        merge, schema=partials.schema
+    )
+
+
+def tdigest_quantile_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    delta: float = 200.0,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Per-group EXACT quantiles (the oracle-verifiable witness) plus one
+    boolean per requested quantile asserting the t-digest estimate lands
+    within rel_err of it — the hll_distinct_audit contract applied to
+    quantiles. A production pipeline keeps the digest and drops the exact
+    witness, at which point no full values shuffle at all."""
+    digests = tdigest_groups(df, value_col, group_col, delta)
+    q_list = [float(q) for q in qs]
+
+    @F.pandas_udf("array<double>")
+    def est_udf(means: pd.Series, weights: pd.Series) -> pd.Series:
+        out = []
+        for m, w in zip(means, weights):
+            out.append(
+                _digest_quantiles(
+                    np.asarray(m, dtype=np.float64),
+                    np.asarray(w, dtype=np.float64),
+                    q_list,
+                )
+            )
+        return pd.Series(out)
+
+    est = digests.select(
+        group_col, est_udf("means", "weights").alias("_est")
+    )
+    exact = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.col(value_col).cast("double"),
+                F.array(*[F.lit(q) for q in q_list]),
+            ).alias("_exact")
+        )
+    )
+    tol = F.lit(float(rel_err))
+    cols = [F.col(group_col)]
+    audits = []
+    for i, q in enumerate(q_list, start=1):
+        name = f"p{int(round(q * 100)):02d}"
+        cols.append(F.element_at("_exact", i).alias(name))
+        audits.append(
+            (
+                F.abs(
+                    F.element_at("_est", i) / F.element_at("_exact", i) - 1.0
+                )
+                <= tol
+            ).alias(f"{name}_est_ok")
+        )
+    return (
+        exact.join(F.broadcast(est), [group_col])
+        .select(*cols, *audits)
+        .orderBy(group_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+class BloomFilter:
+    """Immutable packed-bitmap Bloom filter (num_bits bits in uint64 words,
+    num_hashes double-hashing probes). Built distributed, probed broadcast."""
+
+    def __init__(self, words: np.ndarray, num_bits: int, num_hashes: int):
+        self.words = words
+        self.num_bits = int(num_bits)
+        self.num_hashes = int(num_hashes)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, num_hashes) bit positions via double hashing h1 + i*h2 in
+        uint64 wraparound arithmetic — identical build- and probe-side."""
+        u1 = h1.astype(np.int64).view(np.uint64)
+        u2 = h2.astype(np.int64).view(np.uint64)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        return (u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(self.num_bits)
+
+    def add_array(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).ravel()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def maybe_contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=1)
+
+
+def _hash_cols(col: str) -> tuple[Column, Column]:
+    """Two independent 64-bit hashes computed JVM-side (codegen'd), so the
+    Arrow kernels only ever see int64 columns."""
+    return F.xxhash64(F.col(col)), F.xxhash64(F.col(col), F.lit(1))
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 23, num_hashes: int = 5
+) -> BloomFilter:
+    """Distributed Bloom build: each partition emits ONE packed partial
+    bitmap (num_bits/8 bytes); the driver ORs them. Bitmaps are bitwise-max
+    state, so the result is independent of partitioning and row order.
+
+    Driver traffic is O(partitions x num_bits/8) — 1 MiB per partition at
+    the default 2^23 bits, the same collect class as MLlib model state. At
+    extreme partition counts, coalesce the partials or tree-reduce first.
+    Sizing: ~1.44 * n * log2(1/fp) bits; 2^23 holds ~5.8M keys at 1% fp.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    h1, h2 = _hash_cols(col)
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(
+            np.zeros(num_bits // 64, dtype=np.uint64), num_bits, num_hashes
+        )
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            bf.add_array(
+                pdf["_h1"].to_numpy(dtype=np.int64),
+                pdf["_h2"].to_numpy(dtype=np.int64),
+            )
+        if seen:
+            yield pd.DataFrame({"bitmap": [bf.words.tobytes()]})
+
+    parts = hashed.mapInPandas(partial, schema="bitmap binary").collect()
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    for row in parts:
+        words |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return BloomFilter(words, num_bits, num_hashes)
+
+
+def bloom_filter_rows(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
+    """Keep rows whose ``col`` MAY be in the filter (no false negatives).
+    The bitmap rides an explicit broadcast variable; the probe is one
+    vectorized kernel over JVM-computed hashes — a scan-side prefilter
+    that never shuffles ``df``."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        (bloom.words.tobytes(), bloom.num_bits, bloom.num_hashes)
+    )
+
+    @F.pandas_udf("boolean")
+    def maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        wb, nb, nh = bc.value
+        bf = BloomFilter(np.frombuffer(wb, dtype=np.uint64), nb, nh)
+        return pd.Series(
+            bf.maybe_contains(
+                h1.to_numpy(dtype=np.int64), h2.to_numpy(dtype=np.int64)
+            )
+        )
+
+    h1, h2 = _hash_cols(col)
+    return df.filter(maybe(h1, h2))

@@ -277,6 +277,45 @@ def q_scd2_customer_segment(spark: SparkSession, sf: str) -> DataFrame:
     return engine_io.scd2_apply(cur, upd, "c_custkey", ["c_mktsegment"])
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable t-digest quantile sketch per order priority
+    (operators/sketches.tdigest_quantile_audit), following the HLL audit
+    contract: the exact quartiles+p95 (Spark percentile == DuckDB
+    quantile_cont bit-for-bit, the q_quantile_summary bridge) are the
+    oracle witness; booleans assert the digest estimates land within 2%.
+    The digest path shuffles bounded centroid arrays, never values."""
+    from ..operators.sketches import tdigest_quantile_audit
+
+    orders = load(_prep(spark), sf, "orders")
+    return tdigest_quantile_audit(
+        orders,
+        "o_totalprice",
+        "o_orderpriority",
+        qs=(0.25, 0.5, 0.75, 0.95),
+        delta=200.0,
+        rel_err=0.02,
+    )
+
+
+def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup
+    (dedup.dedup_against_index_bloom): same corpus/batch split and EXACT
+    same survivors as q_dedup_incremental (the bitmap only prunes the
+    index scan; false positives die in the anti-join), so it shares that
+    query's oracle verbatim. The probe regime this unlocks: batches too
+    big to broadcast as an exact hash set, against an index that must
+    never shuffle."""
+    from ..operators import dedup
+
+    docs = load(_prep(spark), sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    index = dedup.fingerprint_index(corpus)
+    return dedup.dedup_against_index_bloom(batch, index, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -293,6 +332,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_intersection": q_hll_intersection,
     "q_table_profile": q_table_profile,
     "q_sample_k_per_group": q_sample_k_per_group,
+    "q_tdigest_quantiles": q_tdigest_quantiles,
+    "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -574,3 +615,26 @@ ORACLE_SQL["q_ann_ivf_knn_join"] = (
     .replace("__QCOS__", _cos_sql_r5("c.centroid", "q.qv"))
     .replace("__ACOS__", _cos_sql_r5("a.embedding", "q.qv"))
 )
+
+# q_tdigest_quantiles: the exact-quantile witness replays via quantile_cont
+# (bit-identical to Spark's percentile, the q_quantile_summary bridge); the
+# audit booleans are the sketch contract — TRUE unless the digest drifts.
+ORACLE_SQL["q_tdigest_quantiles"] = """
+WITH q AS (
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE),
+                         [0.25, 0.5, 0.75, 0.95]) AS _q
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       _q[1] AS p25, _q[2] AS p50, _q[3] AS p75, _q[4] AS p95,
+       TRUE AS p25_est_ok, TRUE AS p50_est_ok,
+       TRUE AS p75_est_ok, TRUE AS p95_est_ok
+FROM q ORDER BY o_orderpriority
+"""
+
+# q_dedup_incremental_bloom is row-for-row identical to q_dedup_incremental
+# (the bloom stage is a lossless prefilter), so it shares the oracle.
+from .corpus_ext import ORACLE_SQL as _EXT_ORACLE  # noqa: E402
+
+ORACLE_SQL["q_dedup_incremental_bloom"] = _EXT_ORACLE["q_dedup_incremental"]
