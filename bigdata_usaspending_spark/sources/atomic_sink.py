@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
@@ -70,8 +71,10 @@ class AtomicParquetSink(DataSource):
     ) -> "AtomicParquetStreamWriter":
         return AtomicParquetStreamWriter(self._path(), schema)
 
-    def writer(self, schema: T.StructType, overwrite: bool) -> "AtomicParquetWriter":
-        return AtomicParquetWriter(self._path(), schema)
+    def writer(self, schema: T.StructType, overwrite: bool) -> "DataSourceWriter":
+        if self.options.get("rowWriter", "false").lower() == "true":
+            return AtomicParquetWriter(self._path(), schema)
+        return AtomicParquetArrowWriter(self._path(), schema)
 
 
 class AtomicParquetStreamWriter(DataSourceStreamWriter):
@@ -170,6 +173,52 @@ class AtomicParquetWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         self._stream.abort(messages, -1)
+
+
+class AtomicParquetArrowWriter(DataSourceArrowWriter):
+    """Arrow-path batch writer (the default): executors receive pyarrow
+    ``RecordBatch``es straight off the JVM — no Row materialization, no
+    per-field Python loop — and stream them into the staged parquet file
+    with a single ``ParquetWriter``. Same staging + commit-record protocol
+    as the row writer (driver side is shared), so the two paths are
+    interchangeable; ``option("rowWriter", "true")`` selects the row path
+    (kept for the parity test and as the fallback shape).
+
+    At scale this is the difference between O(rows) Python-object traffic
+    and O(batches) zero-copy Arrow transfer per task — the same reason the
+    engine's kernels are Pandas-UDF-based everywhere else."""
+
+    def __init__(self, path: str, schema: T.StructType):
+        self._rows = AtomicParquetWriter(path, schema)
+        self.path = path
+
+    def write(self, iterator: Iterator) -> _StagedFile:
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, "_staging")
+        writer = None
+        fp = ""
+        n_rows = 0
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(staging, exist_ok=True)
+                fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+                writer = pq.ParquetWriter(fp, batch.schema)
+            writer.write_batch(batch)
+            n_rows += batch.num_rows
+        if writer is None:
+            # empty partition: stage nothing (see AtomicParquetStreamWriter)
+            return _StagedFile("", 0)
+        writer.close()
+        return _StagedFile(fp, n_rows)
+
+    def commit(self, messages) -> None:
+        self._rows.commit(messages)
+
+    def abort(self, messages) -> None:
+        self._rows.abort(messages)
 
 
 def read_committed(spark: SparkSession, path: str) -> DataFrame:

@@ -166,3 +166,37 @@ def test_atomic_parquet_batch_writer_appends(spark, tmp_path):
     ).option("path", out).mode("append").save()
     got = {(r.k, r.v) for r in read_committed(spark, out).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_atomic_parquet_arrow_writer_parity_with_row_writer(spark, tmp_path):
+    """The default writer is the Arrow-batch path; option rowWriter=true
+    selects the Row path. Same data, same commit protocol, identical
+    committed contents — including array and timestamp columns."""
+    from bigdata_usaspending_spark.sources.atomic_sink import (
+        AtomicParquetSink,
+        read_committed,
+    )
+
+    spark.dataSource.register(AtomicParquetSink)
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [3.0]), (3, None, [])],
+        "k long, v string, e array<double>",
+    ).withColumn("ts", __import__("pyspark").sql.functions.lit("2024-01-02 03:04:05").cast("timestamp"))
+
+    arrow_out = str(tmp_path / "arrow")
+    row_out = str(tmp_path / "rows")
+    df.write.format("atomic_parquet").option("path", arrow_out).mode("append").save()
+    df.write.format("atomic_parquet").option("path", row_out).option(
+        "rowWriter", "true"
+    ).mode("append").save()
+
+    got_a = read_committed(spark, arrow_out)
+    got_r = read_committed(spark, row_out)
+    key = lambda r: r[0]  # noqa: E731
+    assert sorted(got_a.collect(), key=key) == sorted(got_r.collect(), key=key)
+    assert got_a.schema == got_r.schema
+    # append lands as a second committed batch on the arrow path too
+    df.limit(1).write.format("atomic_parquet").option("path", arrow_out).mode(
+        "append"
+    ).save()
+    assert read_committed(spark, arrow_out).count() == 4
