@@ -406,6 +406,73 @@ def stream_heavy_hitters(
     )
 
 
+def stream_quantile_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    delta: float = 200.0,
+) -> DataFrame:
+    """Streaming per-key quantile monitoring with t-digest state — the
+    streaming twin of operators/sketches.tdigest_groups, sharing its
+    _compress/_digest_quantiles kernels so batch and stream estimates
+    agree on identical input.
+
+    State per key is ONE digest (<= ~2*delta centroids as two double
+    arrays) regardless of stream length — exactly the bounded-state
+    property that makes running quantiles feasible in a stream where an
+    exact percentile would need the full history. Each micro-batch folds
+    its values into the digest (concat as weight-1 centroids, one
+    re-compress) and emits the current estimates in update mode.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketches import _compress, _digest_quantiles
+
+    q_list = [float(q) for q in qs]
+
+    def update(key, pdfs, state):
+        if state.exists:
+            means, weights = state.get
+            m = np.asarray(means, dtype=np.float64)
+            w = np.asarray(weights, dtype=np.float64)
+        else:
+            m = np.empty(0)
+            w = np.empty(0)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                m, w = _compress(
+                    np.r_[m, vals], np.r_[w, np.ones_like(vals)], delta
+                )
+        state.update(([float(x) for x in m], [float(x) for x in w]))
+        est = _digest_quantiles(m, w, q_list)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_seen": [float(w.sum())],
+                **{
+                    f"p{int(round(q * 100)):02d}": [float(e)]
+                    for q, e in zip(q_list, est)
+                },
+            }
+        )
+
+    out_cols = ", ".join(
+        f"p{int(round(q * 100)):02d} double" for q in q_list
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n_seen double, {out_cols}",
+        stateStructType="means array<double>, weights array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_enriched_rollup(
     events: DataFrame,
     dim: DataFrame,

@@ -651,3 +651,40 @@ def test_atomic_parquet_sink_exactly_once_and_replay(spark, tmp_path):
     w.abort([msg2], 99)
     assert not _os.listdir(_os.path.join(out, "_staging"))
     assert {(r.k, r.v) for r in read_committed(spark, out).collect()} == got2
+
+
+def test_stream_quantile_monitor_agrees_with_batch(spark, events_dir, events_schema):
+    """t-digest state across micro-batches: last emission per key estimates
+    the same quantiles as a batch digest over the full history, and both
+    land within 2% of the exact percentiles."""
+    stream = jobs.read_events_stream(spark, events_dir, events_schema)
+    q = jobs.run_to_memory(
+        jobs.stream_quantile_monitor(stream, qs=(0.5, 0.95)),
+        "quantile_monitor",
+        output_mode="update",
+    )
+    emitted = spark.table("quantile_monitor").collect()
+    q.stop()
+    assert emitted
+    batch = spark.read.parquet(events_dir)
+    # keep only each key's final emission (largest n_seen)
+    final = {}
+    for r in emitted:
+        if r.event_type not in final or r.n_seen > final[r.event_type].n_seen:
+            final[r.event_type] = r
+    for etype, r in final.items():
+        rows = batch.filter(F.col("event_type") == etype).select("value")
+        n = rows.count()
+        assert r.n_seen == n
+        # t-digest guarantees small RANK error (k1 cluster q-width ~ 1/delta
+        # at the tails), so assert each estimate falls inside the exact
+        # [q-0.02, q+0.02] quantile band — relative-value tolerances are
+        # meaningless for small per-key groups (n~200 here).
+        for q, est in ((0.5, r.p50), (0.95, r.p95)):
+            band = rows.agg(
+                F.percentile(
+                    F.col("value").cast("double"),
+                    F.array(F.lit(max(q - 0.02, 0.0)), F.lit(min(q + 0.02, 1.0))),
+                ).alias("b")
+            ).collect()[0]["b"]
+            assert band[0] - 1e-9 <= est <= band[1] + 1e-9, (etype, q)
