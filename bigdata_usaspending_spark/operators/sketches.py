@@ -311,6 +311,46 @@ def bloom_build(
     return BloomFilter(words, num_bits, num_hashes)
 
 
+def bloom_save(bloom: BloomFilter, path: str) -> None:
+    """Persist a Bloom filter as header JSON + raw bitmap, written
+    atomically (tmp + rename) so a reader never sees a torn artifact. An
+    incremental-dedup pipeline stores this next to the fingerprint index
+    and unions new batches in by rebuilding or OR-ing bitmaps."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    header = json.dumps(
+        {"num_bits": bloom.num_bits, "num_hashes": bloom.num_hashes}
+    ).encode()
+    with open(tmp, "wb") as fh:
+        fh.write(len(header).to_bytes(4, "big"))
+        fh.write(header)
+        fh.write(bloom.words.tobytes())
+    os.replace(tmp, path)
+
+
+def bloom_load(path: str) -> BloomFilter:
+    import json
+
+    with open(path, "rb") as fh:
+        hlen = int.from_bytes(fh.read(4), "big")
+        meta = json.loads(fh.read(hlen))
+        words = np.frombuffer(fh.read(), dtype=np.uint64).copy()
+    if words.size * 64 != meta["num_bits"]:
+        raise ValueError(f"corrupt bloom artifact {path}: bitmap size mismatch")
+    return BloomFilter(words, meta["num_bits"], meta["num_hashes"])
+
+
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """Union two filters built with identical parameters (bitwise OR —
+    the same layout-insensitive merge the distributed build uses)."""
+    if (a.num_bits, a.num_hashes) != (b.num_bits, b.num_hashes):
+        raise ValueError("bloom filters have different parameters")
+    return BloomFilter(a.words | b.words, a.num_bits, a.num_hashes)
+
+
 def bloom_filter_rows(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
     """Keep rows whose ``col`` MAY be in the filter (no false negatives).
     The bitmap rides an explicit broadcast variable; the probe is one

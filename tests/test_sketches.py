@@ -148,3 +148,30 @@ def test_dedup_bloom_plan_never_shuffles_index(spark, sf_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_save_load_merge_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    h = rng.integers(-(2**62), 2**62, size=(6_000, 2), dtype=np.int64)
+    a = BloomFilter(np.zeros((1 << 18) // 64, dtype=np.uint64), 1 << 18, 5)
+    b = BloomFilter(np.zeros((1 << 18) // 64, dtype=np.uint64), 1 << 18, 5)
+    a.add_array(h[:3_000, 0], h[:3_000, 1])
+    b.add_array(h[3_000:, 0], h[3_000:, 1])
+
+    from bigdata_usaspending_spark.operators.sketches import (
+        bloom_load,
+        bloom_merge,
+        bloom_save,
+    )
+
+    merged = bloom_merge(a, b)
+    assert merged.maybe_contains(h[:, 0], h[:, 1]).all()
+
+    p = str(tmp_path / "idx" / "bloom.bin")
+    bloom_save(merged, p)
+    back = bloom_load(p)
+    assert np.array_equal(back.words, merged.words)
+    assert (back.num_bits, back.num_hashes) == (merged.num_bits, merged.num_hashes)
+
+    with pytest.raises(ValueError):
+        bloom_merge(a, BloomFilter(np.zeros(4, dtype=np.uint64), 256, 5))
