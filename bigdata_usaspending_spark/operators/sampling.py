@@ -341,3 +341,57 @@ def sample_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt_cols: "Sequence[str]",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES), derandomized: each row's exponential rank key is
+    ln(u) / weight with u derived from a seeded hash of the row's identity
+    instead of rand(), and the sample is the global top-k by that key.
+
+    P(row i first) = w_i / sum(w) exactly as in A-ES; hashing row identity
+    keeps the three sampling invariants of this module (rerun/retry
+    stable, cross-engine replayable, auditable). Rows with non-positive or
+    null weight are excluded (they have zero selection probability).
+
+    Scale shape: the key is a pure per-row map (no shuffle), and the
+    top-k compiles to TakeOrderedAndProject — per-partition partial top-k
+    then a k-row merge on the driver side of ONE exchange, never a global
+    sort. This is the weighted counterpart of sample_k_per_group and the
+    building block for fixed-size training mixes where doc quality or
+    source priors act as weights.
+
+    ``portable=True`` uses the md5 60-bit bridge (oracle corpus);
+    production uses xxhash64. The only cross-engine risk is two rank keys
+    within 1 ulp after ln/division — probability ~2^-50 per pair, and the
+    salt-column tiebreak bounds the damage to adjacent-rank swaps.
+    """
+    h = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
+    if portable:
+        h = portable_hash60(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols],
+                        F.lit(str(seed)))
+        )
+    # u in (0,1]: fold the (possibly signed full-width xxhash64) value into
+    # [0, 2^60) first — pmod is a no-op for the already-60-bit portable
+    # hash — then scale by 2^60 (IEEE nearest-rounding is engine-identical),
+    # +1 so u is never exactly 0 (ln(0) = -inf)
+    u = (F.pmod(h, F.lit(1 << 60)).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), *[F.col(c).asc() for c in salt_cols])
+        .limit(k)
+        .drop("_wkey")
+    )

@@ -316,6 +316,23 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (A-ES, derandomized:
+    sampling.weighted_sample_k): 50 orders drawn with probability
+    proportional to o_totalprice. The rank key is a pure per-row map over
+    the portable hash, the selection a TakeOrderedAndProject — and the
+    oracle replays the exponential-rank draw bit-for-bit."""
+    from ..operators.sampling import weighted_sample_k
+
+    orders = load(_prep(spark), sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return weighted_sample_k(
+        orders, "o_totalprice", k=50, salt_cols=["o_orderkey"],
+        seed=7, portable=True,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -334,6 +351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_k_per_group": q_sample_k_per_group,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -638,3 +656,21 @@ FROM q ORDER BY o_orderpriority
 from .corpus_ext import ORACLE_SQL as _EXT_ORACLE  # noqa: E402
 
 ORACLE_SQL["q_dedup_incremental_bloom"] = _EXT_ORACLE["q_dedup_incremental"]
+
+
+# q_weighted_sample: the exponential rank key ln(u)/w replayed verbatim —
+# same md5 60-bit bridge as q_sample_k_per_group, same double expression
+# tree on both sides (ln of the scaled hash, divided by the weight).
+ORACLE_SQL["q_weighted_sample"] = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ln((CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|7'
+               ), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0)
+           / CAST(o_totalprice AS DOUBLE) AS _wkey
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) > 0
+)
+ORDER BY _wkey DESC, o_orderkey ASC
+LIMIT 50
+"""
