@@ -229,6 +229,142 @@ def tdigest_quantile_audit(
 
 
 # --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+class CountMinSketch:
+    """Count-min sketch: a (depth x width) int64 counter matrix. Point
+    estimate = min over rows of the counter at each row's hash position —
+    NEVER an undercount; overcount <= e/width * N with probability
+    1 - (1/e)^depth. Partial sketches merge by element-wise ADD (counter
+    matrices are linear), the same layout-insensitive property the Bloom
+    bitmap gets from OR."""
+
+    def __init__(self, counts: np.ndarray):
+        self.counts = counts  # (depth, width) int64
+
+    @property
+    def depth(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.counts.shape[1]
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(depth, n) positions by double hashing — row j probes
+        (h1 + j*h2) mod width."""
+        u1 = h1.astype(np.int64).view(np.uint64)
+        u2 = h2.astype(np.int64).view(np.uint64)
+        j = np.arange(self.depth, dtype=np.uint64)
+        return ((u1[None, :] + j[:, None] * u2[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def add_array(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2)
+        for j in range(self.depth):
+            np.add.at(self.counts[j], pos[j], 1)
+
+    def estimate(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        per_row = np.stack([self.counts[j][pos[j]] for j in range(self.depth)])
+        return per_row.min(axis=0)
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 1 << 16, depth: int = 5
+) -> CountMinSketch:
+    """Distributed CMS build: per-partition partial matrices summed on the
+    driver (depth*width*8 bytes per partition — 2.6 MiB at the defaults,
+    the MLlib-model-state collect class). Hashes are the same JVM-side
+    xxhash64 pair the Bloom filter uses."""
+    h1, h2 = _hash_cols(col)
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountMinSketch(np.zeros((depth, width), dtype=np.int64))
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            sk.add_array(
+                pdf["_h1"].to_numpy(dtype=np.int64),
+                pdf["_h2"].to_numpy(dtype=np.int64),
+            )
+        if seen:
+            yield pd.DataFrame({"counts": [sk.counts.tobytes()]})
+
+    parts = hashed.mapInPandas(partial, schema="counts binary").collect()
+    counts = np.zeros((depth, width), dtype=np.int64)
+    for row in parts:
+        counts += np.frombuffer(row["counts"], dtype=np.int64).reshape(
+            depth, width
+        )
+    return CountMinSketch(counts)
+
+
+def cms_merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:
+    """Element-wise sum of same-shape sketches (linearity)."""
+    if a.counts.shape != b.counts.shape:
+        raise ValueError("count-min sketches have different shapes")
+    return CountMinSketch(a.counts + b.counts)
+
+
+def cms_frequency_audit(
+    df: DataFrame,
+    value_col: str,
+    top_n: int = 20,
+    width: int = 1 << 16,
+    depth: int = 5,
+) -> DataFrame:
+    """CMS point-frequency estimates audited against exact counts for the
+    ``top_n`` most frequent values (deterministic witness set) — the
+    hll_distinct_audit contract for frequencies.
+
+    ``est_never_under`` is a HARD CMS guarantee (min of non-decreasing
+    counters), so a FALSE is always a bug. ``est_within_bound`` checks the
+    epsilon bound e/width * N — probabilistic in general, deterministic
+    here for fixed data and seeds. N = total rows; both sides exact."""
+    exact = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc(value_col))
+        .limit(top_n)
+    )
+    sketch = cms_build(df, value_col, width, depth)
+    total = df.count()
+    bound = int(np.ceil(np.e / width * total))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (sketch.counts.tobytes(), depth, width)
+    )
+
+    @F.pandas_udf("long")
+    def est_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        raw, d, w = bc.value
+        sk = CountMinSketch(np.frombuffer(raw, dtype=np.int64).reshape(d, w))
+        return pd.Series(
+            sk.estimate(
+                h1.to_numpy(dtype=np.int64), h2.to_numpy(dtype=np.int64)
+            )
+        )
+
+    h1, h2 = _hash_cols(value_col)
+    return (
+        exact.withColumn("_est", est_udf(h1, h2))
+        .select(
+            value_col,
+            "exact_count",
+            (F.col("_est") >= F.col("exact_count")).alias("est_never_under"),
+            (F.col("_est") <= F.col("exact_count") + F.lit(bound)).alias(
+                "est_within_bound"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), F.asc(value_col))
+    )
+
+
+# --------------------------------------------------------------------------
 # Bloom filter
 # --------------------------------------------------------------------------
 

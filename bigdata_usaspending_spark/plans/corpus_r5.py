@@ -333,6 +333,21 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch point frequencies for the corpus's 20 hottest
+    tokens, audited against exact counts (sketches.cms_frequency_audit).
+    est_never_under is a hard CMS guarantee; est_within_bound is the
+    e/width epsilon bound — both oracle-pinned TRUE over the exact-count
+    witness rows."""
+    from ..operators.sketches import cms_frequency_audit
+
+    docs = load(_prep(spark), sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return cms_frequency_audit(toks, "token", top_n=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -352,6 +367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
     "q_weighted_sample": q_weighted_sample,
+    "q_cms_token_counts": q_cms_token_counts,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -673,4 +689,15 @@ SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
 )
 ORDER BY _wkey DESC, o_orderkey ASC
 LIMIT 50
+"""
+
+
+ORACLE_SQL["q_cms_token_counts"] = f"""
+WITH e AS (SELECT unnest({_TOKS_R5}) AS token FROM documents
+           WHERE {_TOKS_R5} IS NOT NULL)
+SELECT token, COUNT(*) AS exact_count,
+       TRUE AS est_never_under, TRUE AS est_within_bound
+FROM e GROUP BY token
+ORDER BY exact_count DESC, token ASC
+LIMIT 20
 """

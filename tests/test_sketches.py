@@ -175,3 +175,46 @@ def test_bloom_save_load_merge_roundtrip(tmp_path):
 
     with pytest.raises(ValueError):
         bloom_merge(a, BloomFilter(np.zeros(4, dtype=np.uint64), 256, 5))
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_kernel_guarantees():
+    from bigdata_usaspending_spark.operators.sketches import CountMinSketch, cms_merge
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: value i appears ~1000//(i+1) times
+    reps = [1000 // (i + 1) for i in range(50)]
+    h = rng.integers(-(2**62), 2**62, size=(50, 2), dtype=np.int64)
+    h1 = np.repeat(h[:, 0], reps)
+    h2 = np.repeat(h[:, 1], reps)
+    sk = CountMinSketch(np.zeros((5, 1 << 12), dtype=np.int64))
+    sk.add_array(h1, h2)
+    est = sk.estimate(h[:, 0], h[:, 1])
+    exact = np.array(reps)
+    assert (est >= exact).all(), "CMS must never undercount"
+    n = exact.sum()
+    assert (est <= exact + np.ceil(np.e / (1 << 12) * n)).all()
+    # linearity: merge of two half-sketches == sketch of the whole
+    a = CountMinSketch(np.zeros((5, 1 << 12), dtype=np.int64))
+    b = CountMinSketch(np.zeros((5, 1 << 12), dtype=np.int64))
+    half = h1.size // 2
+    a.add_array(h1[:half], h2[:half])
+    b.add_array(h1[half:], h2[half:])
+    assert np.array_equal(cms_merge(a, b).counts, sk.counts)
+
+
+def test_cms_frequency_audit(spark, sf_small):
+    from bigdata_usaspending_spark.operators.sketches import cms_frequency_audit
+
+    docs = load(spark, sf_small, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    out = cms_frequency_audit(toks, "token", top_n=10).collect()
+    assert len(out) == 10
+    counts = [r["exact_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert r["est_never_under"] and r["est_within_bound"], r
