@@ -100,11 +100,13 @@ def _digest_quantiles(
 def tdigest_groups(
     df: DataFrame,
     value_col: str,
-    group_col: str,
+    group_col: "str | Sequence[str]",
     delta: float = 200.0,
 ) -> DataFrame:
-    """Per-group t-digest: (group, means array<double>, weights
-    array<double>), one row per group.
+    """Per-group t-digest: (group cols..., means array<double>, weights
+    array<double>), one row per group. ``group_col`` may be a composite
+    key (e.g. ``(priority, month)``) — the persisted fine-bucket form that
+    later re-merges to coarser rollups.
 
     Two stages, mirroring any mergeable-sketch aggregation:
 
@@ -121,49 +123,56 @@ def tdigest_groups(
     The output arrays are a storable sketch: persist them per fine bucket
     and re-merge to coarser rollups with merge_tdigests.
     """
-    gtype = df.schema[group_col].dataType.simpleString()
-    partial_schema = (
-        f"{group_col} {gtype}, means array<double>, weights array<double>"
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    gtypes = ", ".join(
+        f"{g} {df.schema[g].dataType.simpleString()}" for g in gcols
     )
+    partial_schema = f"{gtypes}, means array<double>, weights array<double>"
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
-            for key, sub in pdf.groupby(group_col, sort=True, dropna=True):
+            for key, sub in pdf.groupby(gcols, sort=True, dropna=True):
+                key = key if isinstance(key, tuple) else (key,)
                 vals = sub[value_col].to_numpy(dtype=np.float64)
                 vals = vals[~np.isnan(vals)]
                 if vals.size == 0:
                     continue
                 m, w = _compress(vals, np.ones_like(vals), delta)
-                rows.append({group_col: key, "means": m, "weights": w})
+                rows.append({**dict(zip(gcols, key)), "means": m, "weights": w})
             if rows:
                 yield pd.DataFrame(rows)
 
-    partials = df.select(group_col, value_col).mapInPandas(
+    partials = df.select(*gcols, value_col).mapInPandas(
         build_partials, schema=partial_schema
     )
-    return merge_tdigests(partials, group_col, delta)
+    return merge_tdigests(partials, gcols, delta)
 
 
 def merge_tdigests(
-    partials: DataFrame, group_col: str, delta: float = 200.0
+    partials: DataFrame, group_col: "str | Sequence[str]", delta: float = 200.0
 ) -> DataFrame:
     """Merge per-group digest partials (rows of means[]/weights[]) into one
-    digest row per group — the re-rollup path for persisted sketches."""
+    digest row per group — the re-rollup path for persisted sketches.
+    ``partials`` may carry FINER keys than ``group_col`` (per-(group, day)
+    digest rows re-rolling to per-group): extra columns are dropped and
+    their digests folded together."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    out_schema = ", ".join(
+        f"{g} {partials.schema[g].dataType.simpleString()}" for g in gcols
+    ) + ", means array<double>, weights array<double>"
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["means"]])
         w = np.concatenate([np.asarray(a, dtype=np.float64) for a in pdf["weights"]])
         mm, mw = _compress(m, w, delta)
         return pd.DataFrame(
-            [{group_col: key[0], "means": mm, "weights": mw}]
+            [{**dict(zip(gcols, key)), "means": mm, "weights": mw}]
         )
 
-    return partials.groupBy(group_col).applyInPandas(
-        merge, schema=partials.schema
-    )
+    return partials.groupBy(*gcols).applyInPandas(merge, schema=out_schema)
 
 
 def tdigest_quantile_audit(
@@ -173,13 +182,17 @@ def tdigest_quantile_audit(
     qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
     delta: float = 200.0,
     rel_err: float = 0.05,
+    fine_col=None,
 ) -> DataFrame:
     """Per-group EXACT quantiles (the oracle-verifiable witness) plus one
     boolean per requested quantile asserting the t-digest estimate lands
     within rel_err of it — the hll_distinct_audit contract applied to
-    quantiles. A production pipeline keeps the digest and drops the exact
-    witness, at which point no full values shuffle at all."""
-    digests = tdigest_groups(df, value_col, group_col, delta)
+    quantiles. With ``fine_col`` the audit also exercises the PERSISTED
+    partial path — per-(group, fine) digest rows re-merged to the group —
+    emitting ``pXX_merged_ok`` booleans, so a broken merge turns the gate
+    red exactly like a broken direct build. A production pipeline keeps
+    the digests and drops the exact witness, at which point no full
+    values shuffle at all."""
     q_list = [float(q) for q in qs]
 
     @F.pandas_udf("array<double>")
@@ -195,9 +208,18 @@ def tdigest_quantile_audit(
             )
         return pd.Series(out)
 
-    est = digests.select(
-        group_col, est_udf("means", "weights").alias("_est")
-    )
+    digests = tdigest_groups(df, value_col, group_col, delta)
+    est = digests.select(group_col, est_udf("means", "weights").alias("_est"))
+    merged_est = None
+    if fine_col is not None:
+        fine = fine_col if not isinstance(fine_col, str) else F.col(fine_col)
+        fine_digests = tdigest_groups(
+            df.withColumn("_fine", fine), value_col, [group_col, "_fine"], delta
+        )
+        merged = merge_tdigests(fine_digests, group_col, delta)
+        merged_est = merged.select(
+            group_col, est_udf("means", "weights").alias("_mest")
+        )
     exact = (
         df.groupBy(group_col)
         .agg(
@@ -210,22 +232,21 @@ def tdigest_quantile_audit(
     tol = F.lit(float(rel_err))
     cols = [F.col(group_col)]
     audits = []
+    within = lambda est_col, i: (  # noqa: E731 — tiny local predicate
+        F.abs(est_col / F.element_at("_exact", i) - 1.0) <= tol
+    )
     for i, q in enumerate(q_list, start=1):
         name = f"p{int(round(q * 100)):02d}"
         cols.append(F.element_at("_exact", i).alias(name))
-        audits.append(
-            (
-                F.abs(
-                    F.element_at("_est", i) / F.element_at("_exact", i) - 1.0
-                )
-                <= tol
-            ).alias(f"{name}_est_ok")
-        )
-    return (
-        exact.join(F.broadcast(est), [group_col])
-        .select(*cols, *audits)
-        .orderBy(group_col)
-    )
+        audits.append(within(F.element_at("_est", i), i).alias(f"{name}_est_ok"))
+        if merged_est is not None:
+            audits.append(
+                within(F.element_at("_mest", i), i).alias(f"{name}_merged_ok")
+            )
+    out = exact.join(F.broadcast(est), [group_col])
+    if merged_est is not None:
+        out = out.join(F.broadcast(merged_est), [group_col])
+    return out.select(*cols, *audits).orderBy(group_col)
 
 
 # --------------------------------------------------------------------------

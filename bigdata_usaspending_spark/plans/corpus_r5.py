@@ -282,8 +282,9 @@ def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     (operators/sketches.tdigest_quantile_audit), following the HLL audit
     contract: the exact quartiles+p95 (Spark percentile == DuckDB
     quantile_cont bit-for-bit, the q_quantile_summary bridge) are the
-    oracle witness; booleans assert the digest estimates land within 2%.
-    The digest path shuffles bounded centroid arrays, never values."""
+    oracle witness; booleans assert BOTH digest paths — direct per-group
+    AND per-month persisted partials re-merged — land within 2%. The
+    digest paths shuffle bounded centroid arrays, never values."""
     from ..operators.sketches import tdigest_quantile_audit
 
     orders = load(_prep(spark), sf, "orders")
@@ -294,6 +295,7 @@ def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         qs=(0.25, 0.5, 0.75, 0.95),
         delta=200.0,
         rel_err=0.02,
+        fine_col=F.date_trunc("month", F.col("o_orderdate")),
     )
 
 
@@ -662,8 +664,10 @@ WITH q AS (
 )
 SELECT o_orderpriority,
        _q[1] AS p25, _q[2] AS p50, _q[3] AS p75, _q[4] AS p95,
-       TRUE AS p25_est_ok, TRUE AS p50_est_ok,
-       TRUE AS p75_est_ok, TRUE AS p95_est_ok
+       TRUE AS p25_est_ok, TRUE AS p25_merged_ok,
+       TRUE AS p50_est_ok, TRUE AS p50_merged_ok,
+       TRUE AS p75_est_ok, TRUE AS p75_merged_ok,
+       TRUE AS p95_est_ok, TRUE AS p95_merged_ok
 FROM q ORDER BY o_orderpriority
 """
 

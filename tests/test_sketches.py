@@ -90,6 +90,33 @@ def test_tdigest_audit_booleans_true(spark, sf_small):
         assert r["p25"] <= r["p50"] <= r["p95"]
 
 
+def test_tdigest_audit_merged_partial_path(spark, sf_small):
+    orders = load(spark, sf_small, "orders")
+    out = tdigest_quantile_audit(
+        orders,
+        "o_totalprice",
+        "o_orderpriority",
+        qs=(0.5, 0.95),
+        fine_col=F.date_trunc("month", F.col("o_orderdate")),
+    ).collect()
+    assert out
+    for r in out:
+        assert r["p50_est_ok"] and r["p95_est_ok"]
+        assert r["p50_merged_ok"] and r["p95_merged_ok"]
+
+
+def test_tdigest_groups_composite_key(spark, sf_small):
+    orders = load(spark, sf_small, "orders").withColumn(
+        "_m", F.month("o_orderdate")
+    )
+    fine = tdigest_groups(orders, "o_totalprice", ["o_orderpriority", "_m"])
+    n_fine = fine.count()
+    assert n_fine > 5, "composite key must produce per-(priority, month) rows"
+    rolled = merge_tdigests(fine, "o_orderpriority").collect()
+    total = orders.count()
+    assert sum(sum(r["weights"]) for r in rolled) == pytest.approx(total)
+
+
 # ------------------------------------------------------------------- bloom
 
 
