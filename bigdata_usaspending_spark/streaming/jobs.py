@@ -473,6 +473,118 @@ def stream_quantile_monitor(
     )
 
 
+def stream_sessionize_timers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Timer-driven sessionization on the transformWithState API (the
+    Spark 4 arbitrary-state surface that supersedes applyInPandasWithState):
+    a session CLOSES — and its one summary row EMITS — when the event-time
+    watermark passes last_event + gap, not merely when the next batch for
+    that key happens to arrive.
+
+    That push-on-timeout behavior is what the older state API cannot
+    express (stream_sessionize only emits a session's row when a later
+    event for the same key shows up or the query re-aggregates); here an
+    idle key's timer fires with NO new input for the key, which is how a
+    production funnel gets timely session records for churned users.
+
+    Per-key state: ONE fixed-width tuple (start, last, count, sum — epoch
+    micros as longs) plus ONE registered timer; both are dropped on emit,
+    so state is bounded by the number of OPEN sessions, not stream length.
+    The same inactivity-gap definition as stream_sessionize /
+    q_session_window (exclusive end: a gap of exactly ``gap`` starts a new
+    session).
+
+    Runtime requirements (plan construction needs neither): the RocksDB
+    state backend (streaming/state.enable_rocksdb_state — transformWithState
+    supports no other provider) and the ``protobuf`` package (the
+    state-server wire format; absent in this offline container, so the
+    end-to-end test self-skips — construction and schema are still
+    asserted).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            lo = hi = None
+            n = 0
+            total = 0.0
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                s = pd.to_datetime(pdf[ts_col])
+                if getattr(s.dt, "tz", None) is not None:
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                us = s.astype("datetime64[us]").astype("int64").to_numpy()
+                lo = int(us.min()) if lo is None else min(lo, int(us.min()))
+                hi = int(us.max()) if hi is None else max(hi, int(us.max()))
+                n += len(pdf)
+                total += float(pdf[value_col].fillna(0.0).sum())
+            if n == 0:
+                return iter(())
+            prev = self.sess.get()
+            if prev is not None:
+                lo = min(lo, prev[0])
+                hi = max(hi, prev[1])
+                n += prev[2]
+                total += prev[3]
+                for t in self.handle.listTimers():
+                    self.handle.deleteTimer(t)
+            self.sess.update((lo, hi, n, total))
+            self.handle.registerTimer(hi // 1000 + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            st = self.sess.get()
+            if st is None:
+                return iter(())
+            self.sess.clear()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start_us": [st[0]],
+                    "session_end_us": [st[1]],
+                    "n_events": [st[2]],
+                    "total_value": [st[3]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ktype = events.schema[key_col].dataType.simpleString()
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=(
+                f"{key_col} {ktype}, session_start_us long, "
+                "session_end_us long, n_events long, total_value double"
+            ),
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def stream_enriched_rollup(
     events: DataFrame,
     dim: DataFrame,

@@ -688,3 +688,109 @@ def test_stream_quantile_monitor_agrees_with_batch(spark, events_dir, events_sch
                 ).alias("b")
             ).collect()[0]["b"]
             assert band[0] - 1e-9 <= est <= band[1] + 1e-9, (etype, q)
+
+
+def test_stream_sessionize_timers_plan_construction(spark, tmp_path):
+    """Plan construction and output schema need neither RocksDB nor
+    protobuf — assert them unconditionally."""
+    import pandas as pd
+
+    path = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "ts": pd.to_datetime(["2024-01-01 12:00"]),
+                "value": [1.0],
+            }
+        )
+    )
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = jobs.stream_sessionize_timers(stream, gap_minutes=30)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "session_start_us", "session_end_us", "n_events",
+        "total_value",
+    ]
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs protobuf, "
+    "not installed in this offline container",
+)
+def test_stream_sessionize_timers_closes_on_watermark(spark, tmp_path):
+    """transformWithState timer path: sessions emit when the WATERMARK
+    passes last_event + gap — with no further input for the key — and
+    still-open sessions emit nothing."""
+    import time as _time
+
+    import pandas as pd
+
+    path = str(tmp_path / "ev")
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 12:00", "2024-01-01 12:10", "2024-01-01 12:05"]
+            ),
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    # batch 2 arrives 2h later: watermark (14:00 - 10min) clears every
+    # 30-min gap timer from batch 1; user 3's own session stays open
+    b2 = pd.DataFrame(
+        {
+            "user_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 14:00"]),
+            "value": [7.0],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # file-source ordering is mtime-based
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # transformWithState runs only on the RocksDB state backend
+    from bigdata_usaspending_spark.streaming.state import enable_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state(spark)
+    try:
+        q = jobs.run_to_memory(
+            jobs.stream_sessionize_timers(stream, gap_minutes=30),
+            "tws_sessions",
+            output_mode="append",
+        )
+        rows = {r.user_id: r for r in spark.table("tws_sessions").collect()}
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert set(rows) == {1, 2}, "open session (user 3) must not emit"
+    u1 = rows[1]
+    assert u1.n_events == 2 and u1.total_value == 3.0
+    assert u1.session_start_us == int(
+        pd.Timestamp("2024-01-01 12:00").value // 1_000
+    )
+    assert u1.session_end_us == int(
+        pd.Timestamp("2024-01-01 12:10").value // 1_000
+    )
+    u2 = rows[2]
+    assert u2.n_events == 1 and u2.total_value == 5.0
