@@ -545,8 +545,8 @@ def stream_sessionize_timers(
                 hi = max(hi, prev[1])
                 n += prev[2]
                 total += prev[3]
-                for t in self.handle.listTimers():
-                    self.handle.deleteTimer(t)
+                for t in list(self.handle.listTimers()):  # materialize before
+                    self.handle.deleteTimer(t)            # mutating
             self.sess.update((lo, hi, n, total))
             self.handle.registerTimer(hi // 1000 + gap_ms)
             return iter(())
