@@ -124,31 +124,81 @@ def tdigest_groups(
     and re-merge to coarser rollups with merge_tdigests.
     """
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    return merge_tdigests(tdigest_partials(df, value_col, gcols, delta), gcols, delta)
+
+
+def tdigest_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    delta: float = 200.0,
+) -> DataFrame:
+    """Stage-1 per-(group, arrow-batch) digest partials — the un-merged
+    form. Exposed so one scan can feed several rollup granularities:
+    merge_tdigests(partials, coarser_keys) drops the finer key columns and
+    folds their digests together."""
+    gcols = list(group_cols)
     gtypes = ", ".join(
         f"{g} {df.schema[g].dataType.simpleString()}" for g in gcols
     )
     partial_schema = f"{gtypes}, means array<double>, weights array<double>"
 
-    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def build_partials(batches):
+        # mapInArrow, not mapInPandas: group-by and value extraction stay
+        # in Arrow/C++ (a pandas conversion would materialize every string
+        # group key as a Python object — measured as the dominant cost of
+        # this stage at sf0.1). Centroids accumulate per group across the
+        # WHOLE partition (state bounded: groups x ~16*delta doubles,
+        # folded early), emitting ONE row per (group, partition) — per-
+        # batch emission would multiply the merge stage's input by the
+        # batch count.
+        import pyarrow as pa
+
+        acc: dict[tuple, tuple[list, list]] = {}
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            rows = []
-            for key, sub in pdf.groupby(gcols, sort=True, dropna=True):
-                key = key if isinstance(key, tuple) else (key,)
-                vals = sub[value_col].to_numpy(dtype=np.float64)
+            tbl = pa.Table.from_batches([rb])
+            grouped = tbl.group_by(gcols).aggregate([(value_col, "list")])
+            vcol = grouped.column(f"{value_col}_list")
+            kcols = [grouped.column(g) for g in gcols]
+            for i in range(grouped.num_rows):
+                key = tuple(k[i].as_py() for k in kcols)
+                if any(k is None for k in key):
+                    continue
+                vals = np.asarray(vcol[i].values, dtype=np.float64)
                 vals = vals[~np.isnan(vals)]
                 if vals.size == 0:
                     continue
-                m, w = _compress(vals, np.ones_like(vals), delta)
-                rows.append({**dict(zip(gcols, key)), "means": m, "weights": w})
-            if rows:
-                yield pd.DataFrame(rows)
+                # append RAW weight-1 values; compress lazily in big chunks
+                # (one _compress over 8k values beats dozens over 200) —
+                # state stays bounded at ~8k doubles per group
+                ms, ws = acc.setdefault(key, ([], []))
+                ms.append(vals)
+                ws.append(np.ones_like(vals))
+                if sum(a.size for a in ms) >= 8192:
+                    m2, w2 = _compress(np.concatenate(ms), np.concatenate(ws), delta)
+                    ms.clear(); ws.clear()
+                    ms.append(m2); ws.append(w2)
+        if not acc:
+            return
+        keys = sorted(acc)
+        digs = [
+            _compress(np.concatenate(acc[k][0]), np.concatenate(acc[k][1]), delta)
+            for k in keys
+        ]
+        arrays = [
+            pa.array([k[j] for k in keys], type=tbl.schema.field(g).type)
+            for j, g in enumerate(gcols)
+        ] + [
+            pa.array([d[0] for d in digs], type=pa.list_(pa.float64())),
+            pa.array([d[1] for d in digs], type=pa.list_(pa.float64())),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, gcols + ["means", "weights"])
 
-    partials = df.select(*gcols, value_col).mapInPandas(
+    return df.select(*gcols, value_col).mapInArrow(
         build_partials, schema=partial_schema
     )
-    return merge_tdigests(partials, gcols, delta)
 
 
 def merge_tdigests(
@@ -208,18 +258,31 @@ def tdigest_quantile_audit(
             )
         return pd.Series(out)
 
-    digests = tdigest_groups(df, value_col, group_col, delta)
-    est = digests.select(group_col, est_udf("means", "weights").alias("_est"))
     merged_est = None
     if fine_col is not None:
+        # ONE scan feeds both paths: per-(group, fine, batch) partials are
+        # merged straight to the group (the direct estimate) AND through
+        # the persisted per-fine granularity first (the re-rollup
+        # estimate, one extra compression deep).
         fine = fine_col if not isinstance(fine_col, str) else F.col(fine_col)
-        fine_digests = tdigest_groups(
-            df.withColumn("_fine", fine), value_col, [group_col, "_fine"], delta
-        )
+        # hash the fine bucket to a long: pandas groups ints far faster
+        # than timestamps/strings, and the bucket identity is all that
+        # matters (the fine key never appears in the output)
+        partials = tdigest_partials(
+            df.withColumn("_fine", F.xxhash64(fine)),
+            value_col,
+            [group_col, "_fine"],
+            delta,
+        ).localCheckpoint(eager=False)
+        digests = merge_tdigests(partials, group_col, delta)
+        fine_digests = merge_tdigests(partials, [group_col, "_fine"], delta)
         merged = merge_tdigests(fine_digests, group_col, delta)
         merged_est = merged.select(
             group_col, est_udf("means", "weights").alias("_mest")
         )
+    else:
+        digests = tdigest_groups(df, value_col, group_col, delta)
+    est = digests.select(group_col, est_udf("means", "weights").alias("_est"))
     exact = (
         df.groupBy(group_col)
         .agg(
