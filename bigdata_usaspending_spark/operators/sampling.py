@@ -388,8 +388,11 @@ def weighted_sample_k(
     )
     w = F.col(weight_col).cast("double")
     key = F.log(u) / w
+    # NaN needs an explicit guard: Spark orders NaN above every double, so
+    # NaN > 0 is TRUE and a NaN weight would both survive the filter and
+    # (as a NaN rank key) sort to the TOP of the sample
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .withColumn("_wkey", key)
         .orderBy(F.desc("_wkey"), *[F.col(c).asc() for c in salt_cols])
         .limit(k)

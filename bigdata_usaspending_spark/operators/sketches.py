@@ -163,9 +163,10 @@ def tdigest_partials(
             vcol = grouped.column(f"{value_col}_list")
             kcols = [grouped.column(g) for g in gcols]
             for i in range(grouped.num_rows):
+                # NULL group keys form their own group, matching Spark's
+                # groupBy (dropping them would silently omit the null
+                # group from rollups where an exact aggregation keeps it)
                 key = tuple(k[i].as_py() for k in kcols)
-                if any(k is None for k in key):
-                    continue
                 vals = np.asarray(vcol[i].values, dtype=np.float64)
                 vals = vals[~np.isnan(vals)]
                 if vals.size == 0:
@@ -182,7 +183,8 @@ def tdigest_partials(
                     ms.append(m2); ws.append(w2)
         if not acc:
             return
-        keys = sorted(acc)
+        # None-safe deterministic order (None sorts first within its column)
+        keys = sorted(acc, key=lambda k: tuple((x is not None, x) for x in k))
         digs = [
             _compress(np.concatenate(acc[k][0]), np.concatenate(acc[k][1]), delta)
             for k in keys
@@ -242,7 +244,12 @@ def tdigest_quantile_audit(
     emitting ``pXX_merged_ok`` booleans, so a broken merge turns the gate
     red exactly like a broken direct build. A production pipeline keeps
     the digests and drops the exact witness, at which point no full
-    values shuffle at all."""
+    values shuffle at all.
+
+    Scope note: rows whose ``group_col`` is NULL are excluded from the
+    AUDIT output (the equi-joins between the witness and the digest sides
+    drop the null group, as SQL equality on NULL does); the underlying
+    ``tdigest_groups`` itself keeps the null group like any other."""
     q_list = [float(q) for q in qs]
 
     @F.pandas_udf("array<double>")
@@ -295,9 +302,16 @@ def tdigest_quantile_audit(
     tol = F.lit(float(rel_err))
     cols = [F.col(group_col)]
     audits = []
-    within = lambda est_col, i: (  # noqa: E731 — tiny local predicate
-        F.abs(est_col / F.element_at("_exact", i) - 1.0) <= tol
-    )
+
+    def within(est_col, i):
+        # difference-form relative check: abs(est-exact) <= tol*abs(exact).
+        # The ratio form (est/exact - 1) NaNs out when the exact quantile
+        # is 0 (legitimately possible — e.g. p25 of a >=25%-zero column)
+        # and a NaN comparison reads as FALSE, failing a perfect estimate;
+        # here exact=0 demands est==0, and est=exact always passes.
+        exact_i = F.element_at("_exact", i)
+        return F.abs(est_col - exact_i) <= tol * F.abs(exact_i)
+
     for i, q in enumerate(q_list, start=1):
         name = f"p{int(round(q * 100)):02d}"
         cols.append(F.element_at("_exact", i).alias(name))
@@ -310,6 +324,22 @@ def tdigest_quantile_audit(
     if merged_est is not None:
         out = out.join(F.broadcast(merged_est), [group_col])
     return out.select(*cols, *audits).orderBy(group_col)
+
+
+# --------------------------------------------------------------------------
+# shared double-hashing kernel (bloom + count-min)
+# --------------------------------------------------------------------------
+
+def _double_hash_positions(
+    h1: np.ndarray, h2: np.ndarray, n_probes: int, modulus: int
+) -> np.ndarray:
+    """(n, n_probes) positions via double hashing h1 + i*h2 in uint64
+    wraparound arithmetic — the ONE implementation both sketches share so
+    build- and probe-side (and bloom-vs-CMS) can never drift apart."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64)
+    i = np.arange(n_probes, dtype=np.uint64)
+    return (u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(modulus)
 
 
 # --------------------------------------------------------------------------
@@ -336,13 +366,11 @@ class CountMinSketch:
         return self.counts.shape[1]
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(depth, n) positions by double hashing — row j probes
-        (h1 + j*h2) mod width."""
-        u1 = h1.astype(np.int64).view(np.uint64)
-        u2 = h2.astype(np.int64).view(np.uint64)
-        j = np.arange(self.depth, dtype=np.uint64)
-        return ((u1[None, :] + j[:, None] * u2[None, :])
-                % np.uint64(self.width)).astype(np.int64)
+        """(depth, n) positions — row j probes (h1 + j*h2) mod width
+        (the shared kernel, transposed)."""
+        return _double_hash_positions(h1, h2, self.depth, self.width).T.astype(
+            np.int64
+        )
 
     def add_array(self, h1: np.ndarray, h2: np.ndarray) -> None:
         pos = self._positions(h1, h2)
@@ -409,7 +437,9 @@ def cms_frequency_audit(
     ``est_never_under`` is a HARD CMS guarantee (min of non-decreasing
     counters), so a FALSE is always a bug. ``est_within_bound`` checks the
     epsilon bound e/width * N — probabilistic in general, deterministic
-    here for fixed data and seeds. N = total rows; both sides exact."""
+    here for fixed data and seeds. N is read off the sketch itself (every
+    add increments exactly one counter per depth row, so row 0 sums to N)
+    — no extra scan."""
     exact = (
         df.groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("exact_count"))
@@ -417,7 +447,7 @@ def cms_frequency_audit(
         .limit(top_n)
     )
     sketch = cms_build(df, value_col, width, depth)
-    total = df.count()
+    total = int(sketch.counts[0].sum())
     bound = int(np.ceil(np.e / width * total))
     bc = df.sparkSession.sparkContext.broadcast(
         (sketch.counts.tobytes(), depth, width)
@@ -462,12 +492,8 @@ class BloomFilter:
         self.num_hashes = int(num_hashes)
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(n, num_hashes) bit positions via double hashing h1 + i*h2 in
-        uint64 wraparound arithmetic — identical build- and probe-side."""
-        u1 = h1.astype(np.int64).view(np.uint64)
-        u2 = h2.astype(np.int64).view(np.uint64)
-        i = np.arange(self.num_hashes, dtype=np.uint64)
-        return (u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(self.num_bits)
+        """(n, num_hashes) bit positions (the shared kernel)."""
+        return _double_hash_positions(h1, h2, self.num_hashes, self.num_bits)
 
     def add_array(self, h1: np.ndarray, h2: np.ndarray) -> None:
         pos = self._positions(h1, h2).ravel()

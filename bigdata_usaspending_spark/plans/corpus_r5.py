@@ -690,6 +690,7 @@ SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
            / CAST(o_totalprice AS DOUBLE) AS _wkey
     FROM orders
     WHERE CAST(o_totalprice AS DOUBLE) > 0
+      AND NOT isnan(CAST(o_totalprice AS DOUBLE))
 )
 ORDER BY _wkey DESC, o_orderkey ASC
 LIMIT 50

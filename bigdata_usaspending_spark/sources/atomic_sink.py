@@ -199,15 +199,25 @@ class AtomicParquetArrowWriter(DataSourceArrowWriter):
         writer = None
         fp = ""
         n_rows = 0
-        for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            if writer is None:
-                os.makedirs(staging, exist_ok=True)
-                fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
-                writer = pq.ParquetWriter(fp, batch.schema)
-            writer.write_batch(batch)
-            n_rows += batch.num_rows
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(staging, exist_ok=True)
+                    fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+                    writer = pq.ParquetWriter(fp, batch.schema)
+                writer.write_batch(batch)
+                n_rows += batch.num_rows
+        except BaseException:
+            # a mid-stream failure (upstream error, task kill) must not
+            # orphan the half-written staged file: abort() only sees
+            # SUCCESSFUL tasks' commit messages, so clean up here
+            if writer is not None:
+                writer.close()
+            if fp and os.path.exists(fp):
+                os.remove(fp)
+            raise
         if writer is None:
             # empty partition: stage nothing (see AtomicParquetStreamWriter)
             return _StagedFile("", 0)

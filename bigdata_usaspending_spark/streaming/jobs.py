@@ -464,13 +464,38 @@ def stream_quantile_monitor(
     out_cols = ", ".join(
         f"p{int(round(q * 100)):02d} double" for q in q_list
     )
+    ktype = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n_seen double, {out_cols}",
+        outputStructType=f"{key_col} {ktype}, n_seen double, {out_cols}",
         stateStructType="means array<double>, weights array<double>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _session_walk(us, vv, gap_us: int, cur: list) -> tuple[list, list]:
+    """Fold time-sorted (event-time-us, value) points into inactivity-gap
+    sessions: returns (closed_sessions, open_session), each session a
+    [start_us, last_us, n, total] list. Exclusive-end gap (a gap of
+    exactly ``gap_us`` starts a new session — the q_session_window
+    definition). ``cur`` carries the open session from prior batches (empty
+    list if none). Module-level so the gap semantics are unit-testable
+    without a running stream."""
+    closed = []
+    for t, v in zip(us, vv):
+        t = int(t)
+        if not cur:
+            cur = [t, t, 1, float(v)]
+        elif t - cur[1] >= gap_us:
+            closed.append(cur)
+            cur = [t, t, 1, float(v)]
+        else:
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+    return closed, cur
 
 
 def stream_sessionize_timers(
@@ -483,9 +508,10 @@ def stream_sessionize_timers(
 ) -> DataFrame:
     """Timer-driven sessionization on the transformWithState API (the
     Spark 4 arbitrary-state surface that supersedes applyInPandasWithState):
-    a session CLOSES — and its one summary row EMITS — when the event-time
-    watermark passes last_event + gap, not merely when the next batch for
-    that key happens to arrive.
+    a session CLOSES — and its one summary row EMITS — either when a later
+    event for the key arrives past the inactivity gap (in-batch split via
+    _session_walk) or, for keys that simply go quiet, when the event-time
+    watermark passes last_event + gap and the registered timer fires.
 
     That push-on-timeout behavior is what the older state API cannot
     express (stream_sessionize only emits a session's row when a later
@@ -523,33 +549,48 @@ def stream_sessionize_timers(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            lo = hi = None
-            n = 0
-            total = 0.0
+            import numpy as np
+
+            uss = []
+            vals = []
             for pdf in rows:
                 if pdf.empty:
                     continue
                 s = pd.to_datetime(pdf[ts_col])
                 if getattr(s.dt, "tz", None) is not None:
                     s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-                us = s.astype("datetime64[us]").astype("int64").to_numpy()
-                lo = int(us.min()) if lo is None else min(lo, int(us.min()))
-                hi = int(us.max()) if hi is None else max(hi, int(us.max()))
-                n += len(pdf)
-                total += float(pdf[value_col].fillna(0.0).sum())
-            if n == 0:
-                return iter(())
-            prev = self.sess.get()
-            if prev is not None:
-                lo = min(lo, prev[0])
-                hi = max(hi, prev[1])
-                n += prev[2]
-                total += prev[3]
-                for t in list(self.handle.listTimers()):  # materialize before
-                    self.handle.deleteTimer(t)            # mutating
-            self.sess.update((lo, hi, n, total))
-            self.handle.registerTimer(hi // 1000 + gap_ms)
-            return iter(())
+                uss.append(s.astype("datetime64[us]").astype("int64").to_numpy())
+                vals.append(pdf[value_col].fillna(0.0).to_numpy(dtype=np.float64))
+            if not uss:
+                return
+            us = np.concatenate(uss)
+            vv = np.concatenate(vals)
+            order = np.argsort(us, kind="stable")
+            us, vv = us[order], vv[order]
+            # _session_walk splits on the inactivity gap, so a batch can
+            # both CLOSE sessions (emitted here, not only from the timer)
+            # and leave the last segment open. An event older than the
+            # open session's span merges into it (aggregate state can't be
+            # re-split); the watermark delay bounds how late such events
+            # can be.
+            cur = list(self.sess.get() or ())  # [start, last, n, total]
+            closed, cur = _session_walk(
+                us.tolist(), vv.tolist(), gap_ms * 1000, cur
+            )
+            self.sess.update(tuple(cur))
+            for t in list(self.handle.listTimers()):  # materialize before
+                self.handle.deleteTimer(t)            # mutating
+            self.handle.registerTimer(cur[1] // 1000 + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(closed),
+                        "session_start_us": [c[0] for c in closed],
+                        "session_end_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                        "total_value": [c[3] for c in closed],
+                    }
+                )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             st = self.sess.get()

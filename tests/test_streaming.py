@@ -794,3 +794,26 @@ def test_stream_sessionize_timers_closes_on_watermark(spark, tmp_path):
     )
     u2 = rows[2]
     assert u2.n_events == 1 and u2.total_value == 5.0
+
+
+def test_session_walk_gap_semantics():
+    """The timer sessionizer's fold: in-batch gap splits, exclusive-end
+    gap boundary, state merge across batches — agreeing with the
+    stream_sessionize / q_session_window session definition."""
+    from bigdata_usaspending_spark.streaming.jobs import _session_walk
+
+    M = 60_000_000  # one minute in micros
+    gap = 30 * M
+    # events at 0, 10, 45 (gap after 10+30=40 -> 45 starts new), 200
+    us = [0 * M, 10 * M, 45 * M, 200 * M]
+    vv = [1.0, 2.0, 4.0, 8.0]
+    closed, cur = _session_walk(us, vv, gap, [])
+    assert closed == [[0, 10 * M, 2, 3.0], [45 * M, 45 * M, 1, 4.0]]
+    assert cur == [200 * M, 200 * M, 1, 8.0]
+    # exclusive end: an event at EXACTLY last + gap starts a new session
+    closed, cur = _session_walk([230 * M], [16.0], gap, cur)
+    assert closed == [[200 * M, 200 * M, 1, 8.0]]
+    assert cur == [230 * M, 230 * M, 1, 16.0]
+    # within the gap: merges into the open session instead
+    closed, cur = _session_walk([231 * M], [1.0], gap, cur)
+    assert closed == [] and cur == [230 * M, 231 * M, 2, 17.0]
