@@ -124,13 +124,18 @@ def maxsim_topk(
     and score(doc) = sum over query tokens of the MAX cosine against any
     document token.
 
-    Relational shape: explode document tokens (n_tokens rows per doc), one
-    Arrow-vectorized pass computes every query-token cosine per row, then
-    ONE keyed aggregation takes the per-query-token maxes and their
-    (q-token-ascending, fold-ordered) sum, and TakeOrderedAndProject cuts
-    the top k. One shuffle on the doc id, cardinality n_tokens * N rows —
-    the standard late-interaction scan; at 100 TB the same plan runs over
-    an ANN-pruned candidate set instead of the full corpus."""
+    Execution shape: because every document token is a SLICE of the row's
+    own embedding, the full MaxSim score is a per-row computation — ONE
+    Arrow kernel emits score(doc) directly (token slicing, the q x d
+    cosine matrix, the per-q-token max, and the q-ascending fold-ordered
+    sum all inside the batch), and TakeOrderedAndProject cuts the top k.
+    ZERO shuffles. (An earlier formulation exploded n_tokens rows per doc
+    and re-aggregated by doc id — a pointless round trip through one
+    exchange that also tripled the codegen surface.) With a true
+    token-matrix column the same kernel reads the nested arrays; at
+    100 TB the scan runs over an ANN-pruned candidate set instead of the
+    full corpus. Per-token max and the q0..qn sum replay exactly in SQL,
+    which is what keeps the oracle bit-identical."""
     qvec = _as_qvec(query)
     dim = len(qvec)
     if dim % n_tokens:
@@ -141,34 +146,27 @@ def maxsim_topk(
     )
     qnorm = np.sqrt(_fold_sum_cols(qtoks * qtoks))
 
-    tok_structs = F.array(
-        *[
-            F.slice(F.col(vec_col), t * dsub + 1, dsub)
-            for t in range(n_tokens)
-        ]
-    )
-    toks = df.select(F.col(id_col), F.explode(tok_structs).alias("dv"))
-
-    @F.pandas_udf("array<double>")
-    def _qcos(v: pd.Series) -> pd.Series:
+    @F.pandas_udf("double")
+    def _maxsim(v: pd.Series) -> pd.Series:
         if v.empty:
-            return pd.Series([], dtype=object)
+            return pd.Series([], dtype=np.float64)
         x = np.array(v.tolist(), dtype=np.float64)
-        xn = np.sqrt(_fold_sum_cols(x * x))
-        out = np.empty((x.shape[0], n_tokens))
-        for t in range(n_tokens):
-            out[:, t] = _fold_dot_mat(x, qtoks[t][None, :]) / (xn * qnorm[t])
-        return pd.Series(list(out))
+        dts = [x[:, t * dsub : (t + 1) * dsub] for t in range(n_tokens)]
+        dnorms = [np.sqrt(_fold_sum_cols(d * d)) for d in dts]
+        score = None
+        for qt in range(n_tokens):
+            best = None
+            for dt in range(n_tokens):
+                cs = _fold_dot_mat(dts[dt], qtoks[qt][None, :]) / (
+                    dnorms[dt] * qnorm[qt]
+                )
+                best = cs if best is None else np.maximum(best, cs)
+            # q-token-ascending addition order matches the SQL oracle fold
+            score = best if score is None else score + best
+        return pd.Series(score)
 
-    scored = toks.select(id_col, _qcos(F.col("dv")).alias("cs"))
-    per_doc = scored.groupBy(id_col).agg(
-        *[F.max(F.element_at("cs", t + 1)).alias(f"_m{t}") for t in range(n_tokens)]
-    )
-    total = F.col("_m0")
-    for t in range(1, n_tokens):
-        total = total + F.col(f"_m{t}")
     return (
-        per_doc.select(F.col(id_col), total.alias("maxsim"))
+        df.select(F.col(id_col), _maxsim(F.col(vec_col)).alias("maxsim"))
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(k)
     )
