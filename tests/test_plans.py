@@ -105,13 +105,14 @@ def test_tpch_q18_broadcasts_winner_set(spark, sf):
     assert "SortMergeJoin" not in plan
 
 
-def test_maxsim_single_keyed_shuffle_and_takeordered(spark, sf):
+def test_maxsim_shuffle_free_takeordered(spark, sf):
     from bigdata_usaspending_spark.plans import corpus_ext
 
     plan = _plan(corpus_ext.q_maxsim_topk(spark, sf))
     assert "TakeOrderedAndProject" in plan
-    # exactly one hash-partitioned exchange: the per-doc max aggregation
-    assert plan.count("hashpartitioning") <= 2  # partial/final print twice
+    # the per-row kernel form: NO keyed exchange at all (the only wire
+    # traffic is TakeOrderedAndProject's k-row partial merge)
+    assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
