@@ -287,3 +287,112 @@ def test_scd2_batches_keep_history_invariants(spark, updates):
         for a, b in zip(closed, closed[1:]):
             assert a.eff_to <= b.eff_from
         assert sum(1 for r in rs if r.eff_to is None) == 1
+
+
+# pure-kernel properties run without Spark, so examples can be generous
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=2000,
+    ),
+    delta=st.sampled_from([50.0, 100.0, 200.0]),
+    split=st.integers(0, 2000),
+)
+@settings(max_examples=60, deadline=None)
+def test_tdigest_compress_invariants(values, delta, split):
+    """t-digest kernel invariants over random inputs: total weight is
+    conserved, centroids stay sorted and bounded, quantile estimates are
+    monotone in q and rank-accurate, and merging a split equals compressing
+    each half then folding (the mergeability contract)."""
+    import numpy as np
+
+    from bigdata_usaspending_spark.operators.sketches import (
+        _compress,
+        _digest_quantiles,
+    )
+
+    vals = np.asarray(values, dtype=np.float64)
+    m, w = _compress(vals, np.ones_like(vals), delta)
+    assert w.sum() == pytest.approx(vals.size)
+    assert (w > 0).all()
+    assert (np.diff(m) >= 0).all(), "centroid means must be sorted"
+    assert m.size <= 2 * delta + 2
+    assert m.min() >= vals.min() - 1e-9 and m.max() <= vals.max() + 1e-9
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = _digest_quantiles(m, w, qs)
+    assert (np.diff(est) >= -1e-9).all(), "estimates must be monotone in q"
+    # rank accuracy: the estimate must fall inside the exact [q-eps, q+eps]
+    # value band; k1 cluster q-width is ~2pi/delta at the center, so allow
+    # 2x that
+    eps = 2 * (2 * np.pi / delta)
+    sv = np.sort(vals)
+    for q, e in zip(qs, est):
+        lo = sv[max(0, int(np.floor((q - eps) * (vals.size - 1))))]
+        hi = sv[min(vals.size - 1, int(np.ceil((q + eps) * (vals.size - 1))))]
+        assert lo - 1e-9 <= e <= hi + 1e-9, (q, e, lo, hi)
+    # mergeability: halves compressed then folded conserve weight and stay
+    # rank-accurate at the median
+    cut = min(split, vals.size)
+    a, b = vals[:cut], vals[cut:]
+    parts = [
+        _compress(x, np.ones_like(x), delta) for x in (a, b) if x.size
+    ]
+    mm, mw = _compress(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        delta,
+    )
+    assert mw.sum() == pytest.approx(vals.size)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # seconds
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    gap_s=st.integers(1, 600),
+    n_batches=st.integers(1, 4),
+)
+@settings(max_examples=80, deadline=None)
+def test_session_walk_equals_naive_sessionizer(events, gap_s, n_batches):
+    """_session_walk fed in arbitrary batch splits must produce the same
+    sessions as a naive whole-history sessionizer — PROVIDED batches
+    partition the time axis in order (the watermark contract: a later
+    batch never carries an event older than a previously closed gap)."""
+    from bigdata_usaspending_spark.streaming.jobs import _session_walk
+
+    M = 1_000_000
+    pts = sorted((t * M, v) for t, v in events)
+    gap_us = gap_s * M
+    # naive reference over the full sorted history
+    ref = []
+    for t, v in pts:
+        if not ref or t - ref[-1][1] >= gap_us:
+            ref.append([t, t, 1, v])
+        else:
+            ref[-1][1] = t
+            ref[-1][2] += 1
+            ref[-1][3] += v
+    # feed the walk in n_batches contiguous slices
+    closed, cur = [], []
+    size = max(1, len(pts) // n_batches)
+    for i in range(0, len(pts), size):
+        chunk = pts[i : i + size]
+        got, cur = _session_walk(
+            [t for t, _ in chunk], [v for _, v in chunk], gap_us, cur
+        )
+        closed.extend(got)
+    sessions = closed + ([cur] if cur else [])
+    assert len(sessions) == len(ref)
+    for s, r in zip(sessions, ref):
+        assert s[0] == r[0] and s[1] == r[1] and s[2] == r[2]
+        assert s[3] == pytest.approx(r[3])
