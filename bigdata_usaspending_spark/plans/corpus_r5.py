@@ -350,6 +350,33 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_frequency_audit(toks, "token", top_n=20)
 
 
+def q_consistent_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table CONSISTENT sampling (sampling.hash_gate's joinable-
+    samples property as an end-to-end query): customers and orders are
+    each gated INDEPENDENTLY at 20% by the same entity key hash, yet the
+    join loses nothing — the two gates select the same entities, which
+    seeded per-table sample() cannot do. Per-segment rollup of the
+    sampled activity: distinct customers, orders, exact-decimal spend."""
+    from ..functions import exact_sum
+    from ..operators.sampling import hash_gate
+
+    spark = _prep(spark)
+    cust = load(spark, sf, "customer").filter(hash_gate("c_custkey", 20))
+    orders = load(spark, sf, "orders").filter(hash_gate("o_custkey", 20))
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "total_sampled"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -370,6 +397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_incremental_bloom": q_dedup_incremental_bloom,
     "q_weighted_sample": q_weighted_sample,
     "q_cms_token_counts": q_cms_token_counts,
+    "q_consistent_sample": q_consistent_sample,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -705,4 +733,27 @@ SELECT token, COUNT(*) AS exact_count,
 FROM e GROUP BY token
 ORDER BY exact_count DESC, token ASC
 LIMIT 20
+"""
+
+
+# q_consistent_sample: both gates replay via the md5 60-bit bridge; the
+# money sum is the standard exact-decimal VARCHAR hop (corpus.SUM2).
+ORACLE_SQL["q_consistent_sample"] = f"""
+WITH sc AS (
+    SELECT * FROM customer
+    WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < 20
+),
+so AS (
+    SELECT * FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < 20
+)
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       {SUM2.format(c='o_totalprice')} AS total_sampled
+FROM so JOIN sc ON so.o_custkey = sc.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
