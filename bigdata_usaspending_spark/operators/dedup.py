@@ -458,6 +458,124 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """The persistent NEAR-dup index: one row per doc with its hashed
+    shingle set and minhash signature — what an incremental pipeline
+    stores (partitioned however ingest likes; the prober only ever scans
+    it). Docs shorter than ``n`` tokens have no Jaccard defined and are
+    excluded, exactly as in minhash_lsh_pairs."""
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    return (
+        _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", shingles_of(text_col, n))
+        .select(
+            "_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: hash_fn(s))
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .select("_id", "hs", minhash_from_hashes("hs", num_hashes).alias("minhash"))
+    )
+
+
+def _banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """(id, band, sig) rows from a minhash-signature table — the LSH
+    bucket keys (same banding as minhash_lsh_pairs)."""
+    rows_per_band = num_hashes // bands
+
+    def band_sig(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", F.slice("minhash", b * rows_per_band + 1, rows_per_band)
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_structs).alias("bs")).select(
+        "_id", "bs.band", "bs.sig"
+    )
+
+
+def near_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental NEAR dedup: keep the batch docs that are not a verified
+    near-duplicate (exact Jaccard >= threshold) of ANY corpus doc in a
+    persisted ``minhash_index``. The fuzzy twin of dedup_against_index —
+    per-ingest near-dedup that never re-pairs the corpus against itself.
+
+    Probe inversion, same as the exact path: the index is corpus-sized,
+    the batch an increment, so every join broadcasts the BATCH side and
+    the index is only ever scanned:
+
+    1. batch signatures band-match against the index's banded signatures
+       — ``index_banded JOIN broadcast(batch_banded)``; candidate pairs
+       are bounded by true near-dups + band collisions, never all-pairs;
+    2. the exact-Jaccard verify joins each side's shingle sets back
+       (index side again via broadcast of the candidate ids);
+    3. survivors = batch ANTI broadcast(matched batch ids). Batch docs
+       with no shingles (shorter than ``n`` tokens) have no Jaccard and
+       always survive.
+
+    Zero index-side Exchange (pinned by tests/test_sketches.py-style plan
+    audit in tests/test_dedup.py); LSH recall bounds are those of
+    minhash_lsh_pairs (1-(1-j^r)^bands).
+    """
+    bsig = minhash_index(batch, id_col, text_col, num_hashes, n, portable)
+    bsig = bsig.localCheckpoint(eager=False)  # reused by bands + verify
+    batch_banded = _banded_signatures(bsig, num_hashes, bands, portable)
+    index_banded = _banded_signatures(
+        index.select(F.col("_id"), "minhash"), num_hashes, bands, portable
+    )
+    cand = (
+        index_banded.withColumnRenamed("_id", "_iid")
+        .join(
+            F.broadcast(batch_banded.withColumnRenamed("_id", "_bid")),
+            on=["band", "sig"],
+        )
+        .select("_bid", "_iid")
+        .dropDuplicates(["_bid", "_iid"])
+    )
+    verified = (
+        index.select(F.col("_id").alias("_iid"), F.col("hs").alias("hs_i"))
+        .join(F.broadcast(cand), "_iid")
+        .join(
+            F.broadcast(bsig.select(F.col("_id").alias("_bid"), F.col("hs").alias("hs_b"))),
+            "_bid",
+        )
+    )
+    inter = F.size(F.array_intersect("hs_b", "hs_i")).cast("double")
+    union = F.size(F.array_union("hs_b", "hs_i")).cast("double")
+    matched = (
+        verified.filter((inter / union) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(F.broadcast(matched), on=id_col, how="anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -35,13 +35,16 @@ _VERIFY_FIRST = [
     "q_hll_intersection", "q_table_profile", "q_sample_k_per_group",
     "q_tdigest_quantiles", "q_dedup_incremental_bloom", "q_weighted_sample",
     "q_cms_token_counts", "q_consistent_sample",
+    "q_dedup_incremental_minhash",
     # plans/operators touched in round 5 (RP-LSH Arrow kernel, sessionize
     # read path, simhash kernel, minhash null handling, PQ stale-code guard,
     # dim-probe removal, serving sort, multimodal JPEG branch):
     "q_ann_rp_lsh", "q_sessionize", "q_session_window", "q_dedup_simhash",
     "q_dedup_minhash_lsh",
-    "q_ann_pq_topk", "q_embedding_cosine_topk", "q_dashboard_payload",
+    "q_ann_pq_topk", "q_dashboard_payload",
     "q_multimodal_bytes", "q_dedup_incremental",
+    # (q_embedding_cosine_topk rotated to round 6: its kernel family is
+    # exercised in-window by q_knn_join / q_ann_ivf_knn_join)
     # (oldest greens q_scan_project, q_filter_positive, q_dropna, q_case_when_label, q_month_derive, q_join_dim_fact, q_agg_sum_by_key, q_agg_sum_two_keys, q_agg_by_month, q_count_distinct,
     # q_value_counts, q_approx_median, q_describe_stats, q_corr, q_rollup_two_level, q_orderby_desc, q_topk, q_topn_frequency,
     # q_orderby_asc, q_first_row, q_window_topk_per_group, plus

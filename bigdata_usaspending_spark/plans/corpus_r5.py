@@ -377,6 +377,25 @@ def q_consistent_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR dedup against a persisted minhash index
+    (dedup.near_dedup_against_index): docs with doc_id % 3 == 0 play the
+    indexed corpus, the rest arrive as a batch; survivors are batch docs
+    with no verified Jaccard >= 0.5 near-dup in the corpus. The fuzzy
+    twin of q_dedup_incremental — banded probe + exact verify with every
+    join broadcasting the batch side, index scan-only. Fully
+    oracle-checked via the portable hash bridge."""
+    from ..operators import dedup
+
+    docs = load(_prep(spark), sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    index = dedup.minhash_index(corpus, "doc_id", portable=True)
+    return dedup.near_dedup_against_index(
+        batch, index, "doc_id", threshold=0.5, portable=True
+    ).select("doc_id", "lang", "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_name_pairs": q_fuzzy_name_pairs,
     "q_fuzzy_name_pairs_k2": q_fuzzy_name_pairs_k2,
@@ -398,6 +417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_sample": q_weighted_sample,
     "q_cms_token_counts": q_cms_token_counts,
     "q_consistent_sample": q_consistent_sample,
+    "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -757,3 +777,70 @@ FROM so JOIN sc ON so.o_custkey = sc.c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# q_dedup_incremental_minhash: the q_dedup_minhash_lsh oracle machinery
+# restricted to batch x corpus candidate pairs, inverted to batch
+# survivors. Reuses corpus_ext's portable-hash twins.
+from .corpus_ext import (  # noqa: E402
+    _MINHASH_P as _MP_R5,
+    _SHINGLES as _SH_R5,
+    _TOKS as _TOKS_EXT_R5,
+    _basehash_sql as _bh_r5,
+)
+
+
+def _incremental_minhash_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"coalesce(list_min(list_transform(b, x -> (x * {2 * i + 1} + {1000003 * i + 12345})"
+        f" % {_MP_R5})), {_MP_R5}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {ms}) AS sig FROM m".format(
+            b=b, ms=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS_EXT_R5} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SH_R5} AS sh FROM t),
+        hs AS (
+            SELECT doc_id, list_distinct(list_transform(sh, g -> {_bh_r5('g')})) AS hs
+            FROM s WHERE len(sh) > 0
+        ),
+        base AS (SELECT doc_id, list_transform(hs, h -> h % {_MP_R5}) AS b FROM hs),
+        m AS (SELECT doc_id,
+               {mins}
+              FROM base),
+        banded AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid
+            FROM banded b JOIN banded i
+              ON b.band = i.band AND b.sig = i.sig
+            WHERE b.doc_id % 3 <> 0 AND i.doc_id % 3 = 0
+        ),
+        matched AS (
+            SELECT DISTINCT bid FROM (
+                SELECT c.bid,
+                       CAST(len(list_intersect(hb.hs, hi.hs)) AS DOUBLE)
+                       / CAST(len(hb.hs) + len(hi.hs) - len(list_intersect(hb.hs, hi.hs))
+                              AS DOUBLE) AS jaccard
+                FROM cand c
+                JOIN hs hb ON c.bid = hb.doc_id
+                JOIN hs hi ON c.iid = hi.doc_id
+            ) WHERE jaccard >= {threshold}
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id % 3 <> 0
+          AND NOT EXISTS (SELECT 1 FROM matched x WHERE x.bid = d.doc_id)
+    """
+
+
+ORACLE_SQL["q_dedup_incremental_minhash"] = _incremental_minhash_oracle()

@@ -418,3 +418,41 @@ def test_scrub_repeated_passages_cuts_shared_span_only(spark):
     # untouched doc: normalized but intact
     assert out[4].clean_text == rows[3][1]
     assert out[4].n_scrubbed == 0
+
+
+def test_near_dedup_against_index_semantics_and_plan(spark, sf_small):
+    """Incremental near-dedup: a batch doc near-matching an indexed corpus
+    doc is dropped, everything else (including sub-n-token docs with no
+    Jaccard defined) survives; and no join in the plan sort-merges — the
+    corpus index is scan-only."""
+    import pandas as pd
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "an entirely different indexed document about engines",
+                ],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog yesterday",  # near-dup of 0
+                    "completely fresh content with no overlap whatsoever here",
+                    "tiny doc",  # < 3 tokens: no shingles, must survive
+                ],
+            }
+        )
+    )
+    index = dedup.minhash_index(corpus, "doc_id")
+    out = dedup.near_dedup_against_index(batch, index, "doc_id", threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
