@@ -242,3 +242,57 @@ def classify_with_confidence(model: PipelineModel, row_df: DataFrame) -> tuple[s
     label = int(row["prediction"])
     prob = float(row["probability"][label]) * 100.0
     return ("HIGH" if label == 1 else "LOW", prob)
+
+
+def tune_regression(
+    df: DataFrame,
+    amount_col: str = "award_amount",
+    num_folds: int = 3,
+    parallelism: int = 4,
+):
+    """Model selection for the regression pipeline: k-fold CrossValidator
+    over an elastic-net grid (regParam x elasticNetParam), folds and
+    candidate fits running as PARALLEL Spark jobs.
+
+    The reference trains exactly one hard-coded LinearRegression
+    (app/machine_learning_models.py:229-235) — no validation beyond a
+    single train/test split. This is the warehouse-grade step above it:
+    deterministic folds (seed pinned), every candidate scored on held-out
+    RMSE, and the winner refit on the full training frame by the
+    CrossValidator itself. ``parallelism`` bounds concurrent candidate
+    fits — at cluster scale each fit is its own distributed job, so the
+    sweep saturates executors without oversubscribing the driver.
+
+    Returns (best_model, best_params, cv_rmse_per_candidate).
+    """
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    prepared = prepare(df, amount_col=amount_col)
+    cats, _ = usable_categoricals(prepared)
+    lr = LinearRegression(featuresCol="features_reg", labelCol=amount_col)
+    pipeline = Pipeline(stages=[*_feature_stages(cats, ["month", "year"], "features_reg"), lr])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.1, 1.0])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = RegressionEvaluator(
+        labelCol=amount_col, predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=SEED,
+    )
+    model = cv.fit(prepared)
+    best_lr = model.bestModel.stages[-1]
+    best_params = {
+        "regParam": float(best_lr.getRegParam()),
+        "elasticNetParam": float(best_lr.getElasticNetParam()),
+    }
+    metrics = [float(m) for m in model.avgMetrics]
+    return model.bestModel, best_params, metrics

@@ -146,3 +146,22 @@ def test_classify_with_confidence(result, awards, spark):
     assert out is not None
     label, conf = out
     assert label in ("HIGH", "LOW") and 50.0 <= conf <= 100.0
+
+
+def test_tune_regression_selects_deterministic_winner(spark, awards):
+    from bigdata_usaspending_spark.ml.pipelines import tune_regression
+
+    best, params, metrics = tune_regression(awards, num_folds=2, parallelism=2)
+    assert len(metrics) == 6  # 3 regParam x 2 elasticNetParam candidates
+    assert all(m > 0 for m in metrics)
+    assert params["regParam"] in (0.0, 0.1, 1.0)
+    assert params["elasticNetParam"] in (0.0, 0.5)
+    # the chosen candidate is the grid argmin of held-out RMSE
+    assert min(metrics) == metrics[
+        [  # rebuild the grid order: regParam-major as added
+            (rp, en) for rp in (0.0, 0.1, 1.0) for en in (0.0, 0.5)
+        ].index((params["regParam"], params["elasticNetParam"]))
+    ]
+    # determinism: same seed, same folds, same winner
+    _, params2, metrics2 = tune_regression(awards, num_folds=2, parallelism=2)
+    assert params2 == params and metrics2 == metrics
