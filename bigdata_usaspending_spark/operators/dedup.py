@@ -162,6 +162,8 @@ def dedup_against_index_bloom(
     text_col: str = "text",
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
+    expected_keys: int | None = None,
+    fp: float = 0.01,
 ) -> DataFrame:
     """Incremental exact dedup with a Bloom-prefiltered index probe — the
     middle regime between ``dedup_against_index``'s two strategies.
@@ -171,9 +173,14 @@ def dedup_against_index_bloom(
     outgrow the broadcast budget (~100M keys is gigabytes of hash map).
     ``broadcast_batch=False`` shuffles the corpus-sized index. This variant
     extends the probe inversion ~100x further: a Bloom bitmap over the
-    batch keys is O(1.44 * n * log2(1/fp)) BITS — 2^23 bits (1 MiB) covers
-    ~5.8M keys at 1% false positives, 100M keys fit in ~170 MiB where the
-    exact set would not fit at all.
+    batch keys is O(1.44 * n * log2(1/fp)) BITS — ~9.6 bits/key at 1% fp,
+    so the default 2^23 bits (1 MiB) covers ~877k keys, and 100M keys fit
+    in ~120 MiB (sketches.bloom_params) where the exact set would not fit
+    at all. SIZE THE FILTER: pass ``expected_keys`` (approximate batch
+    distinct count) and the bitmap is sized via bloom_params(n, fp) —
+    an undersized filter stays EXACT (false positives die in the
+    anti-join) but its hit set balloons toward the whole index, defeating
+    the broadcast in step 3.
 
     1. bloom = bitmap over the batch's fingerprints (sketches.bloom_build:
        per-partition partials OR-reduced, one pass over the batch);
@@ -187,8 +194,10 @@ def dedup_against_index_bloom(
     The index never shuffles; driver + broadcast traffic is one bitmap
     plus the batch-bounded hits set.
     """
-    from .sketches import bloom_build, bloom_filter_rows
+    from .sketches import bloom_build, bloom_filter_rows, bloom_params
 
+    if expected_keys is not None:
+        num_bits, num_hashes = bloom_params(expected_keys, fp)
     keyed = batch.select(F.col(id_col), fingerprint(text_col))
     bloom = bloom_build(keyed, "fingerprint", num_bits, num_hashes)
     hits = bloom_filter_rows(index, "fingerprint", bloom)

@@ -304,6 +304,22 @@ def temperature_mix(
     return gated.select(*df.columns)
 
 
+def _portable_salt_hash(salt_cols: "Sequence[str]", seed: int):
+    """The portable-path rank-hash input: concat_ws('|') over the cast salt
+    columns + seed, md5-folded to 60 bits. CONTRACT on the portable path:
+    salt columns must be NON-NULL and their string forms '|'-free —
+    concat_ws skips nulls and '|' is the joiner, so a null salt or an
+    embedded '|' can make two distinct rows share a hash input (and hence
+    a rank key), skewing the draw for those keys. The corpus salts are
+    integer primary keys, which satisfy this trivially; for free-text
+    salts either escape the components or use the xxhash64 path
+    (portable=False), which hashes typed values and has no such seam."""
+    return portable_hash60(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols],
+                    F.lit(str(seed)))
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_col: str,
@@ -324,15 +340,13 @@ def sample_k_per_group(
     of each group (ties broken by the salt columns for total order).
     ``portable=True`` swaps xxhash64 for the md5-derived 60-bit bridge so
     the sample replays bit-for-bit in any engine with md5 (the oracle
-    corpus uses it; production keeps the cheaper xxhash64)."""
+    corpus uses it; production keeps the cheaper xxhash64). Portable-path
+    salt constraints: see _portable_salt_hash."""
     from pyspark.sql import Window
 
     h = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
     if portable:
-        h = portable_hash60(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols],
-                        F.lit(str(seed)))
-        )
+        h = _portable_salt_hash(salt_cols, seed)
     w = Window.partitionBy(group_col).orderBy(
         h.asc(), *[F.col(c).asc() for c in salt_cols]
     )
@@ -372,13 +386,12 @@ def weighted_sample_k(
     production uses xxhash64. The only cross-engine risk is two rank keys
     within 1 ulp after ln/division — probability ~2^-50 per pair, and the
     salt-column tiebreak bounds the damage to adjacent-rank swaps.
+    Portable-path salt constraints (non-null, '|'-free): see
+    _portable_salt_hash.
     """
     h = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
     if portable:
-        h = portable_hash60(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols],
-                        F.lit(str(seed)))
-        )
+        h = _portable_salt_hash(salt_cols, seed)
     # u in (0,1]: fold the (possibly signed full-width xxhash64) value into
     # [0, 2^60) first — pmod is a no-op for the already-60-bit portable
     # hash — then scale by 2^60 (IEEE nearest-rounding is engine-identical),

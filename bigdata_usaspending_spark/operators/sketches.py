@@ -249,7 +249,11 @@ def tdigest_quantile_audit(
     Scope note: rows whose ``group_col`` is NULL are excluded from the
     AUDIT output (the equi-joins between the witness and the digest sides
     drop the null group, as SQL equality on NULL does); the underlying
-    ``tdigest_groups`` itself keeps the null group like any other."""
+    ``tdigest_groups`` itself keeps the null group like any other. A group
+    whose VALUES are entirely null/NaN produces no digest row; the audit
+    LEFT-joins from the exact witness, so such a group stays visible with
+    null exact percentiles and null audit booleans rather than silently
+    vanishing from the output."""
     q_list = [float(q) for q in qs]
 
     @F.pandas_udf("array<double>")
@@ -320,9 +324,9 @@ def tdigest_quantile_audit(
             audits.append(
                 within(F.element_at("_mest", i), i).alias(f"{name}_merged_ok")
             )
-    out = exact.join(F.broadcast(est), [group_col])
+    out = exact.join(F.broadcast(est), [group_col], "left")
     if merged_est is not None:
-        out = out.join(F.broadcast(merged_est), [group_col])
+        out = out.join(F.broadcast(merged_est), [group_col], "left")
     return out.select(*cols, *audits).orderBy(group_col)
 
 
@@ -335,11 +339,40 @@ def _double_hash_positions(
 ) -> np.ndarray:
     """(n, n_probes) positions via double hashing h1 + i*h2 in uint64
     wraparound arithmetic — the ONE implementation both sketches share so
-    build- and probe-side (and bloom-vs-CMS) can never drift apart."""
+    build- and probe-side (and bloom-vs-CMS) can never drift apart.
+
+    The stride is forced ODD (``h2 | 1``): a key whose raw h2 were 0 (or a
+    multiple of the modulus) would otherwise collapse all n_probes positions
+    onto h1's slot, giving that key one effective probe — raising the Bloom
+    fp rate and voiding the CMS depth guarantee for ~1/modulus of keys. An
+    odd stride is also coprime to every power-of-two modulus, so the probe
+    sequence never cycles early."""
     u1 = h1.astype(np.int64).view(np.uint64)
-    u2 = h2.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
     i = np.arange(n_probes, dtype=np.uint64)
     return (u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(modulus)
+
+
+def _tree_merge_partials(partials: DataFrame, merge_fn, schema: str, fanin: int):
+    """Executor-side tree reduction of per-partition sketch partial rows.
+
+    ``partials`` has at most one row per upstream partition (each a packed
+    sketch: a CMS counter matrix or a Bloom bitmap). Collecting them raw is
+    O(partitions) driver traffic — fine at dozens of partitions, a
+    scale-killer at the 1e5–1e6 tasks a 100-TB scan produces (hundreds of
+    GB through the driver). Because these sketches are linear (CMS: +) or
+    bitwise-max (Bloom: |) mergeable, each tree level repartitions the
+    partial rows fanin-fold fewer and streams them through ``merge_fn`` —
+    the SAME accumulate-in-one-buffer mapInPandas pattern as the build, so
+    a merge task holds one accumulator plus one Arrow batch, never a whole
+    group. The driver then collects <= fanin rows regardless of input
+    partition count. Levels are derived from getNumPartitions() (plan
+    metadata, no job); the whole chain stays lazy and executes once."""
+    n = partials.rdd.getNumPartitions()
+    while n > fanin:
+        n = max(1, -(-n // fanin))
+        partials = partials.repartition(n).mapInPandas(merge_fn, schema=schema)
+    return partials.collect()
 
 
 # --------------------------------------------------------------------------
@@ -384,12 +417,16 @@ class CountMinSketch:
 
 
 def cms_build(
-    df: DataFrame, col: str, width: int = 1 << 16, depth: int = 5
+    df: DataFrame, col: str, width: int = 1 << 16, depth: int = 5,
+    fanin: int = 32,
 ) -> CountMinSketch:
-    """Distributed CMS build: per-partition partial matrices summed on the
-    driver (depth*width*8 bytes per partition — 2.6 MiB at the defaults,
-    the MLlib-model-state collect class). Hashes are the same JVM-side
-    xxhash64 pair the Bloom filter uses."""
+    """Distributed CMS build: per-partition partial matrices (depth*width*8
+    bytes each — 2.6 MiB at the defaults) are tree-merged EXECUTOR-side by
+    element-wise sum (counter matrices are linear), so the driver receives
+    at most ``fanin`` partials no matter how many scan tasks ran — at a
+    100-TB scan's 1e5+ partitions the raw collect would push hundreds of
+    GB through the driver. Hashes are the same JVM-side xxhash64 pair the
+    Bloom filter uses."""
     h1, h2 = _hash_cols(col)
     hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
 
@@ -407,7 +444,19 @@ def cms_build(
         if seen:
             yield pd.DataFrame({"counts": [sk.counts.tobytes()]})
 
-    parts = hashed.mapInPandas(partial, schema="counts binary").collect()
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for buf in pdf["counts"]:
+                m = np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+                acc = m.copy() if acc is None else acc + m
+        if acc is not None:
+            yield pd.DataFrame({"counts": [acc.tobytes()]})
+
+    parts = _tree_merge_partials(
+        hashed.mapInPandas(partial, schema="counts binary"),
+        merge, "counts binary", fanin,
+    )
     counts = np.zeros((depth, width), dtype=np.int64)
     for row in parts:
         counts += np.frombuffer(row["counts"], dtype=np.int64).reshape(
@@ -517,17 +566,38 @@ def _hash_cols(col: str) -> tuple[Column, Column]:
     return F.xxhash64(F.col(col)), F.xxhash64(F.col(col), F.lit(1))
 
 
+def bloom_params(expected_keys: int, fp: float = 0.01) -> tuple[int, int]:
+    """Size a Bloom filter for ``expected_keys`` distinct keys at false-
+    positive rate ``fp``: num_bits = ceil(1.44 * n * log2(1/fp)) rounded up
+    to a whole 64-bit word, num_hashes = the optimal ln2 * bits/n. Worked
+    defaults: 1% fp costs ~9.6 bits/key, so 2^23 bits (1 MiB) holds ~877k
+    keys; 5.8M keys at 1% need ~2^26 bits (8 MiB); 100M keys ~120 MiB."""
+    if expected_keys <= 0:
+        raise ValueError("expected_keys must be positive")
+    if not 0.0 < fp < 1.0:
+        raise ValueError("fp must be in (0, 1)")
+    import math
+
+    num_bits = math.ceil(1.44 * expected_keys * math.log2(1.0 / fp))
+    num_bits = ((num_bits + 63) // 64) * 64
+    num_hashes = max(1, round(math.log(2.0) * num_bits / expected_keys))
+    return num_bits, num_hashes
+
+
 def bloom_build(
-    df: DataFrame, col: str, num_bits: int = 1 << 23, num_hashes: int = 5
+    df: DataFrame, col: str, num_bits: int = 1 << 23, num_hashes: int = 5,
+    fanin: int = 32,
 ) -> BloomFilter:
     """Distributed Bloom build: each partition emits ONE packed partial
-    bitmap (num_bits/8 bytes); the driver ORs them. Bitmaps are bitwise-max
-    state, so the result is independent of partitioning and row order.
+    bitmap (num_bits/8 bytes); partials are tree-merged EXECUTOR-side by
+    bitwise OR (bitmaps are bitwise-max state, independent of partitioning
+    and row order), so the driver receives at most ``fanin`` bitmaps no
+    matter how many scan tasks ran.
 
-    Driver traffic is O(partitions x num_bits/8) — 1 MiB per partition at
-    the default 2^23 bits, the same collect class as MLlib model state. At
-    extreme partition counts, coalesce the partials or tree-reduce first.
-    Sizing: ~1.44 * n * log2(1/fp) bits; 2^23 holds ~5.8M keys at 1% fp.
+    Sizing: ~1.44 * n * log2(1/fp) bits — at 1% fp that is ~9.6 bits/key,
+    so the default 2^23 bits (1 MiB) holds ~877k keys; beyond that the fp
+    rate climbs fast (~85% at 5.8M keys). Size larger filters with
+    bloom_params(expected_keys, fp) instead of guessing.
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
@@ -550,7 +620,19 @@ def bloom_build(
         if seen:
             yield pd.DataFrame({"bitmap": [bf.words.tobytes()]})
 
-    parts = hashed.mapInPandas(partial, schema="bitmap binary").collect()
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for buf in pdf["bitmap"]:
+                w = np.frombuffer(buf, dtype=np.uint64)
+                acc = w.copy() if acc is None else acc | w
+        if acc is not None:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    parts = _tree_merge_partials(
+        hashed.mapInPandas(partial, schema="bitmap binary"),
+        merge, "bitmap binary", fanin,
+    )
     words = np.zeros(num_bits // 64, dtype=np.uint64)
     for row in parts:
         words |= np.frombuffer(row["bitmap"], dtype=np.uint64)

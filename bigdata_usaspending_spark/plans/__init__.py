@@ -14,45 +14,36 @@ from __future__ import annotations
 # whose all-102-query result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # never driver-checked through round 4 (no CORRECTNESS_r0{1..4} row):
-    "q_maxsim_topk", "q_tpch_q6_shape", "q_tpch_q12_shape",
-    "q_temperature_mix", "q_mad_outliers", "q_ewma_monthly",
-    "q_quantile_summary",
-    # new in round 5 (plans/corpus_r5.py, plans/corpus_tpch2.py):
-    "q_fuzzy_name_pairs", "q_fuzzy_name_pairs_k2", "q_hll_distinct",
-    "q_orders_open_by_month",
-    "q_window_rank_family", "q_string_agg_per_nation",
-    "q_tpch_q13_shape", "q_tpch_q14_shape", "q_tpch_q15_shape",
-    "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q22_shape",
-    # round-5 wave 3 (plans/corpus_tpch3.py): completes all 22 TPC-H shapes
-    "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q10_shape",
-    "q_tpch_q11_shape", "q_tpch_q16_shape", "q_tpch_q20_shape",
-    "q_tpch_q21_shape",
-    # round-5 LLM-pipeline additions (span dedup + frequency sketch) and
-    # the SCD2 dimension merge:
-    "q_repeated_passages", "q_heavy_hitter_tokens", "q_scd2_customer_segment",
-    "q_passage_scrub", "q_knn_join", "q_ann_ivf_knn_join",
-    "q_hll_intersection", "q_table_profile", "q_sample_k_per_group",
-    "q_tdigest_quantiles", "q_dedup_incremental_bloom", "q_weighted_sample",
-    "q_cms_token_counts", "q_consistent_sample",
-    "q_dedup_incremental_minhash",
-    # plans/operators touched in round 5 (RP-LSH Arrow kernel, sessionize
-    # read path, simhash kernel, minhash null handling, PQ stale-code guard,
-    # dim-probe removal, serving sort, multimodal JPEG branch):
-    "q_ann_rp_lsh", "q_sessionize", "q_session_window", "q_dedup_simhash",
-    "q_dedup_minhash_lsh",
-    "q_ann_pq_topk", "q_dashboard_payload",
-    "q_multimodal_bytes", "q_dedup_incremental",
-    # (q_embedding_cosine_topk rotated to round 6: its kernel family is
-    # exercised in-window by q_knn_join / q_ann_ivf_knn_join)
-    # (oldest greens q_scan_project, q_filter_positive, q_dropna, q_case_when_label, q_month_derive, q_join_dim_fact, q_agg_sum_by_key, q_agg_sum_two_keys, q_agg_by_month, q_count_distinct,
-    # q_value_counts, q_approx_median, q_describe_stats, q_corr, q_rollup_two_level, q_orderby_desc, q_topk, q_topn_frequency,
-    # q_orderby_asc, q_first_row, q_window_topk_per_group, plus
-    # q_union_branches, q_cast_to_date, q_dedup_exact, q_dedup_ngram_jaccard,
-    # q_decontaminate, q_dedup_embedding, q_pack_sequences,
-    # q_training_data_pipeline, q_window_tumbling, q_text_quality,
-    # q_text_langid, q_text_tokens displaced to the round-6 rotation by the
-    # round-5 additions — the window holds 50.)
+    # Round-6 window: the stale-ledger block — every query whose most recent
+    # driver CORRECTNESS row is r3 or older, i.e. predates the round-4/5
+    # operator rewrites underneath it (VERDICT r5 "What's missing" #1).
+    # Oldest-green relational block (last driver row r3):
+    "q_scan_project", "q_filter_positive", "q_dropna", "q_case_when_label",
+    "q_month_derive", "q_join_dim_fact", "q_agg_sum_by_key",
+    "q_agg_sum_two_keys", "q_agg_by_month", "q_count_distinct",
+    "q_value_counts", "q_approx_median", "q_describe_stats", "q_corr",
+    "q_rollup_two_level", "q_orderby_desc", "q_topk", "q_topn_frequency",
+    "q_orderby_asc", "q_first_row", "q_window_topk_per_group",
+    "q_union_branches", "q_cast_to_date",
+    # LLM-pipeline queries whose operators were rewritten in r4/r5 after
+    # their last driver row (r3):
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_decontaminate",
+    "q_dedup_embedding", "q_pack_sequences", "q_training_data_pipeline",
+    "q_window_tumbling", "q_text_quality", "q_text_langid", "q_text_tokens",
+    "q_embedding_cosine_topk",
+    # Plans/operators touched THIS round (round 6): sketch tree-merge
+    # (CMS/Bloom executor-side partial merge), Bloom sizing parameters,
+    # odd-stride double hashing, t-digest audit left-join, table-profile
+    # HLL default, maxsim cold-path, tpch q12 re-check, weighted-sample
+    # salt hardening:
+    "q_cms_token_counts", "q_dedup_incremental_bloom", "q_tdigest_quantiles",
+    "q_table_profile", "q_maxsim_topk", "q_tpch_q12_shape",
+    "q_weighted_sample", "q_heavy_hitter_tokens", "q_hll_distinct",
+    "q_hll_intersection", "q_dedup_incremental", "q_dedup_incremental_minhash",
+    "q_consistent_sample", "q_sample_k_per_group",
+    # (Remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, streaming twins —
+    # have driver rows from r4/r5 on current code and rotate through the
+    # round-7 window next.  The window holds 50.)
 ]
 
 

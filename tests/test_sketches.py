@@ -105,6 +105,19 @@ def test_tdigest_audit_merged_partial_path(spark, sf_small):
         assert r["p50_merged_ok"] and r["p95_merged_ok"]
 
 
+def test_tdigest_audit_all_null_group_stays_visible(spark):
+    """A group whose values are ALL null produces no digest row; the audit
+    left-joins from the exact witness so the group appears with null
+    percentiles and null booleans instead of silently vanishing."""
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", None)] * 5
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = {r["grp"]: r for r in
+           tdigest_quantile_audit(df, "val", "grp", qs=(0.5,)).collect()}
+    assert set(out) == {"a", "b"}, "all-null group must not vanish"
+    assert out["a"]["p50_est_ok"]
+    assert out["b"]["p50"] is None and out["b"]["p50_est_ok"] is None
+
+
 def test_tdigest_groups_composite_key(spark, sf_small):
     orders = load(spark, sf_small, "orders").withColumn(
         "_m", F.month("o_orderdate")
@@ -230,6 +243,108 @@ def test_cms_kernel_guarantees():
     a.add_array(h1[:half], h2[:half])
     b.add_array(h1[half:], h2[half:])
     assert np.array_equal(cms_merge(a, b).counts, sk.counts)
+
+
+def test_double_hash_stride_never_degenerates():
+    """A key whose h2 is 0 (or a multiple of the modulus) must still probe
+    n_probes DISTINCT positions — the odd-stride guard (h2 | 1) prevents
+    the collapse-to-one-slot degeneracy."""
+    from bigdata_usaspending_spark.operators.sketches import (
+        _double_hash_positions,
+    )
+
+    h1 = np.array([12345, -7], dtype=np.int64)
+    h2 = np.array([0, 1 << 12], dtype=np.int64)  # 2^12 % 2^12 == 0 pre-guard
+    pos = _double_hash_positions(h1, h2, n_probes=5, modulus=1 << 12)
+    for row in pos:
+        assert len(set(row.tolist())) == 5, row
+
+
+def test_bloom_params_sizing():
+    from bigdata_usaspending_spark.operators.sketches import bloom_params
+
+    # 1% fp costs ~9.57 bits/key (1.44 * log2(100))
+    bits, hashes = bloom_params(1_000_000, 0.01)
+    assert bits % 64 == 0
+    assert 9_500_000 < bits < 9_700_000
+    assert hashes == round(np.log(2) * bits / 1_000_000)
+    # the old docstring's claim, corrected: 2^23 bits holds ~877k keys at
+    # 1% fp, NOT 5.8M — sizing 5.8M keys must demand well beyond 2^23
+    bits_58, _ = bloom_params(5_800_000, 0.01)
+    assert bits_58 > 6 * (1 << 23) and bits_58 < (1 << 26)
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+
+
+def test_tree_merge_bounds_driver_partials(spark):
+    """_tree_merge_partials must hand the driver at most ``fanin`` rows no
+    matter how many upstream partitions emitted partials, and the merged
+    result must be identical to the flat OR/sum (layout-insensitivity)."""
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.sketches import (
+        _tree_merge_partials,
+    )
+
+    df = spark.range(0, 4_000).repartition(37)
+
+    def partial(batches):
+        acc = np.zeros(64, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            acc[ids % 64] |= np.uint64(1) << np.uint64(7)
+            acc[0] |= np.uint64(len(ids))  # partition-dependent garbage OR
+        if seen:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    def merge(batches):
+        acc = None
+        for pdf in batches:
+            for buf in pdf["bitmap"]:
+                w = np.frombuffer(buf, dtype=np.uint64)
+                acc = w.copy() if acc is None else acc | w
+        if acc is not None:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    partials = df.mapInPandas(partial, schema="bitmap binary")
+    flat = partials.collect()
+    assert len(flat) == 37, "each partition emits exactly one partial"
+    flat_or = np.zeros(64, dtype=np.uint64)
+    for row in flat:
+        flat_or |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+
+    rows = _tree_merge_partials(
+        df.mapInPandas(partial, schema="bitmap binary"), merge, "bitmap binary",
+        fanin=4,
+    )
+    assert len(rows) <= 4, "driver must receive at most fanin partials"
+    tree_or = np.zeros(64, dtype=np.uint64)
+    for row in rows:
+        tree_or |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    assert np.array_equal(tree_or, flat_or)
+
+
+def test_bloom_and_cms_build_partition_invariant(spark, sf_small):
+    """Tree-merged builds equal the single-partition build bit-for-bit —
+    the executor-side merge must not change sketch contents."""
+    from bigdata_usaspending_spark.operators.sketches import cms_build
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    one = bloom_build(docs.coalesce(1), "doc_id", num_bits=1 << 18)
+    many = bloom_build(docs.repartition(33), "doc_id", num_bits=1 << 18,
+                       fanin=4)
+    assert np.array_equal(one.words, many.words)
+
+    cms_one = cms_build(docs.coalesce(1), "doc_id", width=1 << 12, depth=3)
+    cms_many = cms_build(docs.repartition(33), "doc_id", width=1 << 12,
+                         depth=3, fanin=4)
+    assert np.array_equal(cms_one.counts, cms_many.counts)
 
 
 def test_cms_frequency_audit(spark, sf_small):
