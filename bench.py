@@ -31,6 +31,32 @@ def main() -> int:
         except Exception:
             pass
 
+    # Arrow-path warmup: parquet count() is metadata-only, so the FIRST
+    # query that actually decodes a wide column through ArrowEvalPython +
+    # TakeOrderedAndProject pays ~2s of one-time session cost (Janino
+    # compile of those stage shapes, Arrow reader/writer + Python worker
+    # init). Measured round 5-6: whichever embeddings query led the
+    # registry absorbed it (q_maxsim_topk 2.9s cold vs 0.5s steady-state).
+    # Run one minimal query of that shape so every timed number is the
+    # steady-state per-query cost — the figure that scales.
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("double")
+        def _warm(v: pd.Series) -> pd.Series:
+            return pd.Series([0.0] * len(v), dtype="float64")
+
+        emb = load(spark, sf_dir, "embeddings")
+        (
+            emb.select(F.col("vec_id"), _warm(F.col("embedding")).alias("s"))
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(1)
+            .count()
+        )
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
         start = time.perf_counter()

@@ -41,6 +41,7 @@ _VERIFY_FIRST = [
     "q_weighted_sample", "q_heavy_hitter_tokens", "q_hll_distinct",
     "q_hll_intersection", "q_dedup_incremental", "q_dedup_incremental_minhash",
     "q_consistent_sample", "q_sample_k_per_group",
+    "q_table_profile_hll",
     # (Remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, streaming twins —
     # have driver rows from r4/r5 on current code and rotate through the
     # round-7 window next.  The window holds 50.)
@@ -52,7 +53,7 @@ def all_queries():
     + the generalized operator surface, ordered so the external gate's
     50-entry verification window rotates over not-yet-checked queries."""
     from . import (
-        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -62,6 +63,7 @@ def all_queries():
     merged.update(corpus_llm.QUERIES)
     merged.update(corpus_ts.QUERIES)
     merged.update(corpus_r5.QUERIES)
+    merged.update(corpus_r6.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -71,7 +73,7 @@ def all_queries():
 
 def all_oracles():
     from . import (
-        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -81,6 +83,7 @@ def all_oracles():
     merged.update(corpus_llm.ORACLE_SQL)
     merged.update(corpus_ts.ORACLE_SQL)
     merged.update(corpus_r5.ORACLE_SQL)
+    merged.update(corpus_r6.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -88,7 +91,7 @@ def all_oracles():
 
 def rows_only_queries():
     from . import (
-        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5,
+        corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -99,6 +102,7 @@ def rows_only_queries():
         | set(corpus_llm.ROWS_ONLY_QUERIES)
         | set(corpus_ts.ROWS_ONLY_QUERIES)
         | set(corpus_r5.ROWS_ONLY_QUERIES)
+        | set(corpus_r6.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

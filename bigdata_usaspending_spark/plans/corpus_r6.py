@@ -1,0 +1,69 @@
+"""Corpus wave 6: scale-posture variants of existing audit operators.
+
+Round 6 is hygiene-focused (VERDICT r5): the sketch builds moved to
+executor-side tree merges, and this wave registers the queries that
+DEMONSTRATE the 100-TB posture of operators whose registered form was the
+audit/exact one:
+
+- ``q_table_profile_hll`` — the ANALYZE-style profiler with distinct
+  counts from HLL (approx_count_distinct): ONE pass with no
+  len(columns)-fold expand of the scan, which is the plan a wide table at
+  100 TB needs (the exact COUNT(DISTINCT) form expands the scan per
+  column before the partial aggregate). Audited per the
+  hll_distinct_audit contract: the exact distinct count is the
+  oracle-verified witness, ``nd_est_ok`` pins the estimate within 15%.
+
+Same determinism contract as plans/corpus.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..session import apply_runtime_confs
+from ..operators.aggregates import profile_table_hll_audit
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return apply_runtime_confs(spark)
+
+
+def q_table_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass ANALYZE profile of orders on the 100-TB path: HLL distinct
+    counts (no per-column scan expand) audited against the exact witness
+    in the same single aggregate (aggregates.profile_table_hll_audit).
+    Production drops the witness via profile_table(exact_distinct=False);
+    this registered form keeps it so the HLL path is accuracy-gated."""
+    orders = load(_prep(spark), sf, "orders")
+    return profile_table_hll_audit(orders)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_table_profile_hll": q_table_profile_hll,
+}
+
+ROWS_ONLY_QUERIES: set[str] = set()
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+ORACLE_SQL: dict[str, str] = {
+    # Same exact-profile witness as q_table_profile, plus the pinned-TRUE
+    # HLL accuracy boolean. Output order: the driver sorts rows/columns
+    # before hashing, so UNION ALL order is immaterial.
+    "q_table_profile_hll": "\n        UNION ALL\n        ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT({c}) AS n_non_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str,
+               TRUE AS nd_est_ok
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+}

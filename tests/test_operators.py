@@ -181,3 +181,33 @@ def test_value_counts_and_topn(spark):
     assert counts["acme"] == 2 and counts[None] == 1
     top = topk.top_n_frequency(df.dropna(subset=["recipient_name"]), "recipient_name", 2)
     assert [r.recipient_name for r in top.collect()] == ["acme", "bravo"]
+
+
+def test_profile_table_hll_audit_and_plan_shape(spark):
+    from bigdata_usaspending_spark.operators.aggregates import (
+        profile_table,
+        profile_table_hll_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}", None) for i in range(500)],
+        "id int, cat string, hole string",
+    )
+    out = {r["col_name"]: r for r in profile_table_hll_audit(df).collect()}
+    assert set(out) == {"id", "cat", "hole"}
+    assert out["id"]["n_distinct"] == 500 and out["id"]["nd_est_ok"]
+    assert out["cat"]["n_distinct"] == 7 and out["cat"]["nd_est_ok"]
+    # all-null column: exact 0 demands est 0, and HLL of nothing IS 0
+    assert out["hole"]["n_distinct"] == 0 and out["hole"]["nd_est_ok"]
+
+    # the 100-TB posture: HLL-only profiling must not Expand the scan
+    # per column the way multi-column COUNT(DISTINCT) does
+    exact_plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    hll_plan = (
+        profile_table(df, exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan, "exact path expands (the documented cost)"
+    assert "Expand" not in hll_plan, "HLL path must stay one-pass, no expand"
