@@ -41,7 +41,7 @@ _VERIFY_FIRST = [
     "q_weighted_sample", "q_heavy_hitter_tokens", "q_hll_distinct",
     "q_hll_intersection", "q_dedup_incremental", "q_dedup_incremental_minhash",
     "q_consistent_sample", "q_sample_k_per_group",
-    "q_table_profile_hll",
+    "q_table_profile_hll", "q_langid_scorer",
     # (Remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, streaming twins —
     # have driver rows from r4/r5 on current code and rotate through the
     # round-7 window next.  The window holds 50.)

@@ -41,8 +41,24 @@ def q_table_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table_hll_audit(orders)
 
 
+def q_langid_scorer(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID through the PLUGGABLE scorer seam
+    (operators/scorers.apply_text_scorer): the default
+    HeuristicLangIdScorer runs as one Arrow-batched mapInPandas pass with
+    lazy per-task model load — the exact plumbing a fastText/CLD3 model
+    uses — and its votes are pinned to the SQL ``text.langid`` oracle, so
+    the seam's default can never drift from the oracle-checked column."""
+    from ..operators.scorers import HeuristicLangIdScorer, apply_text_scorer
+
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
+    return apply_text_scorer(docs, HeuristicLangIdScorer()).select(
+        "doc_id", "lang_pred"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_profile_hll": q_table_profile_hll,
+    "q_langid_scorer": q_langid_scorer,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -67,3 +83,14 @@ ORACLE_SQL: dict[str, str] = {
         for c in _PROFILE_COLS
     ),
 }
+
+
+def _langid_oracle() -> str:
+    # same CASE expression the SQL langid oracle uses (corpus_ext) — the
+    # scorer-seam default is pinned to it row-for-row
+    from .corpus_ext import _LANGID_CASE
+
+    return f"SELECT doc_id, {_LANGID_CASE} AS lang_pred FROM documents"
+
+
+ORACLE_SQL["q_langid_scorer"] = _langid_oracle()

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from bigdata_usaspending_spark.catalog import load
 from bigdata_usaspending_spark.operators import text
 
 
@@ -129,3 +130,111 @@ def test_chunk_documents_slicing(spark):
     # chunking is a pure map: no exchange in the physical plan
     plan = text.chunk_documents(df, chunk_tokens=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- scorer seam
+
+
+def test_scorer_seam_default_agrees_with_sql_langid(spark, sf_small):
+    """The pluggable-scorer default (pandas marker voting) must agree with
+    the oracle-checked SQL langid row-for-row — the drift guard that lets
+    a real model swap in without touching the SQL surface."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        HeuristicLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    via_seam = {
+        r["doc_id"]: r["lang_pred"]
+        for r in apply_text_scorer(docs, HeuristicLangIdScorer()).collect()
+    }
+    via_sql = {
+        r["doc_id"]: r["lang_pred"]
+        for r in docs.select("doc_id", text.langid("text")).collect()
+    }
+    assert via_seam == via_sql
+
+
+def test_scorer_seam_swaps_in_a_stub_model(spark):
+    """A custom scorer (stand-in for fastText/KenLM) plugs into the same
+    seam: multi-column output schema honored, load() runs before the first
+    batch, all input columns preserved, and a row-count mismatch from a
+    buggy scorer is a hard error."""
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.scorers import (
+        TextScorer,
+        apply_text_scorer,
+    )
+
+    class StubModelScorer(TextScorer):
+        output_schema = "model_score double, model_tag string"
+
+        def __init__(self):
+            self.tag = "unloaded"
+
+        def load(self):
+            self.tag = "loaded-v1"  # proves load() ran task-side first
+
+        def score_batch(self, texts):
+            return pd.DataFrame(
+                {
+                    "model_score": [float(len(t or "")) for t in texts],
+                    "model_tag": [self.tag] * len(texts),
+                }
+            )
+
+    df = spark.createDataFrame(
+        [(1, "abc", 10), (2, "", 20), (3, "hello", 30)],
+        "doc_id int, text string, extra int",
+    )
+    rows = {r["doc_id"]: r for r in
+            apply_text_scorer(df, StubModelScorer()).collect()}
+    assert rows[3]["model_score"] == 5.0 and rows[2]["model_score"] == 0.0
+    assert all(r["model_tag"] == "loaded-v1" for r in rows.values())
+    assert rows[1]["extra"] == 10, "input columns must be preserved"
+
+    class BadScorer(TextScorer):
+        output_schema = "x double"
+
+        def score_batch(self, texts):
+            return pd.DataFrame({"x": [1.0]})  # wrong length
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="rows for a"):
+        # one partition -> one 3-row batch, so the 1-row output mismatches
+        apply_text_scorer(df.coalesce(1), BadScorer()).collect()
+
+
+def test_scorer_seam_rejects_column_collisions(spark):
+    from bigdata_usaspending_spark.operators.scorers import (
+        TextScorer,
+        apply_text_scorer,
+    )
+
+    class Clashing(TextScorer):
+        output_schema = "text string"
+
+        def score_batch(self, texts):  # pragma: no cover
+            raise AssertionError
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="collides"):
+        apply_text_scorer(df, Clashing())
+
+
+def test_fasttext_scorer_raises_clearly_without_dependency():
+    from bigdata_usaspending_spark.operators.scorers import FastTextLangIdScorer
+
+    scorer = FastTextLangIdScorer("/nonexistent/lid.176.bin")
+    assert scorer.output_schema == "lang_pred string, lang_conf double"
+    try:
+        import fasttext  # noqa: F401
+
+        pytest.skip("fasttext installed; stub branch not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="fasttext"):
+        scorer.load()
