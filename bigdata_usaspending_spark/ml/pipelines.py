@@ -296,3 +296,56 @@ def tune_regression(
     }
     metrics = [float(m) for m in model.avgMetrics]
     return model.bestModel, best_params, metrics
+
+
+def tune_classifier(
+    df: DataFrame,
+    amount_col: str = "award_amount",
+    num_folds: int = 3,
+    parallelism: int = 4,
+):
+    """Model selection for the high/low classifier — the tune_regression
+    treatment applied to the LogisticRegression pipeline: k-fold
+    CrossValidator over a regParam x elasticNetParam grid, candidates
+    scored on held-out AUC, parallel candidate fits, deterministic folds.
+    The label is the same approx-median threshold train_all uses
+    (reference app/machine_learning_models.py:237-250, which fits one
+    hard-coded classifier with no validation).
+
+    Returns (best_model, best_params, cv_auc_per_candidate).
+    """
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    prepared = prepare(df, amount_col=amount_col)
+    median = prepared.approxQuantile(amount_col, [0.5], 0.001)[0]
+    labeled = prepared.withColumn("label", binary_label(amount_col, float(median)))
+    cats, _ = usable_categoricals(labeled)
+    lr = LogisticRegression(featuresCol="features_cls", labelCol="label", maxIter=20)
+    pipeline = Pipeline(
+        stages=[*_feature_stages(cats, ["month", "year"], "features_cls"), lr]
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.01, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=SEED,
+    )
+    model = cv.fit(labeled)
+    best_lr = model.bestModel.stages[-1]
+    best_params = {
+        "regParam": float(best_lr.getRegParam()),
+        "elasticNetParam": float(best_lr.getElasticNetParam()),
+    }
+    metrics = [float(m) for m in model.avgMetrics]
+    return model.bestModel, best_params, metrics

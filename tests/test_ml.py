@@ -165,3 +165,27 @@ def test_tune_regression_selects_deterministic_winner(spark, awards):
     # determinism: same seed, same folds, same winner
     _, params2, metrics2 = tune_regression(awards, num_folds=2, parallelism=2)
     assert params2 == params and metrics2 == metrics
+
+
+def test_tune_classifier_selects_deterministic_winner(spark, awards):
+    from bigdata_usaspending_spark.ml.pipelines import tune_classifier
+
+    best, params, metrics = tune_classifier(awards, num_folds=2, parallelism=2)
+    assert len(metrics) == 6  # 3 regParam x 2 elasticNetParam candidates
+    assert all(0.0 <= m <= 1.0 for m in metrics), "AUC must be in [0, 1]"
+    assert params["regParam"] in (0.0, 0.01, 0.1)
+    assert params["elasticNetParam"] in (0.0, 0.5)
+    # the chosen candidate is the grid argmax of held-out AUC
+    assert max(metrics) == metrics[
+        [
+            (rp, en) for rp in (0.0, 0.01, 0.1) for en in (0.0, 0.5)
+        ].index((params["regParam"], params["elasticNetParam"]))
+    ]
+    # the winner predicts on a 1-row frame like any pipeline model
+    one = awards.limit(1)
+    from bigdata_usaspending_spark.ml.pipelines import prepare
+
+    assert best.transform(prepare(one)).count() == 1
+    # determinism: same seed, same folds, same winner
+    _, params2, metrics2 = tune_classifier(awards, num_folds=2, parallelism=2)
+    assert params2 == params and metrics2 == metrics
