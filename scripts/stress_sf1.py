@@ -1,4 +1,4 @@
-"""Round-5 sf1-scale stress run (SCALE.md protocol).
+"""Round-5/6 sf1-scale stress run (SCALE.md protocol).
 
 Builds a measurement-only 10x sf0.1 dataset in /tmp — documents and
 embeddings with SHIFTED ids and per-copy perturbation (one extra distinct
@@ -162,6 +162,15 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     out["knn_join"] = timed(
         "knn_join", lambda: similarity.knn_join(qside, data, k=5)
     )
+
+    def ivf_knn():
+        corpus = emb.filter(F.col("vec_id") >= 20)
+        cents = similarity.mean_centroids(
+            corpus.withColumn("cell", F.col("label")), "cell"
+        )
+        return similarity.ivf_knn_join(qside, corpus, cents, k=5, nprobe=3)
+
+    out["ann_ivf_knn_join"] = timed("ann_ivf_knn_join", ivf_knn)
     out["maxsim"] = timed("maxsim", lambda: similarity.maxsim_topk(data, qvec, n_tokens=4, k=10))
     out["repeated_passages"] = timed(
         "repeated_passages",
@@ -175,10 +184,50 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
         return heavy_hitters(toks, "token", k=200)
 
     out["heavy_hitter_tokens"] = timed("heavy_hitter_tokens", hh)
+
+    def cms():
+        from bigdata_usaspending_spark.operators.sketches import (
+            cms_frequency_audit,
+        )
+
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        return cms_frequency_audit(toks, "token", top_n=20)
+
+    out["cms_token_counts"] = timed("cms_token_counts", cms)
+
+    def inc_minhash():
+        corpus = docs.filter(F.col("doc_id") % 3 == 0)
+        batch = docs.filter(F.col("doc_id") % 3 != 0)
+        idx = dedup.minhash_index(corpus, "doc_id")
+        return dedup.near_dedup_against_index(batch, idx, "doc_id")
+
+    out["dedup_incremental_minhash"] = timed(
+        "dedup_incremental_minhash", inc_minhash
+    )
+
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     out["fuzzy_pairs"] = timed(
         "fuzzy_pairs", lambda: fuzzy.edit_distance_pairs(cust, "c_custkey", "c_name")
+    )
+    # k2 on TPC-H's sequential "Customer#000000123" names is output-bound
+    # in the extreme: any two ids differing in <=2 digit positions are true
+    # pairs, so the full sf0.1 table already emits 4.1M pairs and 10x would
+    # emit O(100M) — measuring output materialization, not engine scaling.
+    # CAP the k2 input to a deterministic 10% hash gate at BOTH scales (the
+    # cap is printed, not silent) so the 10x point measures the candidate/
+    # verify machinery on 10x rows.
+    from bigdata_usaspending_spark.operators.sampling import hash_gate
+
+    cust_gated = cust.filter(hash_gate("c_custkey", 10))
+    print("  (fuzzy_pairs_k2 input capped to 10% hash gate)", flush=True)
+    out["fuzzy_pairs_k2"] = timed(
+        "fuzzy_pairs_k2",
+        lambda: fuzzy.edit_distance_pairs(
+            cust_gated, "c_custkey", "c_name", max_dist=2
+        ),
     )
     out["hll_distinct"] = timed(
         "hll_distinct",
