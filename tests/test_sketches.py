@@ -360,3 +360,72 @@ def test_cms_frequency_audit(spark, sf_small):
     assert counts == sorted(counts, reverse=True)
     for r in out:
         assert r["est_never_under"] and r["est_within_bound"], r
+
+
+def test_tree_merge_multiple_levels(spark):
+    """More than fanin^2 upstream partitions forces >= 2 merge levels; the
+    result must still equal the flat merge and still hand the driver at
+    most fanin rows."""
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.sketches import (
+        _tree_merge_partials,
+    )
+
+    df = spark.range(0, 600).repartition(30)  # fanin=5 -> levels 6, 2
+
+    def partial(batches):
+        acc = np.zeros(8, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            acc[pdf["id"].to_numpy(dtype=np.int64) % 8] |= np.uint64(1)
+        if seen:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    def merge(batches):
+        acc = None
+        for pdf in batches:
+            for buf in pdf["bitmap"]:
+                w = np.frombuffer(buf, dtype=np.uint64)
+                acc = w.copy() if acc is None else acc | w
+        if acc is not None:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    rows = _tree_merge_partials(
+        df.mapInPandas(partial, schema="bitmap binary"), merge,
+        "bitmap binary", fanin=5,
+    )
+    assert len(rows) <= 5
+    merged = np.zeros(8, dtype=np.uint64)
+    for row in rows:
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    assert np.array_equal(merged, np.ones(8, dtype=np.uint64))
+
+
+def test_bloom_params_achieves_target_fp_rate():
+    """Empirical check of the sizing formula: a filter sized by
+    bloom_params(n, fp) and loaded with exactly n keys must measure a
+    false-positive rate near fp (within 3x — hash variance), NOT the ~85%
+    the old 5.8M-keys-in-2^23-bits guidance would produce."""
+    from bigdata_usaspending_spark.operators.sketches import (
+        BloomFilter,
+        bloom_params,
+    )
+
+    n, fp = 30_000, 0.01
+    num_bits, num_hashes = bloom_params(n, fp)
+    rng = np.random.default_rng(17)
+    h = rng.integers(-(2**62), 2**62, size=(n + 50_000, 2), dtype=np.int64)
+    bf = BloomFilter(np.zeros(num_bits // 64, dtype=np.uint64),
+                     num_bits, num_hashes)
+    bf.add_array(h[:n, 0], h[:n, 1])
+    assert bf.maybe_contains(h[:n, 0], h[:n, 1]).all()
+    measured = bf.maybe_contains(h[n:, 0], h[n:, 1]).mean()
+    assert measured < 3 * fp, f"measured fp {measured:.4f} vs target {fp}"
+    # and the under-sizing the old docstring recommended really is unsafe
+    small = BloomFilter(np.zeros((1 << 17) // 64, dtype=np.uint64), 1 << 17, 5)
+    small.add_array(h[:n, 0], h[:n, 1])  # ~4.4 bits/key
+    assert small.maybe_contains(h[n:, 0], h[n:, 1]).mean() > 0.10

@@ -238,3 +238,18 @@ def test_fasttext_scorer_raises_clearly_without_dependency():
         pass
     with pytest.raises(ImportError, match="fasttext"):
         scorer.load()
+
+
+def test_scorer_seam_plan_has_no_exchange(spark, sf_small):
+    """apply_text_scorer is a pure map: the executed plan must contain no
+    Exchange (shuffle) — the property that makes it a safe 100-TB pass."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        HeuristicLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    out = apply_text_scorer(docs, HeuristicLangIdScorer())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
