@@ -817,3 +817,38 @@ def test_session_walk_gap_semantics():
     # within the gap: merges into the open session instead
     closed, cur = _session_walk([231 * M], [1.0], gap, cur)
     assert closed == [] and cur == [230 * M, 231 * M, 2, 17.0]
+
+
+def test_stream_text_scorer_seam(spark, tmp_path):
+    """apply_text_scorer is a stateless mapInPandas pass, so the SAME
+    scorer (and the same model seam) runs unchanged inside Structured
+    Streaming — the per-microbatch scoring stage of a streaming corpus
+    ingest. Votes must match the batch path doc-for-doc."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        HeuristicLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der Hund und die Katze"),
+            (3, "zz qq xx"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        apply_text_scorer(stream, HeuristicLangIdScorer()),
+        "scored_stream",
+        output_mode="append",
+    )
+    got = {r.doc_id: r.lang_pred for r in spark.table("scored_stream").collect()}
+    want = {
+        r.doc_id: r.lang_pred
+        for r in apply_text_scorer(docs, HeuristicLangIdScorer()).collect()
+    }
+    assert got == want == {1: "en", 2: "de", 3: "und"}
+    q.stop()
