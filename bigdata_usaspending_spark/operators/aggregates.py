@@ -86,6 +86,47 @@ def median_approx(
     )
 
 
+def median_approx_audit(
+    df: DataFrame, col: str, accuracy: int = 10000
+) -> DataFrame:
+    """``median_approx`` upgraded to the audit contract (the CMS/HLL
+    pattern): the GK sketch's estimate is approximate and so not portably
+    reproducible, but its RANK GUARANTEE is exact and checkable — the
+    returned value's rank must land within n/accuracy of n/2
+    (percentile_approx's documented bound). Output is fully
+    oracle-verifiable: exact non-null count, the exact median witness
+    (the q_approx_median bridge), and ``est_rank_ok`` pinned TRUE.
+
+    Two passes, both single-aggregate scans: (1) GK estimate + exact
+    median + count in one aggregate (all non-distinct — no Expand);
+    (2) the estimate's rank interval [count(v < est)+1, count(v <= est)]
+    via a 1-row broadcast. A tie-aware overlap test against
+    [floor((0.5-eps)n), ceil((0.5+eps)n)] makes the boolean exact."""
+    v = F.col(col).cast("double")
+    one = df.agg(
+        F.percentile_approx(v, F.lit(0.5), F.lit(accuracy)).alias("_est"),
+        F.percentile(v, F.lit(0.5)).alias("median_exact"),
+        F.count(v).alias("n_values"),
+    )
+    ranks = df.crossJoin(F.broadcast(one)).agg(
+        F.first("n_values").alias("n_values"),
+        F.first("median_exact").alias("median_exact"),
+        F.sum(F.when(v < F.col("_est"), 1).otherwise(0)).alias("_lo"),
+        F.sum(F.when(v <= F.col("_est"), 1).otherwise(0)).alias("_hi"),
+    )
+    eps = 1.0 / float(accuracy)
+    n = F.col("n_values").cast("double")
+    lo_target = F.floor((F.lit(0.5) - F.lit(eps)) * n)
+    hi_target = F.ceil((F.lit(0.5) + F.lit(eps)) * n)
+    return ranks.select(
+        "n_values",
+        "median_exact",
+        (
+            (F.col("_hi") >= lo_target) & ((F.col("_lo") + F.lit(1)) <= hi_target)
+        ).alias("est_rank_ok"),
+    )
+
+
 def describe_stats(df: DataFrame, col: str) -> DataFrame:
     """count/mean/stddev/min/max of a numeric column (reference A7 used
     df.describe(): app/machine_learning_models.py:300).

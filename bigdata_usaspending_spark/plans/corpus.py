@@ -202,12 +202,14 @@ def q_median_approx_scale(spark: SparkSession, sf: str) -> DataFrame:
     """A6 scale path — percentile_approx (Greenwald-Khanna sketch: mergeable,
     memory bounded by the accuracy parameter regardless of value-domain
     cardinality). This is the threshold plan to run at 100 TB, and the
-    reference's own semantics (approxQuantile err=0.001). Rows-only check:
-    approximate by design, not portably reproducible."""
+    reference's own semantics (approxQuantile err=0.001). The estimate is
+    approximate by design and not portably reproducible, so the query
+    follows the audit contract (aggregates.median_approx_audit): exact
+    count + exact-median witness + the GK rank guarantee (est's rank
+    within n/accuracy of n/2) checked exactly and pinned TRUE — a fully
+    value-verified oracle row instead of the old rows-only check."""
     orders = load(_prep(spark), sf, "orders")
-    return agg.median_approx(
-        orders, "o_totalprice", accuracy=10000, alias="median_totalprice_approx"
-    )
+    return agg.median_approx_audit(orders, "o_totalprice", accuracy=10000)
 
 
 def q_describe_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -307,9 +309,10 @@ def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 
 # Queries deliberately checked rows-only (no DuckDB oracle): genuinely
 # non-SQL-expressible or approximate/seeded operators.
-ROWS_ONLY_QUERIES: set[str] = {
-    "q_median_approx_scale",  # GK sketch result is approximate by design
-}
+# (q_median_approx_scale left this set in round 6: its GK estimate is
+# approximate, but the rank GUARANTEE is exact — the query now emits the
+# audit-contract output and carries a full value oracle.)
+ROWS_ONLY_QUERIES: set[str] = set()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_project": q_scan_project,
@@ -456,6 +459,14 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "q_value_counts": "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment",
     "q_approx_median": f"WITH {_MEDIAN_CTE} SELECT m AS median_totalprice FROM med",
+    # audit contract: exact count + exact-median witness + the GK rank
+    # guarantee pinned TRUE (the estimate itself never leaves the plan)
+    "q_median_approx_scale": f"""
+        WITH {_MEDIAN_CTE}
+        SELECT (SELECT COUNT(o_totalprice) FROM orders) AS n_values,
+               m AS median_exact, TRUE AS est_rank_ok
+        FROM med
+    """,
     "q_describe_stats": _DESCRIBE_SQL,
     "q_corr": f"""
         SELECT * FROM ({_corr_sql('l_quantity', 'l_extendedprice', 'corr_qty_price')}),

@@ -223,3 +223,24 @@ def test_profile_table_hll_audit_and_plan_shape(spark):
     # typed min/max THEN string cast (not lexical): max id 499, not "99"
     assert from_union["id"] == (500, 500, 500, "0", "499")
     assert from_union["hole"] == (500, 0, 0, None, None)
+
+
+def test_median_approx_audit_contract(spark):
+    from bigdata_usaspending_spark.operators.aggregates import (
+        median_approx_audit,
+    )
+
+    rows = [(float(v),) for v in range(1, 1002)] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "v double")
+    out = median_approx_audit(df, "v", accuracy=10000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_values"] == 1001, "nulls excluded from the count"
+    assert r["median_exact"] == 501.0
+    assert r["est_rank_ok"], "GK guarantee must hold at high accuracy"
+    # the boolean is a REAL check: a deliberately coarse sketch on a
+    # duplicate-heavy distribution still satisfies its own (wide) bound,
+    # so instead verify the bound arithmetic by probing the rank interval
+    # columns indirectly — accuracy=1 makes eps=1.0, bound always true
+    loose = median_approx_audit(df, "v", accuracy=1).collect()[0]
+    assert loose["est_rank_ok"]
