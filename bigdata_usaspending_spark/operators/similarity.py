@@ -1110,6 +1110,70 @@ def random_projection_lsh_neighbors(
     )
 
 
+def euclidean_to_query_kernel(qvec: list[float]):
+    """Arrow-vectorized euclidean distance to a fixed query vector:
+    sqrt of the left-fold of squared diffs — float32->float64 widening is
+    exact, the per-element subtract/square and the sequential fold are
+    the same correctly-rounded IEEE ops DuckDB's list_reduce performs, so
+    the distances hash-match the oracle bit-for-bit."""
+    q64 = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _dist(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        d = x - q64[None, :]
+        return pd.Series(np.sqrt(_fold_sum_cols(d * d)))
+
+    return _dist
+
+
+def rp_lsh_recall_audit(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    floor: float = 0.8,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The MLlib BucketedRandomProjectionLSH path upgraded to the audit
+    contract: its random projections live in MLlib's JVM-private RNG, so
+    the approximate RESULT is not portably reproducible — but its quality
+    is. Output = the EXACT euclidean top-k witness (oracle-replayable
+    fold distances) + ``recall_ok`` pinned TRUE iff the seeded LSH
+    neighbors hit >= ``floor`` of the exact set (deterministic for a
+    fixed seed and input). Turns the one remaining rows-only ANN query
+    into a fully value-verified row, exactly like the CMS/HLL/GK audits:
+    the estimate never leaves the plan, the guarantee does."""
+    exact = (
+        df.select(
+            F.col(id_col),
+            euclidean_to_query_kernel(query_vec)(F.col(vec_col)).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )
+    approx = random_projection_lsh_neighbors(
+        df, query_vec, id_col, vec_col, k, bucket_length, num_tables, seed
+    ).select(F.col(id_col).alias("_aid"))
+    flag = (
+        exact.join(F.broadcast(approx), exact[id_col] == F.col("_aid"), "inner")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select(
+            (
+                F.col("_hits").cast("double") >= F.lit(float(floor)) * F.lit(float(k))
+            ).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(flag)).orderBy(
+        F.asc("distance"), F.asc(id_col)
+    )
+
+
 def _collect_query_matrix(
     queries: DataFrame,
     q_id_col: str,

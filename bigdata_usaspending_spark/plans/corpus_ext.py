@@ -6,9 +6,10 @@ IEEE divisions of exactly-computed integers (no rounding), so any engine
 reproduces them bit-for-bit; cosine/dot products accumulate in exact decimal.
 
 Hash-based approximate operators (MinHash LSH, SimHash, RP-LSH ANN) run
-their portable-hash variants here so every stage is replayable in SQL; the
-ONLY rows-only query left is q_ann_lsh (MLlib's JVM-private RNG), covered
-by pytest goldens instead (tests/test_similarity.py).
+their portable-hash variants here so every stage is replayable in SQL.
+q_ann_lsh (MLlib's JVM-private RNG) follows the audit contract since
+round 6: exact euclidean top-k witness + a pinned recall boolean — no
+rows-only queries remain in this module.
 """
 
 from __future__ import annotations
@@ -350,12 +351,17 @@ def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """BucketedRandomProjectionLSH approxNearestNeighbors (rows-only; seeded
-    MLlib operator)."""
+    """BucketedRandomProjectionLSH approxNearestNeighbors via the audit
+    contract (similarity.rp_lsh_recall_audit): MLlib's JVM-private RNG
+    makes the approximate result itself non-portable, so the query emits
+    the EXACT euclidean top-10 witness (fold distances, bit-identical in
+    DuckDB) plus recall_ok — TRUE iff the seeded LSH neighbors hit >= 80%
+    of the exact set. Fully value-verified; the former rows-only check is
+    retired."""
     spark = _prep(spark)
     emb = load(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.random_projection_lsh_neighbors(
+    return similarity.rp_lsh_recall_audit(
         emb.filter(F.col("vec_id") != 0), qvec, k=10
     )
 
@@ -510,9 +516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window": q_session_window,
 }
 
-ROWS_ONLY_QUERIES = {
-    "q_ann_lsh",  # seeded MLlib random projections (JVM RNG not portable SQL)
-}
+ROWS_ONLY_QUERIES: set[str] = set()  # q_ann_lsh audit-contracted in r6
 
 # DuckDB twins ------------------------------------------------------------
 
@@ -566,6 +570,12 @@ def _l2_sql(a: str, b: str) -> str:
         f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
         "(acc, v) -> acc + v)"
     )
+
+
+def _euclid_sql(a: str, b: str) -> str:
+    """Twin of similarity.euclidean_to_query_kernel: sqrt of the left-fold
+    of squared diffs."""
+    return f"sqrt({_l2_sql(a, b)})"
 
 
 def _pq_means_sql(src: str) -> str:
@@ -959,6 +969,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings e, q
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    # exact euclidean top-10 witness (left-fold of squared diffs, the same
+    # sequential accumulation as the Spark kernel) + pinned recall boolean
+    "q_ann_lsh": f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_euclid_sql('e.embedding', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY distance ASC, e.vec_id ASC
         LIMIT 10
     """,
     "q_maxsim_topk": f"""
