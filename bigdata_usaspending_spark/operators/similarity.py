@@ -1156,20 +1156,21 @@ def rp_lsh_recall_audit(
         )
         .orderBy(F.asc("distance"), F.asc(id_col))
         .limit(k)
+        # the witness feeds both the recall check and the output; checkpoint
+        # the k rows so the corpus scan runs exactly once
+        .localCheckpoint()
     )
-    approx = random_projection_lsh_neighbors(
-        df, query_vec, id_col, vec_col, k, bucket_length, num_tables, seed
-    ).select(F.col(id_col).alias("_aid"))
-    flag = (
-        exact.join(F.broadcast(approx), exact[id_col] == F.col("_aid"), "inner")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .select(
-            (
-                F.col("_hits").cast("double") >= F.lit(float(floor)) * F.lit(float(k))
-            ).alias("recall_ok")
+    approx_ids = {
+        r[id_col]
+        for r in random_projection_lsh_neighbors(
+            df, query_vec, id_col, vec_col, k, bucket_length, num_tables, seed
         )
-    )
-    return exact.crossJoin(F.broadcast(flag)).orderBy(
+        .select(id_col)
+        .collect()  # k-bounded
+    }
+    exact_ids = [r[id_col] for r in exact.select(id_col).collect()]  # k-bounded
+    ok = len(set(exact_ids) & approx_ids) >= floor * k
+    return exact.withColumn("recall_ok", F.lit(bool(ok))).orderBy(
         F.asc("distance"), F.asc(id_col)
     )
 
