@@ -75,3 +75,37 @@ def salted_join(
     other_s = other.withColumn("_salt", F.explode(salts))
     out = skewed_s.join(other_s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Grouping-key skew diagnostic — the measurement taken BEFORE choosing
+    salted_sum_by_key/salted_join over the plain shapes: per-key row counts
+    (one partial-agg shuffle on the key; map-side combine absorbs the raw
+    volume) reduced to an exact distribution summary — key count, row
+    count, hottest-key count, p50/p90/p99 of per-key counts, and
+    ``skew_ratio`` = max/p50 (the number that says whether the hot key is
+    10x or 10000x the median, i.e. whether AQE skew handling suffices or
+    an explicit salt is needed). All exact integer counts plus the
+    percentile bridge (Spark percentile == DuckDB quantile_cont), so the
+    whole diagnostic is oracle-checkable. At 100 TB this runs as one
+    shuffle over (key, partial count) pairs — far cheaper than the join it
+    de-risks."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("double")
+    qs = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.max("_c").alias("max_count"),
+        F.percentile(c, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("_p"),
+    )
+    return qs.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        F.element_at("_p", 1).alias("p50_count"),
+        F.element_at("_p", 2).alias("p90_count"),
+        F.element_at("_p", 3).alias("p99_count"),
+        (F.col("max_count").cast("double") / F.element_at("_p", 1)).alias(
+            "skew_ratio"
+        ),
+    )

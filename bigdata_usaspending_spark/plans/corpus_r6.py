@@ -57,9 +57,24 @@ def q_langid_scorer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-key skew diagnostic over lineitem's supplier key
+    (operators/skew.skew_profile): per-key counts in one partial-agg
+    shuffle, reduced to n_keys / n_rows / hottest-key count / count
+    percentiles / max-over-median skew ratio — the number that decides
+    between plain, AQE-skew, and salted join/agg strategies before
+    running the expensive job. Exact counts + the percentile bridge, so
+    fully oracle-checked."""
+    from ..operators.skew import skew_profile
+
+    li = load(_prep(spark), sf, "lineitem")
+    return skew_profile(li, "l_suppkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_profile_hll": q_table_profile_hll,
     "q_langid_scorer": q_langid_scorer,
+    "q_skew_profile": q_skew_profile,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -95,3 +110,20 @@ def _langid_oracle() -> str:
 
 
 ORACLE_SQL["q_langid_scorer"] = _langid_oracle()
+
+ORACLE_SQL["q_skew_profile"] = """
+WITH counts AS (
+    SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+),
+s AS (
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           MAX(c) AS max_count,
+           quantile_cont(CAST(c AS DOUBLE), [0.5, 0.9, 0.99]) AS _p
+    FROM counts
+)
+SELECT n_keys, n_rows, max_count,
+       _p[1] AS p50_count, _p[2] AS p90_count, _p[3] AS p99_count,
+       CAST(max_count AS DOUBLE) / _p[1] AS skew_ratio
+FROM s
+"""

@@ -252,3 +252,23 @@ def test_ivf_cell_partitioned_layout_prunes_probes(spark, sf_small, tmp_path):
     n_cells = {r.cell for r in probed.select("cell").distinct().collect()}
     assert n_cells <= {0, 1}
     assert probed.count() > 0
+
+
+def test_skew_profile_values_and_plan(spark):
+    from bigdata_usaspending_spark.operators.skew import skew_profile
+
+    # key "hot" has 90 rows, nine other keys have 10 each
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{j}", i) for j in range(9) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    r = skew_profile(df, "k").collect()[0]
+    assert r["n_keys"] == 10 and r["n_rows"] == 180
+    assert r["max_count"] == 90
+    assert r["p50_count"] == 10.0
+    assert r["skew_ratio"] == 9.0
+    # one shuffle on the key with map-side partial aggregation; the count
+    # distribution summary must not introduce a window or a global sort
+    plan = skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # key shuffle + final 1-row agg
