@@ -253,6 +253,50 @@ def semantic_dedup(
     return assigned.join(drops, on=id_col, how="anti").select(id_col, "cell")
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic complement
+    of ``dedup.decontaminate`` (which drops training docs sharing n-gram
+    SHINGLES with an eval set): drop every corpus row whose embedding has
+    cosine >= ``threshold`` to ANY benchmark vector, catching paraphrased
+    leakage that shares no exact n-gram.
+
+    Scale shape: an eval benchmark is dim-sized by definition, so its
+    matrix collects driver-side (cap-guarded, the knn_join pattern) and
+    rides one broadcast into ONE Arrow kernel over the corpus scan — no
+    join, no shuffle, never a |corpus| x |bench| row blowup (the (n, m)
+    cosine matrix exists only inside a numpy batch). The fold arithmetic
+    is bit-identical to cosine_to_query_kernel, so the threshold
+    comparison — and therefore the surviving row set — replays exactly
+    in SQL."""
+    _, bmat = _collect_query_matrix(benchmark, id_col, vec_col, max_benchmark)
+    bc = corpus.sparkSession.sparkContext.broadcast(bmat)
+
+    @F.pandas_udf("boolean")
+    def _contaminated(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=bool)
+        b = bc.value
+        x = np.array(v.tolist(), dtype=np.float64)
+        xnorm = np.sqrt(_fold_sum_cols(x * x))
+        hit = np.zeros(len(x), dtype=bool)
+        for j in range(b.shape[0]):
+            q = b[j]
+            cos = _fold_dot_mat(x, q[None, :]) / (
+                xnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
+            )
+            hit |= cos >= threshold
+        return pd.Series(hit)
+
+    return corpus.filter(~_contaminated(F.col(vec_col)))
+
+
 def mean_centroids(
     assigned: DataFrame,
     cell_col: str = "cell",

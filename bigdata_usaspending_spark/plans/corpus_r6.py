@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..session import apply_runtime_confs
@@ -71,10 +72,29 @@ def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     return skew_profile(li, "l_suppkey")
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (similarity.semantic_decontaminate): vectors with vec_id % 20 == 0
+    play the eval benchmark; every remaining corpus vector with cosine
+    >= 0.8 to ANY benchmark vector is dropped — the semantic complement
+    of q_decontaminate's n-gram shingle screen, catching paraphrased
+    leakage. One broadcast + one kernel scan, no join; fold cosines
+    replay exactly in SQL."""
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load(_prep(spark), sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.8).select(
+        "vec_id", "label"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_profile_hll": q_table_profile_hll,
     "q_langid_scorer": q_langid_scorer,
     "q_skew_profile": q_skew_profile,
+    "q_decontaminate_semantic": q_decontaminate_semantic,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -127,3 +147,23 @@ SELECT n_keys, n_rows, max_count,
        CAST(max_count AS DOUBLE) / _p[1] AS skew_ratio
 FROM s
 """
+
+
+def _semantic_decon_oracle() -> str:
+    # the same sequential-fold cosine the kernel computes (corpus_ext
+    # bridge); NOT EXISTS replays the per-row "any benchmark >= t" test
+    from .corpus_ext import _cosine_sql
+
+    cos = _cosine_sql("c.embedding", "b.embedding")
+    return f"""
+        SELECT c.vec_id, c.label
+        FROM embeddings c
+        WHERE c.vec_id % 20 <> 0
+          AND NOT EXISTS (
+            SELECT 1 FROM embeddings b
+            WHERE b.vec_id % 20 = 0 AND {cos} >= 0.8
+          )
+    """
+
+
+ORACLE_SQL["q_decontaminate_semantic"] = _semantic_decon_oracle()

@@ -446,3 +446,37 @@ def test_ivf_knn_join_recall_against_exact(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_semantic_decontaminate_exact_and_shuffle_free(spark):
+    from bigdata_usaspending_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    # bench vector points along x; corpus: one near-parallel (contaminated),
+    # one orthogonal (clean), one anti-parallel (clean: cosine -1)
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = semantic_decontaminate(corpus, bench, threshold=0.95)
+    assert sorted(r.vec_id for r in out.collect()) == [2, 3]
+
+    # one broadcast + one kernel scan: no join, no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+    # cap guard: an oversized "benchmark" is refused, not silently scanned
+    big_bench = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        semantic_decontaminate(corpus, big_bench, max_benchmark=5)
