@@ -180,44 +180,60 @@ def cosine_pairs_blocked(
     threshold: float = 0.9,
 ) -> DataFrame:
     """All pairs with cosine >= threshold sharing a blocking key — embedding
-    near-duplicate detection. Quadratic only within blocks; the join
-    shuffles on the block key."""
-    # Precompute each vector's norm once (O(N) folds) so each pair costs a
-    # single dot-product fold instead of three.
-    with_norm = df.select(
+    near-duplicate detection. Quadratic pair WORK only within blocks, and
+    — since the round-6 rewrite — linear pair TRAFFIC: each block's
+    vectors shuffle ONCE into a per-block applyInPandas kernel that
+    computes the (n_b x n_b) cosine comparisons in numpy and emits only
+    the qualifying pairs. The previous self-join form materialized every
+    candidate pair as a shuffle row carrying BOTH vectors —
+    O(sum n_b^2 * d) through the exchange vs this shape's O(N * d) — the
+    difference between a blocked all-pairs that survives 100 TB and one
+    that doesn't.
+
+    Per-pair arithmetic is unchanged bit-for-bit: for each anchor row the
+    kernel folds dot(rest, anchor) with the same sequential column fold
+    (_fold_dot_mat) and divides by sqrt-fold norms, so oracle hashes are
+    identical to the join form. Block-size caveat: a block's matrix must
+    fit a task (n_b x d doubles); bound blocks upstream (SemDeDup
+    centroids, label blocking) exactly as the module docstring requires."""
+    # null vectors can never pass the threshold (the join form's null
+    # cosine failed the filter); drop them before the kernel
+    src = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
     )
-    a = with_norm.select(
-        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-    )
-    b = with_norm.select(
-        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    )
-    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
 
-    @F.pandas_udf("double")
-    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
-        # Arrow-vectorized pairwise dot, same left-fold accumulation as the
-        # dot() HOF (execution-tier rationale in the module docstring: the
-        # per-pair row count is quadratic within blocks, so the interpreted
-        # fold is the scan bottleneck there)
-        if va.empty:
-            return pd.Series([], dtype=np.float64)
-        x = np.array(va.tolist(), dtype=np.float64)
-        y = np.array(vb.tolist(), dtype=np.float64)
-        return pd.Series(_fold_dot_mat(x, y))
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)[order]
+        x = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.sqrt(_fold_sum_cols(x * x))
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            rest = x[i + 1 :]
+            cos = _fold_dot_mat(rest, x[i][None, :]) / (norms[i] * norms[i + 1 :])
+            keep = cos >= threshold
+            if keep.any():
+                out_a.append(np.full(int(keep.sum()), ids[i], dtype=np.int64))
+                out_b.append(ids[i + 1 :][keep])
+                out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        (_pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "cosine"
-        ),
+    return src.groupBy("_blk").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, cosine double"
     )
-    return scored.filter(F.col("cosine") >= threshold)
 
 
 def semantic_dedup(
