@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -396,3 +397,68 @@ def test_session_walk_equals_naive_sessionizer(events, gap_s, n_batches):
     for s, r in zip(sessions, ref):
         assert s[0] == r[0] and s[1] == r[1] and s[2] == r[2]
         assert s[3] == pytest.approx(r[3])
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    n_blocks=st.integers(1, 3),
+    threshold=st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+)
+@SLOW
+def test_cosine_pairs_blocked_matches_naive_reference(
+    spark, vecs, n_blocks, threshold
+):
+    """The per-block matrix kernel must emit exactly the pairs a naive
+    quadratic reference emits — same ids, same fold cosines — for any
+    vectors, blocking, and threshold (guards the round-6 join->kernel
+    rewrite)."""
+    import math
+
+    from bigdata_usaspending_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    rows = [
+        (i, i % n_blocks, [float(np.float32(x)) for x in v])
+        for i, v in enumerate(vecs)
+        # zero-norm vectors divide by zero in both forms; keep the property
+        # about the defined domain
+        if any(np.float32(x) != 0.0 for x in v)
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_blocked(
+            df, "label", threshold=threshold
+        ).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(np.float64(x) * np.float64(y))
+        return acc
+
+    want = {}
+    for i, bi, vi in rows:
+        for j, bj, vj in rows:
+            if i < j and bi == bj:
+                c = fold_dot(vi, vj) / (
+                    math.sqrt(fold_dot(vi, vi)) * math.sqrt(fold_dot(vj, vj))
+                )
+                if c >= threshold:
+                    want[(i, j)] = c
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
