@@ -30,20 +30,25 @@ _VERIFY_FIRST = [
     "q_dedup_embedding", "q_pack_sequences", "q_training_data_pipeline",
     "q_window_tumbling", "q_text_quality", "q_text_langid", "q_text_tokens",
     "q_embedding_cosine_topk",
-    # Plans/operators touched THIS round (round 6): sketch tree-merge
-    # (CMS/Bloom executor-side partial merge), Bloom sizing parameters,
-    # odd-stride double hashing, t-digest audit left-join, table-profile
-    # HLL default, maxsim cold-path, tpch q12 re-check, weighted-sample
-    # salt hardening:
+    # Plans/operators whose CODE changed in round 6: sketch tree-merge +
+    # odd-stride hashing (CMS/Bloom contents changed), t-digest audit
+    # left-join, the per-column-union profiler (both profile queries),
+    # maxsim cold-path + tpch q12 re-checks, portable-salt-hash refactor
+    # (both sampling users), the audit-contract upgrades (median, LSH),
+    # the blocked-cosine kernel rewrite (both its queries), and the two
+    # new queries:
     "q_cms_token_counts", "q_dedup_incremental_bloom", "q_tdigest_quantiles",
     "q_table_profile", "q_maxsim_topk", "q_tpch_q12_shape",
-    "q_weighted_sample", "q_heavy_hitter_tokens", "q_hll_distinct",
-    "q_hll_intersection", "q_dedup_incremental", "q_dedup_incremental_minhash",
-    "q_consistent_sample", "q_sample_k_per_group",
-    "q_table_profile_hll", "q_langid_scorer",
-    # (Remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, streaming twins —
-    # have driver rows from r4/r5 on current code and rotate through the
-    # round-7 window next.  The window holds 50.)
+    "q_weighted_sample", "q_sample_k_per_group",
+    "q_dedup_incremental", "q_dedup_incremental_minhash",
+    "q_median_approx_scale", "q_ann_lsh", "q_dedup_semantic",
+    # (q_dedup_embedding — the blocked-cosine rewrite's other query — is
+    # already in the stale-ledger block above)
+    "q_table_profile_hll", "q_langid_scorer", "q_skew_profile",
+    # (q_decontaminate_semantic (new, locally oracle-green) and the
+    # remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, heavy hitters,
+    # HLL audits, streaming twins — rotate through the round-7 window
+    # next.  The window holds 50.)
 ]
 
 

@@ -143,6 +143,10 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     out["near_dedup_pipeline"] = timed(
         "near_dedup_pipeline", lambda: dedup.near_dedup_pipeline(docs, "doc_id")
     )
+    out["dedup_embedding_blocked"] = timed(
+        "dedup_embedding_blocked",
+        lambda: similarity.cosine_pairs_blocked(emb, "label", threshold=0.3),
+    )
     out["ann_brute_force"] = timed(
         "ann_brute_force", lambda: similarity.brute_force_topk(data, qvec, k=10)
     )
