@@ -474,6 +474,87 @@ def stream_quantile_monitor(
     )
 
 
+def stream_cms_monitor(
+    tokens: DataFrame,
+    token_col: str = "token",
+    width: int = 1 << 12,
+    depth: int = 4,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Streaming count-min frequency monitor — the streaming twin of
+    operators/sketches.cms_build, completing the sketch quartet's
+    streaming legs (t-digest: stream_quantile_monitor; Misra-Gries:
+    stream_heavy_hitters; Bloom/fingerprints: stream_exact_dedup).
+
+    Tokens hash-partition into DISJOINT shards (the stream_heavy_hitters
+    sharding argument): each shard's state is ONE counter matrix
+    (depth * width * 8 bytes — constant regardless of stream length)
+    counting only its own tokens, so the per-shard CMS guarantee is the
+    global guarantee for every token (a token lives in exactly one
+    shard). Each micro-batch folds its tokens in (the same
+    CountMinSketch kernel as the batch build, JVM-side xxhash64 pair)
+    and emits the CURRENT estimate for the batch's distinct tokens in
+    update mode. Estimates NEVER undercount the token's full stream
+    history and overcount by <= e/width * shard_stream_size — drift-free
+    running frequencies with bounded state, where exact counts would
+    need unbounded per-token state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketches import CountMinSketch, _hash_cols
+
+    h1, h2 = _hash_cols(token_col)
+    prepped = tokens.select(
+        F.col(token_col),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+        F.pmod(h1, F.lit(num_shards)).cast("int").alias("_shard"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            counts = (
+                np.frombuffer(state.get[0], dtype=np.int64)
+                .reshape(depth, width)
+                .copy()
+            )
+        else:
+            counts = np.zeros((depth, width), dtype=np.int64)
+        sk = CountMinSketch(counts)
+        seen: dict = {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = pdf["_h1"].to_numpy(dtype=np.int64)
+            b = pdf["_h2"].to_numpy(dtype=np.int64)
+            sk.add_array(a, b)
+            for t, x, y in zip(pdf[token_col], a, b):
+                seen[t] = (x, y)
+        state.update((sk.counts.tobytes(),))
+        if not seen:
+            return
+        items = sorted(seen.items())
+        est = sk.estimate(
+            np.array([v[0] for _, v in items], dtype=np.int64),
+            np.array([v[1] for _, v in items], dtype=np.int64),
+        )
+        yield pd.DataFrame(
+            {
+                token_col: [t for t, _ in items],
+                "est_count": est.astype(np.int64),
+            }
+        )
+
+    return prepped.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=f"{token_col} string, est_count long",
+        stateStructType="counts binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _session_walk(us, vv, gap_us: int, cur: list) -> tuple[list, list]:
     """Fold time-sorted (event-time-us, value) points into inactivity-gap
     sessions: returns (closed_sessions, open_session), each session a

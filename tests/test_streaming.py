@@ -852,3 +852,41 @@ def test_stream_text_scorer_seam(spark, tmp_path):
     }
     assert got == want == {1: "en", 2: "de", 3: "und"}
     q.stop()
+
+
+def test_stream_cms_monitor_never_undercounts(spark, tmp_path):
+    """The streaming CMS's final estimate per token must never undercount
+    the token's full stream history (hard CMS guarantee, preserved across
+    micro-batches by the persisted counter-matrix state) and must respect
+    the e/width overcount bound per shard."""
+    import numpy as np
+
+    path = str(tmp_path / "toks")
+    # two files -> availableNow can split them into separate micro-batches,
+    # exercising the cross-batch state accumulation
+    spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10 + [("c",)] * 5, "token string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 10 + [("d",)] * 3, "token string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema("token string").parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_cms_monitor(stream, width=1 << 10, depth=4, num_shards=4),
+        "cms_stream",
+        output_mode="update",
+    )
+    # memory sink accumulates; the LAST emission per token is the running
+    # estimate after all batches
+    final = {}
+    for r in spark.table("cms_stream").collect():
+        final[r.token] = r.est_count
+    exact = {"a": 50, "b": 20, "c": 5, "d": 3}
+    assert set(final) == set(exact)
+    total = sum(exact.values())
+    bound = int(np.ceil(np.e / (1 << 10) * total))
+    for t, n in exact.items():
+        assert final[t] >= n, f"CMS undercounted {t}: {final[t]} < {n}"
+        assert final[t] <= n + bound
+    q.stop()
