@@ -40,7 +40,7 @@ _VERIFY_FIRST = [
     "q_cms_token_counts", "q_dedup_incremental_bloom", "q_tdigest_quantiles",
     "q_table_profile", "q_maxsim_topk", "q_tpch_q12_shape",
     "q_weighted_sample", "q_sample_k_per_group",
-    "q_dedup_incremental", "q_dedup_incremental_minhash",
+    "q_training_pipeline_v2", "q_dedup_incremental_minhash",
     "q_median_approx_scale", "q_ann_lsh", "q_dedup_semantic",
     # (q_dedup_embedding — the blocked-cosine rewrite's other query — is
     # already in the stale-ledger block above)

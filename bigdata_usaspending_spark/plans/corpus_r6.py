@@ -167,3 +167,107 @@ def _semantic_decon_oracle() -> str:
 
 
 ORACLE_SQL["q_decontaminate_semantic"] = _semantic_decon_oracle()
+
+
+def q_training_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-6 capstone composition — the modern corpus-curation run
+    as ONE oracle-checked dataflow: quality filters -> language-ID gate ->
+    SEMANTIC benchmark decontamination (embedding cosine, the paraphrase
+    screen) -> exact dedup (min-id survivor per fingerprint) ->
+    quality-WEIGHTED exact-k sampling (derandomized A-ES, token count as
+    weight). Extends q_training_data_pipeline with the two stages a
+    production pipeline adds: embedding-level leakage removal and a
+    weighted (not uniform) final draw. Every stage is a pure map, one
+    hash shuffle, or a broadcast kernel pass; the whole pipeline replays
+    bit-for-bit in SQL."""
+    from pyspark.sql import Window
+
+    from ..operators import text
+    from ..operators.sampling import weighted_sample_k
+    from ..operators.similarity import semantic_decontaminate
+
+    sp = _prep(spark)
+    docs = load(sp, sf, "documents")
+    emb = load(sp, sf, "embeddings")
+    quality = docs.select(
+        "doc_id",
+        "text",
+        text.token_count("text", "n_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.langid("text"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") < 0.25)
+        & (F.col("lang_pred") == "en")
+    )
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    clean = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0), bench, threshold=0.8
+    ).select(F.col("vec_id").alias("doc_id"))
+    decon = quality.join(clean, "doc_id", "semi")
+    w = Window.partitionBy(text.fingerprint("text")).orderBy(F.asc("doc_id"))
+    survivors = (
+        decon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text", "punct_ratio")
+    )
+    return weighted_sample_k(
+        survivors, "n_tokens", k=25, salt_cols=["doc_id"], seed=11,
+        portable=True,
+    )
+
+
+QUERIES["q_training_pipeline_v2"] = q_training_pipeline_v2
+
+
+def _pipeline_v2_oracle() -> str:
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS, _cosine_sql
+
+    cos = _cosine_sql("c.embedding", "b.embedding")
+    return f"""
+        WITH quality AS (
+            SELECT doc_id, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                   {_LANGID_CASE} AS lang_pred
+            FROM documents
+        ),
+        filtered AS (
+            SELECT * FROM quality
+            WHERE n_tokens >= 5 AND punct_ratio < 0.25 AND lang_pred = 'en'
+        ),
+        clean_ids AS (
+            SELECT c.vec_id FROM embeddings c
+            WHERE c.vec_id % 20 <> 0 AND NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id % 20 = 0 AND {cos} >= 0.8
+            )
+        ),
+        decon AS (
+            SELECT f.* FROM filtered f
+            WHERE EXISTS (SELECT 1 FROM clean_ids ci WHERE ci.vec_id = f.doc_id)
+        ),
+        survivors AS (
+            SELECT doc_id, n_tokens, lang_pred FROM (
+                SELECT doc_id, n_tokens, lang_pred,
+                       row_number() OVER (PARTITION BY md5({_NORMALIZED})
+                                          ORDER BY doc_id ASC) AS rn
+                FROM decon
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, n_tokens, lang_pred FROM (
+            SELECT doc_id, n_tokens, lang_pred,
+                   ln((CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|11'
+                       ), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0)
+                   / CAST(n_tokens AS DOUBLE) AS _wkey
+            FROM survivors
+            WHERE CAST(n_tokens AS DOUBLE) > 0
+        )
+        ORDER BY _wkey DESC, doc_id ASC
+        LIMIT 25
+    """
+
+
+ORACLE_SQL["q_training_pipeline_v2"] = _pipeline_v2_oracle()
