@@ -252,3 +252,87 @@ def active_intervals_by_month(
     if amount_col:
         aggs.append(exact_sum(amount_col, "open_amount"))
     return spans.groupBy("month").agg(*aggs)
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distribution-drift gate a production pipeline runs
+    between ingest batches (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted). Values bucket onto a FIXED [lo, hi) grid (explicit edges,
+    not data-dependent min/max, so the metric is comparable across runs
+    and replayable); out-of-range values clamp into the edge bins, nulls
+    and NaNs are excluded.
+
+    PSI = sum over buckets of (q - p) * ln(q / p) with p, q the
+    baseline/current bucket fractions. Buckets empty on either side are
+    SKIPPED (no epsilon smoothing — smoothing constants are a tunable
+    lie; the skipped count is reported instead). The sum folds over
+    bin-sorted terms (F.aggregate left fold == DuckDB list_reduce), so
+    the double is engine-reproducible despite float addition being
+    order-sensitive.
+
+    Scale shape: each side is one map + one <= nbins-group partial
+    aggregate; the join and fold touch nbins rows. Nothing scans twice,
+    nothing shuffles more than nbins rows."""
+    width = float(hi) - float(lo)
+
+    def bucket(df: DataFrame, alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((x - F.lit(float(lo))) * F.lit(float(nbins)) / F.lit(width)),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(nbins - 1).cast("bigint"),
+        )
+        return (
+            df.filter(x.isNotNull() & ~F.isnan(x))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    j = (
+        bucket(baseline, "pn")
+        .join(bucket(current, "qn"), "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("pn", F.lit(0)).alias("pn"),
+            F.coalesce("qn", F.lit(0)).alias("qn"),
+        )
+    )
+    totals = j.agg(
+        F.sum("pn").alias("_tp"), F.sum("qn").alias("_tq")
+    )
+    p = F.col("pn").cast("double") / F.col("_tp").cast("double")
+    q = F.col("qn").cast("double") / F.col("_tq").cast("double")
+    terms = j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "pn",
+        "qn",
+        F.when((F.col("pn") > 0) & (F.col("qn") > 0), (q - p) * F.log(q / p))
+        .alias("term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("term").isNull()).cast("int")).alias("n_skipped"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("term").isNotNull(), F.struct("bin", "term"))
+                    )
+                ),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("psi"),
+    )

@@ -271,3 +271,67 @@ def _pipeline_v2_oracle() -> str:
 
 
 ORACLE_SQL["q_training_pipeline_v2"] = _pipeline_v2_oracle()
+
+
+def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-Stability-Index drift gate between the year's two halves
+    of order totals (timeseries.psi_drift): fixed 20-bucket grid over
+    [0, 600000), empty-on-either-side buckets skipped and counted, PSI
+    summed by a bin-sorted left fold so the double replays exactly. The
+    between-snapshot distribution check a production ingest runs before
+    accepting a batch."""
+    from ..functions import month_of
+    from ..operators.timeseries import psi_drift
+
+    orders = load(_prep(spark), sf, "orders")
+    base = orders.filter(month_of("o_orderdate") <= 6)
+    cur = orders.filter(month_of("o_orderdate") > 6)
+    return psi_drift(base, cur, "o_totalprice", lo=0.0, hi=600000.0, nbins=20)
+
+
+QUERIES["q_drift_psi"] = q_drift_psi
+
+_PSI_BIN = (
+    "LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) * 20.0 "
+    "/ 600000.0) AS BIGINT), 0), 19)"
+)
+
+ORACLE_SQL["q_drift_psi"] = f"""
+WITH pb AS (
+    SELECT {_PSI_BIN} AS bin, COUNT(*) AS pn FROM orders
+    WHERE CAST(month(o_orderdate) AS INT) <= 6
+      AND o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+    GROUP BY 1
+),
+qb AS (
+    SELECT {_PSI_BIN} AS bin, COUNT(*) AS qn FROM orders
+    WHERE CAST(month(o_orderdate) AS INT) > 6
+      AND o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+    GROUP BY 1
+),
+j AS (
+    SELECT COALESCE(pb.bin, qb.bin) AS bin,
+           COALESCE(pn, 0) AS pn, COALESCE(qn, 0) AS qn
+    FROM pb FULL JOIN qb ON pb.bin = qb.bin
+),
+t AS (SELECT SUM(pn) AS tp, SUM(qn) AS tq FROM j),
+terms AS (
+    SELECT bin,
+           CASE WHEN pn > 0 AND qn > 0 THEN
+               (CAST(qn AS DOUBLE) / CAST(tq AS DOUBLE)
+                - CAST(pn AS DOUBLE) / CAST(tp AS DOUBLE))
+               * ln((CAST(qn AS DOUBLE) / CAST(tq AS DOUBLE))
+                    / (CAST(pn AS DOUBLE) / CAST(tp AS DOUBLE)))
+           END AS term
+    FROM j, t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skipped,
+       CASE WHEN COUNT(term) = 0 THEN 0.0
+            ELSE list_reduce(list(term ORDER BY bin)
+                                 FILTER (WHERE term IS NOT NULL),
+                             (acc, v) -> acc + v)
+       END AS psi
+FROM terms
+"""

@@ -105,3 +105,34 @@ def test_ewma_monthly_fold(spark):
     # a: s1=20, s2=0.5*40+0.5*20=30, s3=0.5*0+0.5*30=15
     assert out["a"] == (3, 15.0)
     assert out["b"] == (1, 7.0)
+
+
+def test_psi_drift_known_values_and_skips(spark):
+    from bigdata_usaspending_spark.operators.timeseries import psi_drift
+
+    # baseline: 80 in bucket0, 20 in bucket1; current: 20/80 (swapped),
+    # plus a current-only bucket (skipped) and nulls/NaNs (excluded)
+    base = spark.createDataFrame(
+        [(0.5,)] * 80 + [(1.5,)] * 20 + [(None,)], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(0.5,)] * 20 + [(1.5,)] * 80 + [(2.5,)] * 0 + [(float("nan"),)],
+        "v double",
+    )
+    r = psi_drift(base, cur, "v", lo=0.0, hi=2.0, nbins=2).collect()[0]
+    assert r["n_buckets"] == 2 and r["n_skipped"] == 0
+    import math
+
+    expect = (0.2 - 0.8) * math.log(0.2 / 0.8) + (0.8 - 0.2) * math.log(0.8 / 0.2)
+    assert abs(r["psi"] - expect) < 1e-12
+
+    # identical distributions -> PSI exactly 0; out-of-range clamps
+    same = spark.createDataFrame([(0.5,), (1.5,), (99.0,)], "v double")
+    r0 = psi_drift(same, same, "v", lo=0.0, hi=2.0, nbins=2).collect()[0]
+    assert r0["psi"] == 0.0 and r0["n_skipped"] == 0
+
+    # a bucket empty on one side is skipped and counted, not smoothed
+    b2 = spark.createDataFrame([(0.5,)] * 10, "v double")
+    c2 = spark.createDataFrame([(0.5,)] * 5 + [(1.5,)] * 5, "v double")
+    r2 = psi_drift(b2, c2, "v", lo=0.0, hi=2.0, nbins=2).collect()[0]
+    assert r2["n_buckets"] == 2 and r2["n_skipped"] == 1
