@@ -411,3 +411,91 @@ def weighted_sample_k(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def largest_remainder_quotas(
+    weights: DataFrame,
+    key_col: str,
+    weight_col: str,
+    total: int,
+) -> DataFrame:
+    """Integer quota per key summing EXACTLY to ``total`` — Hamilton's
+    largest-remainder apportionment: every key gets floor(share), then the
+    leftover seats go to the largest fractional remainders (ties broken by
+    key ASC, so the allocation is deterministic and engine-replayable).
+
+    This is the missing piece between "mix sources 30/50/20" and an
+    exact-size training mix: naive per-source rounding drifts the total
+    by up to n_keys/2 rows; temperature_mix gates by rate (approximate
+    size); this produces integer quotas that sum exactly. Share
+    arithmetic is double (w / total_w * total) with identical expression
+    shape on the oracle side; all counts integer.
+
+    Scale shape: the weights frame is key-cardinality-sized (an
+    aggregate of the corpus, not the corpus); one window over it is a
+    dim-table sort."""
+    from pyspark.sql import Window
+
+    # exact-decimal total weight (float sums are partition-order-dependent
+    # — the exact_sum lesson), cast to double once for the share division
+    tw = weights.agg(
+        F.sum(F.col(weight_col).cast("decimal(27,7)"))
+        .cast("double")
+        .alias("_tw")
+    )
+    share = (
+        F.col(weight_col).cast("double") / F.col("_tw") * F.lit(float(total))
+    )
+    shared = weights.crossJoin(F.broadcast(tw)).select(
+        F.col(key_col),
+        F.floor(share).cast("bigint").alias("_floor"),
+        (share - F.floor(share)).alias("_rem"),
+    )
+    deficit = shared.agg(
+        (F.lit(int(total)) - F.sum("_floor")).alias("_deficit")
+    )
+    # global rank over a key-cardinality-sized frame: the one place a
+    # single-partition window is correct by construction (dim-sized input)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_rem"), F.asc(key_col))
+    )
+    return (
+        shared.crossJoin(F.broadcast(deficit))
+        .select(
+            key_col,
+            (F.col("_floor") + (rank <= F.col("_deficit")).cast("bigint")).alias(
+                "quota"
+            ),
+        )
+    )
+
+
+def sample_quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    quotas: DataFrame,
+    salt_cols: "Sequence[str]",
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """sample_k_per_group with a PER-GROUP k: keep each group's first
+    ``quota`` rows under the seeded deterministic hash order. ``quotas``
+    is (group, quota) — key-cardinality-sized, so it broadcasts onto the
+    windowed ranking. With largest_remainder_quotas upstream this draws
+    an EXACTLY-total-sized mixture with per-source composition matching
+    the weights. Same determinism contract as sample_k_per_group
+    (rand()-free, retry/replan stable, oracle-replayable)."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed))
+    if portable:
+        h = _portable_salt_hash(salt_cols, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in salt_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), on=group_col)
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "quota")
+    )

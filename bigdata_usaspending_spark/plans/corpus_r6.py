@@ -335,3 +335,80 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
        END AS psi
 FROM terms
 """
+
+
+def q_quota_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-size per-source training mix: token-weighted integer quotas
+    via Hamilton largest-remainder apportionment
+    (sampling.largest_remainder_quotas — quotas sum EXACTLY to 60 where
+    naive rounding drifts), then each source contributes exactly its
+    quota of documents under the seeded deterministic hash order
+    (sampling.sample_quota_per_group). The whole draw — shares,
+    remainder ranking, per-group selection — replays bit-for-bit in
+    SQL."""
+    from ..operators import text
+    from ..operators.sampling import (
+        largest_remainder_quotas,
+        sample_quota_per_group,
+    )
+
+    docs = load(_prep(spark), sf, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum(text.token_count("text", "nt")).alias("wt")
+    )
+    quotas = largest_remainder_quotas(weights, "source", "wt", total=60)
+    return sample_quota_per_group(
+        docs.select("doc_id", "source"), "source", quotas,
+        salt_cols=["doc_id"], seed=13, portable=True,
+    )
+
+
+QUERIES["q_quota_mix"] = q_quota_mix
+
+
+def _quota_mix_oracle() -> str:
+    from .corpus_ext import _TOKS
+
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|13'), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH w AS (
+            SELECT source,
+                   CAST(SUM(CAST(len({_TOKS}) AS INTEGER)) AS BIGINT) AS wt
+            FROM documents GROUP BY source
+        ),
+        tw AS (
+            SELECT CAST(CAST(SUM(CAST(wt AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) AS tw
+            FROM w
+        ),
+        shares AS (
+            SELECT source,
+                   CAST(floor(CAST(wt AS DOUBLE) / tw * 60.0) AS BIGINT) AS fl,
+                   CAST(wt AS DOUBLE) / tw * 60.0
+                       - floor(CAST(wt AS DOUBLE) / tw * 60.0) AS rem
+            FROM w, tw
+        ),
+        ranked AS (
+            SELECT source, fl,
+                   row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+            FROM shares
+        ),
+        d AS (SELECT 60 - SUM(fl) AS deficit FROM ranked),
+        quotas AS (
+            SELECT source,
+                   fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota
+            FROM ranked, d
+        ),
+        ordered AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {h} ASC, doc_id ASC) AS rk
+            FROM documents
+        )
+        SELECT o.doc_id, o.source
+        FROM ordered o JOIN quotas q ON o.source = q.source
+        WHERE o.rk <= q.quota
+    """
+
+
+ORACLE_SQL["q_quota_mix"] = _quota_mix_oracle()

@@ -54,3 +54,56 @@ def test_weighted_sample_k_plan_is_takeordered(spark, sf_small):
     out = weighted_sample_k(orders, "o_totalprice", k=50, salt_cols=["o_orderkey"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "weighted top-k must not global-sort"
+
+
+def test_largest_remainder_quotas_exact_total_and_ties(spark):
+    from bigdata_usaspending_spark.operators.sampling import (
+        largest_remainder_quotas,
+    )
+
+    # weights 1/1/1 over total 10: floors 3/3/3, one leftover seat goes to
+    # the remainder-tied key with the SMALLEST name (deterministic tie)
+    w = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "k string, wt long"
+    )
+    q = {r.k: r.quota for r in
+         largest_remainder_quotas(w, "k", "wt", total=10).collect()}
+    assert sum(q.values()) == 10
+    assert q == {"a": 4, "b": 3, "c": 3}
+
+    # skewed weights still sum exactly; every quota >= floor(share)
+    w2 = spark.createDataFrame(
+        [("x", 7), ("y", 2), ("z", 1)], "k string, wt long"
+    )
+    q2 = {r.k: r.quota for r in
+          largest_remainder_quotas(w2, "k", "wt", total=100).collect()}
+    assert sum(q2.values()) == 100
+    assert q2["x"] == 70 and q2["y"] == 20 and q2["z"] == 10
+
+
+def test_sample_quota_per_group_draws_exact_sizes(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.sampling import (
+        largest_remainder_quotas,
+        sample_quota_per_group,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = df.groupBy("source").agg(F.count(F.lit(1)).alias("wt"))
+    quotas = largest_remainder_quotas(w, "source", "wt", total=20)
+    out = sample_quota_per_group(
+        df, "source", quotas, salt_cols=["doc_id"], seed=3
+    )
+    got = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    want = {r.source: r.quota for r in quotas.collect()}
+    assert {r.source: r.n for r in got} == want
+    assert sum(want.values()) == 20
+    # deterministic: same seed -> same rows
+    again = sample_quota_per_group(
+        df, "source", quotas, salt_cols=["doc_id"], seed=3
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
