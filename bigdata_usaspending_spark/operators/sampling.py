@@ -499,3 +499,49 @@ def sample_quota_per_group(
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "quota")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: "Sequence[tuple[str, int]]",
+    group_col: str | None = None,
+    denominator: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: adds a ``split``
+    column from named integer fractions (e.g. [("train", 80), ("val",
+    10), ("test", 10)]) that partition the hash space — every row gets
+    exactly one label, splits are disjoint and exhaustive by
+    construction, and the assignment is a pure map (no shuffle) that any
+    engine replays (the hash_gate contract; randomSplit is engine-private
+    and resample-unstable).
+
+    ``group_col`` makes the split LEAKAGE-FREE at the group level: all
+    rows sharing the group key (a source domain, an author, a near-dup
+    cluster's canonical id) land in the SAME split, so near-identical
+    documents cannot straddle train and test — the contamination that
+    inflates eval scores. Without it, rows split independently by
+    ``key_col``.
+
+    Fractions must sum to ``denominator``; labels assign by cumulative
+    ranges in the given order, so the mapping is stable under appending
+    new splits at the end."""
+    fracs = list(fractions)
+    tot = sum(n for _, n in fracs)
+    if tot != denominator:
+        raise ValueError(
+            f"fractions sum to {tot}, expected denominator={denominator}"
+        )
+    basis = F.col(group_col if group_col is not None else key_col)
+    bucket = F.pmod(
+        portable_hash60(F.concat_ws("|", basis.cast("string"), F.lit(str(seed)))),
+        F.lit(denominator),
+    )
+    expr = None
+    hi = 0
+    for name, n in fracs:
+        hi += n
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)

@@ -412,3 +412,36 @@ def _quota_mix_oracle() -> str:
 
 
 ORACLE_SQL["q_quota_mix"] = _quota_mix_oracle()
+
+
+def q_split_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test assignment (sampling.split_assign):
+    an 80/10/10 split where ALL documents of a source land in the same
+    split (group_col='source'), so near-identical documents from one
+    origin can never straddle train and test — the contamination screen
+    a benchmark-honest pipeline applies before training. Pure map, no
+    shuffle, SQL-replayable hash ranges."""
+    from ..operators.sampling import split_assign
+
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "source")
+    return split_assign(
+        docs, "doc_id",
+        [("train", 80), ("val", 10), ("test", 10)],
+        group_col="source", seed=5,
+    )
+
+
+QUERIES["q_split_grouped"] = q_split_grouped
+
+_SPLIT_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(source AS VARCHAR) || '|5'), 1, 15)) "
+    "AS BIGINT) % 100"
+)
+
+ORACLE_SQL["q_split_grouped"] = f"""
+SELECT doc_id, source,
+       CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -107,3 +107,37 @@ def test_sample_quota_per_group_draws_exact_sizes(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_split_assign_partitions_and_group_coherence(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.sampling import split_assign
+
+    rows = [(i, "g%d" % (i % 25)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_assign(
+        df, "doc_id", [("train", 80), ("val", 10), ("test", 10)],
+        group_col="grp", seed=1,
+    )
+    # exhaustive + disjoint: every row gets exactly one label
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == 1000
+    # leakage-free: each group maps to exactly ONE split
+    per_group = out.groupBy("grp").agg(
+        F.countDistinct("split").alias("nd")
+    ).collect()
+    assert all(r.nd == 1 for r in per_group)
+    # plain (ungrouped) split: rows of one group may land in different
+    # splits — the behavior group_col exists to prevent
+    plain = split_assign(df, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
+    nd = plain.groupBy("grp").agg(F.countDistinct("split").alias("nd")).collect()
+    assert any(r.nd > 1 for r in nd)
+    # pure map: no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # bad fractions are refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        split_assign(df, "doc_id", [("a", 50), ("b", 40)])
