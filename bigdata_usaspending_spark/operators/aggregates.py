@@ -121,9 +121,14 @@ def median_approx_audit(
     return ranks.select(
         "n_values",
         "median_exact",
-        (
+        # n_values = 0 (all-null column): there is no estimate to check, so
+        # the guarantee holds vacuously — without this the interval test
+        # reads (0 >= 0) AND (1 <= 0) = false, a phantom violation
+        F.when(F.col("n_values") == 0, F.lit(True))
+        .otherwise(
             (F.col("_hi") >= lo_target) & ((F.col("_lo") + F.lit(1)) <= hi_target)
-        ).alias("est_rank_ok"),
+        )
+        .alias("est_rank_ok"),
     )
 
 
@@ -381,20 +386,28 @@ def profile_table(
     df: DataFrame,
     columns: "Sequence[str] | None" = None,
     exact_distinct: bool = True,
+    single_scan: bool = False,
 ) -> DataFrame:
     """Table profiler (the warehouse ``ANALYZE`` surface): per column —
     row count, non-null count, distinct count, lexical min/max (cast to
     string so heterogeneous column types share one schema).
 
-    Two execution shapes, both Expand-free:
+    Execution shapes:
 
-    - ``exact_distinct=True``: a UNION of per-column single-aggregate
-      branches. Each branch is a column-PRUNED scan with one
-      COUNT(DISTINCT) (partial distinct map-side, no row blowup), so
-      total I/O across all branches equals ONE full-width scan. This
-      replaced the single multi-distinct aggregate, whose len(columns)-
-      fold Expand of every row cost 7x more (measured 2.2 s vs 0.32 s
-      warm over 6 columns at sf0.1) and would balloon with width.
+    - ``exact_distinct=True`` (default): a UNION of per-column
+      single-aggregate branches. Each branch is a column-PRUNED scan with
+      one COUNT(DISTINCT) (partial distinct map-side, no row blowup), so
+      total I/O across all branches equals ONE full-width scan of a
+      columnar source. This replaced the single multi-distinct aggregate,
+      whose len(columns)-fold Expand of every row cost 7x more (measured
+      2.2 s vs 0.32 s warm over 6 columns at sf0.1) and would balloon
+      with width. CAVEAT: each branch re-executes the upstream plan — on
+      a raw parquet scan that's exactly the pruned-scan win, but over an
+      expensive or NON-DETERMINISTIC upstream (a join, a sample), cache
+      the input first or pass ``single_scan=True``.
+    - ``exact_distinct=True, single_scan=True``: the one-aggregate
+      multi-COUNT(DISTINCT) form — one upstream execution, at the price
+      of the len(columns)-fold Expand. Use for expensive upstream plans.
     - ``exact_distinct=False``: ONE aggregate over one scan with HLL
       (approx_count_distinct) distinct counts, unpivoted driver-free
       through ``inline`` — the single-pass estimate plan for quick looks
@@ -403,6 +416,8 @@ def profile_table(
     cols = list(columns or df.columns)
     if not exact_distinct:
         return _profile_select(df, cols, lambda c: F.approx_count_distinct(c))
+    if single_scan:
+        return _profile_select(df, cols, lambda c: F.countDistinct(F.col(c)))
     parts = [
         df.agg(
             F.lit(c).alias("col_name"),

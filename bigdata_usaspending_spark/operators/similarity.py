@@ -193,32 +193,47 @@ def cosine_pairs_blocked(
     Per-pair arithmetic is unchanged bit-for-bit: for each anchor row the
     kernel folds dot(rest, anchor) with the same sequential column fold
     (_fold_dot_mat) and divides by sqrt-fold norms, so oracle hashes are
-    identical to the join form. Block-size caveat: a block's matrix must
-    fit a task (n_b x d doubles); bound blocks upstream (SemDeDup
-    centroids, label blocking) exactly as the module docstring requires."""
-    # null vectors can never pass the threshold (the join form's null
-    # cosine failed the filter); drop them before the kernel
-    src = df.filter(F.col(vec_col).isNotNull()).select(
+    identical to the join form — as are the edge semantics: null blocking
+    keys and null vectors produce no pairs (the join's null-never-equals /
+    null-cosine behavior), and a duplicated id never pairs with itself
+    (the strict id_a < id_b predicate). Block-size caveat: a block's
+    matrix must fit a task (n_b x d doubles); bound blocks upstream
+    (SemDeDup centroids, label blocking) exactly as the module docstring
+    requires."""
+    # match the join form's null semantics: a null BLOCK key never equi-
+    # joins (and a giant null block would also defeat the within-block
+    # quadratic bound), a null VECTOR's cosine is null and fails the
+    # threshold — both drop before the kernel
+    src = df.filter(
+        F.col(block_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
     )
+    id_type = src.schema["_id"].dataType.simpleString()
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64), kind="stable")
-        ids = pdf["_id"].to_numpy(dtype=np.int64)[order]
-        x = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        # sort by id so emitted pairs satisfy id_a < id_b under the column's
+        # native ordering (ids stay their original dtype — ints, strings,
+        # whatever the caller keyed by)
+        pdf = pdf.sort_values("_id", kind="stable").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        x = np.array(pdf["_v"].tolist(), dtype=np.float64)
         norms = np.sqrt(_fold_sum_cols(x * x))
         out_a, out_b, out_c = [], [], []
         for i in range(n - 1):
             rest = x[i + 1 :]
             cos = _fold_dot_mat(rest, x[i][None, :]) / (norms[i] * norms[i + 1 :])
-            keep = cos >= threshold
+            # strict inequality: a duplicated id must not pair with itself
+            # (the join form's id_a < id_b), else a dedup consumer drops a
+            # cluster's survivor along with its copies
+            keep = (cos >= threshold) & (ids[i + 1 :] != ids[i])
             if keep.any():
-                out_a.append(np.full(int(keep.sum()), ids[i], dtype=np.int64))
+                out_a.append(np.repeat(ids[i], int(keep.sum())))
                 out_b.append(ids[i + 1 :][keep])
                 out_c.append(cos[keep])
         if not out_a:
@@ -232,7 +247,7 @@ def cosine_pairs_blocked(
         )
 
     return src.groupBy("_blk").applyInPandas(
-        block_pairs, schema="id_a long, id_b long, cosine double"
+        block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
 
 
@@ -299,15 +314,22 @@ def semantic_decontaminate(
         if v.empty:
             return pd.Series([], dtype=bool)
         b = bc.value
-        x = np.array(v.tolist(), dtype=np.float64)
-        xnorm = np.sqrt(_fold_sum_cols(x * x))
-        hit = np.zeros(len(x), dtype=bool)
-        for j in range(b.shape[0]):
-            q = b[j]
-            cos = _fold_dot_mat(x, q[None, :]) / (
-                xnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
-            )
-            hit |= cos >= threshold
+        # a NULL embedding has no cosine to anything — never contaminated
+        # (the oracle's NOT EXISTS over a null cosine keeps the row); mask
+        # nulls out so the batch matrix stays rectangular
+        mask = v.notna().to_numpy()
+        hit = np.zeros(len(v), dtype=bool)
+        if mask.any():
+            x = np.array(v[mask].tolist(), dtype=np.float64)
+            xnorm = np.sqrt(_fold_sum_cols(x * x))
+            sub = np.zeros(len(x), dtype=bool)
+            for j in range(b.shape[0]):
+                q = b[j]
+                cos = _fold_dot_mat(x, q[None, :]) / (
+                    xnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
+                )
+                sub |= cos >= threshold
+            hit[mask] = sub
         return pd.Series(hit)
 
     return corpus.filter(~_contaminated(F.col(vec_col)))
@@ -1229,7 +1251,13 @@ def rp_lsh_recall_audit(
         .collect()  # k-bounded
     }
     exact_ids = [r[id_col] for r in exact.select(id_col).collect()]  # k-bounded
-    ok = len(set(exact_ids) & approx_ids) >= floor * k
+    # recall denominator = the ACTUAL witness size, not k: a corpus smaller
+    # than k would otherwise fail the floor even at 100% recall
+    ok = (
+        len(set(exact_ids) & approx_ids) >= floor * len(exact_ids)
+        if exact_ids
+        else True
+    )
     return exact.withColumn("recall_ok", F.lit(bool(ok))).orderBy(
         F.asc("distance"), F.asc(id_col)
     )

@@ -368,6 +368,10 @@ def _tree_merge_partials(partials: DataFrame, merge_fn, schema: str, fanin: int)
     group. The driver then collects <= fanin rows regardless of input
     partition count. Levels are derived from getNumPartitions() (plan
     metadata, no job); the whole chain stays lazy and executes once."""
+    if fanin < 2:
+        # ceil(n / 1) never shrinks — the level loop would append
+        # repartition nodes forever
+        raise ValueError(f"fanin must be >= 2, got {fanin}")
     n = partials.rdd.getNumPartitions()
     while n > fanin:
         n = max(1, -(-n // fanin))

@@ -505,11 +505,20 @@ def stream_cms_monitor(
     from ..operators.sketches import CountMinSketch, _hash_cols
 
     h1, h2 = _hash_cols(token_col)
-    prepped = tokens.select(
+    # shard on an INDEPENDENT hash (distinct seed): sharding on h1 %
+    # num_shards correlates with the CMS row-0 position whenever
+    # num_shards divides width (every token in shard s has h1 ≡ s mod
+    # num_shards, collapsing row 0 to width/num_shards usable slots and
+    # weakening the depth guarantee); null tokens carry no frequency to
+    # monitor and are excluded (they would also break the per-batch
+    # token sort)
+    prepped = tokens.filter(F.col(token_col).isNotNull()).select(
         F.col(token_col),
         h1.alias("_h1"),
         h2.alias("_h2"),
-        F.pmod(h1, F.lit(num_shards)).cast("int").alias("_shard"),
+        F.pmod(F.xxhash64(F.col(token_col), F.lit(2)), F.lit(num_shards))
+        .cast("int")
+        .alias("_shard"),
     )
 
     def update(key, pdfs, state):

@@ -244,3 +244,31 @@ def test_median_approx_audit_contract(spark):
     # columns indirectly — accuracy=1 makes eps=1.0, bound always true
     loose = median_approx_audit(df, "v", accuracy=1).collect()[0]
     assert loose["est_rank_ok"]
+
+
+def test_median_approx_audit_all_null_vacuous_pass(spark):
+    from bigdata_usaspending_spark.operators.aggregates import (
+        median_approx_audit,
+    )
+
+    df = spark.createDataFrame([(None,)] * 5, "v double")
+    r = median_approx_audit(df, "v").collect()[0]
+    assert r["n_values"] == 0 and r["median_exact"] is None
+    assert r["est_rank_ok"] is True, "no estimate -> guarantee holds vacuously"
+
+
+def test_profile_table_single_scan_matches_union(spark):
+    from bigdata_usaspending_spark.operators.aggregates import profile_table
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(100)], "id int, cat string"
+    )
+    a = {r["col_name"]: tuple(r) for r in profile_table(df).collect()}
+    b = {r["col_name"]: tuple(r)
+         for r in profile_table(df, single_scan=True).collect()}
+    assert a == b
+    plan = (
+        profile_table(df, single_scan=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan, "single_scan is the one-aggregate form"

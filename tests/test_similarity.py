@@ -480,3 +480,83 @@ def test_semantic_decontaminate_exact_and_shuffle_free(spark):
     )
     with pytest.raises(ValueError, match="max_queries"):
         semantic_decontaminate(corpus, big_bench, max_benchmark=5)
+
+
+def test_cosine_pairs_blocked_edge_semantics(spark):
+    """Round-6 review regressions: null block keys produce no pairs (the
+    join form's null-never-equals), duplicated ids never self-pair (the
+    strict id_a < id_b), and non-integer id types pass through."""
+    from bigdata_usaspending_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        semantic_dedup,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [
+            (1, None, v),       # null block: must never pair
+            (2, None, v),
+            (7, 5, v),          # duplicated id in one block
+            (7, 5, v),
+            (9, 5, v),
+        ],
+        "vec_id long, cell int, embedding array<float>",
+    )
+    pairs = cosine_pairs_blocked(df, "cell", threshold=0.99).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(7, 9)}, got  # no null-block pairs, no (7,7) self-pair
+
+    # string ids keep their type end-to-end
+    sdf = spark.createDataFrame(
+        [("a", 1, v), ("b", 1, v)],
+        "vec_id string, cell int, embedding array<float>",
+    )
+    srows = cosine_pairs_blocked(sdf, "cell", threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in srows] == [("a", "b")]
+
+    # a duplicated id must NOT eliminate itself from semantic_dedup's
+    # survivors via a self-pair
+    assigned = df.filter(F.col("cell").isNotNull()).select(
+        "vec_id", "embedding", F.col("cell")
+    )
+    cents = spark.createDataFrame([(5, [1.0, 0.0, 0.0, 0.0])],
+                                  "cell int, centroid array<double>")
+    out = {r.vec_id for r in
+           semantic_dedup(df, cents, threshold=0.99, assigned=assigned).collect()}
+    assert 7 in out, "min-id survivor must not be dropped by a self-pair"
+
+
+def test_semantic_decontaminate_null_embedding_kept(spark):
+    from bigdata_usaspending_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    kept = sorted(
+        r.vec_id
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    )
+    # 1 is contaminated; the NULL-embedding row has no cosine to anything
+    # and must survive (not crash the kernel)
+    assert kept == [2, 3]
+
+
+def test_rp_lsh_recall_audit_small_corpus(spark):
+    """Recall denominator is the actual witness size: a corpus smaller
+    than k with perfect overlap must pass the floor."""
+    from bigdata_usaspending_spark.operators.similarity import (
+        rp_lsh_recall_audit,
+    )
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = rp_lsh_recall_audit(df, [0.0, 1.0, 0.0, 0.0], k=10, floor=0.8)
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r.recall_ok for r in got)

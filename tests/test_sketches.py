@@ -429,3 +429,22 @@ def test_bloom_params_achieves_target_fp_rate():
     small = BloomFilter(np.zeros((1 << 17) // 64, dtype=np.uint64), 1 << 17, 5)
     small.add_array(h[:n, 0], h[:n, 1])  # ~4.4 bits/key
     assert small.maybe_contains(h[n:, 0], h[n:, 1]).mean() > 0.10
+
+
+def test_tree_merge_rejects_degenerate_fanin(spark):
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.sketches import (
+        _tree_merge_partials,
+        cms_build,
+    )
+
+    def merge(batches):  # pragma: no cover - never reached
+        yield pd.DataFrame({"x": [b"."]})
+
+    with pytest.raises(ValueError, match="fanin"):
+        _tree_merge_partials(spark.range(4).repartition(4)
+                             .mapInPandas(lambda it: it, schema="id long"),
+                             merge, "x binary", fanin=1)
+    with pytest.raises(ValueError, match="fanin"):
+        cms_build(spark.range(10).selectExpr("id as k"), "k", fanin=0)

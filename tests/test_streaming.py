@@ -890,3 +890,23 @@ def test_stream_cms_monitor_never_undercounts(spark, tmp_path):
         assert final[t] >= n, f"CMS undercounted {t}: {final[t]} < {n}"
         assert final[t] <= n + bound
     q.stop()
+
+
+def test_stream_cms_monitor_null_tokens_and_shard_independence(spark, tmp_path):
+    """Null tokens are excluded (they carry no frequency and broke the
+    per-batch sort), and the shard hash is independent of the CMS row-0
+    hash, so shard membership must not constrain h1 mod num_shards."""
+    path = str(tmp_path / "toks2")
+    spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",), (None,)], "token string"
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("token string").parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_cms_monitor(stream, width=1 << 8, depth=3, num_shards=4),
+        "cms_stream2",
+        output_mode="update",
+    )
+    got = {r.token: r.est_count for r in spark.table("cms_stream2").collect()}
+    assert None not in got
+    assert got["a"] >= 2 and got["b"] >= 1
+    q.stop()
