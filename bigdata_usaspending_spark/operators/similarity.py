@@ -335,6 +335,55 @@ def semantic_decontaminate(
     return corpus.filter(~_contaminated(F.col(vec_col)))
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """The EVIDENCE side of semantic_decontaminate: for every corpus row
+    the filter would drop, report its max cosine against the benchmark —
+    the audit trail a pipeline owner reads to tune the threshold and to
+    show WHY a document was excluded (a bare filter is undebuggable).
+    Same broadcast + one-kernel-scan shape; max over bench vectors is
+    order-independent, so the reported score is engine-reproducible.
+    Output: (id, max_bench_cosine) for rows at or above threshold."""
+    _, bmat = _collect_query_matrix(benchmark, id_col, vec_col, max_benchmark)
+    bc = corpus.sparkSession.sparkContext.broadcast(bmat)
+
+    @F.pandas_udf("double")
+    def _max_cos(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        b = bc.value
+        mask = v.notna().to_numpy()
+        out = np.full(len(v), np.nan)
+        if mask.any():
+            x = np.array(v[mask].tolist(), dtype=np.float64)
+            xnorm = np.sqrt(_fold_sum_cols(x * x))
+            best = np.full(len(x), -np.inf)
+            for j in range(b.shape[0]):
+                q = b[j]
+                cos = _fold_dot_mat(x, q[None, :]) / (
+                    xnorm * np.sqrt(_fold_sum_cols((q * q)[None, :]))
+                )
+                best = np.maximum(best, cos)
+            out[mask] = best
+        return pd.Series(out)
+
+    return (
+        corpus.select(
+            F.col(id_col), _max_cos(F.col(vec_col)).alias("max_bench_cosine")
+        )
+        .filter(
+            ~F.isnan("max_bench_cosine")
+            & (F.col("max_bench_cosine") >= F.lit(float(threshold)))
+        )
+    )
+
+
 def mean_centroids(
     assigned: DataFrame,
     cell_col: str = "cell",

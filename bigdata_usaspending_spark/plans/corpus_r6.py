@@ -445,3 +445,37 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The decontamination audit trail (similarity.contamination_report):
+    for every corpus vector the semantic screen would drop, its max
+    cosine against the benchmark — the evidence a pipeline owner reads
+    to tune the threshold. Max over identical fold cosines is
+    order-independent, so the scores replay exactly in SQL."""
+    from ..operators.similarity import contamination_report
+
+    emb = load(_prep(spark), sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    return contamination_report(corpus, bench, threshold=0.8)
+
+
+QUERIES["q_contamination_report"] = q_contamination_report
+
+
+def _contamination_report_oracle() -> str:
+    from .corpus_ext import _cosine_sql
+
+    cos = _cosine_sql("c.embedding", "b.embedding")
+    return f"""
+        SELECT c.vec_id, MAX({cos}) AS max_bench_cosine
+        FROM embeddings c
+        JOIN embeddings b ON b.vec_id % 20 = 0
+        WHERE c.vec_id % 20 <> 0
+        GROUP BY c.vec_id
+        HAVING MAX({cos}) >= 0.8
+    """
+
+
+ORACLE_SQL["q_contamination_report"] = _contamination_report_oracle()

@@ -560,3 +560,25 @@ def test_rp_lsh_recall_audit_small_corpus(spark):
     got = out.collect()
     assert len(got) == 5
     assert all(r.recall_ok for r in got)
+
+
+def test_contamination_report_evidence(spark):
+    from bigdata_usaspending_spark.operators.similarity import (
+        contamination_report,
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.01, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rep = {r.vec_id: r.max_bench_cosine
+           for r in contamination_report(corpus, bench, threshold=0.95).collect()}
+    assert set(rep) == {1} and rep[1] > 0.99
+    # the report and the filter partition the corpus: dropped == reported
+    kept = {r.vec_id
+            for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()}
+    assert kept == {2, 3} and kept.isdisjoint(rep)
