@@ -233,6 +233,40 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
             cust_gated, "c_custkey", "c_name", max_dist=2
         ),
     )
+    def semantic_decon():
+        bench = emb.filter(F.col("vec_id") % 20 == 0)
+        return similarity.semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 20 != 0), bench, threshold=0.8
+        )
+
+    out["semantic_decontaminate"] = timed("semantic_decontaminate", semantic_decon)
+
+    def quota():
+        from bigdata_usaspending_spark.operators.sampling import (
+            largest_remainder_quotas,
+            sample_quota_per_group,
+        )
+
+        w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("wt"))
+        q = largest_remainder_quotas(w, "source", "wt", total=1000)
+        return sample_quota_per_group(
+            docs.select("doc_id", "source"), "source", q, salt_cols=["doc_id"]
+        )
+
+    out["quota_mix"] = timed("quota_mix", quota)
+
+    def psi():
+        from bigdata_usaspending_spark.operators.timeseries import psi_drift
+
+        half = docs.select("doc_id", F.length("text").alias("v"))
+        return psi_drift(
+            half.filter(F.col("doc_id") % 2 == 0),
+            half.filter(F.col("doc_id") % 2 == 1),
+            "v", lo=0.0, hi=2000.0, nbins=20,
+        )
+
+    out["psi_drift"] = timed("psi_drift", psi)
+
     out["hll_distinct"] = timed(
         "hll_distinct",
         lambda: hll_distinct_audit(
