@@ -325,3 +325,45 @@ def test_repeated_passages_single_aggregate_no_join(spark, sf):
     # the exploded spans (count-distinct expands to two agg phases)
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round6_query_plan_shapes(spark, sf):
+    """Plan pins for the round-6 additions: the scale properties their
+    docstrings claim must be visible in the executed plans."""
+    from bigdata_usaspending_spark.plans import corpus_r6
+
+    # quota mix: the quota table broadcasts onto the windowed ranking;
+    # the corpus side shuffles once (the window), never a sort-merge join
+    plan = _plan(corpus_r6.q_quota_mix(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # PSI drift: two bounded aggregates + a tiny join — no corpus-sized
+    # window, no cartesian blowup
+    plan = _plan(corpus_r6.q_drift_psi(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    # semantic decontamination: one kernel scan, no join at all
+    plan = _plan(corpus_r6.q_decontaminate_semantic(spark, sf))
+    assert "Join" not in plan and "ArrowEvalPython" in plan
+
+    # contamination report: same shape, the evidence variant
+    plan = _plan(corpus_r6.q_contamination_report(spark, sf))
+    assert "Join" not in plan and "ArrowEvalPython" in plan
+
+    # capstone v2: the final weighted draw compiles to TakeOrderedAndProject
+    # (partial per-partition top-k, one k-row merge — never a global sort),
+    # and nothing in the pipeline degenerates to a cartesian product
+    plan = _plan(corpus_r6.q_training_pipeline_v2(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    # grouped split: a pure map — no exchange anywhere
+    plan = _plan(corpus_r6.q_split_grouped(spark, sf))
+    assert "Exchange" not in plan
+
+    # skew profile: one shuffle on the key + the 1-row summary exchange,
+    # no window over the fact side
+    plan = _plan(corpus_r6.q_skew_profile(spark, sf))
+    assert "Window" not in plan
