@@ -109,7 +109,11 @@ def median_approx_audit(
         F.count(v).alias("n_values"),
     )
     ranks = df.crossJoin(F.broadcast(one)).agg(
-        F.first("n_values").alias("n_values"),
+        # empty df: the crossJoin has ZERO rows, so first/sum aggregate to
+        # NULL — coalesce n_values to 0 so the empty-input case rides the
+        # same vacuous-pass branch as the all-null column (n_values = 0,
+        # est_rank_ok = TRUE), instead of a NULL/NULL row
+        F.coalesce(F.first("n_values"), F.lit(0)).alias("n_values"),
         F.first("median_exact").alias("median_exact"),
         F.sum(F.when(v < F.col("_est"), 1).otherwise(0)).alias("_lo"),
         F.sum(F.when(v <= F.col("_est"), 1).otherwise(0)).alias("_hi"),

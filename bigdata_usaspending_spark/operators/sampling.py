@@ -526,16 +526,39 @@ def split_assign(
 
     Fractions must sum to ``denominator``; labels assign by cumulative
     ranges in the given order, so the mapping is stable under appending
-    new splits at the end."""
+    new splits at the end.
+
+    The hash basis (``group_col`` if given, else ``key_col``) carries the
+    same NON-NULL contract as ``_portable_salt_hash``: a null basis has no
+    portable hash (SQL ``NULL || seed`` is NULL while concat_ws would
+    silently skip it, colliding every null-group row into one bucket that
+    also collides with empty-string keys). Rather than diverge silently,
+    the gate raises at execution time on the first null basis row —
+    coalesce to a sentinel or filter nulls upstream, explicitly, on BOTH
+    engines."""
     fracs = list(fractions)
     tot = sum(n for _, n in fracs)
     if tot != denominator:
         raise ValueError(
             f"fractions sum to {tot}, expected denominator={denominator}"
         )
-    basis = F.col(group_col if group_col is not None else key_col)
+    basis_col = group_col if group_col is not None else key_col
+    basis = F.col(basis_col)
+    # assert_true is NULL when the condition holds (and raises per-row when
+    # it doesn't), so coalescing it in front of the real basis enforces the
+    # non-null contract lazily without leaving the pure-map plan shape.
+    nn_guard = F.assert_true(
+        basis.isNotNull(),
+        F.lit(
+            f"split_assign: null {basis_col!r} hash basis — the split hash "
+            "needs a non-null key; coalesce to a sentinel or filter nulls "
+            "upstream (on the oracle side too)"
+        ),
+    )
     bucket = F.pmod(
-        portable_hash60(F.concat_ws("|", basis.cast("string"), F.lit(str(seed)))),
+        portable_hash60(
+            F.concat_ws("|", F.coalesce(nn_guard, basis.cast("string")), F.lit(str(seed)))
+        ),
         F.lit(denominator),
     )
     expr = None

@@ -117,7 +117,13 @@ class HeuristicLangIdScorer(TextScorer):
         def one(t) -> str:
             if not isinstance(t, str):
                 return "und"
-            toks = re.split(r"\s+", t.strip().lower())
+            # explicit ASCII whitespace class: Java's \s (the SQL langid
+            # path splits JVM-side) is [ \t\n\x0b\f\r] ONLY, while
+            # Python's Unicode-aware \s also matches NBSP/U+2028/etc —
+            # a document containing Unicode whitespace must tokenize
+            # identically on both sides or the pinned-to-oracle guarantee
+            # breaks (strip likewise restricted)
+            toks = re.split(r"[ \t\n\x0b\f\r]+", t.strip(" \t\n\x0b\f\r").lower())
             hits = [sum(tok in marker_sets[lang] for tok in toks) for lang in langs]
             best = max(hits)
             if best == 0:

@@ -193,13 +193,20 @@ def cosine_pairs_blocked(
     Per-pair arithmetic is unchanged bit-for-bit: for each anchor row the
     kernel folds dot(rest, anchor) with the same sequential column fold
     (_fold_dot_mat) and divides by sqrt-fold norms, so oracle hashes are
-    identical to the join form — as are the edge semantics: null blocking
+    identical to the join form on finite cosines — and null blocking
     keys and null vectors produce no pairs (the join's null-never-equals /
-    null-cosine behavior), and a duplicated id never pairs with itself
-    (the strict id_a < id_b predicate). Block-size caveat: a block's
-    matrix must fit a task (n_b x d doubles); bound blocks upstream
-    (SemDeDup centroids, label blocking) exactly as the module docstring
-    requires."""
+    null-cosine behavior), while a duplicated id never pairs with itself
+    (the strict id_a < id_b predicate). ONE deliberate edge divergence
+    from the old join form: a ZERO-NORM vector's cosine is 0/0 = NaN, and
+    ``NaN >= t`` is False in numpy, so zero-norm vectors never emit pairs
+    here — whereas Spark SQL orders NaN above every double, so the join
+    form's ``cosine >= t`` was TRUE and paired every zero-norm vector
+    with everything in its block. The numpy semantics are the correct
+    ones (an all-zero embedding is not "similar to everything"); callers
+    needing the old behavior must handle zero-norm vectors explicitly
+    upstream. Block-size caveat: a block's matrix must fit a task
+    (n_b x d doubles); bound blocks upstream (SemDeDup centroids, label
+    blocking) exactly as the module docstring requires."""
     # match the join form's null semantics: a null BLOCK key never equi-
     # joins (and a giant null block would also defeat the within-block
     # quadratic bound), a null VECTOR's cosine is null and fails the

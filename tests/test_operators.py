@@ -257,6 +257,21 @@ def test_median_approx_audit_all_null_vacuous_pass(spark):
     assert r["est_rank_ok"] is True, "no estimate -> guarantee holds vacuously"
 
 
+def test_median_approx_audit_empty_input_vacuous_pass(spark):
+    """ADVICE r6: zero ROWS (not just zero non-null values) must take the
+    same vacuous-pass branch — the crossJoin with the 1-row aggregate
+    yields no rows, so without the coalesce the audit returned
+    n_values=NULL / est_rank_ok=NULL."""
+    from bigdata_usaspending_spark.operators.aggregates import (
+        median_approx_audit,
+    )
+
+    df = spark.createDataFrame([], "v double")
+    r = median_approx_audit(df, "v").collect()[0]
+    assert r["n_values"] == 0 and r["median_exact"] is None
+    assert r["est_rank_ok"] is True
+
+
 def test_profile_table_single_scan_matches_union(spark):
     from bigdata_usaspending_spark.operators.aggregates import profile_table
 

@@ -141,3 +141,31 @@ def test_split_assign_partitions_and_group_coherence(spark):
 
     with _pytest.raises(ValueError, match="sum"):
         split_assign(df, "doc_id", [("a", 50), ("b", 40)])
+
+
+def test_split_assign_null_basis_raises(spark):
+    """ADVICE r6: a null hash basis would silently collapse into one
+    bucket (concat_ws skips NULLs) and diverge from the SQL oracle where
+    NULL || seed is NULL — the non-null contract is now enforced with a
+    per-row execution-time error instead."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from bigdata_usaspending_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(1, "g1"), (2, None), (3, "g2")], "doc_id long, grp string"
+    )
+    out = split_assign(
+        df, "doc_id", [("train", 80), ("val", 10), ("test", 10)],
+        group_col="grp",
+    )
+    with _pytest.raises(Exception, match="null 'grp' hash basis") as ei:
+        out.collect()
+    assert isinstance(ei.value, Py4JJavaError) or "hash basis" in str(ei.value)
+    # non-null rows are unaffected: filtering nulls upstream works
+    ok = split_assign(
+        df.filter("grp IS NOT NULL"), "doc_id",
+        [("train", 80), ("val", 10), ("test", 10)], group_col="grp",
+    )
+    assert ok.count() == 2

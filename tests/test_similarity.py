@@ -526,6 +526,31 @@ def test_cosine_pairs_blocked_edge_semantics(spark):
     assert 7 in out, "min-id survivor must not be dropped by a self-pair"
 
 
+def test_cosine_pairs_blocked_zero_norm_emits_no_pairs(spark):
+    """ADVICE r6, documented divergence from the retired join form: a
+    zero-norm vector's cosine is 0/0 = NaN and NaN >= t is False in
+    numpy, so zero-norm vectors never pair (the SQL join form ordered
+    NaN above every double, pairing them with EVERYTHING in the block —
+    the wrong semantics for an all-zero embedding). Finite-norm rows in
+    the same block are unaffected."""
+    from bigdata_usaspending_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: must not pair
+            (2, 5, [0.0, 0.0, 0.0, 0.0]),  # even with another zero-norm
+            (3, 5, [1.0, 0.0, 0.0, 0.0]),
+            (4, 5, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, cell int, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b)
+           for r in cosine_pairs_blocked(df, "cell", threshold=0.0).collect()}
+    assert got == {(3, 4)}, got
+
+
 def test_semantic_decontaminate_null_embedding_kept(spark):
     from bigdata_usaspending_spark.operators.similarity import (
         semantic_decontaminate,

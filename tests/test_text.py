@@ -156,6 +156,44 @@ def test_scorer_seam_default_agrees_with_sql_langid(spark, sf_small):
     assert via_seam == via_sql
 
 
+def test_scorer_seam_langid_unicode_whitespace_matches_sql(spark):
+    """ADVICE r6: Python's Unicode-aware \\s matches NBSP/U+2028 while the
+    SQL path splits on Java's ASCII-only \\s, so a document containing
+    Unicode whitespace must tokenize identically on both sides (the scorer
+    now uses an explicit ASCII whitespace class)."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        HeuristicLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # NBSP-joined markers: ASCII split keeps the NBSP-joined pair as ONE
+            # token (no marker hit) — Unicode \s would split it and vote
+            (1, "the\u00a0la"),
+            # U+2028 line separator between French markers — same story
+            (2, "le\u2028les\u2028et"),
+            # leading NBSP on an otherwise-English doc: token stays
+            # NBSP-prefixed, remaining markers still vote en
+            (3, "\u00a0the a of and"),
+            # plain ASCII control case
+            (4, "der und ist"),
+        ],
+        "doc_id int, text string",
+    )
+    via_seam = {
+        r["doc_id"]: r["lang_pred"]
+        for r in apply_text_scorer(docs, HeuristicLangIdScorer()).collect()
+    }
+    via_sql = {
+        r["doc_id"]: r["lang_pred"]
+        for r in docs.select("doc_id", text.langid("text")).collect()
+    }
+    assert via_seam == via_sql
+    assert via_sql[1] == "und" and via_sql[2] == "und"
+    assert via_sql[3] == "en" and via_sql[4] == "de"
+
+
 def test_scorer_seam_swaps_in_a_stub_model(spark):
     """A custom scorer (stand-in for fastText/KenLM) plugs into the same
     seam: multi-column output schema honored, load() runs before the first
