@@ -58,6 +58,24 @@ def q_langid_scorer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_commonness_scorer(spark: SparkSession, sf: str) -> DataFrame:
+    """The QUALITY twin of q_langid_scorer (VERDICT r6 #3): corpus-
+    frequency commonness through the pluggable scorer seam. The vocabulary
+    histogram is fitted once (scorers.VocabCommonnessScorer.from_corpus —
+    one bounded aggregate, cap-guarded collect) and then scoring is a pure
+    Arrow mapInPandas map, the exact execution shape of the KenLM
+    perplexity model this heuristic stands in for. Pinned row-for-row and
+    bit-for-bit to the text.commonness_scores SQL oracle, so the seam's
+    quality default can never drift from the oracle-checked column."""
+    from ..operators.scorers import VocabCommonnessScorer, apply_text_scorer
+
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
+    scorer = VocabCommonnessScorer.from_corpus(docs)
+    return apply_text_scorer(
+        docs.filter(F.col("text").isNotNull()), scorer
+    ).select("doc_id", "commonness")
+
+
 def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Grouping-key skew diagnostic over lineitem's supplier key
     (operators/skew.skew_profile): per-key counts in one partial-agg
@@ -93,6 +111,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_profile_hll": q_table_profile_hll,
     "q_langid_scorer": q_langid_scorer,
+    "q_commonness_scorer": q_commonness_scorer,
     "q_skew_profile": q_skew_profile,
     "q_decontaminate_semantic": q_decontaminate_semantic,
 }
@@ -130,6 +149,17 @@ def _langid_oracle() -> str:
 
 
 ORACLE_SQL["q_langid_scorer"] = _langid_oracle()
+
+
+def _commonness_oracle() -> str:
+    # the scorer-seam quality default is pinned to the exact SQL the
+    # q_text_commonness operator oracle uses (corpus_ext)
+    from .corpus_ext import ORACLE_SQL as _EXT_ORACLES
+
+    return _EXT_ORACLES["q_text_commonness"]
+
+
+ORACLE_SQL["q_commonness_scorer"] = _commonness_oracle()
 
 ORACLE_SQL["q_skew_profile"] = """
 WITH counts AS (

@@ -263,6 +263,85 @@ def test_scorer_seam_rejects_column_collisions(spark):
         apply_text_scorer(df, Clashing())
 
 
+def test_commonness_scorer_agrees_with_operator(spark, sf_small):
+    """The quality seam default (vocab-histogram commonness) must replay
+    text.commonness_scores bit-for-bit — same drift guard as the langid
+    seam, closing the last model stand-in outside the seam (VERDICT r6)."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        VocabCommonnessScorer,
+        apply_text_scorer,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    scorer = VocabCommonnessScorer.from_corpus(docs)
+    via_seam = {
+        r["doc_id"]: r["commonness"]
+        for r in apply_text_scorer(docs, scorer).collect()
+    }
+    via_op = {
+        r["doc_id"]: r["commonness"]
+        for r in text.commonness_scores(docs).collect()
+    }
+    assert via_seam == via_op, "doubles must be bit-identical, not close"
+
+
+def test_commonness_scorer_artifact_and_oov(spark, tmp_path):
+    """vocab_path artifact: the histogram loads executor-side at load()
+    (never rides the closure); OOV tokens add 0 to the numerator but
+    count in n_tokens; null text scores null; the fit cap guards the
+    driver collect."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        VocabCommonnessScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a zzz"), (3, None)], "doc_id int, text string"
+    )
+    fitted = VocabCommonnessScorer.from_corpus(docs)
+    path = str(tmp_path / "vocab.json")
+    fitted.save(path)
+    from_file = VocabCommonnessScorer(vocab_path=path)
+    got = {
+        r["doc_id"]: r["commonness"]
+        for r in apply_text_scorer(docs, from_file).collect()
+    }
+    # corpus tokens: a,a,b,a,zzz -> total=5; freq a=3,b=1,zzz=1
+    assert got[1] == (3 + 3 + 1) / (3.0 * 5.0)
+    assert got[2] == (3 + 1) / (2.0 * 5.0)
+    assert got[3] is None
+    # OOV query against a foreign vocab: numerator drops, n_tokens doesn't
+    foreign = VocabCommonnessScorer(vocab={"a": 3}, total=5)
+    got2 = {
+        r["doc_id"]: r["commonness"]
+        for r in apply_text_scorer(docs, foreign).collect()
+    }
+    assert got2[2] == 3 / (2.0 * 5.0)
+    # cap guard: a vocabulary bigger than max_vocab refuses to collect
+    with pytest.raises(ValueError, match="max_vocab"):
+        VocabCommonnessScorer.from_corpus(docs, max_vocab=2)
+    # constructor contract
+    with pytest.raises(ValueError, match="exactly one"):
+        VocabCommonnessScorer()
+    with pytest.raises(ValueError, match="total"):
+        VocabCommonnessScorer(vocab={"a": 1})
+
+
+def test_kenlm_scorer_raises_clearly_without_dependency():
+    from bigdata_usaspending_spark.operators.scorers import KenLMQualityScorer
+
+    scorer = KenLMQualityScorer("/nonexistent/model.arpa")
+    assert scorer.output_schema == "log10_prob double, perplexity double"
+    try:
+        import kenlm  # noqa: F401
+
+        pytest.skip("kenlm installed; stub branch not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="kenlm"):
+        scorer.load()
+
+
 def test_fasttext_scorer_raises_clearly_without_dependency():
     from bigdata_usaspending_spark.operators.scorers import FastTextLangIdScorer
 
