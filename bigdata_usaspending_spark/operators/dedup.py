@@ -1027,6 +1027,49 @@ def decontaminate(
     return corpus.join(F.broadcast(contaminated), on=id_col, how="anti")
 
 
+def contamination_report_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The EVIDENCE side of :func:`decontaminate` — parity with the
+    semantic screen's report/filter pair (similarity.contamination_report):
+    for every corpus document the n-gram screen drops, report HOW MUCH it
+    overlaps the benchmark (count of distinct shared ``n``-gram shingles)
+    and one concrete example shingle — the audit trail a pipeline owner
+    reads to distinguish true eval leakage from incidental phrase overlap
+    before tuning ``n``.
+
+    Same scale shape as the filter: the benchmark's distinct shingle set
+    is tiny (eval suites are MBs against 100 TB) and broadcasts — here as
+    the raw strings rather than hashes, since the report's purpose is
+    human-readable evidence — onto one corpus scan, then ONE map-side-
+    partial hash aggregate keyed by document id. min() over binary-collated
+    lowercase shingles is engine-reproducible, so the report is fully
+    oracle-checkable. Report ∪ decontaminate-survivors = corpus (they
+    partition it, modulo xxhash collisions when the filter runs with
+    portable=False)."""
+    bench = (
+        benchmark.select(F.explode(shingles_of(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col), F.explode(shingles_of(text_col, n)).alias("_g")
+    )
+    return (
+        corp.join(F.broadcast(bench), on="_g")
+        .groupBy(id_col)
+        .agg(
+            # shingles_of returns the DISTINCT shingle set per doc, so this
+            # count is the distinct-overlap size with no extra distinct agg
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+            F.min("_g").alias("example_ngram"),
+        )
+    )
+
+
 def repeated_passages(
     df: DataFrame,
     id_col: str = "doc_id",

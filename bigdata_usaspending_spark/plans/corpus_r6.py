@@ -509,3 +509,47 @@ def _contamination_report_oracle() -> str:
 
 
 ORACLE_SQL["q_contamination_report"] = _contamination_report_oracle()
+
+
+def q_contamination_report_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """The n-gram screen's evidence query — parity with the semantic
+    report/filter pair (dedup.contamination_report_ngram): for every
+    corpus document q_decontaminate drops, the count of distinct 3-gram
+    shingles it shares with the benchmark plus one example shingle.
+    Broadcast bench shingle strings onto one corpus scan, one per-doc
+    hash aggregate; report and q_decontaminate's survivors partition
+    the corpus."""
+    from ..operators import dedup
+
+    docs = load(_prep(spark), sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.contamination_report_ngram(corpus, bench, "doc_id")
+
+
+QUERIES["q_contamination_report_ngram"] = q_contamination_report_ngram
+
+
+def _contamination_report_ngram_oracle() -> str:
+    from .corpus_ext import _SHINGLES, _TOKS
+
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+        bench AS (
+            SELECT DISTINCT g
+            FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)
+        ),
+        corp AS (
+            SELECT doc_id, g
+            FROM (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0)
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+               MIN(c.g) AS example_ngram
+        FROM corp c JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id
+    """
+
+
+ORACLE_SQL["q_contamination_report_ngram"] = _contamination_report_ngram_oracle()

@@ -184,6 +184,42 @@ def test_decontaminate_drops_shingle_overlap(spark):
     assert kept == [2, 3]
 
 
+def test_contamination_report_ngram_evidence_and_partition(spark):
+    """The n-gram screen's report/filter pair: the report carries the
+    distinct shared-shingle count and an example shingle, and the report's
+    doc set plus decontaminate's survivors partition the corpus."""
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" AND "quick brown fox" -> 2 shingles
+            (1, "the quick brown fox jumps high"),
+            (2, "completely unrelated corpus document here"),
+            (3, "tiny"),
+            # shares exactly one shingle ("fox eval question")
+            (4, "some fox eval question text"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox eval question")], "doc_id long, text string"
+    )
+    rep = {
+        r.doc_id: (r.n_shared_ngrams, r.example_ngram)
+        for r in dedup.contamination_report_ngram(
+            corpus, benchmark, "doc_id"
+        ).collect()
+    }
+    assert set(rep) == {1, 4}
+    # doc 1 shares "the quick brown" + "quick brown fox"; min is "quick..."
+    assert rep[1] == (2, "quick brown fox")
+    assert rep[4] == (1, "fox eval question")
+    # partition: report ids + survivor ids = corpus ids, disjoint
+    kept = {
+        r.doc_id
+        for r in dedup.decontaminate(corpus, benchmark, "doc_id").collect()
+    }
+    assert kept | set(rep) == {1, 2, 3, 4} and not (kept & set(rep))
+
+
 def test_dedup_against_index(spark):
     """Batch survivors: index hits drop, within-batch dups keep min-id,
     normalization ('A  b' == 'a b') applies to both the index and the batch."""
