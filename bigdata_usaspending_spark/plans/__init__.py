@@ -13,42 +13,35 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-6 window: the stale-ledger block — every query whose most recent
-    # driver CORRECTNESS row is r3 or older, i.e. predates the round-4/5
-    # operator rewrites underneath it (VERDICT r5 "What's missing" #1).
-    # Oldest-green relational block (last driver row r3):
-    "q_scan_project", "q_filter_positive", "q_dropna", "q_case_when_label",
-    "q_month_derive", "q_join_dim_fact", "q_agg_sum_by_key",
-    "q_agg_sum_two_keys", "q_agg_by_month", "q_count_distinct",
-    "q_value_counts", "q_approx_median", "q_describe_stats", "q_corr",
-    "q_rollup_two_level", "q_orderby_desc", "q_topk", "q_topn_frequency",
-    "q_orderby_asc", "q_first_row", "q_window_topk_per_group",
-    "q_union_branches", "q_cast_to_date",
-    # LLM-pipeline queries whose operators were rewritten in r4/r5 after
-    # their last driver row (r3):
-    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_decontaminate",
-    "q_dedup_embedding", "q_pack_sequences", "q_training_data_pipeline",
-    "q_window_tumbling", "q_text_quality", "q_text_langid", "q_text_tokens",
-    "q_embedding_cosine_topk",
-    # Plans/operators whose CODE changed in round 6: sketch tree-merge +
-    # odd-stride hashing (CMS/Bloom contents changed), t-digest audit
-    # left-join, the per-column-union profiler (both profile queries),
-    # maxsim cold-path + tpch q12 re-checks, portable-salt-hash refactor
-    # (both sampling users), the audit-contract upgrades (median, LSH),
-    # the blocked-cosine kernel rewrite (both its queries), and the two
-    # new queries:
-    "q_cms_token_counts", "q_dedup_incremental_bloom", "q_tdigest_quantiles",
-    "q_table_profile", "q_maxsim_topk", "q_tpch_q12_shape",
-    "q_weighted_sample", "q_sample_k_per_group",
-    "q_training_pipeline_v2", "q_dedup_incremental_minhash",
-    "q_median_approx_scale", "q_ann_lsh", "q_dedup_semantic",
-    # (q_dedup_embedding — the blocked-cosine rewrite's other query — is
-    # already in the stale-ledger block above)
-    "q_table_profile_hll", "q_langid_scorer", "q_skew_profile",
-    # (q_decontaminate_semantic (new, locally oracle-green) and the
-    # remaining r4/r5 greens — TPC-H shapes, fuzzy, ANN, heavy hitters,
-    # HLL audits, streaming twins — rotate through the round-7 window
-    # next.  The window holds 50.)
+    # Round-7 window (VERDICT r6 #1 + ADVICE window-policy finding):
+    # (a) every never-driver-checked query FIRST — the five round-6 late
+    # additions plus this round's two new queries:
+    "q_decontaminate_semantic", "q_drift_psi", "q_quota_mix",
+    "q_split_grouped", "q_contamination_report",
+    "q_commonness_scorer", "q_contamination_report_ngram",
+    # (b) the oldest-ledger block: last driver row r3
+    "q_text_commonness", "q_text_repetition", "q_doc_fingerprint",
+    "q_ann_quantized",
+    # (c) the oldest r4 greens — join family, window family, cube/sets,
+    # TPC-H wave 1, scalar/sampling block, ETL/serving composites — so
+    # every registry query's driver row is <= 2 rounds old by end of r8:
+    "q_dedup_clusters", "q_ann_ivf_topk", "q_ann_ivf_refined",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_join_full",
+    "q_cube_two_keys", "q_grouping_sets", "q_set_intersect", "q_set_except",
+    "q_window_lag_delta", "q_window_moving_sum", "q_flagship_etl",
+    "q_dashboard_sankey", "q_ml_prepare", "q_asof_attribution",
+    "q_join_salted", "q_pivot_priority_by_month", "q_grouped_median",
+    "q_scalar_functions", "q_hash_sample", "q_stratified_sample",
+    "q_unpivot_monthly", "q_having", "q_window_ntile", "q_range_join_tiers",
+    "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
+    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_tpch_q18_shape",
+    "q_dedup_survivors", "q_agg_salted", "q_deep_join_chain",
+    "q_pricing_summary", "q_token_budget_mix", "q_corpus_shuffle",
+    # (The 7 remaining r4 greens — q_pii_scrub, q_chunk_documents,
+    # q_chunk_dedup, q_monthly_gap_fill, q_zscore_outliers,
+    # q_fixed_histogram, q_boilerplate_scrub — plus all 41 r5 greens
+    # (TPC-H waves 2-3, fuzzy, ANN, sketches, streaming-twin batch forms)
+    # rotate through the round-8 window: 48 entries, fits the 50 cap.)
 ]
 
 

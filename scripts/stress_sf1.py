@@ -267,6 +267,68 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["psi_drift"] = timed("psi_drift", psi)
 
+    def split_grouped():
+        from bigdata_usaspending_spark.operators.sampling import split_assign
+
+        return split_assign(
+            docs.select("doc_id", "source"), "doc_id",
+            [("train", 80), ("val", 10), ("test", 10)],
+            group_col="source", seed=5,
+        )
+
+    out["split_grouped"] = timed("split_grouped", split_grouped)
+
+    def contamination_rep():
+        bench = emb.filter(F.col("vec_id") % 20 == 0)
+        return similarity.contamination_report(
+            emb.filter(F.col("vec_id") % 20 != 0), bench, threshold=0.8
+        )
+
+    out["contamination_report"] = timed(
+        "contamination_report", contamination_rep
+    )
+
+    def ngram_report():
+        return dedup.contamination_report_ngram(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            "doc_id",
+        )
+
+    out["contamination_report_ngram"] = timed(
+        "contamination_report_ngram", ngram_report
+    )
+
+    def skew_prof():
+        # the registered query profiles lineitem, which the 10x build does
+        # not replicate; orders o_custkey exercises the identical plan
+        # (partial-agg count shuffle + bounded percentile reduce)
+        from bigdata_usaspending_spark.operators.skew import skew_profile
+
+        return skew_profile(orders, "o_custkey")
+
+    out["skew_profile"] = timed("skew_profile", skew_prof)
+
+    def commonness_seam():
+        from bigdata_usaspending_spark.operators.scorers import (
+            VocabCommonnessScorer,
+            apply_text_scorer,
+        )
+
+        scorer = VocabCommonnessScorer.from_corpus(docs)  # fit included
+        return apply_text_scorer(docs.filter(F.col("text").isNotNull()), scorer)
+
+    out["commonness_scorer"] = timed("commonness_scorer", commonness_seam)
+
+    def tp_v2():
+        from bigdata_usaspending_spark.plans.corpus_r6 import (
+            q_training_pipeline_v2,
+        )
+
+        return q_training_pipeline_v2(spark, sf_dir)
+
+    out["training_pipeline_v2"] = timed("training_pipeline_v2", tp_v2)
+
     out["hll_distinct"] = timed(
         "hll_distinct",
         lambda: hll_distinct_audit(
