@@ -344,3 +344,95 @@ def chunk_documents(
     return df.select(
         F.col(id_col), F.posexplode(slices).alias("chunk_id", "chunk_text")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval — the LEXICAL complement of the
+    ANN family (similarity.py): rank documents against a bag-of-terms
+    query with the standard tf-saturation / length-normalized scoring and
+    Lucene's non-negative idf, ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    Corpus curation uses this both for retrieval-quality probes and for
+    query-anchored dedup triage where embeddings are too coarse.
+
+    Plan shape (100 TB): per-document term frequencies come from ONE pure
+    map over the corpus — a bounded HOF ``size(filter(tokens, = term))``
+    per query term, O(|query| * doc_len) per row with NO explode and NO
+    shuffle (a query is a handful of terms; contrast the per-token HOFs
+    the engine bans). Corpus statistics (N, Σdl, per-term document
+    frequencies) reduce in ONE partial-aggregated pass to a single row
+    collected driver-side (the pq_train_driver bounded-model-state
+    pattern), so the scoring pass is a pure map into
+    TakeOrderedAndProject — no join at all. Two scans total, same as the
+    lazy broadcast formulation; persist the stats row to amortize repeat
+    queries.
+
+    Determinism: tf/df/dl/N are exact ints; idf is computed DRIVER-SIDE
+    with Python's math.log and injected as a literal, because Java's
+    Math.log is within-1-ulp (not correctly rounded) and measurably
+    differs from glibc/DuckDB ln on real inputs — the remaining score
+    arithmetic is plain IEEE ops in a fixed left-to-right tree mirrored
+    verbatim in the SQL oracle, and ties break on ascending id, so the
+    returned SET is engine-exact. Zero-score documents (no term hits)
+    are excluded. Null-text rows are dropped (no tokens to score)."""
+    import math
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (duplicates double-count)")
+    toks = tokens(text_col)
+
+    # a dedicated factory: a `lambda x, t=t:` default-arg closure would have
+    # TWO parameters, which pyspark's HOF binder reads as (element, index)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    per_doc = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    srow = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).first()
+    if not srow or not srow["_n"]:
+        return per_doc.select(
+            F.col(id_col), F.lit(None).cast("double").alias("bm25")
+        ).limit(0)
+    n = float(srow["_n"])
+    avgdl = float(srow["_sdl"]) / n
+    dl = F.col("_dl").cast("double")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = math.log(
+            1.0 + (n - float(srow[f"_df{i}"]) + 0.5) / (float(srow[f"_df{i}"]) + 0.5)
+        )
+        term = (
+            F.lit(idf)
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+        )
+        score = term if score is None else score + term
+    return (
+        per_doc.select(F.col(id_col), score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -19,6 +19,7 @@ _VERIFY_FIRST = [
     "q_decontaminate_semantic", "q_drift_psi", "q_quota_mix",
     "q_split_grouped", "q_contamination_report",
     "q_commonness_scorer", "q_contamination_report_ngram",
+    "q_bm25_topk",
     # (b) the oldest-ledger block: last driver row r3
     "q_text_commonness", "q_text_repetition", "q_doc_fingerprint",
     "q_ann_quantized",
@@ -36,12 +37,12 @@ _VERIFY_FIRST = [
     "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
     "q_tpch_q7_shape", "q_tpch_q8_shape", "q_tpch_q18_shape",
     "q_dedup_survivors", "q_agg_salted", "q_deep_join_chain",
-    "q_pricing_summary", "q_token_budget_mix", "q_corpus_shuffle",
-    # (The 7 remaining r4 greens — q_pii_scrub, q_chunk_documents,
+    "q_pricing_summary", "q_token_budget_mix",
+    # (The 8 remaining r4 greens — q_corpus_shuffle, q_pii_scrub, q_chunk_documents,
     # q_chunk_dedup, q_monthly_gap_fill, q_zscore_outliers,
     # q_fixed_histogram, q_boilerplate_scrub — plus all 41 r5 greens
     # (TPC-H waves 2-3, fuzzy, ANN, sketches, streaming-twin batch forms)
-    # rotate through the round-8 window: 48 entries, fits the 50 cap.)
+    # rotate through the round-8 window: 49 entries, fits the 50 cap.)
 ]
 
 
@@ -51,7 +52,7 @@ def all_queries():
     50-entry verification window rotates over not-yet-checked queries."""
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -61,6 +62,7 @@ def all_queries():
     merged.update(corpus_ts.QUERIES)
     merged.update(corpus_r5.QUERIES)
     merged.update(corpus_r6.QUERIES)
+    merged.update(corpus_r7.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -71,7 +73,7 @@ def all_queries():
 def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -81,6 +83,7 @@ def all_oracles():
     merged.update(corpus_ts.ORACLE_SQL)
     merged.update(corpus_r5.ORACLE_SQL)
     merged.update(corpus_r6.ORACLE_SQL)
+    merged.update(corpus_r7.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -89,7 +92,7 @@ def all_oracles():
 def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     return (
@@ -100,6 +103,7 @@ def rows_only_queries():
         | set(corpus_ts.ROWS_ONLY_QUERIES)
         | set(corpus_r5.ROWS_ONLY_QUERIES)
         | set(corpus_r6.ROWS_ONLY_QUERIES)
+        | set(corpus_r7.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

@@ -370,3 +370,63 @@ def test_scorer_seam_plan_has_no_exchange(spark, sf_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+# ------------------------------------------------------------- bm25
+
+
+def test_bm25_topk_ranking_and_values(spark):
+    """Hand-checkable BM25: docs with more query-term mass rank higher,
+    score matches the reference formula (same ln), zero-hit docs are
+    excluded, ties break by ascending id."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),   # tf(spark)=3, dl=4
+            (2, "spark engine"),                # tf=1, dl=2
+            (3, "nothing relevant here"),       # tf=0 -> excluded
+            (4, "spark engine"),                # identical to 2 -> tie, id asc
+            (5, None),                          # null text -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2, 4]
+    k1, b = 1.2, 0.75
+    n, sdl = 4.0, 4 + 2 + 3 + 2  # null-text row dropped from stats
+    avgdl = sdl / n
+    dfq = 3.0
+    idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    def score(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    got = {r.doc_id: r.bm25 for r in out}
+    assert got[1] == pytest.approx(score(3.0, 4.0), rel=1e-15)
+    assert got[2] == got[4] == pytest.approx(score(1.0, 2.0), rel=1e-15)
+
+    # validation
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="distinct"):
+        text.bm25_topk(docs, ["a", "a"])
+
+    # empty corpus: empty result, stable schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out0 = text.bm25_topk(empty, ["spark"])
+    assert out0.columns == ["doc_id", "bm25"] and out0.count() == 0
+
+
+def test_bm25_topk_plan_is_map_plus_topk(spark):
+    """The scoring pass must be a pure map into TakeOrderedAndProject:
+    no join (idf is a driver-computed literal), no Exchange beyond the
+    top-k machinery."""
+    docs = spark.createDataFrame(
+        [(i, "spark engine row") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        text.bm25_topk(docs, ["spark", "engine"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("Join", "CartesianProduct", "Window"):
+        assert bad not in plan, plan
