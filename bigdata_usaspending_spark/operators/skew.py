@@ -67,12 +67,25 @@ def salted_join(
     chose). Cost: the other side shuffles ``replication``x — use when a
     hot-key histogram (value_counts) shows AQE's split threshold won't
     catch the skew, e.g. stream-static joins where AQE doesn't apply.
+
+    The join strategy is pinned to sort-merge via a ``merge`` hint on the
+    replicated side. Left to the planner, small inputs pick
+    BroadcastHashJoin of the REPLICATED side — the one strategy that is
+    never right here: it ships and hash-builds ``replication``x the rows a
+    broadcast of the bare ``other`` would (if ``other`` fit in a broadcast
+    you would broadcast it unsalted and skip this operator entirely), and
+    it removes the (key, salt) shuffle that is the operator's whole
+    purpose. Measured at sf0.1: broadcast 2.3-3.4 s, shuffle-hash 1.2 s,
+    sort-merge 0.95 s per fresh execution. Sort-merge also holds at scale:
+    per-partition build memory stays bounded by the sort spill path, where
+    a shuffled-hash build of a hot partition is the OOM case salting is
+    deployed to avoid.
     """
     salts = F.array(*[F.lit(i).cast("int") for i in range(replication)])
     skewed_s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(row_id)), F.lit(replication)).cast("int")
     )
-    other_s = other.withColumn("_salt", F.explode(salts))
+    other_s = other.withColumn("_salt", F.explode(salts)).hint("merge")
     out = skewed_s.join(other_s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
 

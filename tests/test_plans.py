@@ -367,3 +367,17 @@ def test_round6_query_plan_shapes(spark, sf):
     # no window over the fact side
     plan = _plan(corpus_r6.q_skew_profile(spark, sf))
     assert "Window" not in plan
+
+
+def test_salted_join_never_broadcasts_replicated_side(spark, sf):
+    """The round-7 q_join_salted root-cause pin: left unhinted, the planner
+    broadcast the 8x-REPLICATED orders side (shipping and hash-building 8x
+    the rows a bare-orders broadcast would, and deleting the (key, salt)
+    shuffle the operator exists to create — measured 2.3x slower than
+    sort-merge at sf0.1). salted_join pins a merge hint; the executed plan
+    must show a SortMergeJoin on (key, salt) and no broadcast join."""
+    plan = _plan(corpus_more.q_join_salted(spark, sf))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the salted key pair is the join condition
+    assert "_salt" in plan
