@@ -910,3 +910,79 @@ def test_stream_cms_monitor_null_tokens_and_shard_independence(spark, tmp_path):
     assert None not in got
     assert got["a"] >= 2 and got["b"] >= 1
     q.stop()
+
+
+def test_stream_cms_monitor_agrees_with_batch_build(spark, tmp_path):
+    """Batch-agreement twin (the contract every other streaming job pins):
+    the streaming monitor's FINAL estimate per token must be BIT-EQUAL to a
+    batch operators/sketches.cms_build over the same token multiset
+    restricted to that token's shard — same CountMinSketch kernel, same
+    JVM-side xxhash64 pair, disjoint shards, so the matrices must match
+    counter-for-counter. Run at a width num_shards divides (4 | 256), the
+    adversarial multiple the independent shard hash exists for. Estimates
+    only grow across micro-batches, so the final value is the per-token max
+    over the update-mode emissions."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators import sketches
+
+    width, depth, num_shards = 1 << 8, 3, 4
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(60)]
+    toks1 = [(vocab[i],) for i in rng.integers(0, 60, size=400)]
+    toks2 = [(vocab[i],) for i in rng.integers(0, 60, size=300)]
+    path = str(tmp_path / "toks3")
+    spark.createDataFrame(toks1, "token string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(toks2, "token string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = spark.readStream.schema("token string").parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_cms_monitor(
+            stream, width=width, depth=depth, num_shards=num_shards
+        ),
+        "cms_stream3",
+        output_mode="update",
+    )
+    streamed: dict = {}
+    for r in spark.table("cms_stream3").collect():
+        streamed[r.token] = max(streamed.get(r.token, 0), r.est_count)
+    q.stop()
+
+    batch = spark.read.parquet(path)
+    sharded = batch.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(F.col("token"), F.lit(2)), F.lit(num_shards)).cast(
+            "int"
+        ),
+    )
+    expected: dict = {}
+    for s in range(num_shards):
+        shard_df = sharded.filter(F.col("_shard") == s).select("token")
+        toks = [r.token for r in shard_df.distinct().collect()]
+        if not toks:
+            continue
+        sk = sketches.cms_build(shard_df, "token", width=width, depth=depth)
+        h1, h2 = sketches._hash_cols("token")
+        hpdf = (
+            spark.createDataFrame([(t,) for t in toks], "token string")
+            .select(F.col("token"), h1.alias("h1"), h2.alias("h2"))
+            .toPandas()
+        )
+        est = sk.estimate(
+            hpdf["h1"].to_numpy(dtype=np.int64),
+            hpdf["h2"].to_numpy(dtype=np.int64),
+        )
+        for t, e in zip(hpdf["token"], est):
+            expected[t] = int(e)
+
+    assert set(streamed) == set(expected)
+    for t in expected:
+        assert streamed[t] == expected[t], (
+            f"stream/batch CMS disagree on {t}: {streamed[t]} != {expected[t]}"
+        )
