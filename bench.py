@@ -71,6 +71,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    flaky: list[str] = []
     for name, fn in all_queries().items():
         best = None
         for i in range(runs):
@@ -80,10 +81,17 @@ def main() -> int:
                 n = df.count()
                 assert n >= 0
             except Exception as exc:  # noqa: BLE001 — record failures as -1
-                print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
-                best = -1.0
+                print(f"BENCH ERROR {name} (run {i}): {exc}", file=sys.stderr)
                 if i == 0:
                     cold[name] = -1.0
+                # A later-run failure must not clobber a successful earlier
+                # timing (ADVICE r7): keep the best valid measurement and
+                # record the flake separately so official and cold maps
+                # never contradict each other.
+                if best is None:
+                    best = -1.0
+                else:
+                    flaky.append(name)
                 break
             t = round(time.perf_counter() - start, 4)
             if i == 0:
@@ -100,6 +108,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "flaky_queries": flaky,
         "runs_per_query": runs,
         "harness_wall_sec": round(time.perf_counter() - wall_start, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

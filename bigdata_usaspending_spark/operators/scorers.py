@@ -221,8 +221,15 @@ class VocabCommonnessScorer(TextScorer):
         return cls(vocab=vocab, total=sum(vocab.values()))
 
     def save(self, path: str) -> None:
-        """Persist the fitted histogram as the JSON artifact load() reads."""
+        """Persist the fitted histogram as the JSON artifact load() reads.
+
+        A vocab_path-constructed instance materializes its histogram first
+        (ADVICE r7: silently writing {"total": null, "vocab": null} would
+        produce a corrupt artifact that only fails at score time)."""
         import json
+
+        if self._vocab is None:
+            self.load()
 
         with open(path, "w") as fh:
             json.dump({"total": self._total, "vocab": self._vocab}, fh)
@@ -285,6 +292,10 @@ class KenLMQualityScorer(TextScorer):
         self._model = kenlm.Model(self.model_path)
 
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        # Lazy-load contract (ADVICE r7): callers outside apply_text_scorer
+        # get load()'s descriptive ImportError, not an AttributeError.
+        if self._model is None:
+            self.load()
         logs, ppls = [], []
         for t in texts:
             if not isinstance(t, str) or not t:
