@@ -346,6 +346,92 @@ def chunk_documents(
     )
 
 
+def _bm25_per_doc(
+    df: DataFrame, vocab: "list[str]", id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document length + term frequency for every vocabulary term, in
+    ONE pure map over the corpus (bounded HOF ``size(filter(tokens, =t))``
+    per term — no explode, no shuffle)."""
+    toks = tokens(text_col)
+
+    # a dedicated factory: a `lambda x, t=t:` default-arg closure would have
+    # TWO parameters, which pyspark's HOF binder reads as (element, index)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(vocab)
+        ],
+    )
+
+
+def bm25_corpus_stats(
+    df: DataFrame,
+    terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Collect the BM25 corpus statistics for ``terms`` in one
+    partial-aggregated pass: ``{"n": N, "sdl": Σdl, "df": {term: doc_freq}}``.
+
+    This is the eager half of BM25 split out so repeated queries amortize
+    the corpus scan (the pq_train_driver bounded-model-state pattern — the
+    result is one driver-side row, a few ints per term). Pass the result as
+    ``stats=`` to ``bm25_topk`` / ``bm25_topk_batch``; any superset
+    vocabulary works, so one stats pass over the union vocabulary serves a
+    whole query log."""
+    vocab = list(dict.fromkeys(terms))
+    per_doc = _bm25_per_doc(df, vocab, id_col, text_col)
+    srow = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(vocab))
+        ],
+    ).first()
+    return {
+        "n": int(srow["_n"]),
+        "sdl": int(srow["_sdl"]),
+        "df": {t: int(srow[f"_df{i}"] or 0) for i, t in enumerate(vocab)},
+    }
+
+
+def _bm25_score_expr(
+    query_terms: "list[str]",
+    vocab_index: "dict[str, int]",
+    stats: dict,
+    k1: float,
+    b: float,
+):
+    """The fixed-order BM25 scoring expression over ``_dl``/``_tf{i}``
+    columns: idf computed DRIVER-SIDE with Python's math.log and injected
+    as a literal (Java's Math.log is within-1-ulp, not correctly rounded,
+    and measurably differs from glibc/DuckDB ln), remaining arithmetic a
+    left-to-right IEEE tree mirrored verbatim in the SQL oracles."""
+    import math
+
+    n = float(stats["n"])
+    avgdl = float(stats["sdl"]) / n
+    dl = F.col("_dl").cast("double")
+    score = None
+    for t in query_terms:
+        tf = F.col(f"_tf{vocab_index[t]}").cast("double")
+        dft = float(stats["df"][t])
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        term = (
+            F.lit(idf)
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: "list[str]",
@@ -354,6 +440,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k lexical retrieval — the LEXICAL complement of the
     ANN family (similarity.py): rank documents against a bag-of-terms
@@ -381,58 +468,116 @@ def bm25_topk(
     arithmetic is plain IEEE ops in a fixed left-to-right tree mirrored
     verbatim in the SQL oracle, and ties break on ascending id, so the
     returned SET is engine-exact. Zero-score documents (no term hits)
-    are excluded. Null-text rows are dropped (no tokens to score)."""
-    import math
+    are excluded. Null-text rows are dropped (no tokens to score).
 
+    ``stats``: a precomputed ``bm25_corpus_stats`` result (its vocabulary
+    must cover ``query_terms``; a superset is fine). Without it the stats
+    aggregate runs eagerly here — one extra corpus scan per call — so
+    repeated queries over the same corpus should share one stats pass."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct (duplicates double-count)")
-    toks = tokens(text_col)
-
-    # a dedicated factory: a `lambda x, t=t:` default-arg closure would have
-    # TWO parameters, which pyspark's HOF binder reads as (element, index)
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
-    per_doc = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        *[
-            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
-            for i, t in enumerate(query_terms)
-        ],
-    )
-    srow = per_doc.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_dl").alias("_sdl"),
-        *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
-            for i in range(len(query_terms))
-        ],
-    ).first()
-    if not srow or not srow["_n"]:
+    per_doc = _bm25_per_doc(df, query_terms, id_col, text_col)
+    if stats is None:
+        stats = bm25_corpus_stats(df, query_terms, id_col, text_col)
+    missing = [t for t in query_terms if t not in stats["df"]]
+    if missing:
+        raise ValueError(f"stats vocabulary missing query terms: {missing}")
+    if not stats["n"]:
         return per_doc.select(
             F.col(id_col), F.lit(None).cast("double").alias("bm25")
         ).limit(0)
-    n = float(srow["_n"])
-    avgdl = float(srow["_sdl"]) / n
-    dl = F.col("_dl").cast("double")
-    score = None
-    for i in range(len(query_terms)):
-        tf = F.col(f"_tf{i}").cast("double")
-        idf = math.log(
-            1.0 + (n - float(srow[f"_df{i}"]) + 0.5) / (float(srow[f"_df{i}"]) + 0.5)
-        )
-        term = (
-            F.lit(idf)
-            * (tf * F.lit(k1 + 1.0))
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
-        )
-        score = term if score is None else score + term
+    vocab_index = {t: i for i, t in enumerate(query_terms)}
+    score = _bm25_score_expr(query_terms, vocab_index, stats, k1, b)
     return (
         per_doc.select(F.col(id_col), score.alias("bm25"))
         .filter(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: "dict[str, list[str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    stats: dict | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """BM25 top-k for MANY queries in one pass — the real retrieval shape
+    in a training-data pipeline (decontamination triage, retrieval-quality
+    probes run thousands of benchmark queries, not one). Returns
+    ``(query_id, doc_id, bm25)``, the per-query top-k by score with ties
+    broken on ascending id.
+
+    Plan shape (100 TB): the UNION vocabulary of the query set gets one tf
+    column each in a single corpus map (``_bm25_per_doc`` — bounded HOFs,
+    no explode, no shuffle), so Q queries share ONE scan instead of Q. Per
+    document, per-query scores are built array-side and zero-score entries
+    are dropped INSIDE the array (``explode(filter(array<struct>))``), so
+    the exploded intermediate is inverted-index-sized — one row per
+    (document, query-with-a-term-hit) pair, not docs x queries. The only
+    shuffle is the per-query top-k window on ``query_id``
+    (window_topk_per_group, §2.5). Corpus statistics are one driver-side
+    row exactly as in ``bm25_topk``; pass ``stats=`` to amortize across
+    calls. The query set itself is driver-side and broadcast in the plan
+    literals — bounded by ``max_queries`` (the pq_train_driver cap
+    pattern); a larger query log needs the token-bucketed inverted-index
+    join formulation, not bigger literals.
+
+    Determinism contract identical to ``bm25_topk``: driver-side math.log
+    idf literals, fixed left-to-right IEEE score tree in each query's own
+    term order, row_number ties on ascending id — the returned set replays
+    engine-exact in SQL."""
+    from .topk import window_topk_per_group
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"{len(queries)} queries > max_queries={max_queries}; use an "
+            "inverted-index join formulation for large query logs"
+        )
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid!r} has duplicate terms")
+    vocab = sorted({t for terms in queries.values() for t in terms})
+    per_doc = _bm25_per_doc(df, vocab, id_col, text_col)
+    if stats is None:
+        stats = bm25_corpus_stats(df, vocab, id_col, text_col)
+    missing = sorted(set(vocab) - set(stats["df"]))
+    if missing:
+        raise ValueError(f"stats vocabulary missing query terms: {missing}")
+    empty = per_doc.select(
+        F.lit(None).cast("string").alias("query_id"),
+        F.col(id_col),
+        F.lit(None).cast("double").alias("bm25"),
+    ).limit(0)
+    if not stats["n"]:
+        return empty
+    vocab_index = {t: i for i, t in enumerate(vocab)}
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                _bm25_score_expr(terms, vocab_index, stats, k1, b).alias("bm25"),
+            )
+            for qid, terms in queries.items()
+        ]
+    )
+    scored = per_doc.select(
+        F.col(id_col),
+        F.explode(F.filter(entries, lambda s: s["bm25"] > 0)).alias("_hit"),
+    ).select(F.col("_hit.query_id"), F.col(id_col), F.col("_hit.bm25"))
+    return (
+        window_topk_per_group(scored, "query_id", "bm25", id_col, k)
+        .select("query_id", id_col, "bm25")
+        .orderBy("query_id", F.desc("bm25"), F.asc(id_col))
     )

@@ -13,36 +13,32 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-7 window (VERDICT r6 #1 + ADVICE window-policy finding):
-    # (a) every never-driver-checked query FIRST — the five round-6 late
-    # additions plus this round's two new queries:
-    "q_decontaminate_semantic", "q_drift_psi", "q_quota_mix",
-    "q_split_grouped", "q_contamination_report",
-    "q_commonness_scorer", "q_contamination_report_ngram",
-    "q_bm25_topk",
-    # (b) the oldest-ledger block: last driver row r3
-    "q_text_commonness", "q_text_repetition", "q_doc_fingerprint",
-    "q_ann_quantized",
-    # (c) the oldest r4 greens — join family, window family, cube/sets,
-    # TPC-H wave 1, scalar/sampling block, ETL/serving composites — so
-    # every registry query's driver row is <= 2 rounds old by end of r8:
-    "q_dedup_clusters", "q_ann_ivf_topk", "q_ann_ivf_refined",
-    "q_join_left", "q_join_semi", "q_join_anti", "q_join_full",
-    "q_cube_two_keys", "q_grouping_sets", "q_set_intersect", "q_set_except",
-    "q_window_lag_delta", "q_window_moving_sum", "q_flagship_etl",
-    "q_dashboard_sankey", "q_ml_prepare", "q_asof_attribution",
-    "q_join_salted", "q_pivot_priority_by_month", "q_grouped_median",
-    "q_scalar_functions", "q_hash_sample", "q_stratified_sample",
-    "q_unpivot_monthly", "q_having", "q_window_ntile", "q_range_join_tiers",
-    "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
-    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_tpch_q18_shape",
-    "q_dedup_survivors", "q_agg_salted", "q_deep_join_chain",
-    "q_pricing_summary", "q_token_budget_mix",
-    # (The 8 remaining r4 greens — q_corpus_shuffle, q_pii_scrub, q_chunk_documents,
-    # q_chunk_dedup, q_monthly_gap_fill, q_zscore_outliers,
-    # q_fixed_histogram, q_boilerplate_scrub — plus all 41 r5 greens
-    # (TPC-H waves 2-3, fuzzy, ANN, sketches, streaming-twin batch forms)
-    # rotate through the round-8 window: 49 entries, fits the 50 cap.)
+    # Round-8 window — the FINAL ledger rotation (VERDICT r7 #1): after
+    # this round every registry query has a driver row <= 2 rounds old.
+    # (a) never-driver-checked queries FIRST — this round's two additions:
+    "q_bm25_batch", "q_lm_perplexity",
+    # (b) the 8 remaining r4 greens:
+    "q_corpus_shuffle", "q_pii_scrub", "q_chunk_documents", "q_chunk_dedup",
+    "q_monthly_gap_fill", "q_zscore_outliers", "q_fixed_histogram",
+    "q_boilerplate_scrub",
+    # (c) 40 of the 41 r5 greens — TPC-H waves 2-3, fuzzy, ANN, sketch
+    # audits, streaming-twin batch forms:
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_incremental",
+    "q_ann_rp_lsh", "q_ann_pq_topk", "q_sessionize", "q_session_window",
+    "q_dashboard_payload", "q_tpch_q6_shape", "q_multimodal_bytes",
+    "q_temperature_mix", "q_mad_outliers", "q_ewma_monthly",
+    "q_quantile_summary", "q_fuzzy_name_pairs", "q_fuzzy_name_pairs_k2",
+    "q_hll_distinct", "q_orders_open_by_month", "q_window_rank_family",
+    "q_string_agg_per_nation", "q_repeated_passages", "q_heavy_hitter_tokens",
+    "q_scd2_customer_segment", "q_passage_scrub", "q_knn_join",
+    "q_ann_ivf_knn_join", "q_hll_intersection", "q_consistent_sample",
+    "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q10_shape",
+    "q_tpch_q11_shape", "q_tpch_q13_shape", "q_tpch_q14_shape",
+    "q_tpch_q15_shape", "q_tpch_q16_shape", "q_tpch_q17_shape",
+    "q_tpch_q19_shape", "q_tpch_q20_shape", "q_tpch_q22_shape",
+    # (q_tpch_q21_shape is the one r5 green past the 50 cap; it carries
+    # the round-7 judge's independent re-run (VERDICT r7: 12/12 sample,
+    # q21 green) and leads the round-9 rotation.)
 ]
 
 
@@ -52,7 +48,7 @@ def all_queries():
     50-entry verification window rotates over not-yet-checked queries."""
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -63,6 +59,7 @@ def all_queries():
     merged.update(corpus_r5.QUERIES)
     merged.update(corpus_r6.QUERIES)
     merged.update(corpus_r7.QUERIES)
+    merged.update(corpus_r8.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -73,7 +70,7 @@ def all_queries():
 def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -84,6 +81,7 @@ def all_oracles():
     merged.update(corpus_r5.ORACLE_SQL)
     merged.update(corpus_r6.ORACLE_SQL)
     merged.update(corpus_r7.ORACLE_SQL)
+    merged.update(corpus_r8.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -92,7 +90,7 @@ def all_oracles():
 def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     return (
@@ -104,6 +102,7 @@ def rows_only_queries():
         | set(corpus_r5.ROWS_ONLY_QUERIES)
         | set(corpus_r6.ROWS_ONLY_QUERIES)
         | set(corpus_r7.ROWS_ONLY_QUERIES)
+        | set(corpus_r8.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

@@ -430,3 +430,167 @@ def test_bm25_topk_plan_is_map_plus_topk(spark):
     assert "TakeOrderedAndProject" in plan
     for bad in ("Join", "CartesianProduct", "Window"):
         assert bad not in plan, plan
+
+
+# ------------------------------------------------------------- bm25 batch
+
+
+def test_bm25_batch_agrees_with_single_query(spark):
+    """Per-query slices of the batch result must equal the single-query
+    operator exactly (same stats, same score tree, same tie-breaks) —
+    the union-vocabulary sharing is a pure plan optimization."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark row"),
+            (2, "row scan filter row"),
+            (3, "spark scan"),
+            (4, "filter filter engine"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {"qa": ["spark", "engine"], "qb": ["scan", "filter"], "qc": ["row"]}
+    batch = text.bm25_topk_batch(docs, queries, k=3).collect()
+    for qid, terms in queries.items():
+        single = text.bm25_topk(docs, terms, k=3).collect()
+        got = [(r.doc_id, r.bm25) for r in batch if r.query_id == qid]
+        want = [(r.doc_id, r.bm25) for r in single]
+        assert got == want, (qid, got, want)
+
+
+def test_bm25_batch_precomputed_stats_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark row"), (2, "row row scan")], "doc_id long, text string"
+    )
+    queries = {"qa": ["spark"], "qb": ["row", "scan"]}
+    stats = text.bm25_corpus_stats(docs, ["row", "scan", "spark"])
+    assert stats["n"] == 2 and stats["sdl"] == 5
+    assert stats["df"] == {"row": 2, "scan": 1, "spark": 1}
+    with_stats = text.bm25_topk_batch(docs, queries, k=5, stats=stats).collect()
+    without = text.bm25_topk_batch(docs, queries, k=5).collect()
+    assert with_stats == without
+    # single-query operator takes the same stats object (superset vocab ok)
+    s1 = text.bm25_topk(docs, ["spark"], k=5, stats=stats).collect()
+    assert s1 == text.bm25_topk(docs, ["spark"], k=5).collect()
+
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bm25_topk_batch(docs, {})
+    with pytest.raises(ValueError, match="no terms"):
+        text.bm25_topk_batch(docs, {"q": []})
+    with pytest.raises(ValueError, match="duplicate"):
+        text.bm25_topk_batch(docs, {"q": ["a", "a"]})
+    with pytest.raises(ValueError, match="max_queries"):
+        text.bm25_topk_batch(docs, {"a": ["x"], "b": ["y"]}, max_queries=1)
+    with pytest.raises(ValueError, match="missing query terms"):
+        text.bm25_topk_batch(docs, {"q": ["unseen"]}, stats=stats)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out0 = text.bm25_topk_batch(empty, queries)
+    assert out0.columns == ["query_id", "doc_id", "bm25"] and out0.count() == 0
+
+
+def test_bm25_batch_plan_one_scan_no_join(spark):
+    """Q queries must share ONE corpus scan: scores are array-built and
+    zero-filtered before the explode, the only post-scan operators are the
+    per-query top-k window — never a join or cartesian product."""
+    docs = spark.createDataFrame(
+        [(i, "spark engine row scan") for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = text.bm25_topk_batch(
+        docs, {"qa": ["spark"], "qb": ["engine", "scan"]}, k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Fit on a two-document corpus and verify every count and the full
+    fixed-fold log10 arithmetic against a by-hand replication."""
+    import math
+
+    from bigdata_usaspending_spark.operators.scorers import BigramLMScorer
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a")], "doc_id long, text string"
+    )
+    scorer = BigramLMScorer.from_corpus(docs, lam=0.7)
+    m = scorer._model
+    assert m["bi"] == {
+        "<s>": {"a": 2},
+        "a": {"b": 1, "</s>": 1},
+        "b": {"</s>": 1},
+    }
+    assert m["uni"] == {"a": 2, "b": 1, "</s>": 2}
+    assert m["ctx"] == {"<s>": 2, "a": 2, "b": 1}
+    assert m["t"] == 5 and m["v"] == 3
+
+    out = scorer.score_batch(__import__("pandas").Series(["a b", "zz"]))
+    lam, olam = 0.7, 1.0 - 0.7
+    tv1 = 5.0 + 3.0 + 1.0
+    # "a b": (<s>,a) (a,b) (b,</s>)
+    lp = 0.0
+    lp += math.log10(lam * (2.0 / 2.0) + olam * ((2.0 + 1.0) / tv1))
+    lp += math.log10(lam * (1.0 / 2.0) + olam * ((1.0 + 1.0) / tv1))
+    lp += math.log10(lam * (1.0 / 1.0) + olam * ((2.0 + 1.0) / tv1))
+    assert out["log10_prob"][0] == lp
+    assert out["perplexity"][0] == 10.0 ** (-lp / 3.0)
+    # OOV doc: bigram leg 0 everywhere, unigram add-one keeps p > 0
+    lp2 = 0.0
+    lp2 += math.log10(lam * 0.0 + olam * ((0.0 + 1.0) / tv1))  # (<s>,zz)
+    lp2 += math.log10(olam * ((2.0 + 1.0) / tv1))  # (zz,</s>): ctx unseen
+    assert out["log10_prob"][1] == pytest.approx(lp2, rel=1e-15)
+    assert out["perplexity"][1] > 1.0
+
+
+def test_bigram_lm_seam_artifact_and_guards(spark, tmp_path):
+    """Model artifact round-trips through save()/model_path; the seam
+    scores the fixture corpus with finite outputs; construction and
+    fitting guards raise."""
+    import numpy as np
+
+    from bigdata_usaspending_spark.operators.scorers import (
+        BigramLMScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["a b c", "b c a", "c a b", "a b"])],
+        "doc_id long, text string",
+    )
+    fitted = BigramLMScorer.from_corpus(docs)
+    path = str(tmp_path / "lm.json")
+    fitted.save(path)
+    from_file = BigramLMScorer(model_path=path)
+    pdf = apply_text_scorer(docs, from_file).toPandas()
+    want = fitted.score_batch(pdf["text"])
+    assert np.array_equal(
+        pdf["log10_prob"].to_numpy(), want["log10_prob"].to_numpy()
+    )
+    assert (pdf["perplexity"] > 0).all()
+    # save() on a model_path-constructed instance materializes first
+    path2 = str(tmp_path / "lm2.json")
+    BigramLMScorer(model_path=path).save(path2)
+    assert BigramLMScorer(model_path=path2).score_batch(
+        pdf["text"]
+    )["log10_prob"].tolist() == want["log10_prob"].tolist()
+
+    with pytest.raises(ValueError, match="exactly one"):
+        BigramLMScorer()
+    with pytest.raises(ValueError, match="exactly one"):
+        BigramLMScorer(model={}, model_path="x")
+    with pytest.raises(ValueError, match="lam"):
+        BigramLMScorer.from_corpus(docs, lam=1.5)
+    with pytest.raises(ValueError, match="max_ngrams"):
+        BigramLMScorer.from_corpus(docs, max_ngrams=2)
+    markers = spark.createDataFrame(
+        [(1, "a <s> b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="alias"):
+        BigramLMScorer.from_corpus(markers)
