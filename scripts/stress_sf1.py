@@ -329,6 +329,61 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["training_pipeline_v2"] = timed("training_pipeline_v2", tp_v2)
 
+    def bm25():
+        from bigdata_usaspending_spark.operators import text as _text
+
+        return _text.bm25_topk(
+            docs.select("doc_id", "text"),
+            ["merge", "window", "stream", "hash"], k=25,
+        )
+
+    out["bm25_topk"] = timed("bm25_topk", bm25)
+
+    def bm25_batch():
+        from bigdata_usaspending_spark.operators import text as _text
+        from bigdata_usaspending_spark.plans.corpus_r8 import _BM25_BATCH
+
+        return _text.bm25_topk_batch(
+            docs.select("doc_id", "text"), _BM25_BATCH, k=10
+        )
+
+    out["bm25_batch"] = timed("bm25_batch", bm25_batch)
+
+    def lm():
+        from bigdata_usaspending_spark.operators.scorers import (
+            BigramLMScorer,
+            apply_text_scorer,
+        )
+
+        scorer = BigramLMScorer.from_corpus(docs)  # fit included
+        return apply_text_scorer(
+            docs.filter(F.col("text").isNotNull()), scorer
+        ).select("doc_id", "log10_prob", "perplexity")
+
+    out["lm_perplexity"] = timed("lm_perplexity", lm)
+
+    def cc():
+        # q_dedup_clusters' exact shape: 3-gram Jaccard pairs -> hybrid
+        # propagation+contraction CC; rounds printed so the O(log^2 n)
+        # claim is measured, not asserted (VERDICT r7 #6)
+        from bigdata_usaspending_spark.plans.corpus_ext import (
+            JACCARD_THRESHOLD,
+        )
+
+        stats: dict = {}
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=JACCARD_THRESHOLD
+        )
+        # the iterative rounds run eagerly inside this call (convergence
+        # probing) — stats is complete when it returns
+        res = dedup.connected_components(
+            pairs, out_col="doc_id", num_partitions=4, stats=stats
+        )
+        print(f"  (cc rounds: {stats.get('rounds')})", flush=True)
+        return res
+
+    out["dedup_clusters_cc"] = timed("dedup_clusters_cc", cc)
+
     out["hll_distinct"] = timed(
         "hll_distinct",
         lambda: hll_distinct_audit(
