@@ -581,3 +581,112 @@ def bm25_topk_batch(
         .select("query_id", id_col, "bm25")
         .orderBy("query_id", F.desc("bm25"), F.asc(id_col))
     )
+
+
+def bm25_topk_inverted(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 for an UNBOUNDED query log — the fully distributed complement
+    of ``bm25_topk_batch``'s broadcast formulation (the scale path its
+    ``max_queries`` cap points to). Queries arrive as a DataFrame
+    ``(query_id, terms array<string>)`` and flow through joins: nothing
+    about the query set rides the driver or the plan literals, so a
+    million-query retrieval probe is the same plan as a ten-query one.
+
+    Plan shape (100 TB):
+    1. **Postings build** — corpus tokens exploded, SEMI-JOINED to the
+       distinct query vocabulary BEFORE the tf aggregate (only queried
+       terms are ever grouped; Catalyst/AQE broadcasts the vocabulary when
+       it is small), then one groupBy -> ``(doc, term, tf)``: the classic
+       inverted index, partitioned by term.
+    2. **Stats** — doc lengths (map), one 1-row corpus aggregate (the only
+       driver collect), per-term document frequencies straight off the
+       postings (they are unique per (doc, term)).
+    3. **Retrieval join** — exploded ``(query, term)`` pairs ⋈ postings on
+       term: shuffle volume = postings for queried terms only. A stopword
+       queried by everything is a skew key — scrub stopwords from queries
+       upstream or let AQE skew-split carry it.
+    4. **Score** — per-(query, doc) sum of term contributions via a
+       sort_array fold (DETERMINISTIC double fold order — a plain SUM
+       would float-drift run to run), then the per-query top-k window.
+
+    idf is computed ENGINE-SIDE here (``F.log`` — Java's Math.log, within
+    1 ulp of, but not always equal to, the libm ln that ``bm25_topk`` /
+    ``bm25_topk_batch`` inject driver-side). This operator is therefore
+    pytest-pinned against the batch formulation (relative agreement), not
+    value-hash oracle-pinned; prefer the batch form when the query set is
+    bounded and bit-exactness matters."""
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("_term"),
+    )
+    vocab = qterms.select("_term").distinct()
+    toks_df = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    dls = toks_df.select(F.col(id_col), F.size("_toks").alias("_dl"))
+    srow = dls.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("_sdl"),
+    ).first()
+    empty = dls.select(
+        F.lit(None).cast(queries.schema[query_id_col].dataType).alias(
+            "query_id"
+        ),
+        F.col(id_col),
+        F.lit(None).cast("double").alias("bm25"),
+    ).limit(0)
+    if not srow["_n"]:
+        return empty
+    n = float(srow["_n"])
+    avgdl = float(srow["_sdl"]) / n
+    postings = (
+        toks_df.select(F.col(id_col), F.explode("_toks").alias("_term"))
+        .join(vocab, "_term", "semi")
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    term_df = postings.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    dfd = F.col("_df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(n) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    tf = F.col("_tf").cast("double")
+    dl = F.col("_dl").cast("double")
+    contrib = (
+        idf
+        * (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+    )
+    scored = (
+        qterms.join(postings, "_term")
+        .join(term_df, "_term")
+        .join(dls, id_col)
+        .select("_qid", id_col, "_term", contrib.alias("_s"))
+    )
+    per_pair = scored.groupBy("_qid", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_term", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"],
+        ).alias("bm25")
+    )
+    from .topk import window_topk_per_group
+
+    return (
+        window_topk_per_group(
+            per_pair.withColumnRenamed("_qid", "query_id"),
+            "query_id",
+            "bm25",
+            id_col,
+            k,
+        )
+        .select("query_id", id_col, "bm25")
+        .orderBy("query_id", F.desc("bm25"), F.asc(id_col))
+    )

@@ -594,3 +594,67 @@ def test_bigram_lm_seam_artifact_and_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="alias"):
         BigramLMScorer.from_corpus(markers)
+
+
+def test_bm25_inverted_agrees_with_batch(spark):
+    """The inverted-index formulation must retrieve the same (query, doc)
+    pairs with the same scores (to float-ulp: its idf is JVM Math.log,
+    the batch form's is a driver libm literal) as the broadcast batch
+    operator — same stats basis, same saturation arithmetic."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark row"),
+            (2, "row scan filter row"),
+            (3, "spark scan"),
+            (4, "filter filter engine"),
+            (5, "nothing here"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    qmap = {"qa": ["spark", "engine"], "qb": ["scan", "filter"], "qc": ["row"]}
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qmap.items()],
+        "query_id string, terms array<string>",
+    )
+    want = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in text.bm25_topk_batch(docs, qmap, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in text.bm25_topk_inverted(docs, qdf, k=10).collect()
+    }
+    assert set(got) == set(want)
+    for key, score in got.items():
+        assert score == pytest.approx(want[key], rel=1e-12), key
+
+    # empty corpus and empty query log both yield empty, stable schema
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out0 = text.bm25_topk_inverted(empty_docs, qdf)
+    assert out0.columns == ["query_id", "doc_id", "bm25"] and out0.count() == 0
+    empty_q = spark.createDataFrame([], "query_id string, terms array<string>")
+    assert text.bm25_topk_inverted(docs, empty_q).count() == 0
+
+
+def test_bm25_inverted_plan_semi_joins_vocab_no_cartesian(spark):
+    """The postings build must restrict to the query vocabulary via a
+    semi-join before the tf aggregate, and nothing in the plan may be a
+    cartesian product; the final double fold is sort_array-ordered
+    (deterministic), not a bare float SUM."""
+    docs = spark.createDataFrame(
+        [(i, "spark engine row scan") for i in range(40)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("qa", ["spark"]), ("qb", ["engine", "scan"])],
+        "query_id string, terms array<string>",
+    )
+    df = text.bm25_topk_inverted(docs, qdf, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # the physical-plan string elides long expressions; the deterministic
+    # fold is visible in the optimized logical plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "sort_array" in opt
