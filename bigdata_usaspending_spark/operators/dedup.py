@@ -922,8 +922,23 @@ def connected_components(
     round.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Symmetrize with ONE explode per pair row, not union(e, e.reversed):
+    # the union's two branches each re-evaluate the upstream pair plan
+    # during the checkpoint materialization below, and the pair input is
+    # typically the EXPENSIVE half (a near-dup candidate join) — measured
+    # 2x the whole workload's cost on the q_dedup_clusters shape.
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .dropDuplicates(["src", "dst"])
     )
     if num_partitions is not None:

@@ -362,23 +362,36 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["lm_perplexity"] = timed("lm_perplexity", lm)
 
-    def cc():
-        # q_dedup_clusters' exact shape: 3-gram Jaccard pairs -> hybrid
-        # propagation+contraction CC; rounds printed so the O(log^2 n)
-        # claim is measured, not asserted (VERDICT r7 #6)
-        from bigdata_usaspending_spark.plans.corpus_ext import (
-            JACCARD_THRESHOLD,
-        )
+    # q_dedup_clusters' exact shape: 3-gram Jaccard pairs -> hybrid
+    # propagation+contraction CC; rounds and INPUT PAIR VOLUME printed so
+    # the O(log^2 n) claim is measured, not asserted (VERDICT r7 #6).
+    # NB: the dup-pair GRAPH is the output of near-dup detection and this
+    # build makes the corpus 10x near-dup-BEARING on purpose (each doc
+    # gains a ~10-clique of perturbed copies), so edges grow ~1000x when
+    # docs grow 10x — the doc-scale exponent for this row is graph-bound;
+    # normalize against the printed edge counts (fuzzy_pairs_k2 precedent).
+    from bigdata_usaspending_spark.plans.corpus_ext import JACCARD_THRESHOLD
 
+    n_pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=JACCARD_THRESHOLD
+    ).count()
+    print(f"  (cc input pairs at this scale: {n_pairs})", flush=True)
+
+    def cc():
         stats: dict = {}
         pairs = dedup.ngram_jaccard_pairs(
             docs, "doc_id", threshold=JACCARD_THRESHOLD
         )
+        # per-round shuffles sized to the PAIR volume (operator docstring)
+        # — fixed tiny partitioning at 1000x the edges starves the rounds
+        res = dedup.connected_components(
+            pairs,
+            out_col="doc_id",
+            num_partitions=max(4, n_pairs // 50_000),
+            stats=stats,
+        )
         # the iterative rounds run eagerly inside this call (convergence
         # probing) — stats is complete when it returns
-        res = dedup.connected_components(
-            pairs, out_col="doc_id", num_partitions=4, stats=stats
-        )
         print(f"  (cc rounds: {stats.get('rounds')})", flush=True)
         return res
 
