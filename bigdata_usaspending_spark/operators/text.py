@@ -548,13 +548,50 @@ def bm25_topk_batch(
             raise ValueError(f"query {qid!r} has no terms")
         if len(set(terms)) != len(terms):
             raise ValueError(f"query {qid!r} has duplicate terms")
-    vocab = sorted({t for terms in queries.values() for t in terms})
-    per_doc = _bm25_per_doc(df, vocab, id_col, text_col)
     if stats is None:
+        vocab = sorted({t for terms in queries.values() for t in terms})
         stats = bm25_corpus_stats(df, vocab, id_col, text_col)
+    scored = bm25_score_hits(
+        df, queries, stats, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    return (
+        window_topk_per_group(scored, "query_id", "bm25", id_col, k)
+        .select("query_id", id_col, "bm25")
+        .orderBy("query_id", F.desc("bm25"), F.asc(id_col))
+    )
+
+
+def bm25_score_hits(
+    df: DataFrame,
+    queries: "dict[str, list[str]]",
+    stats: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The stateless scoring half of ``bm25_topk_batch``: one pure map
+    over documents emitting ``(query_id, id, bm25)`` for every
+    (document, query) pair with a positive score — the inverted-index-
+    sized hit set, before any ranking. No shuffle, no aggregation, no
+    driver work: with ``stats`` frozen (from ``bm25_corpus_stats`` over a
+    reference corpus) this runs unchanged inside Structured Streaming as
+    the per-microbatch retrieval-hit stage (``streaming.jobs.
+    stream_bm25_score``), exactly the way apply_text_scorer's seam rides
+    a stream. Batch callers normally want ``bm25_topk_batch``, which adds
+    the per-query top-k window on top of this."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid!r} has duplicate terms")
+    vocab = sorted({t for terms in queries.values() for t in terms})
     missing = sorted(set(vocab) - set(stats["df"]))
     if missing:
         raise ValueError(f"stats vocabulary missing query terms: {missing}")
+    per_doc = _bm25_per_doc(df, vocab, id_col, text_col)
     empty = per_doc.select(
         F.lit(None).cast("string").alias("query_id"),
         F.col(id_col),
@@ -572,15 +609,10 @@ def bm25_topk_batch(
             for qid, terms in queries.items()
         ]
     )
-    scored = per_doc.select(
+    return per_doc.select(
         F.col(id_col),
         F.explode(F.filter(entries, lambda s: s["bm25"] > 0)).alias("_hit"),
     ).select(F.col("_hit.query_id"), F.col(id_col), F.col("_hit.bm25"))
-    return (
-        window_topk_per_group(scored, "query_id", "bm25", id_col, k)
-        .select("query_id", id_col, "bm25")
-        .orderBy("query_id", F.desc("bm25"), F.asc(id_col))
-    )
 
 
 def bm25_topk_inverted(

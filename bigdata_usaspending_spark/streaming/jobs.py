@@ -983,6 +983,47 @@ def stream_decontaminate(
     return query
 
 
+def stream_bm25_score(
+    docs: DataFrame,
+    queries: "dict[str, list[str]]",
+    stats: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Streaming BM25 retrieval hits: score a DOCUMENT STREAM against a
+    frozen query set — the ingest-time retrieval monitor (which incoming
+    documents hit which decontamination-triage / quality-probe queries,
+    and how hard). The streaming member of the BM25 family
+    (operators/text.bm25_topk / bm25_topk_batch / bm25_topk_inverted).
+
+    ``stats`` MUST be precomputed over a reference corpus
+    (text.bm25_corpus_stats) and is frozen for the stream's lifetime —
+    idf/avgdl are properties of the reference distribution, exactly like
+    the fitted vocabulary/model artifacts the scorer seam freezes; there
+    is deliberately no stats-drift inside the stream (recompute stats and
+    restart to re-baseline, the same contract as a model refresh).
+
+    Emits one row per (document, query-with-a-term-hit): a stateless pure
+    map (bounded HOF tf columns + literal score arithmetic + array-side
+    zero filter), so it needs no watermark, no state store, and no
+    shuffle — append-mode safe at any stream volume. Global top-k over
+    the unbounded stream is a different operator (stream_running_topk);
+    compose downstream if ranks are needed."""
+    from ..operators.text import bm25_score_hits
+
+    if not stats.get("n"):
+        raise ValueError(
+            "stats must come from a non-empty reference corpus "
+            "(text.bm25_corpus_stats); the batch form's empty-corpus "
+            "result has no streaming equivalent"
+        )
+    return bm25_score_hits(
+        docs, queries, stats, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink (test harness)."""
     query = (

@@ -986,3 +986,45 @@ def test_stream_cms_monitor_agrees_with_batch_build(spark, tmp_path):
         assert streamed[t] == expected[t], (
             f"stream/batch CMS disagree on {t}: {streamed[t]} != {expected[t]}"
         )
+
+
+def test_stream_bm25_score_matches_batch_hits(spark, tmp_path):
+    """The streaming BM25 hit stage must emit exactly the batch scoring
+    map's rows (same frozen stats -> bit-identical scores): a stateless
+    pure map, so append mode needs no watermark or state."""
+    from bigdata_usaspending_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark row"),
+            (2, "row scan filter row"),
+            (3, "spark scan"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {"qa": ["spark", "engine"], "qb": ["scan", "filter"]}
+    stats = tx.bm25_corpus_stats(docs, ["engine", "filter", "scan", "spark"])
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_bm25_score(stream, queries, stats),
+        "bm25_stream",
+        output_mode="append",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in spark.table("bm25_stream").collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in tx.bm25_score_hits(docs, queries, stats).collect()
+    }
+    assert got == want and len(want) > 0
+    q.stop()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty reference corpus"):
+        jobs.stream_bm25_score(stream, queries, {"n": 0, "sdl": 0, "df": {}})
