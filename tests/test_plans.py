@@ -381,3 +381,27 @@ def test_salted_join_never_broadcasts_replicated_side(spark, sf):
     assert "BroadcastHashJoin" not in plan
     # the salted key pair is the join condition
     assert "_salt" in plan
+
+
+def test_round8_query_plan_shapes(spark, sf):
+    """Plan pins for the round-8 additions: the scale properties their
+    docstrings claim must be visible in the executed plans."""
+    from bigdata_usaspending_spark.plans import corpus_r8
+
+    # batch BM25: Q queries share ONE parquet scan (union-vocab tf
+    # columns), scores are array-built — never a join; the only shuffles
+    # are the per-query top-k window machinery; the scan reads only
+    # (doc_id, text)
+    plan = _plan(corpus_r8.q_bm25_batch(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+    # LM perplexity: fit happens before plan construction (bounded model
+    # state), so the SCORING plan is one Arrow map over one scan — no
+    # shuffle, no join
+    plan = _plan(corpus_r8.q_lm_perplexity(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
