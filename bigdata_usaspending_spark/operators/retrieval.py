@@ -1,0 +1,88 @@
+"""Hybrid-retrieval fusion operators.
+
+A production corpus pipeline retrieves with BOTH a lexical scorer
+(operators/text.bm25_*) and a vector scorer (operators/similarity ANN
+family), then fuses the two ranked lists — rank fusion is how
+decontamination triage and retrieval-quality probes stay robust when one
+modality misses (paraphrases defeat BM25, rare named entities defeat
+embeddings). This module holds the fusion step; the per-modality top-k
+operators it consumes are the ones already oracle-checked.
+
+Reciprocal-rank fusion (RRF) is the standard score-free method: each
+candidate earns Σ_lists 1/(rrf_k + rank) over the lists it appears in
+(rank 1-based per list; rrf_k=60 the conventional constant). Using RANKS
+instead of raw scores sidesteps cross-modality score calibration
+entirely — the reason RRF wins in practice.
+
+Determinism contract (oracle-readiness): ranks are exact ints from
+row_number over (score DESC, id ASC); each contribution is ONE IEEE
+divide of exact operands; the per-candidate sum folds in LIST-INDEX
+order via sort_array + aggregate, so results replay exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Fuse bounded top-k retrieval lists by reciprocal rank. Returns
+    ``(id_col, rrf, n_lists)`` — fused score plus how many lists the
+    candidate appeared in (the coverage signal) — top-k by fused score,
+    ties on ascending id.
+
+    Each input must be a BOUNDED list (the top-k output of an upstream
+    retriever — TakeOrderedAndProject / window top-k), with ``id_col``
+    and ``score_col`` (higher = better; per-list ties break on ascending
+    id, mirroring the retrievers' own contract). Ranks are assigned with
+    a GLOBAL row_number window, which is single-partition by design:
+    fusing unbounded frames is a misuse — rank lists first.
+
+    100-TB shape: the expensive work (corpus-scale retrieval) happens
+    upstream in the per-modality operators; fusion touches only
+    O(Σ list lengths) rows — driver-free, one k-bounded aggregation.
+    For per-query fusion over a batch retrieval (query_id column), apply
+    the same construction partitioned by query_id."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    branches = []
+    for li, r in enumerate(rankings):
+        missing = {id_col, score_col} - set(r.columns)
+        if missing:
+            raise ValueError(f"ranking {li} lacks columns: {sorted(missing)}")
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        branches.append(
+            r.select(id_col, score_col)
+            .withColumn("_rank", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                F.lit(li).alias("_list"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(rrf_k)) + F.col("_rank").cast("double"))
+                ).alias("_c"),
+            )
+        )
+    contribs = reduce(DataFrame.unionByName, branches)
+    fused = contribs.groupBy(id_col).agg(
+        # fold contributions in list-index order — deterministic double
+        # sum regardless of task scheduling (the engine-wide contract)
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_list", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)

@@ -1,0 +1,80 @@
+"""Tests for hybrid-retrieval fusion (operators/retrieval)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_usaspending_spark.operators.retrieval import rrf_fuse
+
+
+def test_rrf_hand_computed(spark):
+    """Two 3-item lists with one shared candidate: fused scores match the
+    textbook formula exactly, coverage counts are right, shared candidate
+    wins."""
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 4.0)], "doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (5, 0.7)], "doc_id long, score double"
+    )
+    out = {r.doc_id: (r.rrf, r.n_lists) for r in rrf_fuse([lex, vec], k=10).collect()}
+    def c(rank):
+        return 1.0 / (60.0 + float(rank))
+    assert out[2] == (c(2) + c(1), 2)          # in both lists
+    assert out[1] == (c(1), 1)
+    assert out[4] == (c(2), 1)
+    assert out[5] == (c(3), 1)
+    assert out[3] == (c(3), 1)
+    top = rrf_fuse([lex, vec], k=1).collect()
+    assert top[0].doc_id == 2                   # coverage beats any single rank
+
+
+def test_rrf_ties_and_validation(spark):
+    """Per-list score ties rank by ascending id (the retriever contract);
+    fused-score ties order by ascending id; bad inputs raise."""
+    a = spark.createDataFrame([(7, 1.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(9, 2.0), (8, 1.0)], "doc_id long, score double")
+    rows = rrf_fuse([a, b], k=10).collect()
+    got = {r.doc_id: r.rrf for r in rows}
+    # tie in list a: doc 3 ranks 1, doc 7 ranks 2
+    assert got[3] == 1.0 / 61.0 and got[7] == 1.0 / 62.0
+    # docs 3 and 9 tie on fused score -> ascending id order in output
+    ordered = [r.doc_id for r in rows]
+    assert ordered.index(3) < ordered.index(9)
+
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([a])
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([a, b], rrf_k=0)
+    bad = spark.createDataFrame([(1, 1.0)], "doc_id long, other double")
+    with pytest.raises(ValueError, match="lacks columns"):
+        rrf_fuse([a, bad])
+
+
+def test_rrf_fuses_real_lexical_and_vector_lists(spark, sf_small):
+    """End-to-end hybrid retrieval over the fixture tables: BM25 top-k on
+    documents fused with brute-force cosine top-k on embeddings (ids
+    aligned by construction in the fixtures). The fused list contains
+    only candidates from the two lists and is capped at k."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import similarity, text
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    lex = text.bm25_topk(docs, ["merge", "window"], k=10).select(
+        F.col("doc_id"), F.col("bm25").alias("score")
+    )
+    emb = load(spark, sf_small, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+    fused = rrf_fuse([lex, vec], k=15).collect()
+    assert 0 < len(fused) <= 15
+    cand = {r.doc_id for r in lex.collect()} | {r.doc_id for r in vec.collect()}
+    assert {r.doc_id for r in fused} <= cand
+    assert all(r.n_lists in (1, 2) for r in fused)
+    # descending fused score
+    scores = [r.rrf for r in fused]
+    assert scores == sorted(scores, reverse=True)

@@ -1028,3 +1028,45 @@ def test_stream_bm25_score_matches_batch_hits(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-empty reference corpus"):
         jobs.stream_bm25_score(stream, queries, {"n": 0, "sdl": 0, "df": {}})
+
+
+def test_stream_lm_scorer_via_model_artifact(spark, tmp_path):
+    """The bigram LM rides the scorer seam on a STREAM through its JSON
+    model artifact — the production shape: fit offline, persist, load
+    executor-side per task, score micro-batches statelessly. Scores must
+    match the batch path bit-for-bit."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        BigramLMScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a"), (3, "c a b"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    model_path = str(tmp_path / "lm.json")
+    BigramLMScorer.from_corpus(docs).save(model_path)
+    scorer = BigramLMScorer(model_path=model_path)
+
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        apply_text_scorer(stream, scorer).select(
+            "doc_id", "log10_prob", "perplexity"
+        ),
+        "lm_stream",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.log10_prob, r.perplexity)
+        for r in spark.table("lm_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.log10_prob, r.perplexity)
+        for r in apply_text_scorer(
+            docs, BigramLMScorer(model_path=model_path)
+        ).select("doc_id", "log10_prob", "perplexity").collect()
+    }
+    assert got == want and len(got) == 4
+    q.stop()
