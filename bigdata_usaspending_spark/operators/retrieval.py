@@ -86,3 +86,66 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("int").alias("n_lists"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse_grouped(
+    rankings: "list[DataFrame]",
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Per-group reciprocal-rank fusion: fuse BATCH retrievals (e.g.
+    ``text.bm25_topk_batch`` output against a per-query
+    ``similarity.knn_join`` output) query by query, in one pass over all
+    queries. Same arithmetic and determinism contract as ``rrf_fuse``;
+    ranks and the final top-k are per ``group_col``, so the windows
+    partition by group (distributed — no single-partition window) and
+    the output is ``(group_col, id_col, rrf, n_lists)`` capped at k rows
+    per group, ordered by fused score with ties on ascending id.
+
+    100-TB shape: inputs are per-group bounded lists, so every stage is
+    O(groups x k) rows; the shuffles key on ``group_col`` — the same
+    partitioning the upstream batch retrievers already produced."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse_grouped needs at least two ranked lists")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    branches = []
+    for li, r in enumerate(rankings):
+        missing = {group_col, id_col, score_col} - set(r.columns)
+        if missing:
+            raise ValueError(f"ranking {li} lacks columns: {sorted(missing)}")
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        branches.append(
+            r.select(group_col, id_col, score_col)
+            .withColumn("_rank", F.row_number().over(w))
+            .select(
+                F.col(group_col),
+                F.col(id_col),
+                F.lit(li).alias("_list"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(rrf_k)) + F.col("_rank").cast("double"))
+                ).alias("_c"),
+            )
+        )
+    contribs = reduce(DataFrame.unionByName, branches)
+    fused = contribs.groupBy(group_col, id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_list", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w_out = Window.partitionBy(group_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("_rn", F.row_number().over(w_out))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(group_col, F.desc("rrf"), F.asc(id_col))
+    )

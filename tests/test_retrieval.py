@@ -78,3 +78,68 @@ def test_rrf_fuses_real_lexical_and_vector_lists(spark, sf_small):
     # descending fused score
     scores = [r.rrf for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_grouped_matches_per_group_fusion(spark):
+    """Per-group fusion must equal running rrf_fuse independently on each
+    group's slices — one distributed pass, same arithmetic."""
+    from bigdata_usaspending_spark.operators.retrieval import rrf_fuse_grouped
+
+    lex = spark.createDataFrame(
+        [("qa", 1, 9.0), ("qa", 2, 5.0), ("qb", 2, 7.0), ("qb", 3, 6.0)],
+        "query_id string, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [("qa", 2, 0.9), ("qa", 4, 0.8), ("qb", 3, 0.5), ("qb", 5, 0.4)],
+        "query_id string, doc_id long, score double",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rrf, r.n_lists)
+        for r in rrf_fuse_grouped([lex, vec], k=10).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {}
+    for qid in ("qa", "qb"):
+        per = rrf_fuse(
+            [
+                lex.filter(F.col("query_id") == qid).drop("query_id"),
+                vec.filter(F.col("query_id") == qid).drop("query_id"),
+            ],
+            k=10,
+        )
+        for r in per.collect():
+            want[(qid, r.doc_id)] = (r.rrf, r.n_lists)
+    assert got == want
+    # shared candidates fused with coverage 2
+    assert got[("qa", 2)][1] == 2 and got[("qb", 3)][1] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        rrf_fuse_grouped([lex])
+    with _pytest.raises(ValueError, match="lacks columns"):
+        rrf_fuse_grouped([lex, vec.drop("score")])
+
+
+def test_rrf_grouped_plan_partitions_by_group(spark):
+    """The grouped fusion must never use a single-partition window: every
+    Window in the plan partitions by the group key."""
+    from bigdata_usaspending_spark.operators.retrieval import rrf_fuse_grouped
+
+    lex = spark.createDataFrame(
+        [("qa", i, float(i)) for i in range(20)],
+        "query_id string, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [("qa", i, float(20 - i)) for i in range(20)],
+        "query_id string, doc_id long, score double",
+    )
+    df = rrf_fuse_grouped([lex, vec], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert windows, plan
+    for spec in windows:
+        assert "query_id" in spec, (spec, plan)
