@@ -143,3 +143,73 @@ def test_rrf_grouped_plan_partitions_by_group(spark):
     assert windows, plan
     for spec in windows:
         assert "query_id" in spec, (spec, plan)
+
+
+def test_rrf_hybrid_replays_exactly_in_duckdb(spark, sf_small):
+    """Pre-validation of the round-9 q_hybrid_rrf oracle contract: fusing
+    the BM25 top-k (oracle-exact lexical list) with the brute-force
+    cosine top-k (oracle-exact vector list) must replay BIT-FOR-BIT in a
+    self-contained DuckDB statement — int ranks, one IEEE divide per
+    contribution, list-index-ordered fold."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        ORACLE_SQL as EXT_ORACLES,
+        q_embedding_cosine_topk,
+    )
+    from bigdata_usaspending_spark.plans.corpus_r7 import (
+        ORACLE_SQL as R7_ORACLES,
+        q_bm25_topk,
+    )
+
+    lex = q_bm25_topk(spark, sf_small).select(
+        "doc_id", F.col("bm25").alias("score")
+    )
+    vec = q_embedding_cosine_topk(spark, sf_small).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    got = [
+        (r.doc_id, r.rrf, r.n_lists)
+        for r in rrf_fuse([lex, vec], k=15).collect()
+    ]
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    sql = f"""
+        WITH lex AS (
+            SELECT doc_id, bm25 AS score FROM ({R7_ORACLES["q_bm25_topk"]})
+        ),
+        vec AS (
+            SELECT vec_id AS doc_id, cosine AS score
+            FROM ({EXT_ORACLES["q_embedding_cosine_topk"]})
+        ),
+        lexr AS (
+            SELECT doc_id, 0 AS l,
+                   1.0 / (60.0 + CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS c
+            FROM lex
+        ),
+        vecr AS (
+            SELECT doc_id, 1 AS l,
+                   1.0 / (60.0 + CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS c
+            FROM vec
+        ),
+        contribs AS (SELECT * FROM lexr UNION ALL SELECT * FROM vecr),
+        fused AS (
+            SELECT doc_id,
+                   list_reduce(list(c ORDER BY l), (a, b) -> a + b) AS rrf,
+                   CAST(COUNT(*) AS INTEGER) AS n_lists
+            FROM contribs GROUP BY doc_id
+        )
+        SELECT doc_id, rrf, n_lists FROM fused
+        ORDER BY rrf DESC, doc_id ASC LIMIT 15
+    """
+    want = [(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()]
+    assert got == want and len(got) == 15
