@@ -349,6 +349,20 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
 
     out["bm25_batch"] = timed("bm25_batch", bm25_batch)
 
+    def bm25_inverted():
+        from bigdata_usaspending_spark.operators import text as _text
+        from bigdata_usaspending_spark.plans.corpus_r8 import _BM25_BATCH
+
+        qdf = spark.createDataFrame(
+            [(qid, terms) for qid, terms in _BM25_BATCH.items()],
+            "query_id string, terms array<string>",
+        )
+        return _text.bm25_topk_inverted(
+            docs.select("doc_id", "text"), qdf, k=10
+        )
+
+    out["bm25_inverted"] = timed("bm25_inverted", bm25_inverted)
+
     def lm():
         from bigdata_usaspending_spark.operators.scorers import (
             BigramLMScorer,
