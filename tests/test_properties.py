@@ -462,3 +462,78 @@ def test_cosine_pairs_blocked_matches_naive_reference(
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+@given(
+    docs=st.lists(texts, min_size=1, max_size=8),
+    terms=st.lists(words, min_size=1, max_size=3, unique=True),
+)
+@SLOW
+def test_bm25_matches_python_reference(spark, docs, terms):
+    """bm25_topk == a from-scratch Python Okapi BM25 (Lucene idf) over
+    random corpora: same hit set, bit-identical scores (both sides do
+    exact-int stats + libm ln + a fixed left-to-right double tree)."""
+    from bigdata_usaspending_spark.operators.text import bm25_topk
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=100).collect()}
+
+    # independent reference (spark_tokens replica is pinned elsewhere)
+    toks = {i: t.lower().strip(" ").split(" ") if t else [""] for i, t in rows}
+    # NB: "a b".split(" ") on our generated texts (single spaces) matches
+    # the JVM split; empty text tokenizes to [""] exactly like split does
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, tk in toks.items():
+        score = 0.0
+        for term in terms:
+            tf = float(tk.count(term))
+            dfreq = float(sum(1 for v in toks.values() if term in v))
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            score += (
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * len(tk) / avgdl))
+            )
+        if score > 0:
+            want[i] = score
+    assert got == want
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_a=st.integers(1, 10),
+    n_b=st.integers(1, 10),
+)
+@SLOW
+def test_rrf_invariant_under_monotone_score_transform(spark, seed, n_a, n_b):
+    """RRF depends only on RANKS: applying a strictly increasing transform
+    to either list's scores must leave the fused output IDENTICAL (exact
+    doubles, not approx) — the calibration-free property that justifies
+    rank fusion over score mixing."""
+    import random
+
+    from bigdata_usaspending_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(seed)
+    ids_a = rng.sample(range(100), n_a)
+    ids_b = rng.sample(range(100), n_b)
+    a = spark.createDataFrame(
+        [(i, rng.uniform(-5, 5)) for i in ids_a], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(i, rng.uniform(0, 1)) for i in ids_b], "doc_id long, score double"
+    )
+    base = [
+        (r.doc_id, r.rrf, r.n_lists) for r in rrf_fuse([a, b], k=50).collect()
+    ]
+    a2 = a.withColumn("score", F.exp(F.col("score")) * 3.0 + 7.0)
+    b2 = b.withColumn("score", F.pow(F.col("score"), 3) - 100.0)
+    transformed = [
+        (r.doc_id, r.rrf, r.n_lists)
+        for r in rrf_fuse([a2, b2], k=50).collect()
+    ]
+    assert base == transformed
