@@ -540,8 +540,9 @@ def bm25_topk_batch(
         raise ValueError("queries must be non-empty")
     if len(queries) > max_queries:
         raise ValueError(
-            f"{len(queries)} queries > max_queries={max_queries}; use an "
-            "inverted-index join formulation for large query logs"
+            f"{len(queries)} queries > max_queries={max_queries}; use "
+            "bm25_topk_inverted (postings-join formulation) for large "
+            "query logs"
         )
     for qid, terms in queries.items():
         if not terms:
