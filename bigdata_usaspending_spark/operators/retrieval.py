@@ -149,3 +149,38 @@ def rrf_fuse_grouped(
         .drop("_rn")
         .orderBy(group_col, F.desc("rrf"), F.asc(id_col))
     )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    scorer,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    query_col: str = "query_text",
+    text_col: str = "text",
+    rank_col: str = "rerank",
+    k: int = 10,
+) -> DataFrame:
+    """Stage three of the retrieval stack: retrieve (BM25/ANN) -> fuse
+    (rrf_fuse) -> RERANK. Re-score each (query, document) candidate pair
+    with a ``scorers.PairScorer`` (one Arrow map — the expensive model
+    touches only O(queries x k) candidate rows, never the corpus), then
+    keep the per-query top-k by the scorer's ``rank_col``, ties on
+    ascending id. Input must carry the query text and document text
+    alongside the ids (join them on before calling — candidates are
+    k-bounded, so that join is broadcast-sized)."""
+    from .scorers import apply_pair_scorer
+
+    scored = apply_pair_scorer(candidates, scorer, query_col, text_col)
+    if rank_col not in scored.columns:
+        raise ValueError(
+            f"scorer output lacks rank_col {rank_col!r}; got "
+            f"{scorer.output_schema!r}"
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc(rank_col), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(group_col, F.desc(rank_col), F.asc(id_col))
+    )

@@ -498,6 +498,147 @@ class KenLMQualityScorer(TextScorer):
         )
 
 
+class PairScorer:
+    """Interface for pairwise (query, document) scorers — the RERANK
+    seam. Retrieval produces candidates cheaply (BM25 / ANN / RRF over
+    the whole corpus); reranking re-scores only the candidate pairs with
+    a more expensive model (production: a cross-encoder). Contract
+    mirrors ``TextScorer``: ``output_schema`` (DDL fragment), lazy
+    idempotent ``load()`` once per task, vectorized ``score_pairs``
+    returning one row per input pair in order."""
+
+    output_schema: str = ""
+
+    def load(self) -> None:  # pragma: no cover - default no-op
+        """One-time per-task init hook (model loading)."""
+
+    def score_pairs(
+        self, queries: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
+        """Return one row per (query, text) pair, columns matching
+        output_schema, positionally aligned (index is ignored)."""
+        raise NotImplementedError
+
+
+def apply_pair_scorer(
+    df: DataFrame,
+    scorer: PairScorer,
+    query_col: str = "query_text",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every (query, document) row with ``scorer`` in one
+    Arrow-batched mapInPandas pass — the rerank twin of
+    ``apply_text_scorer``, with the identical 100-TB shape: a pure map
+    over candidate partitions, ZERO shuffles, model memory per
+    executor-worker, all input columns preserved. Candidates are
+    top-k-bounded upstream, so this pass touches O(queries x k) rows no
+    matter how big the corpus was."""
+    out_fields = list(StructType.fromDDL(scorer.output_schema).fields)
+    clash = {f.name for f in out_fields} & set(df.columns)
+    if clash:
+        raise ValueError(f"scorer output collides with input columns: {clash}")
+    schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in df.schema.fields]
+        + out_fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loaded = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not loaded:
+                scorer.load()
+                loaded = True
+            scores = scorer.score_pairs(pdf[query_col], pdf[text_col])
+            if len(scores) != len(pdf):
+                raise ValueError(
+                    f"scorer returned {len(scores)} rows for a "
+                    f"{len(pdf)}-row batch"
+                )
+            yield pd.concat(
+                [pdf.reset_index(drop=True), scores.reset_index(drop=True)],
+                axis=1,
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+class TokenOverlapPairScorer(PairScorer):
+    """Default reranker: query-term coverage — the fraction of the
+    query's DISTINCT tokens present in the document,
+    ``|distinct_tokens(q) ∩ tokens(d)| / |distinct_tokens(q)|``. The
+    LM-free cross-encoder stand-in: exact int counts with one final
+    double division (tokenization via ``spark_tokens``), so it replays
+    bit-for-bit in SQL —
+
+        size(array_intersect(array_distinct(tokens(q)), tokens(d)))
+          / size(array_distinct(tokens(q)))
+
+    — which is what the agreement test pins. Null/non-string on either
+    side scores null."""
+
+    output_schema = "rerank double"
+
+    def score_pairs(
+        self, queries: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
+        out = []
+        for q, t in zip(queries, texts):
+            if not isinstance(q, str) or not isinstance(t, str):
+                out.append(None)
+                continue
+            qtoks = list(dict.fromkeys(spark_tokens(q)))
+            dtoks = set(spark_tokens(t))
+            hits = sum(1 for tok in qtoks if tok in dtoks)
+            out.append(float(hits) / float(len(qtoks)))
+        return pd.DataFrame({"rerank": pd.Series(out, dtype="float64")})
+
+
+class CrossEncoderPairScorer(PairScorer):
+    """Real-model rerank slot: a sentence-transformers CrossEncoder
+    scoring (query, document) pairs through the identical seam. The
+    sentence_transformers package is not in this container, so
+    ``load()`` raises a descriptive ImportError; construction and
+    plumbing are real, mirroring FastTextLangIdScorer's contract."""
+
+    output_schema = "rerank double"
+
+    def __init__(self, model_path: str, batch_size: int = 32):
+        self.model_path = model_path
+        self.batch_size = batch_size
+        self._model = None
+
+    def load(self) -> None:
+        if self._model is not None:
+            return
+        try:
+            from sentence_transformers import (  # type: ignore[import-not-found]
+                CrossEncoder,
+            )
+        except ImportError as exc:
+            raise ImportError(
+                "CrossEncoderPairScorer needs the 'sentence_transformers' "
+                f"package and a model at {self.model_path}; install it or "
+                "use TokenOverlapPairScorer"
+            ) from exc
+        self._model = CrossEncoder(self.model_path)
+
+    def score_pairs(
+        self, queries: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
+        if self._model is None:
+            self.load()
+        pairs = [
+            (q if isinstance(q, str) else "", t if isinstance(t, str) else "")
+            for q, t in zip(queries, texts)
+        ]
+        preds = self._model.predict(pairs, batch_size=self.batch_size)
+        return pd.DataFrame(
+            {"rerank": pd.Series([float(p) for p in preds], dtype="float64")}
+        )
+
+
 class FastTextLangIdScorer(TextScorer):
     """Real-model language ID through the same seam: fastText lid.176.bin
     (or compatible). The model loads executor-side at ``load()`` — the

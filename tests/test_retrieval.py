@@ -213,3 +213,92 @@ def test_rrf_hybrid_replays_exactly_in_duckdb(spark, sf_small):
     """
     want = [(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()]
     assert got == want and len(got) == 15
+
+
+def test_token_overlap_pair_scorer_pinned_to_sql(spark):
+    """The default reranker must agree bit-for-bit with its SQL form:
+    size(array_intersect(array_distinct(tokens(q)), tokens(d))) /
+    size(array_distinct(tokens(q))) — so the seam's default stays
+    oracle-checkable like the text-scorer defaults."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.scorers import (
+        TokenOverlapPairScorer,
+        apply_pair_scorer,
+    )
+    from bigdata_usaspending_spark.operators.text import tokens
+
+    pairs = spark.createDataFrame(
+        [
+            ("q1", 1, "spark merge join", "the merge join in spark"),
+            ("q1", 2, "spark merge join", "nothing relevant"),
+            ("q2", 3, "window  window stream", "stream window ops"),
+            ("q2", 4, "window stream", None),
+            ("q2", 5, None, "text"),
+        ],
+        "query_id string, doc_id long, query_text string, text string",
+    )
+    got = {
+        r.doc_id: r.rerank
+        for r in apply_pair_scorer(pairs, TokenOverlapPairScorer()).collect()
+    }
+    qtoks = F.array_distinct(tokens("query_text"))
+    want = {
+        r.doc_id: r.rerank
+        for r in pairs.select(
+            "doc_id",
+            (
+                F.size(F.array_intersect(qtoks, tokens("text"))).cast("double")
+                / F.size(qtoks).cast("double")
+            ).alias("rerank"),
+        ).collect()
+    }
+    # SQL yields null for null inputs via size(null) = null arithmetic?
+    # size() on null returns -1 under legacy, null under ANSI; normalize:
+    want = {k: (v if v is not None and v >= 0 else None) for k, v in want.items()}
+    assert got == want
+    assert got[1] == 1.0 and got[2] == 0.0
+    assert got[4] is None and got[5] is None
+
+
+def test_rerank_topk_end_to_end_and_guards(spark):
+    """Full third-stage flow: fused candidates + texts -> pair scorer ->
+    per-query top-k by rerank score; plan is one Arrow map + one window
+    (no join, no corpus access)."""
+    from bigdata_usaspending_spark.operators.retrieval import rerank_topk
+    from bigdata_usaspending_spark.operators.scorers import (
+        CrossEncoderPairScorer,
+        TokenOverlapPairScorer,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            ("qa", 1, "merge join", "merge join here"),
+            ("qa", 2, "merge join", "join only"),
+            ("qa", 3, "merge join", "unrelated"),
+            ("qb", 1, "stream window", "window stream"),
+            ("qb", 4, "stream window", "stream"),
+        ],
+        "query_id string, doc_id long, query_text string, text string",
+    )
+    out = rerank_topk(cands, TokenOverlapPairScorer(), k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.rerank))
+    assert by_q["qa"] == [(1, 1.0), (2, 0.5)]
+    assert by_q["qb"] == [(1, 1.0), (4, 0.5)]
+
+    plan = rerank_topk(cands, TokenOverlapPairScorer(), k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Join" not in plan
+
+    import pytest as _pytest
+
+    class _NoRank(TokenOverlapPairScorer):
+        output_schema = "other double"
+
+    with _pytest.raises(ValueError, match="rank_col"):
+        rerank_topk(cands, _NoRank(), k=2)
+    # real-model slot: plumbing constructs, load() raises descriptively
+    stub = CrossEncoderPairScorer("/models/ce.bin")
+    with _pytest.raises(ImportError, match="sentence_transformers"):
+        stub.load()
