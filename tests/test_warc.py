@@ -1,0 +1,111 @@
+"""Tests for the WARC source (sources/warc)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from bigdata_usaspending_spark.sources import warc as W
+
+
+def _record(rtype: str, rid: str, uri: str | None, payload: bytes) -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+    ]
+    if uri:
+        headers.append(b"WARC-Target-URI: " + uri.encode())
+    headers.append(b"Content-Type: application/http; msgtype=response")
+    headers.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+HTTP1 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello warc world"
+HTTP2 = b"HTTP/1.1 200 OK\r\n\r\nsecond page body"
+INFO = b"software: test-crawler 1.0\r\n"
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", "<urn:uuid:0>", None, INFO)
+        + _record("response", "<urn:uuid:1>", "http://a.example/", HTTP1)
+        + _record("response", "<urn:uuid:2>", "http://b.example/", HTTP2)
+    )
+
+
+def test_iter_warc_records_and_strictness():
+    recs = list(W.iter_warc_records(_warc_bytes()))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "response", "response",
+    ]
+    assert recs[1][1] == HTTP1 and recs[2][1] == HTTP2
+    assert recs[1][0]["warc-target-uri"] == "http://a.example/"
+
+    with pytest.raises(ValueError, match="version line"):
+        list(W.iter_warc_records(b"NOT-WARC\r\n\r\n"))
+    truncated = _record("response", "<urn:uuid:9>", "http://x/", HTTP1)[:-20]
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.iter_warc_records(truncated))
+    noclen = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(W.iter_warc_records(noclen))
+
+
+def test_gunzip_members_roundtrip():
+    members = b"".join(
+        gzip.compress(_record("response", f"<urn:uuid:{i}>", "http://x/", HTTP2))
+        for i in range(3)
+    )
+    data = W.gunzip_members(members)
+    assert len(list(W.iter_warc_records(data))) == 3
+    with pytest.raises(ValueError, match="non-gzip"):
+        W.gunzip_members(gzip.compress(b"x") + b"JUNK")
+
+
+def test_read_warc_plain_and_gz(spark, tmp_path):
+    """One row per record across a plain shard and a member-gzipped
+    shard; payload bytes round-trip exactly; file-level parallelism."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "shard0.warc").write_bytes(_warc_bytes())
+    (d / "shard1.warc.gz").write_bytes(
+        b"".join(
+            gzip.compress(r)
+            for r in (
+                _record("warcinfo", "<urn:uuid:g0>", None, INFO),
+                _record("response", "<urn:uuid:g1>", "http://c.example/", HTTP1),
+            )
+        )
+    )
+    df = W.read_warc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 5
+    by_id = {r.warc_record_id: r for r in rows}
+    assert bytes(by_id["<urn:uuid:1>"].payload) == HTTP1
+    assert bytes(by_id["<urn:uuid:g1>"].payload) == HTTP1
+    assert by_id["<urn:uuid:g1>"].source_file.endswith("shard1.warc.gz")
+    assert by_id["<urn:uuid:2>"].content_length == len(HTTP2)
+    # the parse is a pure map: no exchange in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_warc_responses_to_documents(spark, tmp_path):
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "s.warc").write_bytes(_warc_bytes())
+    docs = W.warc_responses_to_documents(W.read_warc(spark, str(d)))
+    rows = {r.target_uri: r for r in docs.collect()}
+    assert set(rows) == {"http://a.example/", "http://b.example/"}
+    assert rows["http://a.example/"].text == "hello warc world"
+    assert rows["http://b.example/"].text == "second page body"
+    ids = [r.doc_id for r in rows.values()]
+    assert all(i >= 0 for i in ids) and len(set(ids)) == 2
+    # warcinfo records are excluded; documents flow into text operators
+    from bigdata_usaspending_spark.operators import text
+
+    toks = docs.select("doc_id", text.token_count("text")).collect()
+    assert {t.n_tokens for t in toks} == {3}
