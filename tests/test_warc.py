@@ -109,3 +109,48 @@ def test_warc_responses_to_documents(spark, tmp_path):
 
     toks = docs.select("doc_id", text.token_count("text")).collect()
     assert {t.n_tokens for t in toks} == {3}
+
+
+def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
+    """Crawl ingest to curated corpus in one flow: WARC shards ->
+    documents projection -> quality + language-ID + exact dedup — the
+    front half of the training-data pipeline running on crawl bytes
+    instead of fixture parquet."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators import dedup, text
+
+    body_en = b"HTTP/1.1 200 OK\r\n\r\nthe quick fox and the lazy dog"
+    body_de = b"HTTP/1.1 200 OK\r\n\r\nder hund und die katze ist da"
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _record("response", "<urn:uuid:1>", "http://en.example/", body_en)
+        + _record("response", "<urn:uuid:2>", "http://de.example/", body_de)
+    )
+    # a second shard duplicating the english page under a new record id
+    (d / "b.warc.gz").write_bytes(
+        _gzip.compress(
+            _record("response", "<urn:uuid:3>", "http://mirror.example/", body_en)
+        )
+    )
+    docs = W.warc_responses_to_documents(W.read_warc(spark, str(d)))
+    curated = (
+        docs.withColumn("lang_pred", text.langid("text"))
+        .withColumn("n_tokens", text.token_count("text"))
+    )
+    rows = {r.target_uri: r for r in curated.collect()}
+    assert rows["http://en.example/"].lang_pred == "en"
+    assert rows["http://de.example/"].lang_pred == "de"
+    assert rows["http://en.example/"].n_tokens == 7
+
+    # exact dedup collapses the mirrored page across shards
+    survivors = dedup.exact_dedup(curated, "doc_id", text_col="text")
+    kept = survivors.select("text").collect()
+    assert survivors.count() == 2
+    assert {r.text for r in kept} == {
+        "the quick fox and the lazy dog",
+        "der hund und die katze ist da",
+    }
