@@ -154,3 +154,37 @@ def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
         "the quick fox and the lazy dog",
         "der hund und die katze ist da",
     }
+
+
+def test_warc_framing_is_length_based_not_delimiter_based():
+    """Payloads containing CRLF runs, 'WARC/1.0' lines, or header-shaped
+    bytes must round-trip exactly: framing follows Content-Length, never
+    content sniffing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    adversarial = st.lists(
+        st.one_of(
+            st.binary(min_size=0, max_size=12),
+            st.sampled_from(
+                [b"\r\n\r\n", b"WARC/1.0\r\n", b"Content-Length: 0\r\n\r\n"]
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+    ).map(b"".join)
+
+    @given(payloads=st.lists(adversarial, min_size=1, max_size=4))
+    @settings(max_examples=50, deadline=None)
+    def check(payloads):
+        blob = b"".join(
+            _record("response", f"<urn:uuid:{i}>", "http://x/", p)
+            for i, p in enumerate(payloads)
+        )
+        recs = list(W.iter_warc_records(blob))
+        assert [p for _, p in recs] == payloads
+        assert [h["warc-record-id"] for h, _ in recs] == [
+            f"<urn:uuid:{i}>" for i in range(len(payloads))
+        ]
+
+    check()
