@@ -287,6 +287,163 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+# deterministic fake video container (test fixture / codec-free stub):
+# magic 'FVID' + u16 fps + u16 n_frames, then per frame u32le length +
+# bytes. A real pipeline stores mp4/webm here and decodes with
+# PyAV/ffmpeg; the frame-sampling plumbing (row EXPANSION inside Arrow
+# batches, timestamps, ok-degradation) is identical either way.
+_FVID_MAGIC = b"FVID"
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("timestamp_s", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def pack_fake_video(fps: int, frames: "list[bytes]") -> bytes:
+    """Build a fake video blob the stub frame-sampler understands."""
+    out = [_FVID_MAGIC, struct.pack("<HH", fps, len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _resize_one(
+    content: bytes | None, max_side: int
+) -> tuple[bytes | None, int, int, bool]:
+    if content is None:
+        return None, 0, 0, False
+    if len(content) >= 8 and content[:4] == _FAKE_MAGIC:
+        # deterministic stub transform: scale the longer side down to
+        # max_side preserving aspect (floor, min 1), payload untouched —
+        # the real body is PIL thumbnail/encode, same signature
+        w, h = struct.unpack("<HH", content[4:8])
+        if max(w, h) <= max_side:
+            return content, w, h, True
+        if w >= h:
+            nw, nh = max_side, max(1, (h * max_side) // w)
+        else:
+            nw, nh = max(1, (w * max_side) // h), max_side
+        return pack_fake_image(nw, nh, content[8:]), nw, nh, True
+    if _PIL_IMAGE is not None:
+        import io
+
+        try:
+            with _PIL_IMAGE.open(io.BytesIO(content)) as img:
+                img.thumbnail((max_side, max_side))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                return buf.getvalue(), int(img.width), int(img.height), True
+        except Exception:  # noqa: BLE001 — poisoned blob -> ok=False
+            return None, 0, 0, False
+    return None, 0, 0, False
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Bound every image's longer side to ``max_side`` (aspect
+    preserved, never upscaled) — the normalize-before-encode step of a
+    vision training pipeline, as one Arrow map. PIL body when installed;
+    the FAKE container resizes via its header (deterministic stub with
+    the identical contract); undecodable blobs degrade to ok=False with
+    null content, never raise — a poisoned blob must not kill a 100-TB
+    scan."""
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [_resize_one(c, max_side) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [r[0] for r in resized],
+                    "width": [r[1] for r in resized],
+                    "height": [r[2] for r in resized],
+                    "ok": [r[3] for r in resized],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def _iter_fvid_frames(content: bytes):
+    fps, n = struct.unpack("<HH", content[4:8])
+    pos = 8
+    for i in range(n):
+        if pos + 4 > len(content):
+            return
+        (flen,) = struct.unpack("<I", content[pos : pos + 4])
+        pos += 4
+        if pos + flen > len(content):
+            return
+        yield i, fps, content[pos : pos + flen]
+        pos += flen
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every ``every_n``-th frame from video blobs — one row per
+    SAMPLED FRAME (row expansion inside the Arrow batch: the shape a
+    frame-level vision encoder consumes downstream). Timestamps derive
+    from the container fps. The FVID stub container decodes
+    dependency-free; real codecs need PyAV/ffmpeg and degrade to a
+    single ok=False row per blob (provenance preserved, scan never
+    dies). Frame 0 is always emitted, matching ffmpeg's
+    select='not(mod(n\\,N))' convention."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames, oks = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if (
+                    content is None
+                    or len(content) < 8
+                    or bytes(content[:4]) != _FVID_MAGIC
+                ):
+                    ids.append(mid)
+                    idxs.append(None)
+                    tss.append(None)
+                    frames.append(None)
+                    oks.append(False)
+                    continue
+                for i, fps, frame in _iter_fvid_frames(bytes(content)):
+                    if i % every_n:
+                        continue
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(float(i) / float(fps) if fps else None)
+                    frames.append(frame)
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="object"),
+                    "timestamp_s": pd.Series(tss, dtype="object"),
+                    "frame": frames,
+                    "ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, FRAMES_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media blobs (the
     synthetic corpus has no binary tables; the plumbing is identical)."""

@@ -223,3 +223,73 @@ def test_decode_audio_meta_wav(spark):
     assert (row2.sample_rate, row2.channels, row2.duration_s, row2.ok) == (
         8000, 1, 0.5, True,
     )
+
+
+def test_resize_images_stub_contract(spark):
+    """FAKE blobs resize via header arithmetic: longer side bounded,
+    aspect preserved, never upscaled, payload untouched; non-image blobs
+    degrade to ok=False."""
+    from bigdata_usaspending_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, mm.pack_fake_image(1024, 512, b"pp"), "image/fake", "u1"),
+            (2, mm.pack_fake_image(100, 400, b""), "image/fake", "u2"),
+            (3, mm.pack_fake_image(64, 64, b"x"), "image/fake", "u3"),
+            (4, b"not an image", "application/octet-stream", "u4"),
+            (5, None, None, "u5"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_images(media, max_side=256).collect()}
+    assert (out[1].width, out[1].height, out[1].ok) == (256, 128, True)
+    assert bytes(out[1].content)[8:] == b"pp"          # payload preserved
+    assert (out[2].width, out[2].height) == (64, 256)  # portrait scaling
+    assert (out[3].width, out[3].height) == (64, 64)   # never upscaled
+    assert bytes(out[3].content) == bytes(mm.pack_fake_image(64, 64, b"x"))
+    assert out[4].ok is False and out[4].content is None
+    assert out[5].ok is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_side"):
+        mm.resize_images(media, max_side=0)
+
+
+def test_sample_video_frames_expansion_and_degradation(spark):
+    """One input row expands to one row per sampled frame (frame 0 always
+    kept, every_n stride, fps-derived timestamps); non-video blobs yield
+    a single ok=False row so provenance survives."""
+    from bigdata_usaspending_spark.operators import multimodal as mm
+
+    frames = [bytes([i]) * 3 for i in range(7)]
+    media = spark.createDataFrame(
+        [
+            (1, mm.pack_fake_video(10, frames), "video/fake", "v1"),
+            (2, b"mp4-without-codec", "video/mp4", "v2"),
+            (3, None, None, "v3"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.sample_video_frames(media, every_n=3).collect()
+    sampled = [r for r in rows if r.media_id == 1]
+    assert [(r.frame_index, r.timestamp_s) for r in sampled] == [
+        (0, 0.0), (3, 0.3), (6, 0.6),
+    ]
+    assert [bytes(r.frame) for r in sampled] == [frames[0], frames[3], frames[6]]
+    assert all(r.ok for r in sampled)
+    deg = {r.media_id: r for r in rows if r.media_id != 1}
+    assert deg[2].ok is False and deg[2].frame is None
+    assert deg[3].ok is False
+
+    # plan: pure map — no exchange
+    plan = (
+        mm.sample_video_frames(media, every_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "MapInPandas" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n"):
+        mm.sample_video_frames(media, every_n=0)
