@@ -151,6 +151,40 @@ def rrf_fuse_grouped(
     )
 
 
+def hybrid_retrieve(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: "list[str]",
+    query_vec: "list[float]",
+    lex_k: int = 10,
+    vec_k: int = 10,
+    k: int = 15,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """The named two-modality retrieval: BM25 top-``lex_k`` over the text
+    corpus fused by reciprocal rank with brute-force cosine
+    top-``vec_k`` over the embedding table (ids aligned across the two
+    tables, the fixtures' contract). Output ``(doc_id, rrf, n_lists)``.
+    Every stage is oracle-exact (BM25's driver-ln idf, the fold-cosine
+    kernel, rrf's int-rank arithmetic), so the whole composition replays
+    bit-for-bit in SQL — pinned by
+    tests/test_retrieval.py::test_rrf_hybrid_replays_exactly_in_duckdb
+    and sized for registration as ``q_hybrid_rrf``. Swap the brute-force
+    leg for an IVF/LSH variant at scale; fusion is rank-based, so the
+    swap changes recall, not calibration."""
+    from .similarity import brute_force_topk
+    from .text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, id_col=doc_id_col, k=lex_k).select(
+        F.col(doc_id_col), F.col("bm25").alias("score")
+    )
+    vec = brute_force_topk(embeddings, query_vec, k=vec_k).select(
+        F.col(vec_id_col).alias(doc_id_col), F.col("cosine").alias("score")
+    )
+    return rrf_fuse([lex, vec], id_col=doc_id_col, k=k)
+
+
 def rerank_topk(
     candidates: DataFrame,
     scorer,

@@ -155,24 +155,34 @@ def test_rrf_hybrid_replays_exactly_in_duckdb(spark, sf_small):
     from pyspark.sql import functions as F
 
     from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators.retrieval import hybrid_retrieve
     from bigdata_usaspending_spark.plans.corpus_ext import (
         ORACLE_SQL as EXT_ORACLES,
-        q_embedding_cosine_topk,
     )
     from bigdata_usaspending_spark.plans.corpus_r7 import (
+        _BM25_TERMS,
         ORACLE_SQL as R7_ORACLES,
-        q_bm25_topk,
     )
+    from bigdata_usaspending_spark.session import apply_runtime_confs
 
-    lex = q_bm25_topk(spark, sf_small).select(
-        "doc_id", F.col("bm25").alias("score")
-    )
-    vec = q_embedding_cosine_topk(spark, sf_small).select(
-        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
-    )
+    spark = apply_runtime_confs(spark)
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    emb = load(spark, sf_small, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
     got = [
         (r.doc_id, r.rrf, r.n_lists)
-        for r in rrf_fuse([lex, vec], k=15).collect()
+        for r in hybrid_retrieve(
+            docs,
+            emb.filter(F.col("vec_id") != 0),
+            _BM25_TERMS,
+            qvec,
+            lex_k=25,
+            vec_k=10,
+            k=15,
+        ).collect()
     ]
 
     con = duckdb.connect()
