@@ -434,7 +434,11 @@ class BigramLMScorer(TextScorer):
             for i in range(1, len(seq)):
                 prev, w = seq[i - 1], seq[i]
                 cc = ctx.get(prev, 0)
-                pb = float(bi[prev].get(w, 0)) / float(cc) if cc else 0.0
+                # bi.get, not bi[...]: an externally authored artifact (e.g.
+                # a pruned KenLM export) can keep a context's count in ctx
+                # while its bigram row was pruned from bi — degrade to the
+                # smoothed unigram leg instead of a per-task KeyError.
+                pb = float(bi.get(prev, {}).get(w, 0)) / float(cc) if cc else 0.0
                 pu = (float(uni.get(w, 0)) + 1.0) / t_plus
                 lp += math.log10(lam * pb + one_minus_lam * pu)
             n = len(toks) + 1

@@ -39,11 +39,12 @@ from pyspark.sql.types import StructType
 WARC_DDL = (
     "warc_record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, content_length long, "
-    "payload binary, source_file string"
+    "payload binary, source_file string, record_index long"
 )
 _COLUMNS = [
     "warc_record_id", "warc_type", "target_uri", "warc_date",
     "content_type", "content_length", "payload", "source_file",
+    "record_index",
 ]
 
 
@@ -59,6 +60,12 @@ def gunzip_members(data: bytes) -> bytes:
         except zlib.error as exc:
             raise ValueError("trailing non-gzip bytes in .warc.gz") from exc
         out.append(d.flush())
+        if not d.eof:
+            # decompress/flush return partial output without error when the
+            # stream ends mid-member; without this check a truncated shard
+            # silently drops tail records whenever the cut lands on a record
+            # boundary in the decompressed bytes.
+            raise ValueError("truncated gzip member in .warc.gz")
         data = d.unused_data
     return b"".join(out)
 
@@ -66,7 +73,10 @@ def gunzip_members(data: bytes) -> bytes:
 def iter_warc_records(data: bytes) -> "Iterator[tuple[dict, bytes]]":
     """Yield ``(headers, content_block)`` per record from raw WARC bytes.
     Headers are lower-cased names -> stripped values (header names are
-    case-insensitive per spec). Strict: a malformed version line or a
+    case-insensitive per spec); a legally REPEATED header (e.g.
+    WARC-Concurrent-To) is collapsed last-wins — lossless for every field
+    this source projects, lossy for consumers that want the full list.
+    Strict: a malformed version line or a
     truncated content block raises ValueError with the byte offset —
     quarantine belongs at the FILE level (a corrupt member), not the
     record level, because after a framing error every later offset is
@@ -109,8 +119,10 @@ def iter_warc_records(data: bytes) -> "Iterator[tuple[dict, bytes]]":
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read WARC/WARC.GZ files under ``path`` into one row per record:
     ``(warc_record_id, warc_type, target_uri, warc_date, content_type,
-    content_length, payload binary, source_file)``. File listing and
-    partitioning via binaryFile (path globs push down); parsing is one
+    content_length, payload binary, source_file, record_index)`` —
+    record_index is the record's ordinal within its file, a stable
+    provenance key even for records missing WARC-Record-ID. File listing
+    and partitioning via binaryFile (path globs push down); parsing is one
     executor-side Arrow pass."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     schema = StructType.fromDDL(WARC_DDL)
@@ -122,7 +134,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 data = bytes(content)
                 if fpath.endswith(".gz"):
                     data = gunzip_members(data)
-                for h, payload in iter_warc_records(data):
+                for idx, (h, payload) in enumerate(iter_warc_records(data)):
                     rows.append(
                         (
                             h.get("warc-record-id"),
@@ -133,6 +145,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             len(payload),
                             payload,
                             fpath,
+                            idx,
                         )
                     )
             yield pd.DataFrame(rows, columns=_COLUMNS)
@@ -154,8 +167,11 @@ def warc_responses_to_documents(
 ) -> DataFrame:
     """Project WARC ``response`` records onto the documents-table shape
     (FIXTURES.md §B): body text (UTF-8, lossy decode), stable 63-bit id
-    from the record id, target URI kept as provenance. One more Arrow
-    map — no shuffle; downstream text operators take it from here."""
+    from the record id — records missing WARC-Record-ID fall back to
+    hashing ``source_file#record_index`` (unique per record by
+    construction) so id-less responses never collapse to one doc_id and
+    get silently merged by exact dedup. One more Arrow map — no shuffle;
+    downstream text operators take it from here."""
     resp = warc.filter(F.col("warc_type") == "response")
     schema = StructType.fromDDL(
         "doc_id long, text string, source string, target_uri string"
@@ -166,10 +182,12 @@ def warc_responses_to_documents(
 
         for pdf in batches:
             ids, texts, uris = [], [], []
-            for rid, payload, uri in zip(
-                pdf["warc_record_id"], pdf["payload"], pdf["target_uri"]
+            for rid, payload, uri, sfile, ridx in zip(
+                pdf["warc_record_id"], pdf["payload"], pdf["target_uri"],
+                pdf["source_file"], pdf["record_index"],
             ):
-                digest = hashlib.sha256((rid or "").encode()).digest()
+                key = rid if rid else f"{sfile}#{ridx}"
+                digest = hashlib.sha256(key.encode()).digest()
                 ids.append(int.from_bytes(digest[:8], "big") >> 1)
                 texts.append(http_body(bytes(payload)).decode("utf-8", "replace"))
                 uris.append(uri)

@@ -596,6 +596,38 @@ def test_bigram_lm_seam_artifact_and_guards(spark, tmp_path):
         BigramLMScorer.from_corpus(markers)
 
 
+def test_bigram_lm_pruned_external_artifact_degrades_to_unigram(tmp_path):
+    """An externally authored artifact (e.g. a pruned KenLM export) can
+    keep a context's count in ctx while its bigram row was pruned from
+    bi — scoring must fall back to the smoothed unigram leg, not die
+    with a KeyError inside the executor task."""
+    import json
+    import math
+
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.scorers import BigramLMScorer
+
+    model = {
+        "lam": 0.7,
+        "t": 5,
+        "v": 3,
+        "uni": {"a": 2, "b": 1, "</s>": 2},
+        "ctx": {"<s>": 2, "a": 2, "b": 1},
+        # "a" survives in ctx but its bigram row is pruned
+        "bi": {"<s>": {"a": 2}, "b": {"</s>": 1}},
+    }
+    path = str(tmp_path / "pruned.json")
+    with open(path, "w") as fh:
+        json.dump(model, fh)
+    out = BigramLMScorer(model_path=path).score_batch(pd.Series(["a b"]))
+    lam, olam, tv1 = 0.7, 0.3, 5.0 + 3.0 + 1.0
+    lp = math.log10(lam * (2.0 / 2.0) + olam * (3.0 / tv1))  # (<s>,a) intact
+    lp += math.log10(olam * (2.0 / tv1))  # (a,b): row pruned -> unigram leg
+    lp += math.log10(lam * (1.0 / 1.0) + olam * (3.0 / tv1))  # (b,</s>)
+    assert out["log10_prob"][0] == pytest.approx(lp, rel=1e-15)
+
+
 def test_bm25_inverted_agrees_with_batch(spark):
     """The inverted-index formulation must retrieve the same (query, doc)
     pairs with the same scores (to float-ulp: its idf is JVM Math.log,

@@ -65,6 +65,19 @@ def test_gunzip_members_roundtrip():
         W.gunzip_members(gzip.compress(b"x") + b"JUNK")
 
 
+def test_gunzip_members_rejects_truncated_member():
+    """A shard cut mid-member must raise, not silently return the partial
+    decompressed prefix (which could drop tail records undetected when the
+    cut lands on a record boundary)."""
+    whole = gzip.compress(_record("response", "<urn:uuid:t>", "http://x/", HTTP1))
+    assert W.gunzip_members(whole)  # intact member decompresses fine
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W.gunzip_members(whole[:-8])
+    # truncated FINAL member after intact leading members
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W.gunzip_members(whole + whole[:-8])
+
+
 def test_read_warc_plain_and_gz(spark, tmp_path):
     """One row per record across a plain shard and a member-gzipped
     shard; payload bytes round-trip exactly; file-level parallelism."""
@@ -109,6 +122,35 @@ def test_warc_responses_to_documents(spark, tmp_path):
 
     toks = docs.select("doc_id", text.token_count("text")).collect()
     assert {t.n_tokens for t in toks} == {3}
+
+
+def test_idless_responses_get_distinct_doc_ids(spark, tmp_path):
+    """Responses missing WARC-Record-ID fall back to source_file#record_index
+    — two id-less pages must NOT collapse to one doc_id (exact dedup would
+    silently merge distinct pages)."""
+
+    def _record_no_id(uri: str, payload: bytes) -> bytes:
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Target-URI: " + uri.encode(),
+            b"Content-Length: " + str(len(payload)).encode(),
+        ]
+        return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    d = tmp_path / "crawl3"
+    d.mkdir()
+    (d / "s.warc").write_bytes(
+        _record_no_id("http://p1/", HTTP1) + _record_no_id("http://p2/", HTTP2)
+    )
+    raw = W.read_warc(spark, str(d))
+    assert [r.record_index for r in raw.orderBy("record_index").collect()] == [0, 1]
+    docs = W.warc_responses_to_documents(raw).collect()
+    assert len(docs) == 2
+    assert len({r.doc_id for r in docs}) == 2
+    # and the fallback is deterministic: re-reading yields the same ids
+    docs2 = W.warc_responses_to_documents(W.read_warc(spark, str(d))).collect()
+    assert {r.doc_id for r in docs} == {r.doc_id for r in docs2}
 
 
 def test_warc_to_curated_corpus_end_to_end(spark, tmp_path):
