@@ -13,32 +13,35 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-8 window — the FINAL ledger rotation (VERDICT r7 #1): after
-    # this round every registry query has a driver row <= 2 rounds old.
-    # (a) never-driver-checked queries FIRST — this round's two additions:
-    "q_bm25_batch", "q_lm_perplexity",
-    # (b) the 8 remaining r4 greens:
-    "q_corpus_shuffle", "q_pii_scrub", "q_chunk_documents", "q_chunk_dedup",
-    "q_monthly_gap_fill", "q_zscore_outliers", "q_fixed_histogram",
-    "q_boilerplate_scrub",
-    # (c) 40 of the 41 r5 greens — TPC-H waves 2-3, fuzzy, ANN, sketch
-    # audits, streaming-twin batch forms:
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_incremental",
-    "q_ann_rp_lsh", "q_ann_pq_topk", "q_sessionize", "q_session_window",
-    "q_dashboard_payload", "q_tpch_q6_shape", "q_multimodal_bytes",
-    "q_temperature_mix", "q_mad_outliers", "q_ewma_monthly",
-    "q_quantile_summary", "q_fuzzy_name_pairs", "q_fuzzy_name_pairs_k2",
-    "q_hll_distinct", "q_orders_open_by_month", "q_window_rank_family",
-    "q_string_agg_per_nation", "q_repeated_passages", "q_heavy_hitter_tokens",
-    "q_scd2_customer_segment", "q_passage_scrub", "q_knn_join",
-    "q_ann_ivf_knn_join", "q_hll_intersection", "q_consistent_sample",
-    "q_tpch_q2_shape", "q_tpch_q9_shape", "q_tpch_q10_shape",
-    "q_tpch_q11_shape", "q_tpch_q13_shape", "q_tpch_q14_shape",
-    "q_tpch_q15_shape", "q_tpch_q16_shape", "q_tpch_q17_shape",
-    "q_tpch_q19_shape", "q_tpch_q20_shape", "q_tpch_q22_shape",
-    # (q_tpch_q21_shape is the one r5 green past the 50 cap; it carries
-    # the round-7 judge's independent re-run (VERDICT r7: 12/12 sample,
-    # q21 green) and leads the round-9 rotation.)
+    # Round-9 window — steady-state rotation (the r8 window closed the
+    # final ledger gap; from here the window refreshes the oldest rows).
+    # (a) never-driver-checked queries FIRST — this round's two additions
+    # (the retrieval stack's fusion + rerank stages):
+    "q_hybrid_rrf", "q_rerank_topk",
+    # (b) operator path changed THIS round: BigramLMScorer.score_batch
+    # gained the pruned-artifact unigram fallback (ADVICE r8):
+    "q_lm_perplexity",
+    # (c) the one r5 row past last round's cap (carries the r7 judge's
+    # independent re-run), then 46 of the 50 r6 greens — oldest first:
+    "q_tpch_q21_shape",
+    "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys", "q_ann_lsh",
+    "q_approx_median", "q_case_when_label", "q_cast_to_date",
+    "q_cms_token_counts", "q_corr", "q_count_distinct", "q_decontaminate",
+    "q_dedup_embedding", "q_dedup_exact", "q_dedup_incremental_bloom",
+    "q_dedup_incremental_minhash", "q_dedup_ngram_jaccard",
+    "q_dedup_semantic", "q_describe_stats", "q_embedding_cosine_topk",
+    "q_join_dim_fact", "q_langid_scorer", "q_maxsim_topk",
+    "q_median_approx_scale", "q_month_derive", "q_pack_sequences",
+    "q_rollup_two_level", "q_sample_k_per_group", "q_skew_profile",
+    "q_table_profile", "q_table_profile_hll", "q_tdigest_quantiles",
+    "q_text_langid", "q_text_quality", "q_text_tokens", "q_topk",
+    "q_topn_frequency", "q_tpch_q12_shape", "q_training_data_pipeline",
+    "q_training_pipeline_v2", "q_union_branches", "q_value_counts",
+    "q_weighted_sample", "q_window_topk_per_group", "q_window_tumbling",
+    "q_dropna", "q_filter_positive",
+    # (the 4 remaining r6 greens — q_scan_project, q_first_row,
+    # q_orderby_asc, q_orderby_desc, all projection-only or pure-sort
+    # plans untouched since r1 — lead the round-10 rotation.)
 ]
 
 
@@ -48,7 +51,7 @@ def all_queries():
     50-entry verification window rotates over not-yet-checked queries."""
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_r9, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -60,6 +63,7 @@ def all_queries():
     merged.update(corpus_r6.QUERIES)
     merged.update(corpus_r7.QUERIES)
     merged.update(corpus_r8.QUERIES)
+    merged.update(corpus_r9.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -70,7 +74,7 @@ def all_queries():
 def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_r9, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -82,6 +86,7 @@ def all_oracles():
     merged.update(corpus_r6.ORACLE_SQL)
     merged.update(corpus_r7.ORACLE_SQL)
     merged.update(corpus_r8.ORACLE_SQL)
+    merged.update(corpus_r9.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -90,7 +95,7 @@ def all_oracles():
 def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r7, corpus_r8, corpus_r9, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     return (
@@ -103,6 +108,7 @@ def rows_only_queries():
         | set(corpus_r6.ROWS_ONLY_QUERIES)
         | set(corpus_r7.ROWS_ONLY_QUERIES)
         | set(corpus_r8.ROWS_ONLY_QUERIES)
+        | set(corpus_r9.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

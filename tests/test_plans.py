@@ -405,3 +405,25 @@ def test_round8_query_plan_shapes(spark, sf):
     assert plan.count("Scan parquet") == 1
     assert "MapInPandas" in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_round9_query_plan_shapes(spark, sf):
+    """Plan pins for the round-9 retrieval-stack additions."""
+    from bigdata_usaspending_spark.plans import corpus_r9
+
+    # hybrid RRF: one documents scan (BM25 leg) + one embeddings scan
+    # (cosine leg); fusion itself is join-free — contributions union and
+    # aggregate on doc_id; nothing cartesian
+    plan = _plan(corpus_r9.q_hybrid_rrf(spark, sf))
+    assert plan.count("Scan parquet") == 2
+    assert "Union" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+    # rerank: candidates are k-bounded, so the text join back to the
+    # corpus must be a broadcast hash join (never sort-merge over the
+    # corpus); pair scoring is one Arrow map
+    plan = _plan(corpus_r9.q_rerank_topk(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
