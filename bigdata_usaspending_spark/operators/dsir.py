@@ -1,0 +1,169 @@
+"""DSIR-style importance resampling — data selection for LM training.
+
+Method (public: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS): estimate cheap bag-of-n-gram language
+models on a TARGET corpus (the distribution you want more of — e.g.
+wiki-quality text) and on the RAW source pool, weight every pool document
+by the likelihood ratio p_target(x) / p_source(x), and resample the pool
+by those importance weights. The result is a pool-sized-down corpus whose
+n-gram statistics move toward the target's without hard filtering.
+
+This implementation composes two already-oracle-exact pieces:
+
+- ``scorers.BigramLMScorer`` — the order-2 interpolated n-gram LM (the
+  paper uses hashed bigram features; an interpolated bigram LM is the
+  same estimator family), fitted ONCE per corpus as a bounded Spark
+  aggregate whose model state travels driver-side.
+- ``sampling.weighted_sample_k`` — derandomized Efraimidis-Spirakis
+  exact-k weighted sampling without replacement.
+
+100-TB shape: both fits are single bounded aggregates (cap-guarded
+distinct-bigram collects — never the corpus); scoring is ONE Arrow
+mapInPandas pass evaluating BOTH models per batch (zero shuffles, the
+pool is scanned exactly once); the draw is a pure per-row rank-key map
+into TakeOrderedAndProject. Nothing here grows with pool size except the
+single scan.
+
+Determinism contract (oracle-readiness): both LM scores are the
+BigramLMScorer fixed-fold arithmetic (bit-identical to the SQL replay of
+fit AND score); the ratio is one IEEE subtract (optionally one divide by
+the exact int event count for the length-normalized variant); the weight
+is one libm pow(10, x); the draw replays via the md5 60-bit bridge. So
+the whole pipeline — two fits, scoring, resampling — is expressible as a
+self-contained SQL statement (plans/corpus_r9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .scorers import BigramLMScorer, TextScorer, apply_text_scorer, spark_tokens
+
+
+class DsirRatioScorer(TextScorer):
+    """Two-LM importance-ratio scorer for the TextScorer seam: scores each
+    document under the target LM and the source LM in ONE pass, emitting
+    ``(lp_target, lp_source, log10_ratio, dsir_weight)``.
+
+    ``log10_ratio`` = lp_target - lp_source, divided by the event count
+    (n_tokens + 1, the LMs' own perplexity denominator) when
+    ``length_normalize`` — the per-token ratio keeps weights inside
+    pow(10, ±O(1)) for any document length, where the raw doc-level ratio
+    underflows/overflows double for very long documents and couples the
+    draw to length. ``dsir_weight`` = 10^log10_ratio, always finite and
+    positive for scoreable text. Null/non-string text scores null
+    everywhere (zero selection probability downstream, matching
+    weighted_sample_k's null-weight exclusion).
+
+    Arithmetic stays scalar per element (CPython float ops = libm), never
+    numpy-vectorized: subtract/divide are correctly rounded either way,
+    but numpy's SIMD pow can differ from libm pow in the last ulp and the
+    weight must replay bit-for-bit in SQL."""
+
+    output_schema = (
+        "lp_target double, lp_source double, "
+        "log10_ratio double, dsir_weight double"
+    )
+
+    def __init__(
+        self,
+        target: BigramLMScorer,
+        source: BigramLMScorer,
+        length_normalize: bool = True,
+    ):
+        self._target = target
+        self._source = source
+        self.length_normalize = length_normalize
+
+    def load(self) -> None:
+        self._target.load()
+        self._source.load()
+
+    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        t = self._target.score_batch(texts)["log10_prob"]
+        s = self._source.score_batch(texts)["log10_prob"]
+        ratios, weights = [], []
+        for txt, lt, ls in zip(texts, t, s):
+            if lt is None or ls is None or pd.isna(lt) or pd.isna(ls):
+                ratios.append(None)
+                weights.append(None)
+                continue
+            r = float(lt) - float(ls)
+            if self.length_normalize:
+                r = r / float(len(spark_tokens(txt)) + 1)
+            ratios.append(r)
+            weights.append(10.0 ** r)
+        return pd.DataFrame(
+            {
+                "lp_target": t.astype("float64"),
+                "lp_source": s.astype("float64"),
+                "log10_ratio": pd.Series(ratios, dtype="float64"),
+                "dsir_weight": pd.Series(weights, dtype="float64"),
+            }
+        )
+
+
+def dsir_score(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    length_normalize: bool = True,
+    max_ngrams: int = 2_000_000,
+) -> DataFrame:
+    """Fit the target LM on ``target`` and the source LM on ``pool``
+    (two bounded aggregates), then score every pool document's importance
+    ratio in one Arrow pass. All input columns are preserved; appends
+    ``lp_target, lp_source, log10_ratio, dsir_weight``.
+
+    For a web-scale run, fit the LMs once offline (``BigramLMScorer.save``
+    artifacts) and hand a prebuilt ``DsirRatioScorer`` to
+    ``apply_text_scorer`` directly — this convenience wrapper refits per
+    call."""
+    scorer = DsirRatioScorer(
+        BigramLMScorer.from_corpus(
+            target, text_col=text_col, lam=lam, max_ngrams=max_ngrams
+        ),
+        BigramLMScorer.from_corpus(
+            pool, text_col=text_col, lam=lam, max_ngrams=max_ngrams
+        ),
+        length_normalize=length_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    return apply_text_scorer(
+        pool.filter(F.col(text_col).isNotNull()), scorer, text_col=text_col
+    )
+
+
+def dsir_resample(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    length_normalize: bool = True,
+    seed: int = 0,
+    portable: bool = False,
+    max_ngrams: int = 2_000_000,
+) -> DataFrame:
+    """DSIR end-to-end: score the pool's importance ratios, then draw an
+    exact-k sample without replacement with probability proportional to
+    ``dsir_weight`` (derandomized A-ES — rerun/retry stable, replayable).
+    Returns the selected pool rows with their ratio columns attached."""
+    from .sampling import weighted_sample_k
+
+    scored = dsir_score(
+        pool,
+        target,
+        text_col=text_col,
+        lam=lam,
+        length_normalize=length_normalize,
+        max_ngrams=max_ngrams,
+    )
+    return weighted_sample_k(
+        scored, "dsir_weight", k=k, salt_cols=[id_col], seed=seed,
+        portable=portable,
+    )

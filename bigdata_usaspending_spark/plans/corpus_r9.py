@@ -19,6 +19,14 @@
   The production slot swaps in CrossEncoderPairScorer; the seam, plan
   shape, and window top-k are what this query pins.
 
+- ``q_dsir_weights`` / ``q_dsir_resample`` — DSIR importance resampling
+  (operators/dsir, after Xie et al. 2023): target LM fitted on the
+  English slice, source LM on the whole pool, every pool document
+  weighted by its per-token likelihood ratio, then an exact-k A-ES draw
+  proportional to the weights. The oracle replays BOTH fits, both
+  scoring folds, the ratio/pow arithmetic, and the portable-hash draw in
+  one self-contained statement.
+
 Same determinism contract as plans/corpus.py.
 """
 
@@ -91,9 +99,49 @@ def q_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select("query_id", "doc_id", "rerank")
 
 
+_DSIR_LAM = 0.7
+_DSIR_SEED = 11
+_DSIR_K = 100
+
+
+def _dsir_frames(spark: SparkSession, sf: str):
+    pool = load(_prep(spark), sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return pool, pool.filter(F.col("lang") == "en")
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document DSIR importance ratios: target LM = the English
+    slice, source LM = the whole pool, both fitted as bounded aggregates;
+    scoring is ONE Arrow pass evaluating both models."""
+    from ..operators.dsir import dsir_score
+
+    pool, target = _dsir_frames(spark, sf)
+    return dsir_score(pool, target, lam=_DSIR_LAM).select(
+        "doc_id", "lp_target", "lp_source", "log10_ratio", "dsir_weight"
+    )
+
+
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR end-to-end: the weights above driving an exact-100 A-ES draw
+    without replacement (portable-hash rank keys, so the draw itself
+    replays bit-for-bit in SQL). The selected mix shifts toward
+    target-like (English) documents without a hard language filter."""
+    from ..operators.dsir import dsir_resample
+
+    pool, target = _dsir_frames(spark, sf)
+    return dsir_resample(
+        pool, target, k=_DSIR_K, lam=_DSIR_LAM, seed=_DSIR_SEED,
+        portable=True,
+    ).select("doc_id", "lang", "source", "dsir_weight")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_rerank_topk": q_rerank_topk,
+    "q_dsir_weights": q_dsir_weights,
+    "q_dsir_resample": q_dsir_resample,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -179,7 +227,121 @@ def _rerank_oracle() -> str:
     """
 
 
+def _lm_blocks(tag: str, fit_where: str) -> str:
+    """CTE fragments fitting one interpolated bigram LM on the pool
+    events restricted by ``fit_where`` and scoring ALL pool events under
+    it with BigramLMScorer.score_batch's exact fallback semantics:
+    unseen context -> bigram leg 0.0, unseen word -> add-one unigram leg
+    (LEFT joins + COALESCE replicate bi.get/ctx.get/uni.get). The fold
+    replays the scorer's left-to-right log10 sum (0.0 + x == x
+    bit-exact)."""
+    lam = _DSIR_LAM
+    return f"""
+        uni{tag} AS (
+            SELECT w, COUNT(*) AS c FROM pevents WHERE {fit_where} GROUP BY w
+        ),
+        ctx{tag} AS (
+            SELECT prev, COUNT(*) AS c FROM pevents WHERE {fit_where}
+            GROUP BY prev
+        ),
+        bi{tag} AS (
+            SELECT prev, w, COUNT(*) AS c FROM pevents WHERE {fit_where}
+            GROUP BY prev, w
+        ),
+        tot{tag} AS (
+            SELECT CAST(SUM(c) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE) + 1.0
+                   AS tv1
+            FROM uni{tag}
+        ),
+        terms{tag} AS (
+            SELECT p.doc_id, p.i,
+                   log10(
+                       {lam!r} * (CASE WHEN cx.c IS NULL THEN 0.0
+                                       ELSE CAST(COALESCE(b.c, 0) AS DOUBLE)
+                                            / CAST(cx.c AS DOUBLE) END)
+                       + {1.0 - lam!r}
+                         * ((CAST(COALESCE(u.c, 0) AS DOUBLE) + 1.0)
+                            / tot.tv1)
+                   ) AS lp
+            FROM pevents p
+            LEFT JOIN bi{tag} b ON b.prev = p.prev AND b.w = p.w
+            LEFT JOIN ctx{tag} cx ON cx.prev = p.prev
+            LEFT JOIN uni{tag} u ON u.w = p.w
+            CROSS JOIN tot{tag} tot
+        ),
+        agg{tag} AS (
+            SELECT doc_id,
+                   list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS lp
+            FROM terms{tag} GROUP BY doc_id
+        )"""
+
+
+def _dsir_scored_sql() -> str:
+    from .corpus_ext import _TOKS
+
+    return f"""
+        WITH pool AS (
+            SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+            WHERE text IS NOT NULL
+        ),
+        pseq AS (
+            SELECT doc_id, lang, source,
+                   list_prepend('<s>', list_append(toks, '</s>')) AS s,
+                   len(toks) + 1 AS n
+            FROM pool
+        ),
+        pevents0 AS (
+            SELECT doc_id, lang, s, unnest(generate_series(2, len(s))) AS i
+            FROM pseq
+        ),
+        pevents AS (
+            SELECT doc_id, lang, i, s[i] AS w, s[i - 1] AS prev FROM pevents0
+        ),
+        {_lm_blocks("T", "lang = 'en'")},
+        {_lm_blocks("S", "TRUE")},
+        scored AS (
+            SELECT q.doc_id, q.lang, q.source,
+                   lt.lp AS lp_target, ls.lp AS lp_source,
+                   (lt.lp - ls.lp) / CAST(q.n AS DOUBLE) AS log10_ratio,
+                   pow(10.0, (lt.lp - ls.lp) / CAST(q.n AS DOUBLE))
+                       AS dsir_weight
+            FROM pseq q
+            JOIN aggT lt ON lt.doc_id = q.doc_id
+            JOIN aggS ls ON ls.doc_id = q.doc_id
+        )"""
+
+
+def _dsir_weights_oracle() -> str:
+    return f"""
+        {_dsir_scored_sql()}
+        SELECT doc_id, lp_target, lp_source, log10_ratio, dsir_weight
+        FROM scored
+    """
+
+
+def _dsir_resample_oracle() -> str:
+    # the A-ES draw replayed verbatim (q_weighted_sample's bridge):
+    # ln of the scaled 60-bit md5 hash of 'doc_id|seed', divided by the
+    # weight, global top-k
+    return f"""
+        {_dsir_scored_sql()}
+        SELECT doc_id, lang, source, dsir_weight FROM (
+            SELECT doc_id, lang, source, dsir_weight,
+                   ln((CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|{_DSIR_SEED}'
+                       ), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0)
+                   / dsir_weight AS _wkey
+            FROM scored
+            WHERE dsir_weight > 0 AND NOT isnan(dsir_weight)
+        )
+        ORDER BY _wkey DESC, doc_id ASC
+        LIMIT {_DSIR_K}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q_hybrid_rrf": _hybrid_rrf_oracle(),
     "q_rerank_topk": _rerank_oracle(),
+    "q_dsir_weights": _dsir_weights_oracle(),
+    "q_dsir_resample": _dsir_resample_oracle(),
 }

@@ -427,3 +427,19 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+    # DSIR: both LM fits happen before plan construction (bounded model
+    # state), so the scoring plan is one scan + one Arrow map — no
+    # shuffle, no join
+    plan = _plan(corpus_r9.q_dsir_weights(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+    # the resample adds only the rank-key map + global top-k, which must
+    # compile to TakeOrderedAndProject (per-partition partial top-k, one
+    # k-row merge) — never a global sort
+    plan = _plan(corpus_r9.q_dsir_resample(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
