@@ -429,6 +429,21 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
             "o_orderdate", "_end", "o_totalprice",
         ),
     )
+
+    # round-9 retrieval stack + DSIR (the corpus functions load from any
+    # sf_dir, so the exact driver-checked shapes are what gets stressed;
+    # dsir includes BOTH LM fits, mirroring the lm_perplexity row)
+    from bigdata_usaspending_spark.plans import corpus_r9
+
+    out["hybrid_rrf"] = timed(
+        "hybrid_rrf", lambda: corpus_r9.q_hybrid_rrf(spark, sf_dir)
+    )
+    out["rerank_topk"] = timed(
+        "rerank_topk", lambda: corpus_r9.q_rerank_topk(spark, sf_dir)
+    )
+    out["dsir_resample"] = timed(
+        "dsir_resample", lambda: corpus_r9.q_dsir_resample(spark, sf_dir)
+    )
     return out
 
 

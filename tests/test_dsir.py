@@ -104,3 +104,42 @@ def test_dsir_scorer_guards(spark):
     pool = _corpus(spark)
     with pytest.raises(ValueError, match="lam"):
         dsir_score(pool, pool.filter("grp = 'A'"), lam=1.2)
+
+
+def test_dsir_scorer_streams_bit_identically(spark, tmp_path):
+    """DsirRatioScorer rides the scorer seam on a readStream unchanged
+    (stateless Arrow map) — the production shape for scoring an incoming
+    crawl against frozen target/source LMs. Stream scores must match the
+    batch path bit-for-bit."""
+    from bigdata_usaspending_spark.operators.scorers import apply_text_scorer
+    from bigdata_usaspending_spark.streaming import jobs
+
+    pool = _corpus(spark)
+    target = pool.filter("grp = 'A'")
+    scorer = DsirRatioScorer(
+        BigramLMScorer.from_corpus(target), BigramLMScorer.from_corpus(pool)
+    )
+    path = str(tmp_path / "pool")
+    pool.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    q = jobs.run_to_memory(
+        apply_text_scorer(stream.filter("text IS NOT NULL"), scorer).select(
+            "doc_id", "log10_ratio", "dsir_weight"
+        ),
+        "dsir_stream",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.log10_ratio, r.dsir_weight)
+        for r in spark.table("dsir_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.log10_ratio, r.dsir_weight)
+        for r in apply_text_scorer(pool, scorer)
+        .select("doc_id", "log10_ratio", "dsir_weight")
+        .collect()
+    }
+    assert got == want and len(got) == 12
+    q.stop()
