@@ -104,34 +104,67 @@ class DsirRatioScorer(TextScorer):
         )
 
 
+def fit_target_source_lms(
+    pool: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    lam: float = 0.7,
+    max_ngrams: int = 2_000_000,
+) -> "tuple[BigramLMScorer, BigramLMScorer]":
+    """Fit BOTH LMs from ONE corpus scan when the target is a subset of
+    the pool (the common DSIR setup): a single exploded-pair aggregate
+    carries the pool count and a conditional count for rows satisfying
+    ``target_cond`` (a boolean Column over pool columns); each model then
+    builds driver-side from its own count column. Bit-identical to two
+    separate ``from_corpus`` fits — a conditional count of zero is
+    exactly a bigram absent from the subset — at half the scan cost."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    rows = BigramLMScorer._bigram_hist(
+        pool, text_col, max_ngrams, flags={"tgt": target_cond}
+    )
+    return (
+        BigramLMScorer(model=BigramLMScorer._model_from_hist(rows, "_c_tgt", lam)),
+        BigramLMScorer(model=BigramLMScorer._model_from_hist(rows, "_c", lam)),
+    )
+
+
 def dsir_score(
     pool: DataFrame,
-    target: DataFrame,
+    target,
     text_col: str = "text",
     lam: float = 0.7,
     length_normalize: bool = True,
     max_ngrams: int = 2_000_000,
 ) -> DataFrame:
-    """Fit the target LM on ``target`` and the source LM on ``pool``
-    (two bounded aggregates), then score every pool document's importance
-    ratio in one Arrow pass. All input columns are preserved; appends
-    ``lp_target, lp_source, log10_ratio, dsir_weight``.
+    """Fit the target LM on ``target`` and the source LM on ``pool``,
+    then score every pool document's importance ratio in one Arrow pass.
+    All input columns are preserved; appends ``lp_target, lp_source,
+    log10_ratio, dsir_weight``.
+
+    ``target`` is either a DataFrame (independent corpus — two fit
+    scans) or a boolean Column over pool columns (target ⊆ pool — both
+    LMs fit from ONE scan via ``fit_target_source_lms``).
 
     For a web-scale run, fit the LMs once offline (``BigramLMScorer.save``
     artifacts) and hand a prebuilt ``DsirRatioScorer`` to
     ``apply_text_scorer`` directly — this convenience wrapper refits per
     call."""
-    scorer = DsirRatioScorer(
-        BigramLMScorer.from_corpus(
-            target, text_col=text_col, lam=lam, max_ngrams=max_ngrams
-        ),
-        BigramLMScorer.from_corpus(
-            pool, text_col=text_col, lam=lam, max_ngrams=max_ngrams
-        ),
-        length_normalize=length_normalize,
-    )
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    if isinstance(target, Column):
+        t_lm, s_lm = fit_target_source_lms(
+            pool, target, text_col=text_col, lam=lam, max_ngrams=max_ngrams
+        )
+    else:
+        t_lm = BigramLMScorer.from_corpus(
+            target, text_col=text_col, lam=lam, max_ngrams=max_ngrams
+        )
+        s_lm = BigramLMScorer.from_corpus(
+            pool, text_col=text_col, lam=lam, max_ngrams=max_ngrams
+        )
+    scorer = DsirRatioScorer(t_lm, s_lm, length_normalize=length_normalize)
     return apply_text_scorer(
         pool.filter(F.col(text_col).isNotNull()), scorer, text_col=text_col
     )
@@ -139,7 +172,7 @@ def dsir_score(
 
 def dsir_resample(
     pool: DataFrame,
-    target: DataFrame,
+    target,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -152,7 +185,9 @@ def dsir_resample(
     """DSIR end-to-end: score the pool's importance ratios, then draw an
     exact-k sample without replacement with probability proportional to
     ``dsir_weight`` (derandomized A-ES — rerun/retry stable, replayable).
-    Returns the selected pool rows with their ratio columns attached."""
+    Returns the selected pool rows with their ratio columns attached.
+    ``target`` as in ``dsir_score`` (DataFrame, or boolean Column for the
+    single-scan nested-corpus fit)."""
     from .sampling import weighted_sample_k
 
     scored = dsir_score(

@@ -329,12 +329,28 @@ class BigramLMScorer(TextScorer):
         driver-side, so the model state is one bounded table. The cap is a
         hard guard (pq_train_driver pattern): a web-scale LM must come
         through ``model_path`` (e.g. a pruned KenLM-exported table)."""
+        if not 0.0 < lam < 1.0:
+            raise ValueError("lam must be in (0, 1)")
+        rows = cls._bigram_hist(df, text_col, max_ngrams)
+        return cls(model=cls._model_from_hist(rows, "_c", lam))
+
+    @classmethod
+    def _bigram_hist(
+        cls,
+        df: DataFrame,
+        text_col: str,
+        max_ngrams: int,
+        flags: "dict | None" = None,
+    ) -> list:
+        """Distinct-bigram histogram rows from ONE exploded-pair aggregate
+        (the only shuffle). ``flags`` (name -> boolean Column evaluated
+        per document) adds one conditional count column ``_c_<name>`` per
+        flag beside the total ``_c`` — how two LMs over nested corpora fit
+        in a single corpus scan."""
         from pyspark.sql import functions as F
 
         from .text import tokens
 
-        if not 0.0 < lam < 1.0:
-            raise ValueError("lam must be in (0, 1)")
         toks = tokens(text_col)
         seq = F.concat(
             F.array(F.lit(cls.BOS)), toks, F.array(F.lit(cls.EOS))
@@ -352,12 +368,18 @@ class BigramLMScorer(TextScorer):
             F.slice("_seq", 2, n1),
             lambda p, w: F.struct(p.alias("prev"), w.alias("w")),
         )
+        flags = flags or {}
+        flag_cols = [c.alias(f"_f_{k}") for k, c in flags.items()]
+        aggs = [F.count(F.lit(1)).alias("_c")] + [
+            F.count(F.when(F.col(f"_f_{k}"), F.lit(1))).alias(f"_c_{k}")
+            for k in flags
+        ]
         bi_df = (
             df.filter(F.col(text_col).isNotNull())
-            .select(seq.alias("_seq"))
-            .select(F.explode(pairs).alias("_p"))
+            .select(seq.alias("_seq"), *flag_cols)
+            .select(F.explode(pairs).alias("_p"), *[f"_f_{k}" for k in flags])
             .groupBy("_p.prev", "_p.w")
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(*aggs)
         )
         n_bi = bi_df.count()
         if n_bi > max_ngrams:
@@ -365,9 +387,17 @@ class BigramLMScorer(TextScorer):
                 f"corpus has {n_bi} distinct bigrams > max_ngrams="
                 f"{max_ngrams}; fit offline and use model_path"
             )
+        return bi_df.collect()
+
+    @classmethod
+    def _model_from_hist(cls, rows: list, count_col: str, lam: float) -> dict:
+        """Build the model dict from histogram rows, skipping zero counts
+        (a conditional count of 0 means the bigram never occurred in that
+        sub-corpus — identical to fitting on the subset directly)."""
         bi: dict[str, dict[str, int]] = {}
-        for r in bi_df.collect():
-            bi.setdefault(r["prev"], {})[r["w"]] = r["_c"]
+        for r in rows:
+            if r[count_col]:
+                bi.setdefault(r["prev"], {})[r["w"]] = r[count_col]
         uni: dict[str, int] = {}
         ctx: dict[str, int] = {}
         for prev, ws in bi.items():
@@ -382,16 +412,14 @@ class BigramLMScorer(TextScorer):
                 "corpus contains literal '<s>'/'</s>' tokens — they alias "
                 "the sentence markers; pre-scrub or remap them"
             )
-        return cls(
-            model={
-                "lam": lam,
-                "t": sum(uni.values()),
-                "v": len(uni),
-                "uni": uni,
-                "ctx": ctx,
-                "bi": bi,
-            }
-        )
+        return {
+            "lam": lam,
+            "t": sum(uni.values()),
+            "v": len(uni),
+            "uni": uni,
+            "ctx": ctx,
+            "bi": bi,
+        }
 
     def save(self, path: str) -> None:
         """Persist the fitted model as the JSON artifact load() reads

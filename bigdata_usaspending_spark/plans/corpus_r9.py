@@ -108,7 +108,8 @@ def _dsir_frames(spark: SparkSession, sf: str):
     pool = load(_prep(spark), sf, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    return pool, pool.filter(F.col("lang") == "en")
+    # target as a boolean Column: both LMs fit from ONE corpus scan
+    return pool, F.col("lang") == "en"
 
 
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:

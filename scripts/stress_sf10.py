@@ -202,6 +202,21 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
             docs, "source", "doc_id", F.col("lang")
         ),
     )
+
+    # round-9 retrieval stack + DSIR — all scan/aggregate-bound (fusion
+    # and rerank touch only k-bounded lists after the corpus pass; DSIR
+    # is two bounded LM fits + one scoring scan + TakeOrderedAndProject)
+    from bigdata_usaspending_spark.plans import corpus_r9
+
+    out["hybrid_rrf"] = timed(
+        "hybrid_rrf", lambda: corpus_r9.q_hybrid_rrf(spark, sf_dir)
+    )
+    out["rerank_topk"] = timed(
+        "rerank_topk", lambda: corpus_r9.q_rerank_topk(spark, sf_dir)
+    )
+    out["dsir_resample"] = timed(
+        "dsir_resample", lambda: corpus_r9.q_dsir_resample(spark, sf_dir)
+    )
     return out
 
 

@@ -100,6 +100,29 @@ def test_dsir_resample_portable_matches_xxhash_semantics(spark):
         assert {r.doc_id for r in got} == {r.doc_id for r in rerun}
 
 
+def test_fused_pair_fit_is_bit_identical_to_two_fits(spark):
+    """fit_target_source_lms (one conditional-count scan) must produce
+    models EQUAL to two independent from_corpus fits — a conditional
+    count of zero is exactly a bigram absent from the subset."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.dsir import fit_target_source_lms
+
+    pool = _corpus(spark)
+    t_fused, s_fused = fit_target_source_lms(pool, F.col("grp") == "A")
+    t_sep = BigramLMScorer.from_corpus(pool.filter("grp = 'A'"))
+    s_sep = BigramLMScorer.from_corpus(pool)
+    assert t_fused._model == t_sep._model
+    assert s_fused._model == s_sep._model
+    # and dsir_score with a Column target routes through the fused path
+    # with identical output to the DataFrame target path
+    via_col = dsir_score(pool, F.col("grp") == "A").toPandas()
+    via_df = dsir_score(pool, pool.filter("grp = 'A'")).toPandas()
+    a = via_col.sort_values("doc_id").reset_index(drop=True)
+    b = via_df.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_dsir_scorer_guards(spark):
     pool = _corpus(spark)
     with pytest.raises(ValueError, match="lam"):
