@@ -78,11 +78,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROWS_ONLY_QUERIES: set[str] = set()
 
 
-def _bm25_batch_oracle() -> str:
+def _bm25_batch_oracle(
+    queries: "dict[str, list[str]] | None" = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = _BM25_BATCH_K,
+) -> str:
+    """Self-contained DuckDB replay of ``text.bm25_topk_batch`` for any
+    bounded query set / k1 / b / k — parameterized in round 9 so the
+    grouped-fusion oracle can compose two parameterizations of it."""
     from .corpus_ext import _TOKS
 
-    k1, b = 1.2, 0.75
-    vocab = sorted({t for terms in _BM25_BATCH.values() for t in terms})
+    batch = _BM25_BATCH if queries is None else queries
+    vocab = sorted({t for terms in batch.values() for t in terms})
     vocab_index = {t: i for i, t in enumerate(vocab)}
     tf_cols = ",\n               ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
@@ -97,7 +105,7 @@ def _bm25_batch_oracle() -> str:
     # sum in each query's OWN term order; identical double literals
     avgdl = "(CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
     branches = []
-    for qid, terms in _BM25_BATCH.items():
+    for qid, terms in batch.items():
         term_exprs = []
         for t in terms:
             i = vocab_index[t]
@@ -140,7 +148,7 @@ def _bm25_batch_oracle() -> str:
                        ORDER BY bm25 DESC, doc_id ASC
                    ) AS rn
             FROM scored WHERE bm25 > 0
-        ) WHERE rn <= {_BM25_BATCH_K}
+        ) WHERE rn <= {k}
         ORDER BY query_id, bm25 DESC, doc_id ASC
     """
 

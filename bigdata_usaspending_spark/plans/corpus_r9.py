@@ -19,6 +19,10 @@
   The production slot swaps in CrossEncoderPairScorer; the seam, plan
   shape, and window top-k are what this query pins.
 
+- ``q_rrf_grouped`` — per-query fusion of a BATCH retrieval: the BM25
+  batch under two (k1, b) parameterizations rank-fused query by query
+  (parameter-ensemble fusion — the calibration-free hedge against k1/b
+  sensitivity), exercising rrf_fuse_grouped's distributed windows.
 - ``q_dsir_weights`` / ``q_dsir_resample`` — DSIR importance resampling
   (operators/dsir, after Xie et al. 2023): target LM fitted on the
   English slice, source LM on the whole pool, every pool document
@@ -102,6 +106,29 @@ def q_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
 _DSIR_LAM = 0.7
 _DSIR_SEED = 11
 _DSIR_K = 100
+# BM25 parameter ensemble for the grouped fusion: the stiff-saturation /
+# strong-length-normalization config vs a soft-saturation / weak-length
+# one — rank-fusing parameterizations is the calibration-free way to
+# hedge k1/b sensitivity, the same argument as cross-modality RRF
+_ENSEMBLE_A = {"k1": 1.2, "b": 0.75}
+_ENSEMBLE_B = {"k1": 2.0, "b": 0.4}
+_ENSEMBLE_K = 10
+
+
+def q_rrf_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query reciprocal-rank fusion over a BATCH retrieval: the
+    4-query BM25 batch run under two (k1, b) parameterizations, fused
+    query by query in one distributed pass (windows partition by
+    query_id — no single-partition stage). Output
+    ``(query_id, doc_id, rrf, n_lists)`` top-10 per query."""
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
+    lists = [
+        text.bm25_topk_batch(
+            docs, _BM25_BATCH, k=_ENSEMBLE_K, **params
+        ).select("query_id", "doc_id", F.col("bm25").alias("score"))
+        for params in (_ENSEMBLE_A, _ENSEMBLE_B)
+    ]
+    return retrieval.rrf_fuse_grouped(lists, k=_ENSEMBLE_K)
 
 
 def _dsir_frames(spark: SparkSession, sf: str):
@@ -141,6 +168,7 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_rerank_topk": q_rerank_topk,
+    "q_rrf_grouped": q_rrf_grouped,
     "q_dsir_weights": q_dsir_weights,
     "q_dsir_resample": q_dsir_resample,
 }
@@ -340,9 +368,51 @@ def _dsir_resample_oracle() -> str:
     """
 
 
+def _rrf_grouped_oracle() -> str:
+    from .corpus_r8 import _bm25_batch_oracle
+
+    la = _bm25_batch_oracle(k=_ENSEMBLE_K, **_ENSEMBLE_A)
+    lb = _bm25_batch_oracle(k=_ENSEMBLE_K, **_ENSEMBLE_B)
+    return f"""
+        WITH la AS (SELECT query_id, doc_id, bm25 AS score FROM ({la})),
+        lb AS (SELECT query_id, doc_id, bm25 AS score FROM ({lb})),
+        lar AS (
+            SELECT query_id, doc_id, 0 AS l,
+                   1.0 / (60.0 + CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS c
+            FROM la
+        ),
+        lbr AS (
+            SELECT query_id, doc_id, 1 AS l,
+                   1.0 / (60.0 + CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS DOUBLE)) AS c
+            FROM lb
+        ),
+        contribs AS (SELECT * FROM lar UNION ALL SELECT * FROM lbr),
+        fused AS (
+            SELECT query_id, doc_id,
+                   list_reduce(list(c ORDER BY l), (a, b) -> a + b) AS rrf,
+                   CAST(COUNT(*) AS INTEGER) AS n_lists
+            FROM contribs GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rrf, n_lists FROM (
+            SELECT query_id, doc_id, rrf, n_lists,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC
+                   ) AS rn
+            FROM fused
+        ) WHERE rn <= {_ENSEMBLE_K}
+        ORDER BY query_id, rrf DESC, doc_id ASC
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q_hybrid_rrf": _hybrid_rrf_oracle(),
     "q_rerank_topk": _rerank_oracle(),
+    "q_rrf_grouped": _rrf_grouped_oracle(),
     "q_dsir_weights": _dsir_weights_oracle(),
     "q_dsir_resample": _dsir_resample_oracle(),
 }
