@@ -512,6 +512,75 @@ def ivf_topk(
     return brute_force_topk(candidates, query, id_col=id_col, vec_col=vec_col, k=k)
 
 
+def ivf_index_write(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index — the ANN counterpart of dedup's
+    fingerprint_index: build once, probe batches forever after without
+    rescanning or re-training. Layout:
+
+    - ``{path}/centroids.parquet`` — the bounded model state (C rows);
+    - ``{path}/vectors.parquet`` — every vector with its assigned cell,
+      written ``partitionBy(cell)`` so probes prune at the FILE level
+      (the scale note in ivf_assign's docstring made concrete: a probe
+      of nprobe cells reads nprobe directories, not the corpus).
+
+    100-TB shape: one assignment map pass (broadcast centroids kernel) +
+    one partitioned write; nothing driver-side but the centroid rows."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors.parquet")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """Probe a persisted IVF index: centroids load driver-side
+    (cap-guarded — they are model state, O(sqrt N) by construction), the
+    nprobe nearest cells are ranked with the SAME left-fold cosine and
+    (cosine DESC, cell ASC) tie order as ivf_topk's distributed probe,
+    and the vectors scan carries a ``cell IN (...)`` predicate on the
+    PARTITION column — Catalyst prunes to nprobe directories before a
+    single row is read (plan-pinned in tests). Result is identical to
+    running ivf_topk over the index's source frame."""
+    qvec = _as_qvec(query)
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    n_cells = cents.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"index has {n_cells} cells > max_cells={max_cells}; "
+            "a driver-side cell ranking needs bounded model state"
+        )
+    q = np.array(qvec, dtype=np.float64)
+    qn = float(np.sqrt(_fold_sum_cols(q[None, :] * q[None, :])[0]))
+    ranked = []
+    for r in cents.collect():
+        c = np.array(list(r["centroid"]), dtype=np.float64)
+        cn = float(np.sqrt(_fold_sum_cols(c[None, :] * c[None, :])[0]))
+        cs = float(_fold_dot_mat(q[None, :], c[None, :])[0]) / (qn * cn)
+        ranked.append((-cs, int(r["cell"])))
+    cells = [cell for _, cell in sorted(ranked)[:nprobe]]
+    cand = spark.read.parquet(f"{path}/vectors.parquet").filter(
+        F.col("cell").isin(cells)
+    )
+    return brute_force_topk(cand, qvec, id_col=id_col, vec_col=vec_col, k=k)
+
+
 def rp_weight(table: int, dim: int) -> float:
     """Deterministic pseudo-random projection weight in [-1, 1): derived
     from md5 of "table,dim" exactly like dedup.portable_hash60, so an

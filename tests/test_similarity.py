@@ -59,6 +59,48 @@ def test_ivf_assign_and_topk(vecs, spark):
     assert out[0].vec_id == 1
 
 
+def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
+    """The persisted index probe must return EXACTLY what ivf_topk returns
+    over the live frames (same centroids, same nprobe): the driver-side
+    cell ranking replicates the distributed probe's left-fold cosine and
+    (cosine DESC, cell ASC) tie order; and the probe scan must PRUNE to
+    the probed cells' partitions (PartitionFilters on cell — the file
+    layout IS the index)."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(data, centroids, path)
+
+    got = similarity.ivf_index_topk(spark, path, qvec, k=10, nprobe=3)
+    qdf = spark.createDataFrame([(qvec,)], "q_emb array<double>")
+    want = similarity.ivf_topk(
+        similarity.ivf_assign(data, centroids), centroids, qdf, k=10, nprobe=3
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+
+    # partition pruning: the cell IN (...) predicate lands in
+    # PartitionFilters, so only nprobe directories are read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    # cap guard: bounded model state is a hard contract
+    with pytest.raises(ValueError, match="max_cells"):
+        similarity.ivf_index_topk(spark, path, qvec, max_cells=2)
+
+
 def test_lsh_neighbors_deterministic(vecs):
     a = similarity.random_projection_lsh_neighbors(
         vecs.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
