@@ -81,23 +81,39 @@ class DsirRatioScorer(TextScorer):
         self._source.load()
 
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
-        t = self._target.score_batch(texts)["log10_prob"]
-        s = self._source.score_batch(texts)["log10_prob"]
-        ratios, weights = [], []
-        for txt, lt, ls in zip(texts, t, s):
-            if lt is None or ls is None or pd.isna(lt) or pd.isna(ls):
+        self.load()
+        lts, lss, ratios, weights = [], [], [], []
+        for txt in texts:
+            if not isinstance(txt, str):
+                lts.append(None)
+                lss.append(None)
                 ratios.append(None)
                 weights.append(None)
                 continue
-            r = float(lt) - float(ls)
+            # tokenize ONCE, score under both models on the token list —
+            # the per-document event count falls out for free
+            toks = spark_tokens(txt)
+            lt = self._target.lp_tokens(toks)
+            ls = self._source.lp_tokens(toks)
+            r = lt - ls
             if self.length_normalize:
-                r = r / float(len(spark_tokens(txt)) + 1)
+                r = r / float(len(toks) + 1)
+            lts.append(lt)
+            lss.append(ls)
             ratios.append(r)
-            weights.append(10.0 ** r)
+            try:
+                w = 10.0 ** r
+            except OverflowError:
+                # CPython raises on double overflow rather than returning
+                # inf; an infinite weight is the right degradation (the
+                # A-ES rank key ln(u)/inf -> -0.0 sorts such rows first,
+                # i.e. an unbounded weight always wins the draw)
+                w = float("inf")
+            weights.append(w)
         return pd.DataFrame(
             {
-                "lp_target": t.astype("float64"),
-                "lp_source": s.astype("float64"),
+                "lp_target": pd.Series(lts, dtype="float64"),
+                "lp_source": pd.Series(lss, dtype="float64"),
                 "log10_ratio": pd.Series(ratios, dtype="float64"),
                 "dsir_weight": pd.Series(weights, dtype="float64"),
             }

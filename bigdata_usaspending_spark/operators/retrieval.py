@@ -151,6 +151,70 @@ def rrf_fuse_grouped(
     )
 
 
+def rrf_fuse_grouped_tagged(
+    hits: DataFrame,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    list_col: str = "list_idx",
+    list_k: int = 20,
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Per-group RRF over a SINGLE tagged hit frame — the one-plan form
+    of ``rrf_fuse_grouped``. When the candidate lists come from one
+    upstream pass (e.g. ``text.bm25_score_hits_multi`` scoring several
+    (k1, b) configs in one corpus scan), splitting them into separate
+    DataFrames re-executes that shared subtree once PER LIST (Spark does
+    not deduplicate common subplans across branches without
+    materialization); keeping the tag as a column keeps the whole
+    fusion one plan — one scan, however many lists.
+
+    ``hits`` carries ``(group_col, id_col, score_col, list_col)`` with
+    integer tags; each (group, tag) slice is ranked (score DESC, id ASC),
+    truncated to ``list_k`` (the bounded-list contract rrf_fuse_grouped
+    gets from its inputs' upstream top-k), and fused with the identical
+    arithmetic and fold order — tags play the list-index role. Output
+    matches rrf_fuse_grouped: ``(group_col, id_col, rrf, n_lists)``,
+    top-``k`` per group."""
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    missing = {group_col, id_col, score_col, list_col} - set(hits.columns)
+    if missing:
+        raise ValueError(f"hits lacks columns: {sorted(missing)}")
+    w_rank = Window.partitionBy(group_col, list_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    contribs = (
+        hits.withColumn("_rank", F.row_number().over(w_rank))
+        .filter(F.col("_rank") <= list_k)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(list_col).cast("int").alias("_list"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.col("_rank").cast("double"))
+            ).alias("_c"),
+        )
+    )
+    fused = contribs.groupBy(group_col, id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_list", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w_out = Window.partitionBy(group_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("_rn", F.row_number().over(w_out))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(group_col, F.desc("rrf"), F.asc(id_col))
+    )
+
+
 def hybrid_retrieve(
     docs: DataFrame,
     embeddings: DataFrame,

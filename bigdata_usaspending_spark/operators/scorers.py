@@ -440,7 +440,12 @@ class BigramLMScorer(TextScorer):
         with open(self.model_path) as fh:
             self._model = json.load(fh)
 
-    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+    def lp_tokens(self, toks: "list[str]") -> float:
+        """log10 probability of one pre-tokenized document (the fixed
+        left-to-right fold over ``<s> toks </s>`` events). Exposed so
+        multi-model scorers (DSIR's ratio scorer) can tokenize ONCE and
+        score under several models; score_batch is this plus
+        tokenization and the perplexity transform."""
         import math
 
         if self._model is None:
@@ -450,6 +455,23 @@ class BigramLMScorer(TextScorer):
         one_minus_lam = 1.0 - lam
         t_plus = float(m["t"]) + float(m["v"]) + 1.0
         uni, ctx, bi = m["uni"], m["ctx"], m["bi"]
+        seq = [self.BOS] + toks + [self.EOS]
+        lp = 0.0
+        for i in range(1, len(seq)):
+            prev, w = seq[i - 1], seq[i]
+            cc = ctx.get(prev, 0)
+            # bi.get, not bi[...]: an externally authored artifact (e.g.
+            # a pruned KenLM export) can keep a context's count in ctx
+            # while its bigram row was pruned from bi — degrade to the
+            # smoothed unigram leg instead of a per-task KeyError.
+            pb = float(bi.get(prev, {}).get(w, 0)) / float(cc) if cc else 0.0
+            pu = (float(uni.get(w, 0)) + 1.0) / t_plus
+            lp += math.log10(lam * pb + one_minus_lam * pu)
+        return lp
+
+    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        if self._model is None:
+            self.load()
         logs, ppls = [], []
         for txt in texts:
             if not isinstance(txt, str):
@@ -457,18 +479,7 @@ class BigramLMScorer(TextScorer):
                 ppls.append(None)
                 continue
             toks = spark_tokens(txt)
-            seq = [self.BOS] + toks + [self.EOS]
-            lp = 0.0
-            for i in range(1, len(seq)):
-                prev, w = seq[i - 1], seq[i]
-                cc = ctx.get(prev, 0)
-                # bi.get, not bi[...]: an externally authored artifact (e.g.
-                # a pruned KenLM export) can keep a context's count in ctx
-                # while its bigram row was pruned from bi — degrade to the
-                # smoothed unigram leg instead of a per-task KeyError.
-                pb = float(bi.get(prev, {}).get(w, 0)) / float(cc) if cc else 0.0
-                pu = (float(uni.get(w, 0)) + 1.0) / t_plus
-                lp += math.log10(lam * pb + one_minus_lam * pu)
+            lp = self.lp_tokens(toks)
             n = len(toks) + 1
             logs.append(lp)
             ppls.append(10.0 ** (-lp / float(n)))

@@ -530,9 +530,15 @@ def ivf_index_write(
       of nprobe cells reads nprobe directories, not the corpus).
 
     100-TB shape: one assignment map pass (broadcast centroids kernel) +
-    one partitioned write; nothing driver-side but the centroid rows."""
-    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    one partitioned write; nothing driver-side but the centroid rows —
+    which are collected ONCE and localized, so a centroids frame carrying
+    expensive lineage (ivf_refine re-scans the corpus per iteration) is
+    never executed twice (once for the write, once inside ivf_assign)."""
+    local_cents = centroids.sparkSession.createDataFrame(
+        centroids.collect(), centroids.schema
+    )
+    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+    local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
@@ -559,17 +565,22 @@ def ivf_index_topk(
     single row is read (plan-pinned in tests). Result is identical to
     running ivf_topk over the index's source frame."""
     qvec = _as_qvec(query)
-    cents = spark.read.parquet(f"{path}/centroids.parquet")
-    n_cells = cents.count()
-    if n_cells > max_cells:
+    # one scan: limit(cap+1) bounds driver memory AND detects overflow in
+    # the same job (count()+collect() would read the table twice per probe)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids.parquet")
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(cent_rows) > max_cells:
         raise ValueError(
-            f"index has {n_cells} cells > max_cells={max_cells}; "
+            f"index has {len(cent_rows)} cells > max_cells={max_cells}; "
             "a driver-side cell ranking needs bounded model state"
         )
     q = np.array(qvec, dtype=np.float64)
     qn = float(np.sqrt(_fold_sum_cols(q[None, :] * q[None, :])[0]))
     ranked = []
-    for r in cents.collect():
+    for r in cent_rows:
         c = np.array(list(r["centroid"]), dtype=np.float64)
         cn = float(np.sqrt(_fold_sum_cols(c[None, :] * c[None, :])[0]))
         cs = float(_fold_dot_mat(q[None, :], c[None, :])[0]) / (qn * cn)

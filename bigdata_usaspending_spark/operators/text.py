@@ -616,6 +616,75 @@ def bm25_score_hits(
     ).select(F.col("_hit.query_id"), F.col(id_col), F.col("_hit.bm25"))
 
 
+def bm25_score_hits_multi(
+    df: DataFrame,
+    queries: "dict[str, list[str]]",
+    configs: "list[tuple[float, float]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Score the query batch under SEVERAL (k1, b) parameterizations in
+    the SAME corpus pass — the parameter-ensemble retrieval shape
+    (rank-fusing k1/b variants hedges their sensitivity without score
+    calibration). The tf columns and corpus stats are identical across
+    configurations, so scoring C configs costs one scan plus C-1 extra
+    score expressions per document — never C scans (two bm25_topk_batch
+    calls re-read the corpus per config; this is the fused form).
+
+    Returns ``(list_idx int, query_id, id, bm25)`` — one row per
+    (config, query, document) with a positive score; ``list_idx`` is the
+    config's position in ``configs``, the tag ``retrieval.
+    rrf_fuse_grouped_tagged`` folds in. Same determinism contract as
+    ``bm25_score_hits``."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if not configs:
+        raise ValueError("configs must be non-empty")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid!r} has duplicate terms")
+    vocab = sorted({t for terms in queries.values() for t in terms})
+    if stats is None:
+        stats = bm25_corpus_stats(df, vocab, id_col, text_col)
+    missing = sorted(set(vocab) - set(stats["df"]))
+    if missing:
+        raise ValueError(f"stats vocabulary missing query terms: {missing}")
+    per_doc = _bm25_per_doc(df, vocab, id_col, text_col)
+    if not stats["n"]:
+        return per_doc.select(
+            F.lit(None).cast("int").alias("list_idx"),
+            F.lit(None).cast("string").alias("query_id"),
+            F.col(id_col),
+            F.lit(None).cast("double").alias("bm25"),
+        ).limit(0)
+    vocab_index = {t: i for i, t in enumerate(vocab)}
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("list_idx"),
+                F.lit(qid).alias("query_id"),
+                _bm25_score_expr(terms, vocab_index, stats, k1, b).alias(
+                    "bm25"
+                ),
+            )
+            for ci, (k1, b) in enumerate(configs)
+            for qid, terms in queries.items()
+        ]
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.explode(F.filter(entries, lambda s: s["bm25"] > 0)).alias("_hit"),
+    ).select(
+        F.col("_hit.list_idx"),
+        F.col("_hit.query_id"),
+        F.col(id_col),
+        F.col("_hit.bm25"),
+    )
+
+
 def bm25_topk_inverted(
     df: DataFrame,
     queries: DataFrame,

@@ -23,7 +23,7 @@ _VERIFY_FIRST = [
     # gained the pruned-artifact unigram fallback (ADVICE r8):
     "q_lm_perplexity",
     # (c) the one r5 row past last round's cap (carries the r7 judge's
-    # independent re-run), then 46 of the 50 r6 greens — oldest first:
+    # independent re-run), then 43 of the 50 r6 greens — oldest first:
     "q_tpch_q21_shape",
     "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys", "q_ann_lsh",
     "q_approx_median", "q_case_when_label", "q_cast_to_date",

@@ -62,13 +62,12 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     top-25 (corpus_r7's query terms) + brute-force cosine top-10 against
     the vec_id=0 query vector, RRF k=60, fused top-15. Ids align across
     documents and embeddings (the fixtures' contract)."""
+    from .corpus_ext import _query_vec_list
     from .corpus_r7 import _BM25_TERMS
 
     docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
     emb = load(spark, sf, "embeddings")
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
+    qvec = _query_vec_list(emb)
     return retrieval.hybrid_retrieve(
         docs,
         emb.filter(F.col("vec_id") != 0),
@@ -95,7 +94,10 @@ def q_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         [(qid, " ".join(terms)) for qid, terms in _BM25_BATCH.items()],
         F,
     ).otherwise(F.lit(None))
-    enriched = cands.join(F.broadcast(docs), "doc_id").withColumn(
+    # candidates are the k-bounded side — THEY broadcast, and the corpus
+    # streams through the probe (broadcasting docs would ship the whole
+    # corpus to every executor at scale)
+    enriched = docs.join(F.broadcast(cands), "doc_id").withColumn(
         "query_text", qtext
     )
     return retrieval.rerank_topk(
@@ -117,18 +119,25 @@ _ENSEMBLE_K = 10
 
 def q_rrf_grouped(spark: SparkSession, sf: str) -> DataFrame:
     """Per-query reciprocal-rank fusion over a BATCH retrieval: the
-    4-query BM25 batch run under two (k1, b) parameterizations, fused
-    query by query in one distributed pass (windows partition by
-    query_id — no single-partition stage). Output
-    ``(query_id, doc_id, rrf, n_lists)`` top-10 per query."""
+    4-query BM25 batch scored under two (k1, b) parameterizations in ONE
+    corpus scan (bm25_score_hits_multi — tf columns and stats are shared
+    across configs), fused query by query via the tagged single-plan
+    form (windows partition by query_id — no single-partition stage).
+    Output ``(query_id, doc_id, rrf, n_lists)`` top-10 per query."""
     docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
-    lists = [
-        text.bm25_topk_batch(
-            docs, _BM25_BATCH, k=_ENSEMBLE_K, **params
-        ).select("query_id", "doc_id", F.col("bm25").alias("score"))
-        for params in (_ENSEMBLE_A, _ENSEMBLE_B)
-    ]
-    return retrieval.rrf_fuse_grouped(lists, k=_ENSEMBLE_K)
+    hits = text.bm25_score_hits_multi(
+        docs,
+        _BM25_BATCH,
+        configs=[
+            (_ENSEMBLE_A["k1"], _ENSEMBLE_A["b"]),
+            (_ENSEMBLE_B["k1"], _ENSEMBLE_B["b"]),
+        ],
+    )
+    return retrieval.rrf_fuse_grouped_tagged(
+        hits.withColumnRenamed("bm25", "score"),
+        list_k=_ENSEMBLE_K,
+        k=_ENSEMBLE_K,
+    )
 
 
 def _dsir_frames(spark: SparkSession, sf: str):

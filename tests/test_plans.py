@@ -428,6 +428,14 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
 
+    # grouped ensemble fusion: TWO (k1,b) configs score in ONE corpus
+    # scan (tagged single-plan fusion — separate per-config DataFrames
+    # would re-execute the scan per list); join-free throughout
+    plan = _plan(corpus_r9.q_rrf_grouped(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
     # DSIR: both LM fits happen before plan construction (bounded model
     # state), so the scoring plan is one scan + one Arrow map — no
     # shuffle, no join

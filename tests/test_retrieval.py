@@ -145,6 +145,42 @@ def test_rrf_grouped_plan_partitions_by_group(spark):
         assert "query_id" in spec, (spec, plan)
 
 
+def test_rrf_grouped_tagged_equals_list_form(spark):
+    """The tagged single-frame fusion must return exactly what
+    rrf_fuse_grouped returns over the equivalent separate bounded lists
+    (ranks from full tagged hits truncated at list_k == ranks of
+    upstream top-list_k lists, identical fold)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.retrieval import (
+        rrf_fuse_grouped,
+        rrf_fuse_grouped_tagged,
+    )
+
+    rows = []
+    for qi, qid in enumerate(["qa", "qb"]):
+        for li in (0, 1):
+            for d in range(6):
+                rows.append((qid, d + qi, li, float(100 - d * (li + 1))))
+    hits = spark.createDataFrame(
+        rows, "query_id string, doc_id long, list_idx int, score double"
+    )
+    got = rrf_fuse_grouped_tagged(hits, list_k=4, k=3).collect()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lists = [
+        hits.filter(F.col("list_idx") == li)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4)
+        .select("query_id", "doc_id", "score")
+        for li in (0, 1)
+    ]
+    want = rrf_fuse_grouped(lists, k=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="lacks columns"):
+        rrf_fuse_grouped_tagged(hits.drop("list_idx"))
+
+
 def test_rrf_hybrid_replays_exactly_in_duckdb(spark, sf_small):
     """Pre-validation of the round-9 q_hybrid_rrf oracle contract: fusing
     the BM25 top-k (oracle-exact lexical list) with the brute-force

@@ -67,14 +67,15 @@ def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
     the probed cells' partitions (PartitionFilters on cell — the file
     layout IS the index)."""
     from bigdata_usaspending_spark.catalog import load
-    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
 
     emb = load(spark, sf_small, "embeddings")
     data = emb.filter(F.col("vec_id") != 0)
     centroids = _ivf_centroids(emb)
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
+    qvec = _query_vec_list(emb)
 
     path = str(tmp_path / "ivf_index")
     similarity.ivf_index_write(data, centroids, path)
