@@ -682,6 +682,155 @@ class CrossEncoderPairScorer(PairScorer):
         )
 
 
+class TrigramLangIdScorer(TextScorer):
+    """A REAL (if tiny) trained language-ID model in the fastText seat —
+    the offline-trainable leg of that slot, exactly as BigramLMScorer is
+    for KenLM: per-language character-trigram naive Bayes fitted ON a
+    labeled corpus, scoring through the identical seam. Swapping in
+    fastText's lid.176.bin is purely a model-artifact change.
+
+    Model: for each language L seen in training,
+
+        score(doc, L) = Σ_i log10( (c_L(tri_i) + 1) / (T_L + V + 1) )
+
+    over the document's character trigrams in position order — add-one-
+    smoothed per-language trigram likelihoods (T_L = L's total trigram
+    events, V = the corpus-wide distinct-trigram count); prediction is
+    the argmax language, ties on ascending language code; a document
+    with fewer than 3 characters scores 0.0 for every language (argmax =
+    lowest code). ``lp_model`` is the winning score.
+
+    Determinism contract (the BM25/LM ln-parity class): counts are exact
+    ints from one Spark aggregate, each event term is one fixed IEEE
+    tree, the per-language sum folds LEFT-TO-RIGHT from 0.0 — so scoring
+    replays bit-for-bit in self-contained SQL (plans/corpus_r9's
+    q_langid_trained). Case folding is NOT part of this class's parity
+    surface: feed it a pre-lowered column (``F.lower`` Spark-side,
+    ``lower()`` in the oracle — the established cross-engine pair);
+    Python's locale-sensitive ``str.lower`` never runs.
+
+    The fitted model travels as an in-memory dict (cap-guarded collect of
+    the DISTINCT (lang, trigram) histogram) or as a ``model_path`` JSON
+    artifact, identical to BigramLMScorer's contract."""
+
+    output_schema = "lang_model string, lp_model double"
+
+    def __init__(
+        self, model: dict | None = None, model_path: str | None = None
+    ):
+        if (model is None) == (model_path is None):
+            raise ValueError("provide exactly one of model or model_path")
+        self._model = model
+        self.model_path = model_path
+
+    @classmethod
+    def from_corpus(
+        cls,
+        df: DataFrame,
+        text_col: str = "text",
+        lang_col: str = "lang",
+        max_ngrams: int = 2_000_000,
+    ) -> "TrigramLangIdScorer":
+        """Fit per-language trigram counts: ONE exploded aggregate over
+        character trigrams (built with zip_with over three slices of the
+        split-chars column — bound columns, never per-index substring
+        lambdas, the from_corpus O(len^2) lesson), then a driver collect
+        of the DISTINCT (lang, trigram) histogram."""
+        from pyspark.sql import functions as F
+
+        n = F.length(F.col(text_col))
+        chars = F.split(F.col(text_col), "")
+        tri = F.when(
+            n >= 3,
+            F.zip_with(
+                F.slice(chars, 1, n - 2),
+                F.zip_with(
+                    F.slice(chars, 2, n - 2),
+                    F.slice(chars, 3, n - 2),
+                    lambda y, z: F.concat(y, z),
+                ),
+                lambda x, yz: F.concat(x, yz),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        hist = (
+            df.filter(
+                F.col(text_col).isNotNull() & F.col(lang_col).isNotNull()
+            )
+            .select(F.col(lang_col).alias("_lang"), F.explode(tri).alias("_tri"))
+            .groupBy("_lang", "_tri")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        n_rows = hist.count()
+        if n_rows > max_ngrams:
+            raise ValueError(
+                f"corpus has {n_rows} distinct (lang, trigram) rows > "
+                f"max_ngrams={max_ngrams}; fit offline and use model_path"
+            )
+        cnt: dict[str, dict[str, int]] = {}
+        for r in hist.collect():
+            cnt.setdefault(r["_lang"], {})[r["_tri"]] = r["_c"]
+        if not cnt:
+            raise ValueError("no labeled training text (all null)")
+        tot = {lang: sum(tris.values()) for lang, tris in cnt.items()}
+        vocab = set()
+        for tris in cnt.values():
+            vocab.update(tris)
+        return cls(
+            model={"cnt": cnt, "tot": tot, "v": len(vocab)}
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        if self._model is None:
+            self.load()
+        with open(path, "w") as fh:
+            json.dump(self._model, fh)
+
+    def load(self) -> None:
+        if self._model is not None:
+            return
+        import json
+
+        with open(self.model_path) as fh:
+            self._model = json.load(fh)
+
+    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        import math
+
+        if self._model is None:
+            self.load()
+        m = self._model
+        langs = sorted(m["cnt"])
+        v1 = float(m["v"]) + 1.0
+        denoms = {lang: float(m["tot"][lang]) + v1 for lang in langs}
+        preds, lps = [], []
+        for txt in texts:
+            if not isinstance(txt, str):
+                preds.append(None)
+                lps.append(None)
+                continue
+            tris = [txt[i : i + 3] for i in range(len(txt) - 2)]
+            best_lang, best_lp = None, None
+            for lang in langs:
+                c = m["cnt"][lang]
+                d = denoms[lang]
+                lp = 0.0
+                for t in tris:
+                    lp += math.log10((float(c.get(t, 0)) + 1.0) / d)
+                # strict > : ties keep the earlier (ascending) language
+                if best_lp is None or lp > best_lp:
+                    best_lang, best_lp = lang, lp
+            preds.append(best_lang)
+            lps.append(best_lp)
+        return pd.DataFrame(
+            {
+                "lang_model": preds,
+                "lp_model": pd.Series(lps, dtype="float64"),
+            }
+        )
+
+
 class FastTextLangIdScorer(TextScorer):
     """Real-model language ID through the same seam: fastText lid.176.bin
     (or compatible). The model loads executor-side at ``load()`` — the

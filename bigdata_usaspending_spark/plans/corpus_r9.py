@@ -148,6 +148,24 @@ def _dsir_frames(spark: SparkSession, sf: str):
     return pool, F.col("lang") == "en"
 
 
+def q_langid_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """A TRAINED language-ID model through the scorer seam (the fastText
+    seat's offline-trainable leg — scorers.TrigramLangIdScorer):
+    per-language character-trigram naive Bayes fitted on the corpus's own
+    labels (one bounded aggregate), then every document scored in one
+    Arrow pass. Case folding happens in the QUERY (F.lower ↔ SQL lower —
+    the established cross-engine pair), never in Python."""
+    from ..operators.scorers import TrigramLangIdScorer, apply_text_scorer
+
+    docs = load(_prep(spark), sf, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text"), "lang"
+    )
+    scorer = TrigramLangIdScorer.from_corpus(docs)
+    return apply_text_scorer(
+        docs.filter(F.col("text").isNotNull()), scorer
+    ).select("doc_id", "lang_model", "lp_model")
+
+
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document DSIR importance ratios: target LM = the English
     slice, source LM = the whole pool, both fitted as bounded aggregates;
@@ -178,6 +196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_rerank_topk": q_rerank_topk,
     "q_rrf_grouped": q_rrf_grouped,
+    "q_langid_trained": q_langid_trained,
     "q_dsir_weights": q_dsir_weights,
     "q_dsir_resample": q_dsir_resample,
 }
@@ -418,10 +437,73 @@ def _rrf_grouped_oracle() -> str:
     """
 
 
+def _langid_trained_oracle() -> str:
+    # the whole model — per-language trigram fit AND argmax scoring — in
+    # one self-contained statement: events enumerate character trigrams
+    # (substr over generate_series; empty for len < 3), add-one-smoothed
+    # per-language likelihoods replay the scorer's IEEE tree, the fold is
+    # position-ordered list_reduce, and docs with no events score 0.0 for
+    # every language via the doc x lang grid
+    return """
+        WITH d AS (
+            SELECT doc_id, lower(text) AS s, lang FROM documents
+            WHERE text IS NOT NULL
+        ),
+        ev AS (
+            SELECT doc_id, i, substr(s, CAST(i AS INTEGER), 3) AS tri
+            FROM (
+                SELECT doc_id, s,
+                       unnest(generate_series(1, length(s) - 2)) AS i
+                FROM d
+            )
+        ),
+        fit_ev AS (
+            SELECT d.lang, e.tri FROM ev e
+            JOIN d ON d.doc_id = e.doc_id
+            WHERE d.lang IS NOT NULL
+        ),
+        cnt AS (SELECT lang, tri, COUNT(*) AS c FROM fit_ev GROUP BY lang, tri),
+        tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM cnt GROUP BY lang),
+        vv AS (
+            SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) + 1.0 AS v1 FROM cnt
+        ),
+        langs AS (SELECT DISTINCT lang FROM cnt),
+        terms AS (
+            SELECT e.doc_id, e.i, l.lang,
+                   log10((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                         / (tot.t + vv.v1)) AS lp
+            FROM ev e
+            CROSS JOIN langs l
+            JOIN tot ON tot.lang = l.lang
+            LEFT JOIN cnt c ON c.lang = l.lang AND c.tri = e.tri
+            CROSS JOIN vv
+        ),
+        folded AS (
+            SELECT doc_id, lang,
+                   list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS lp
+            FROM terms GROUP BY doc_id, lang
+        ),
+        grid AS (SELECT d.doc_id, l.lang FROM d CROSS JOIN langs l),
+        scoredl AS (
+            SELECT g.doc_id, g.lang, COALESCE(f.lp, 0.0) AS lp
+            FROM grid g
+            LEFT JOIN folded f ON f.doc_id = g.doc_id AND f.lang = g.lang
+        )
+        SELECT doc_id, lang AS lang_model, lp AS lp_model FROM (
+            SELECT doc_id, lang, lp,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY lp DESC, lang ASC
+                   ) AS rn
+            FROM scoredl
+        ) WHERE rn = 1
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q_hybrid_rrf": _hybrid_rrf_oracle(),
     "q_rerank_topk": _rerank_oracle(),
     "q_rrf_grouped": _rrf_grouped_oracle(),
+    "q_langid_trained": _langid_trained_oracle(),
     "q_dsir_weights": _dsir_weights_oracle(),
     "q_dsir_resample": _dsir_resample_oracle(),
 }

@@ -436,6 +436,13 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
 
+    # trained LID: the fit happens before plan construction, so scoring
+    # is one scan + one Arrow map — no shuffle, no join
+    plan = _plan(corpus_r9.q_langid_trained(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
     # DSIR: both LM fits happen before plan construction (bounded model
     # state), so the scoring plan is one scan + one Arrow map — no
     # shuffle, no join

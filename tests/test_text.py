@@ -596,6 +596,69 @@ def test_bigram_lm_seam_artifact_and_guards(spark, tmp_path):
         BigramLMScorer.from_corpus(markers)
 
 
+def test_trigram_langid_learns_real_languages(spark, tmp_path):
+    """The trained LID must actually work as a language model: fitted on
+    genuinely multilingual text, it recovers the labels of held-in docs
+    AND generalizes to unseen sentences in those languages (trigram
+    stats, not memorization); the model artifact round-trips."""
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.scorers import (
+        TrigramLangIdScorer,
+        apply_text_scorer,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "she was walking through the quiet morning streets", "en"),
+            (3, "this is another plain english sentence for training", "en"),
+            (4, "der schnelle braune fuchs springt ueber den hund", "de"),
+            (5, "sie ging durch die stillen strassen am morgen", "de"),
+            (6, "das ist noch ein deutscher satz zum trainieren", "de"),
+            (7, "le renard brun rapide saute par dessus le chien", "fr"),
+            (8, "elle marchait dans les rues calmes du matin", "fr"),
+            (9, "ceci est une autre phrase francaise pour entrainer", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    scorer = TrigramLangIdScorer.from_corpus(train)
+    got = {
+        r.doc_id: r.lang_model
+        for r in apply_text_scorer(train, scorer).collect()
+    }
+    want = {r.doc_id: r.lang for r in train.collect()}
+    assert got == want
+    # held-OUT sentences in the trained languages
+    unseen = pd.Series(
+        [
+            "a simple english answer came quickly",
+            "die kinder spielen gerne im garten",
+            "les enfants jouent dans le jardin",
+        ]
+    )
+    out = scorer.score_batch(unseen)
+    assert out["lang_model"].tolist() == ["en", "de", "fr"]
+    assert (out["lp_model"] < 0).all()
+    # artifact round-trip; short (<3 char) text scores 0.0 / lowest lang
+    path = str(tmp_path / "lid.json")
+    scorer.save(path)
+    from_file = TrigramLangIdScorer(model_path=path)
+    short = from_file.score_batch(pd.Series(["ab", None]))
+    assert short["lang_model"][0] == "de" and short["lp_model"][0] == 0.0
+    assert short["lang_model"][1] is None
+    with pytest.raises(ValueError, match="exactly one"):
+        TrigramLangIdScorer()
+    with pytest.raises(ValueError, match="max_ngrams"):
+        TrigramLangIdScorer.from_corpus(train, max_ngrams=5)
+    with pytest.raises(ValueError, match="no labeled"):
+        TrigramLangIdScorer.from_corpus(
+            spark.createDataFrame(
+                [(1, None, None)], "doc_id long, text string, lang string"
+            )
+        )
+
+
 def test_bigram_lm_pruned_external_artifact_degrades_to_unigram(tmp_path):
     """An externally authored artifact (e.g. a pruned KenLM export) can
     keep a context's count in ctx while its bigram row was pruned from
