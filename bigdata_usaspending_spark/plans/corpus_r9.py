@@ -23,6 +23,10 @@
   batch under two (k1, b) parameterizations rank-fused query by query
   (parameter-ensemble fusion — the calibration-free hedge against k1/b
   sensitivity), exercising rrf_fuse_grouped's distributed windows.
+- ``q_langid_trained`` — a TRAINED per-language character-trigram naive
+  Bayes language-ID (the fastText seat's offline-trainable leg, the
+  BigramLMScorer move applied to LID); fit and argmax scoring replay in
+  one self-contained SQL statement.
 - ``q_dsir_weights`` / ``q_dsir_resample`` — DSIR importance resampling
   (operators/dsir, after Xie et al. 2023): target LM fitted on the
   English slice, source LM on the whole pool, every pool document

@@ -1030,6 +1030,54 @@ def test_stream_bm25_score_matches_batch_hits(spark, tmp_path):
         jobs.stream_bm25_score(stream, queries, {"n": 0, "sdl": 0, "df": {}})
 
 
+def test_stream_trained_langid_via_model_artifact(spark, tmp_path):
+    """The trained trigram LID rides the scorer seam on a STREAM through
+    its JSON model artifact, bit-identical to the batch path — the same
+    production shape as the LM scorer (fit offline, persist, load
+    executor-side per task, score micro-batches statelessly)."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        TrigramLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "der schnelle braune fuchs springt", "de"),
+            (3, "le renard brun rapide saute", "fr"),
+            (4, "another english sentence here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model_path = str(tmp_path / "lid.json")
+    TrigramLangIdScorer.from_corpus(docs).save(model_path)
+    scorer = TrigramLangIdScorer(model_path=model_path)
+
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        apply_text_scorer(stream, scorer).select(
+            "doc_id", "lang_model", "lp_model"
+        ),
+        "lid_stream",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.lang_model, r.lp_model)
+        for r in spark.table("lid_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.lang_model, r.lp_model)
+        for r in apply_text_scorer(
+            docs, TrigramLangIdScorer(model_path=model_path)
+        ).select("doc_id", "lang_model", "lp_model").collect()
+    }
+    assert got == want and len(got) == 4
+    assert got[1][0] == "en" and got[2][0] == "de" and got[3][0] == "fr"
+    q.stop()
+
+
 def test_stream_lm_scorer_via_model_artifact(spark, tmp_path):
     """The bigram LM rides the scorer seam on a STREAM through its JSON
     model artifact — the production shape: fit offline, persist, load
