@@ -803,7 +803,19 @@ class TrigramLangIdScorer(TextScorer):
         m = self._model
         langs = sorted(m["cnt"])
         v1 = float(m["v"]) + 1.0
-        denoms = {lang: float(m["tot"][lang]) + v1 for lang in langs}
+        # memoize each (lang, trigram) log term: the model vocabulary is
+        # bounded, so log10 runs O(vocab) times instead of O(events) —
+        # the fold then sums CACHED doubles in position order, which is
+        # bit-identical to recomputing per event (same value, same order)
+        terms: dict[str, dict[str, float]] = {}
+        oov: dict[str, float] = {}
+        for lang in langs:
+            d = float(m["tot"][lang]) + v1
+            terms[lang] = {
+                t: math.log10((float(c) + 1.0) / d)
+                for t, c in m["cnt"][lang].items()
+            }
+            oov[lang] = math.log10(1.0 / d)
         preds, lps = [], []
         for txt in texts:
             if not isinstance(txt, str):
@@ -813,11 +825,11 @@ class TrigramLangIdScorer(TextScorer):
             tris = [txt[i : i + 3] for i in range(len(txt) - 2)]
             best_lang, best_lp = None, None
             for lang in langs:
-                c = m["cnt"][lang]
-                d = denoms[lang]
+                lt = terms[lang]
+                lo = oov[lang]
                 lp = 0.0
                 for t in tris:
-                    lp += math.log10((float(c.get(t, 0)) + 1.0) / d)
+                    lp += lt.get(t, lo)
                 # strict > : ties keep the earlier (ascending) language
                 if best_lp is None or lp > best_lp:
                     best_lang, best_lp = lang, lp
