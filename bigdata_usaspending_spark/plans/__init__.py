@@ -18,7 +18,7 @@ _VERIFY_FIRST = [
     # (a) never-driver-checked queries FIRST — this round's additions
     # (the retrieval stack's fusion + rerank stages, DSIR resampling):
     "q_hybrid_rrf", "q_rerank_topk", "q_rrf_grouped", "q_langid_trained",
-    "q_dsir_weights", "q_dsir_resample",
+    "q_dsir_weights", "q_dsir_resample", "q_training_pipeline_v3",
     # (b) operator path changed THIS round: BigramLMScorer.score_batch
     # gained the pruned-artifact unigram fallback (ADVICE r8):
     "q_lm_perplexity",
@@ -38,12 +38,11 @@ _VERIFY_FIRST = [
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_topk",
     "q_topn_frequency", "q_tpch_q12_shape", "q_training_data_pipeline",
     "q_training_pipeline_v2", "q_union_branches", "q_value_counts",
-    "q_weighted_sample",
-    # (the 8 remaining r6 greens — q_scan_project, q_first_row,
+    # (the 9 remaining r6 greens — q_scan_project, q_first_row,
     # q_orderby_asc, q_orderby_desc, q_dropna, q_filter_positive,
-    # q_window_tumbling, q_window_topk_per_group, all projection/filter/
-    # sort/window plans untouched for 3+ rounds — lead the round-10
-    # rotation.)
+    # q_window_tumbling, q_window_topk_per_group, q_weighted_sample, all
+    # projection/filter/sort/window/sample plans untouched for 3+ rounds
+    # — lead the round-10 rotation.)
 ]
 
 

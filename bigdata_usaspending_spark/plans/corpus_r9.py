@@ -196,6 +196,72 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "dsir_weight")
 
 
+_V3_SEED = 13
+_V3_K = 50
+
+
+def q_training_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """Capstone v3 — the round-9 pieces composed into one curation
+    pipeline, every stage a TRAINED model or an exact operator:
+
+    1. TRAINED language ID (TrigramLangIdScorer fitted on the corpus's
+       labels) keeps model-predicted-English documents;
+    2. a bigram LM fitted ON THE SURVIVORS gates out the
+       worse-than-mean-perplexity half (mean = exact-decimal sum /
+       count, the describe_stats bridge);
+    3. exact dedup keeps the lowest doc_id per identical text;
+    4. a derandomized A-ES draw selects 50 docs with probability
+       proportional to 1/perplexity (fluency-weighted sampling).
+
+    100-TB shape: two bounded model fits, two Arrow scoring maps, one
+    broadcast scalar gate, one dedup shuffle, TakeOrderedAndProject.
+    Every double replays bit-for-bit in the self-contained oracle."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import weighted_sample_k
+    from ..operators.scorers import (
+        BigramLMScorer,
+        TrigramLangIdScorer,
+        apply_text_scorer,
+    )
+
+    docs = load(_prep(spark), sf, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text"), "lang"
+    )
+    lid = TrigramLangIdScorer.from_corpus(docs)
+    kept = (
+        apply_text_scorer(docs.filter(F.col("text").isNotNull()), lid)
+        .filter(F.col("lang_model") == "en")
+        .select("doc_id", "text")
+    )
+    lm = BigramLMScorer.from_corpus(kept, lam=_DSIR_LAM)
+    ppl = apply_text_scorer(kept, lm).select("doc_id", "text", "perplexity")
+    mean_row = ppl.agg(
+        (
+            F.sum(F.col("perplexity").cast("decimal(27,7)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_ppl")
+    )
+    gated = ppl.crossJoin(F.broadcast(mean_row)).filter(
+        F.col("perplexity") <= F.col("mean_ppl")
+    )
+    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    uniq = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "perplexity")
+    )
+    sel = weighted_sample_k(
+        uniq.withColumn("w_q", F.lit(1.0) / F.col("perplexity")),
+        "w_q",
+        k=_V3_K,
+        salt_cols=["doc_id"],
+        seed=_V3_SEED,
+        portable=True,
+    )
+    return sel.select("doc_id", "perplexity")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_rerank_topk": q_rerank_topk,
@@ -203,6 +269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_langid_trained": q_langid_trained,
     "q_dsir_weights": q_dsir_weights,
     "q_dsir_resample": q_dsir_resample,
+    "q_training_pipeline_v3": q_training_pipeline_v3,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -503,6 +570,154 @@ def _langid_trained_oracle() -> str:
     """
 
 
+def _pipeline_v3_oracle() -> str:
+    # one self-contained statement: LID fit+argmax (the q_langid_trained
+    # machinery) -> kept docs -> bigram-LM fit+perplexity ON THE
+    # SURVIVORS (the q_lm_perplexity machinery over kept) -> exact-
+    # decimal mean gate (describe_stats bridge) -> min-id dedup ->
+    # 1/perplexity A-ES draw (q_weighted_sample bridge)
+    lam = _DSIR_LAM
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lower(text) AS s, lang FROM documents
+            WHERE text IS NOT NULL
+        ),
+        ev AS (
+            SELECT doc_id, i, substr(s, CAST(i AS INTEGER), 3) AS tri
+            FROM (
+                SELECT doc_id, s,
+                       unnest(generate_series(1, length(s) - 2)) AS i
+                FROM d
+            )
+        ),
+        fit_ev AS (
+            SELECT d.lang, e.tri FROM ev e
+            JOIN d ON d.doc_id = e.doc_id
+            WHERE d.lang IS NOT NULL
+        ),
+        cnt AS (SELECT lang, tri, COUNT(*) AS c FROM fit_ev GROUP BY lang, tri),
+        tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM cnt GROUP BY lang),
+        vv AS (
+            SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) + 1.0 AS v1 FROM cnt
+        ),
+        langs AS (SELECT DISTINCT lang FROM cnt),
+        lidterms AS (
+            SELECT e.doc_id, e.i, l.lang,
+                   log10((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                         / (tot.t + vv.v1)) AS lp
+            FROM ev e
+            CROSS JOIN langs l
+            JOIN tot ON tot.lang = l.lang
+            LEFT JOIN cnt c ON c.lang = l.lang AND c.tri = e.tri
+            CROSS JOIN vv
+        ),
+        lidfold AS (
+            SELECT doc_id, lang,
+                   list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS lp
+            FROM lidterms GROUP BY doc_id, lang
+        ),
+        lidgrid AS (SELECT d.doc_id, l.lang FROM d CROSS JOIN langs l),
+        lidscore AS (
+            SELECT g.doc_id, g.lang, COALESCE(f.lp, 0.0) AS lp
+            FROM lidgrid g
+            LEFT JOIN lidfold f ON f.doc_id = g.doc_id AND f.lang = g.lang
+        ),
+        pred AS (
+            SELECT doc_id, lang AS lang_model FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY lp DESC, lang ASC
+                       ) AS rn
+                FROM lidscore
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT d.doc_id, d.s FROM d
+            JOIN pred ON pred.doc_id = d.doc_id
+            WHERE pred.lang_model = 'en'
+        ),
+        kt AS (
+            SELECT doc_id, s,
+                   string_split_regex(trim(s), '\\s+') AS toks
+            FROM kept
+        ),
+        kseq AS (
+            SELECT doc_id, s,
+                   list_prepend('<s>', list_append(toks, '</s>')) AS q,
+                   len(toks) + 1 AS n
+            FROM kt
+        ),
+        kpos0 AS (
+            SELECT doc_id, q, unnest(generate_series(2, len(q))) AS i
+            FROM kseq
+        ),
+        kpos AS (
+            SELECT doc_id, i, q[i] AS w, q[i - 1] AS prev FROM kpos0
+        ),
+        kuni AS (SELECT w, COUNT(*) AS c FROM kpos GROUP BY w),
+        kctx AS (SELECT prev, COUNT(*) AS c FROM kpos GROUP BY prev),
+        kbi AS (SELECT prev, w, COUNT(*) AS c FROM kpos GROUP BY prev, w),
+        ktot AS (
+            SELECT CAST(SUM(c) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE) + 1.0
+                   AS tv1
+            FROM kuni
+        ),
+        kterms AS (
+            SELECT p.doc_id, p.i,
+                   log10(
+                       {lam!r} * (CAST(b.c AS DOUBLE) / CAST(cx.c AS DOUBLE))
+                       + {1.0 - lam!r}
+                         * ((CAST(u.c AS DOUBLE) + 1.0) / ktot.tv1)
+                   ) AS lp
+            FROM kpos p
+            JOIN kbi b ON b.prev = p.prev AND b.w = p.w
+            JOIN kctx cx ON cx.prev = p.prev
+            JOIN kuni u ON u.w = p.w
+            CROSS JOIN ktot
+        ),
+        kagg AS (
+            SELECT doc_id,
+                   list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS lp
+            FROM kterms GROUP BY doc_id
+        ),
+        ppl AS (
+            SELECT kseq.doc_id, kseq.s,
+                   pow(10.0, -kagg.lp / CAST(kseq.n AS DOUBLE)) AS perplexity
+            FROM kagg JOIN kseq ON kagg.doc_id = kseq.doc_id
+        ),
+        m AS (
+            SELECT CAST(CAST(SUM(CAST(perplexity AS DECIMAL(27,7)))
+                             AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_ppl
+            FROM ppl
+        ),
+        gated AS (
+            SELECT p.doc_id, p.s, p.perplexity FROM ppl p, m
+            WHERE p.perplexity <= m.mean_ppl
+        ),
+        uniq AS (
+            SELECT doc_id, perplexity FROM (
+                SELECT doc_id, perplexity,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, perplexity FROM (
+            SELECT doc_id, perplexity,
+                   ln((CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|{_V3_SEED}'
+                       ), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0)
+                   / (1.0 / perplexity) AS _wkey
+            FROM uniq
+            WHERE (1.0 / perplexity) > 0 AND NOT isnan(1.0 / perplexity)
+        )
+        ORDER BY _wkey DESC, doc_id ASC
+        LIMIT {_V3_K}
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q_hybrid_rrf": _hybrid_rrf_oracle(),
     "q_rerank_topk": _rerank_oracle(),
@@ -510,4 +725,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_langid_trained": _langid_trained_oracle(),
     "q_dsir_weights": _dsir_weights_oracle(),
     "q_dsir_resample": _dsir_resample_oracle(),
+    "q_training_pipeline_v3": _pipeline_v3_oracle(),
 }

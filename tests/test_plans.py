@@ -443,6 +443,14 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan and "Join" not in plan
 
+    # capstone v3: never cartesian (the mean gate is a 1-row broadcast
+    # scalar), both model fits pre-plan, draw compiles to
+    # TakeOrderedAndProject
+    plan = _plan(corpus_r9.q_training_pipeline_v3(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+
     # DSIR: both LM fits happen before plan construction (bounded model
     # state), so the scoring plan is one scan + one Arrow map — no
     # shuffle, no join
