@@ -450,6 +450,10 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     out["langid_trained"] = timed(
         "langid_trained", lambda: corpus_r9.q_langid_trained(spark, sf_dir)
     )
+    out["training_pipeline_v3"] = timed(
+        "training_pipeline_v3",
+        lambda: corpus_r9.q_training_pipeline_v3(spark, sf_dir),
+    )
     return out
 
 
