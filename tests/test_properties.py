@@ -537,3 +537,116 @@ def test_rrf_invariant_under_monotone_score_transform(spark, seed, n_a, n_b):
         for r in rrf_fuse([a2, b2], k=50).collect()
     ]
     assert base == transformed
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(2, 12),
+    n_langs=st.integers(2, 4),
+)
+@SLOW
+def test_trigram_langid_matches_python_reference(spark, seed, n_docs, n_langs):
+    """TrigramLangIdScorer (fit + argmax scoring) must equal a from-scratch
+    Python reference — independent trigram counting, add-one smoothing,
+    scalar log10 fold in position order, ascending-language ties."""
+    import math
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from bigdata_usaspending_spark.operators.scorers import TrigramLangIdScorer
+
+    rng = random.Random(seed)
+    langs = [f"l{i}" for i in range(n_langs)]
+    alphabet = "abcdef "
+    rows = [
+        (
+            i,
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))),
+            rng.choice(langs),
+        )
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scorer = TrigramLangIdScorer.from_corpus(df)
+    out = scorer.score_batch(pd.Series([t for _, t, _ in rows]))
+
+    # independent reference
+    cnt: dict[str, Counter] = {}
+    for _, t, lang in rows:
+        cnt.setdefault(lang, Counter()).update(
+            t[i : i + 3] for i in range(len(t) - 2)
+        )
+    vocab = set().union(*[set(c) for c in cnt.values()]) if cnt else set()
+    for j, (_, t, _) in enumerate(rows):
+        tris = [t[i : i + 3] for i in range(len(t) - 2)]
+        best_lang, best_lp = None, None
+        for lang in sorted(cnt):
+            d = float(sum(cnt[lang].values())) + (float(len(vocab)) + 1.0)
+            lp = 0.0
+            for tri in tris:
+                lp += math.log10((float(cnt[lang].get(tri, 0)) + 1.0) / d)
+            if best_lp is None or lp > best_lp:
+                best_lang, best_lp = lang, lp
+        assert out["lang_model"][j] == best_lang
+        assert out["lp_model"][j] == best_lp
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_hits=st.integers(1, 40),
+    list_k=st.integers(1, 5),
+    k=st.integers(1, 5),
+)
+@SLOW
+def test_rrf_grouped_tagged_matches_python_reference(
+    spark, seed, n_hits, list_k, k
+):
+    """The tagged grouped fusion must equal a from-scratch Python RRF:
+    per-(group, list) ranks on (score DESC, id ASC) truncated at list_k,
+    contributions folded in list-index order, per-group top-k on
+    (rrf DESC, id ASC)."""
+    import random
+
+    from bigdata_usaspending_spark.operators.retrieval import (
+        rrf_fuse_grouped_tagged,
+    )
+
+    rng = random.Random(seed)
+    rows = {
+        (rng.choice(["g1", "g2"]), rng.randrange(20), rng.randrange(3))
+        for _ in range(n_hits)
+    }
+    hits = [(g, d, li, rng.choice([0.25, 0.5, 0.75, 1.0])) for g, d, li in rows]
+    df = spark.createDataFrame(
+        hits, "query_id string, doc_id long, list_idx int, score double"
+    )
+    got = [
+        (r.query_id, r.doc_id, r.rrf, r.n_lists)
+        for r in rrf_fuse_grouped_tagged(df, list_k=list_k, k=k).collect()
+    ]
+
+    # reference
+    contribs: dict[tuple, list] = {}
+    for (g, li) in {(g, li) for g, _, li, _ in hits}:
+        members = sorted(
+            [h for h in hits if h[0] == g and h[2] == li],
+            key=lambda h: (-h[3], h[1]),
+        )[:list_k]
+        for rank, (_, d, _, _) in enumerate(members, start=1):
+            contribs.setdefault((g, d), []).append((li, 1.0 / (60.0 + rank)))
+    fused = {}
+    for (g, d), cs in contribs.items():
+        lp = 0.0
+        for _, c in sorted(cs):
+            lp += c
+        fused[(g, d)] = (lp, len(cs))
+    want = []
+    for g in sorted({g for g, _ in fused}):
+        grp = sorted(
+            [(d, v[0], v[1]) for (gg, d), v in fused.items() if gg == g],
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        want.extend((g, d, rrf, n) for d, rrf, n in grp)
+    assert got == want
