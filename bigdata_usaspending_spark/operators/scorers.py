@@ -689,7 +689,9 @@ class TrigramLangIdScorer(TextScorer):
     labeled corpus, scoring through the identical seam. Swapping in
     fastText's lid.176.bin is purely a model-artifact change.
 
-    Model: for each language L seen in training,
+    Model: for each language L seen in training (with at least one
+    trigram event — a label whose every document is shorter than 3
+    characters contributes nothing and is absent from the model),
 
         score(doc, L) = Σ_i log10( (c_L(tri_i) + 1) / (T_L + V + 1) )
 
@@ -770,7 +772,10 @@ class TrigramLangIdScorer(TextScorer):
         for r in hist.collect():
             cnt.setdefault(r["_lang"], {})[r["_tri"]] = r["_c"]
         if not cnt:
-            raise ValueError("no labeled training text (all null)")
+            raise ValueError(
+                "no trigram events to fit on (every labeled document is "
+                "null or shorter than 3 characters)"
+            )
         tot = {lang: sum(tris.values()) for lang, tris in cnt.items()}
         vocab = set()
         for tris in cnt.values():

@@ -568,6 +568,8 @@ def test_trigram_langid_matches_python_reference(spark, seed, n_docs, n_langs):
         )
         for i in range(n_docs)
     ]
+    # the model needs at least one trigram event to exist
+    rows[0] = (rows[0][0], rows[0][1] + "abc", rows[0][2])
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     scorer = TrigramLangIdScorer.from_corpus(df)
     out = scorer.score_batch(pd.Series([t for _, t, _ in rows]))
@@ -575,9 +577,9 @@ def test_trigram_langid_matches_python_reference(spark, seed, n_docs, n_langs):
     # independent reference
     cnt: dict[str, Counter] = {}
     for _, t, lang in rows:
-        cnt.setdefault(lang, Counter()).update(
-            t[i : i + 3] for i in range(len(t) - 2)
-        )
+        tris = [t[i : i + 3] for i in range(len(t) - 2)]
+        if tris:  # a lang with zero trigram events is absent from the model
+            cnt.setdefault(lang, Counter()).update(tris)
     vocab = set().union(*[set(c) for c in cnt.values()]) if cnt else set()
     for j, (_, t, _) in enumerate(rows):
         tris = [t[i : i + 3] for i in range(len(t) - 2)]

@@ -651,7 +651,7 @@ def test_trigram_langid_learns_real_languages(spark, tmp_path):
         TrigramLangIdScorer()
     with pytest.raises(ValueError, match="max_ngrams"):
         TrigramLangIdScorer.from_corpus(train, max_ngrams=5)
-    with pytest.raises(ValueError, match="no labeled"):
+    with pytest.raises(ValueError, match="no trigram events"):
         TrigramLangIdScorer.from_corpus(
             spark.createDataFrame(
                 [(1, None, None)], "doc_id long, text string, lang string"
