@@ -229,10 +229,15 @@ def q_training_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.lower(F.col("text")).alias("text"), "lang"
     )
     lid = TrigramLangIdScorer.from_corpus(docs)
+    # localCheckpoint: three downstream consumers (LM fit, the mean gate,
+    # the final draw) would otherwise re-run the LID scoring pass each —
+    # materializing the filtered NARROW projection once is the standard
+    # inter-stage persist a real pipeline does between curation stages
     kept = (
         apply_text_scorer(docs.filter(F.col("text").isNotNull()), lid)
         .filter(F.col("lang_model") == "en")
         .select("doc_id", "text")
+        .localCheckpoint()
     )
     lm = BigramLMScorer.from_corpus(kept, lam=_DSIR_LAM)
     ppl = apply_text_scorer(kept, lm).select("doc_id", "text", "perplexity")
