@@ -34,6 +34,11 @@
   proportional to the weights. The oracle replays BOTH fits, both
   scoring folds, the ratio/pow arithmetic, and the portable-hash draw in
   one self-contained statement.
+- ``q_training_pipeline_v3`` — capstone v3: trained-LID filter →
+  bigram-LM perplexity gate at the exact-decimal corpus mean → min-id
+  exact dedup → 1/perplexity fluency-weighted A-ES draw; the five-stage
+  composition (two trained models included) replays in ONE
+  self-contained SQL statement.
 
 Same determinism contract as plans/corpus.py.
 """
