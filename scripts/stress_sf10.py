@@ -217,6 +217,16 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     out["dsir_resample"] = timed(
         "dsir_resample", lambda: corpus_r9.q_dsir_resample(spark, sf_dir)
     )
+    out["rrf_grouped_ensemble"] = timed(
+        "rrf_grouped_ensemble", lambda: corpus_r9.q_rrf_grouped(spark, sf_dir)
+    )
+    out["langid_trained"] = timed(
+        "langid_trained", lambda: corpus_r9.q_langid_trained(spark, sf_dir)
+    )
+    out["training_pipeline_v3"] = timed(
+        "training_pipeline_v3",
+        lambda: corpus_r9.q_training_pipeline_v3(spark, sf_dir),
+    )
     return out
 
 
