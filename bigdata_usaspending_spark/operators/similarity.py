@@ -546,6 +546,41 @@ def ivf_index_write(
     )
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> None:
+    """Incrementally ADD vectors to a persisted IVF index — the index
+    lifecycle's middle step (build once → add batches forever → probe),
+    the ANN twin of the incremental dedup index. New vectors are
+    assigned with the SAVED centroids (one bounded read + one broadcast
+    kernel map — the index is never rescanned, the model never
+    retrained) and appended into the same partitionBy(cell) layout, so
+    existing probe plans keep pruning correctly over both generations.
+
+    Standard IVF caveat (faiss semantics): adds do not move centroids;
+    if the data distribution drifts far from the training set, rebuild
+    with fresh centroids rather than adding forever."""
+    cdf = spark.read.parquet(f"{path}/centroids.parquet")
+    cent_rows = cdf.limit(max_cells + 1).collect()
+    if len(cent_rows) > max_cells:
+        raise ValueError(
+            f"index has {len(cent_rows)} cells > max_cells={max_cells}; "
+            "a driver-side centroid load needs bounded model state"
+        )
+    local_cents = spark.createDataFrame(cent_rows, cdf.schema)
+    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors.parquet")
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -101,6 +101,26 @@ def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="max_cells"):
         similarity.ivf_index_topk(spark, path, qvec, max_cells=2)
 
+    # incremental ADD: a new batch assigned with the SAVED centroids and
+    # appended into the partitioned layout — probes see both generations,
+    # and the added rows' assignments equal the live operator's
+    new_batch = data.filter(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_index_add(spark, path, new_batch)
+    merged = similarity.ivf_index_topk(spark, path, qvec, k=10, nprobe=3)
+    union = similarity.ivf_assign(data, centroids).unionByName(
+        similarity.ivf_assign(new_batch, centroids)
+    )
+    expect = similarity.ivf_topk(
+        union, centroids, qdf, k=10, nprobe=3
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in merged.collect()] == [
+        (r.vec_id, r.cosine) for r in expect
+    ]
+    with pytest.raises(ValueError, match="max_cells"):
+        similarity.ivf_index_add(spark, path, new_batch, max_cells=2)
+
 
 def test_lsh_neighbors_deterministic(vecs):
     a = similarity.random_projection_lsh_neighbors(
