@@ -19,11 +19,12 @@ _VERIFY_FIRST = [
     # (the retrieval stack's fusion + rerank stages, DSIR resampling):
     "q_hybrid_rrf", "q_rerank_topk", "q_rrf_grouped", "q_langid_trained",
     "q_dsir_weights", "q_dsir_resample", "q_training_pipeline_v3",
+    "q_curriculum_phases",
     # (b) operator path changed THIS round: BigramLMScorer.score_batch
     # gained the pruned-artifact unigram fallback (ADVICE r8):
     "q_lm_perplexity",
     # (c) the one r5 row past last round's cap (carries the r7 judge's
-    # independent re-run), then 43 of the 50 r6 greens — oldest first:
+    # independent re-run), then 40 of the 50 r6 greens — oldest first:
     "q_tpch_q21_shape",
     "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys", "q_ann_lsh",
     "q_approx_median", "q_case_when_label", "q_cast_to_date",
@@ -37,12 +38,12 @@ _VERIFY_FIRST = [
     "q_table_profile", "q_table_profile_hll", "q_tdigest_quantiles",
     "q_text_langid", "q_text_quality", "q_text_tokens", "q_topk",
     "q_topn_frequency", "q_tpch_q12_shape", "q_training_data_pipeline",
-    "q_training_pipeline_v2", "q_union_branches", "q_value_counts",
-    # (the 9 remaining r6 greens — q_scan_project, q_first_row,
+    "q_training_pipeline_v2", "q_value_counts",
+    # (the 10 remaining r6 greens — q_scan_project, q_first_row,
     # q_orderby_asc, q_orderby_desc, q_dropna, q_filter_positive,
-    # q_window_tumbling, q_window_topk_per_group, q_weighted_sample, all
-    # projection/filter/sort/window/sample plans untouched for 3+ rounds
-    # — lead the round-10 rotation.)
+    # q_window_tumbling, q_window_topk_per_group, q_weighted_sample,
+    # q_union_branches — all projection/filter/sort/window/sample/union
+    # plans untouched for 3+ rounds — lead the round-10 rotation.)
 ]
 
 

@@ -34,6 +34,11 @@
   proportional to the weights. The oracle replays BOTH fits, both
   scoring folds, the ratio/pow arithmetic, and the portable-hash draw in
   one self-contained statement.
+- ``q_curriculum_phases`` — curriculum phasing: every document tagged
+  with an easy->hard difficulty quartile under the corpus-fitted LM;
+  thresholds from one mergeable percentile aggregate (bit-identical to
+  quantile_cont — the q_quantile_summary bridge) + a broadcast CASE
+  map, never a global ntile sort.
 - ``q_training_pipeline_v3`` — capstone v3: trained-LID filter →
   bigram-LM perplexity gate at the exact-decimal corpus mean → min-id
   exact dedup → 1/perplexity fluency-weighted A-ES draw; the five-stage
@@ -205,6 +210,44 @@ _V3_SEED = 13
 _V3_K = 50
 
 
+def q_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum phasing — order training data easy -> hard: every
+    document tagged with a difficulty phase (1 = most fluent quartile
+    under the corpus-fitted bigram LM, 4 = hardest). The scale-correct
+    form: exact quartile thresholds from ONE mergeable 1-row
+    ``percentile`` aggregate (no sort, no window — a global ntile would
+    be a single-partition sort at 100 TB), then a broadcast-scalar CASE
+    map. Spark's percentile is bit-identical to DuckDB quantile_cont
+    (the q_quantile_summary bridge), so phases replay exactly."""
+    from ..operators.scorers import BigramLMScorer, apply_text_scorer
+
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
+    lm = BigramLMScorer.from_corpus(docs, lam=_DSIR_LAM)
+    ppl = apply_text_scorer(
+        docs.filter(F.col("text").isNotNull()), lm
+    ).select("doc_id", "perplexity")
+    th = ppl.agg(
+        F.percentile(
+            F.col("perplexity"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        ).alias("_q")
+    ).select(
+        F.element_at("_q", 1).alias("_t1"),
+        F.element_at("_q", 2).alias("_t2"),
+        F.element_at("_q", 3).alias("_t3"),
+    )
+    return ppl.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("_t1"), F.lit(1))
+        .when(F.col("perplexity") <= F.col("_t2"), F.lit(2))
+        .when(F.col("perplexity") <= F.col("_t3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("int")
+        .alias("phase"),
+    )
+
+
 def q_training_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     """Capstone v3 — the round-9 pieces composed into one curation
     pipeline, every stage a TRAINED model or an exact operator:
@@ -280,6 +323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dsir_weights": q_dsir_weights,
     "q_dsir_resample": q_dsir_resample,
     "q_training_pipeline_v3": q_training_pipeline_v3,
+    "q_curriculum_phases": q_curriculum_phases,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -728,6 +772,30 @@ def _pipeline_v3_oracle() -> str:
     """
 
 
+def _curriculum_oracle() -> str:
+    # the LM machinery is exactly q_lm_perplexity's (same fit set, same
+    # lam); thresholds via quantile_cont (bit-identical to Spark's
+    # percentile — the q_quantile_summary bridge), phases via the same
+    # CASE tree over identical doubles
+    from .corpus_r8 import ORACLE_SQL as R8_ORACLES
+
+    return f"""
+        WITH p AS (
+            SELECT doc_id, perplexity
+            FROM ({R8_ORACLES["q_lm_perplexity"]})
+        ),
+        th AS (
+            SELECT quantile_cont(perplexity, [0.25, 0.5, 0.75]) AS q FROM p
+        )
+        SELECT doc_id, perplexity,
+               CAST(CASE WHEN perplexity <= q[1] THEN 1
+                         WHEN perplexity <= q[2] THEN 2
+                         WHEN perplexity <= q[3] THEN 3
+                         ELSE 4 END AS INTEGER) AS phase
+        FROM p, th
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "q_hybrid_rrf": _hybrid_rrf_oracle(),
     "q_rerank_topk": _rerank_oracle(),
@@ -736,4 +804,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_dsir_weights": _dsir_weights_oracle(),
     "q_dsir_resample": _dsir_resample_oracle(),
     "q_training_pipeline_v3": _pipeline_v3_oracle(),
+    "q_curriculum_phases": _curriculum_oracle(),
 }

@@ -443,6 +443,14 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan and "Join" not in plan
 
+    # curriculum: thresholds from ONE mergeable percentile aggregate +
+    # a broadcast-scalar CASE map — a global ntile (single-partition
+    # sort) must never appear
+    plan = _plan(corpus_r9.q_curriculum_phases(spark, sf))
+    assert "Window" not in plan and "Sort" not in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
     # capstone v3: never cartesian (the mean gate is a 1-row broadcast
     # scalar), both model fits pre-plan, draw compiles to
     # TakeOrderedAndProject
