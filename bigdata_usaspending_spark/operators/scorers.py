@@ -381,13 +381,15 @@ class BigramLMScorer(TextScorer):
             .groupBy("_p.prev", "_p.w")
             .agg(*aggs)
         )
-        n_bi = bi_df.count()
-        if n_bi > max_ngrams:
+        # limit(cap+1): one job both bounds driver memory and detects
+        # overflow (count()+collect() would run the aggregate twice)
+        rows = bi_df.limit(max_ngrams + 1).collect()
+        if len(rows) > max_ngrams:
             raise ValueError(
-                f"corpus has {n_bi} distinct bigrams > max_ngrams="
-                f"{max_ngrams}; fit offline and use model_path"
+                f"corpus has more than max_ngrams={max_ngrams} distinct "
+                "bigrams; fit offline and use model_path"
             )
-        return bi_df.collect()
+        return rows
 
     @classmethod
     def _model_from_hist(cls, rows: list, count_col: str, lam: float) -> dict:
@@ -724,6 +726,7 @@ class TrigramLangIdScorer(TextScorer):
             raise ValueError("provide exactly one of model or model_path")
         self._model = model
         self.model_path = model_path
+        self._terms: "dict[str, dict[str, float]] | None" = None
 
     @classmethod
     def from_corpus(
@@ -762,14 +765,17 @@ class TrigramLangIdScorer(TextScorer):
             .groupBy("_lang", "_tri")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        n_rows = hist.count()
-        if n_rows > max_ngrams:
+        # limit(cap+1) bounds driver memory AND detects overflow in the
+        # same job — count()+collect() would run the exploded aggregate
+        # over the whole corpus twice (the ivf_index_topk pattern)
+        rows = hist.limit(max_ngrams + 1).collect()
+        if len(rows) > max_ngrams:
             raise ValueError(
-                f"corpus has {n_rows} distinct (lang, trigram) rows > "
-                f"max_ngrams={max_ngrams}; fit offline and use model_path"
+                f"corpus has more than max_ngrams={max_ngrams} distinct "
+                "(lang, trigram) rows; fit offline and use model_path"
             )
         cnt: dict[str, dict[str, int]] = {}
-        for r in hist.collect():
+        for r in rows:
             cnt.setdefault(r["_lang"], {})[r["_tri"]] = r["_c"]
         if not cnt:
             raise ValueError(
@@ -800,27 +806,37 @@ class TrigramLangIdScorer(TextScorer):
         with open(self.model_path) as fh:
             self._model = json.load(fh)
 
-    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+    def _ensure_terms(self) -> None:
+        """Memoize each (lang, trigram) log term ONCE per scorer instance
+        (i.e. once per task under the seam's lazy load, NOT once per
+        Arrow batch): the model vocabulary is bounded, so log10 runs
+        O(vocab) times instead of O(events) — the fold then sums CACHED
+        doubles in position order, which is bit-identical to recomputing
+        per event (same value, same order)."""
         import math
 
+        if self._terms is not None:
+            return
         if self._model is None:
             self.load()
         m = self._model
-        langs = sorted(m["cnt"])
         v1 = float(m["v"]) + 1.0
-        # memoize each (lang, trigram) log term: the model vocabulary is
-        # bounded, so log10 runs O(vocab) times instead of O(events) —
-        # the fold then sums CACHED doubles in position order, which is
-        # bit-identical to recomputing per event (same value, same order)
         terms: dict[str, dict[str, float]] = {}
         oov: dict[str, float] = {}
-        for lang in langs:
+        for lang in sorted(m["cnt"]):
             d = float(m["tot"][lang]) + v1
             terms[lang] = {
                 t: math.log10((float(c) + 1.0) / d)
                 for t, c in m["cnt"][lang].items()
             }
             oov[lang] = math.log10(1.0 / d)
+        self._terms = terms
+        self._oov = oov
+
+    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        self._ensure_terms()
+        langs = sorted(self._terms)
+        terms, oov = self._terms, self._oov
         preds, lps = [], []
         for txt in texts:
             if not isinstance(txt, str):

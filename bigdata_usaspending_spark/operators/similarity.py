@@ -574,6 +574,22 @@ def ivf_index_add(
         )
     local_cents = spark.createDataFrame(cent_rows, cdf.schema)
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+    # fail fast on a mismatched add: appending a different column set or
+    # vector type writes a SECOND schema into the partitioned layout,
+    # which later probes surface as null ids/vectors executor-side
+    saved = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(f"{path}/vectors.parquet").schema.fields
+    }
+    adding = {
+        f.name: f.dataType.simpleString() for f in assigned.schema.fields
+    }
+    if saved != adding:
+        raise ValueError(
+            f"batch schema {sorted(adding.items())} does not match the "
+            f"index's vector schema {sorted(saved.items())}; pass the "
+            "id_col/vec_col the index was built with"
+        )
     (
         assigned.write.mode("append")
         .partitionBy("cell")

@@ -220,12 +220,19 @@ def q_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
     map. Spark's percentile is bit-identical to DuckDB quantile_cont
     (the q_quantile_summary bridge), so phases replay exactly."""
     from ..operators.scorers import BigramLMScorer, apply_text_scorer
+    from .corpus_r8 import _LM_LAMBDA
 
     docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
-    lm = BigramLMScorer.from_corpus(docs, lam=_DSIR_LAM)
-    ppl = apply_text_scorer(
-        docs.filter(F.col("text").isNotNull()), lm
-    ).select("doc_id", "perplexity")
+    # _LM_LAMBDA, not _DSIR_LAM: the oracle embeds r8's q_lm_perplexity
+    # SQL verbatim, so the fit must share ITS constant structurally
+    lm = BigramLMScorer.from_corpus(docs, lam=_LM_LAMBDA)
+    # localCheckpoint: the threshold aggregate and the phase map would
+    # otherwise each re-run the whole Arrow scoring pass (the v3 persist)
+    ppl = (
+        apply_text_scorer(docs.filter(F.col("text").isNotNull()), lm)
+        .select("doc_id", "perplexity")
+        .localCheckpoint()
+    )
     th = ppl.agg(
         F.percentile(
             F.col("perplexity"),

@@ -120,6 +120,15 @@ def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
     ]
     with pytest.raises(ValueError, match="max_cells"):
         similarity.ivf_index_add(spark, path, new_batch, max_cells=2)
+    # mismatched column names fail fast instead of writing a second
+    # schema into the partitioned layout
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.ivf_index_add(
+            spark,
+            path,
+            new_batch.withColumnRenamed("vec_id", "id"),
+            id_col="id",
+        )
 
 
 def test_lsh_neighbors_deterministic(vecs):
