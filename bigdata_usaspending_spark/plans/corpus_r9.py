@@ -264,7 +264,10 @@ def q_training_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     2. a bigram LM fitted ON THE SURVIVORS gates out the
        worse-than-mean-perplexity half (mean = exact-decimal sum /
        count, the describe_stats bridge);
-    3. exact dedup keeps the lowest doc_id per identical text;
+    3. exact dedup keeps the lowest doc_id per identical text, keyed on
+       md5(text) — the dedup shuffle never carries the document itself
+       (the ``dedup.exact_dedup`` shape; raw text is dropped BEFORE the
+       exchange, so only (doc_id, perplexity, 16-byte digest) shuffles);
     4. a derandomized A-ES draw selects 50 docs with probability
        proportional to 1/perplexity (fluency-weighted sampling).
 
@@ -305,9 +308,19 @@ def q_training_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     gated = ppl.crossJoin(F.broadcast(mean_row)).filter(
         F.col("perplexity") <= F.col("mean_ppl")
     )
-    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    # dedup key = md5(text), not text: the window's exchange hashes and
+    # carries a 16-byte digest instead of the whole document (at 100 TB
+    # the shuffle payload is rows x ~32 bytes, not the corpus); text is
+    # projected away before the shuffle. md5-collision merging of
+    # distinct texts is the same accepted identity proxy as
+    # dedup.exact_dedup (dedup.py:78).
+    w = Window.partitionBy("_fp").orderBy(F.asc("doc_id"))
     uniq = (
-        gated.withColumn("_rn", F.row_number().over(w))
+        gated.select(
+            "doc_id", "perplexity",
+            F.md5(F.col("text").cast("binary")).alias("_fp"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "perplexity")
     )
@@ -760,7 +773,7 @@ def _pipeline_v3_oracle() -> str:
             SELECT doc_id, perplexity FROM (
                 SELECT doc_id, perplexity,
                        row_number() OVER (
-                           PARTITION BY s ORDER BY doc_id ASC
+                           PARTITION BY md5(s) ORDER BY doc_id ASC
                        ) AS rn
                 FROM gated
             ) WHERE rn = 1

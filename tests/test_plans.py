@@ -459,6 +459,13 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+    # the dedup window exchanges on md5(text), and raw text is projected
+    # away BEFORE the shuffle: no exchange output may carry a text column
+    # (r9 advisory fix — at 100 TB the dedup shuffle moves 16-byte
+    # digests, never documents)
+    for frag in plan.split("Exchange")[1:]:
+        first_line = frag.splitlines()[0]
+        assert "text" not in first_line, first_line
 
     # DSIR: both LM fits happen before plan construction (bounded model
     # state), so the scoring plan is one scan + one Arrow map — no
