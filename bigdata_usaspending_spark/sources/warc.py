@@ -201,3 +201,102 @@ def warc_responses_to_documents(
             )
 
     return resp.mapInPandas(to_docs, schema)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl tier 1)
+# --------------------------------------------------------------------------
+
+# Tracking parameters stripped during canonicalization: the utm_* family
+# plus the common click-id params. Matched against a "name=value" (or bare
+# "name") query segment. The pattern stays inside the Java-regex ∩ RE2
+# common subset (no lookaround) so it replays identically in any engine.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def canonicalize_url(col: "Column | str", alias: str = "canonical_url") -> "Column":
+    """Canonical form of a URL — the standard FIRST dedup tier of a crawl
+    pipeline (dedup by URL before ever touching document text; the
+    reference has no crawl surface, this extends SURVEY §7.4):
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+    - fragment dropped (never sent to the server);
+    - default ports removed (``:80`` for http, ``:443`` for https);
+    - trailing slashes stripped from the path (``/a/`` == ``/a``, ``/``
+      == empty path);
+    - tracking parameters removed (``TRACKING_PARAM_RE``: utm_*, fbclid,
+      gclid, msclkid, mc_eid, igshid) and the surviving query segments
+      sorted bytewise, so param order never splits a dedup group;
+    - userinfo, percent-encoding case, and ``www.`` are left untouched
+      (conservative: never merges URLs that could be distinct resources).
+
+    Strings without a ``scheme://`` are passed through trimmed (relative
+    links and junk rows dedup on themselves rather than erroring). Pure
+    Column expression — whole-stage codegen, no UDF — built from
+    regexp/split/filter/sort primitives every engine shares, so the
+    canonicalization is oracle-replayable (plans/corpus_r10.q_url_dedup).
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathquery = F.substr(rest, F.length(authority) + 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.when(
+        pathquery.contains("?"),
+        F.regexp_replace(pathquery, r"^[^?]*\?", ""),
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+    return F.when(scheme == "", u).otherwise(canon).alias(alias)
+
+
+def url_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "target_uri"
+) -> DataFrame:
+    """One row per distinct canonical URL: ``(canonical_url, id_col,
+    n_copies)`` with the canonical (min) id — the URL-level twin of
+    ``dedup.exact_dedup_groups``. Null URLs are dropped (no URL, no URL
+    identity; text-level dedup downstream still sees those rows via
+    ``url_dedup``). Single shuffle keyed on the canonical URL string —
+    URLs are bounded-small, and canonicalization runs map-side inside
+    codegen, so this costs one linear pass at 100 TB."""
+    return (
+        df.filter(F.col(url_col).isNotNull())
+        .select(F.col(id_col), canonicalize_url(url_col))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "target_uri"
+) -> DataFrame:
+    """Keep one (min-id) row per distinct canonical URL; rows with a null
+    URL always survive (they carry no URL identity — the text tiers
+    downstream dedup them). Semi-join on the id, same shape as
+    ``dedup.exact_dedup``."""
+    keep = url_dedup_groups(df, id_col, url_col).select(id_col)
+    return df.join(keep, on=id_col, how="semi").unionByName(
+        df.filter(F.col(url_col).isNull())
+    )

@@ -230,3 +230,71 @@ def test_warc_framing_is_length_based_not_delimiter_based():
         ]
 
     check()
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + URL dedup (crawl tier 1)
+# --------------------------------------------------------------------------
+
+CANON_CASES = [
+    # scheme/host case-fold, default port, trailing slash, tracker, fragment
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=5#frag",
+     "http://www.example.com/a/b?id=5"),
+    ("http://www.example.com/a/b?id=5", "http://www.example.com/a/b?id=5"),
+    # https default port + root path collapse
+    ("https://Example.com:443/", "https://example.com"),
+    ("https://example.com", "https://example.com"),
+    # non-default port kept
+    ("http://example.com:8080/x/", "http://example.com:8080/x"),
+    # tracker stripped, params sorted bytewise
+    ("http://example.com/x?b=2&a=1&fbclid=abc", "http://example.com/x?a=1&b=2"),
+    # tracking-only query -> no '?'
+    ("http://example.com/x?utm_campaign=z", "http://example.com/x"),
+    # bare tracker name without '=' also stripped
+    ("http://example.com/x?gclid&a=1", "http://example.com/x?a=1"),
+    # non-tracking param whose name merely CONTAINS a tracker is kept
+    ("http://example.com/x?myutm_source=1", "http://example.com/x?myutm_source=1"),
+    # no scheme: passthrough, trimmed, fragment still dropped
+    ("  /relative/path#sec  ", "/relative/path"),
+    ("not a url", "not a url"),
+    # other schemes: normalized but ports untouched
+    ("FTP://Host.Com:21/file", "ftp://host.com:21/file"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], ["i", "u"]
+    ).select("i", W.canonicalize_url("u"))
+    got = {r.i: r.canonical_url for r in df.collect()}
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(raw,) for raw, _ in CANON_CASES], ["u"]
+    ).select(W.canonicalize_url("u").alias("c1"))
+    df = df.select("c1", W.canonicalize_url("c1").alias("c2"))
+    for r in df.collect():
+        assert r.c1 == r.c2
+
+
+def test_url_dedup_groups_and_survivors(spark):
+    rows = [
+        (1, "HTTP://A.example:80/p/?utm_source=x"),  # canon http://a.example/p
+        (2, "http://a.example/p"),                    # duplicate of 1
+        (3, "https://a.example/p"),                   # distinct (scheme)
+        (4, None),                                    # null URL: always survives
+        (5, "http://a.example/p?x=1"),                # distinct (param)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "target_uri"])
+    groups = {
+        r.canonical_url: (r.doc_id, r.n_copies)
+        for r in W.url_dedup_groups(df).collect()
+    }
+    assert groups["http://a.example/p"] == (1, 2)
+    assert groups["https://a.example/p"] == (3, 1)
+    assert groups["http://a.example/p?x=1"] == (5, 1)
+    survivors = sorted(r.doc_id for r in W.url_dedup(df).collect())
+    assert survivors == [1, 3, 4, 5]
