@@ -905,3 +905,173 @@ class FastTextLangIdScorer(TextScorer):
                 "lang_conf": [float(cs[0]) if len(cs) else 0.0 for cs in confs],
             }
         )
+
+
+class NaiveBayesPairScorer(PairScorer):
+    """A TRAINED pairwise reranker in the CrossEncoder seat — the
+    offline-trainable leg of the rerank slot, completing the seam
+    pattern (TrigramLangIdScorer is to fastText what this is to a
+    cross-encoder): Bernoulli naive Bayes over per-query-token document
+    presence, fitted on labeled (query, document, relevance) pairs.
+
+    Model: for each token w seen in a training QUERY,
+        q_rel(w)/q_non(w) = relevant / non-relevant pairs whose query
+                            contains w,
+        m_rel(w)/m_non(w) = those pairs where the DOCUMENT also
+                            contains w.
+    With add-one/add-two (Laplace) smoothing,
+        p_rel(w) = (m_rel+1)/(q_rel+2),   p_non(w) = (m_non+1)/(q_non+2),
+    and a candidate pair scores, over the query's distinct tokens in
+    first-occurrence order,
+        rerank = Σ_w  log10(p_rel/p_non)          if w present in doc
+                      log10((1-p_rel)/(1-p_non))  if absent,
+    i.e. the NB log-likelihood ratio. Tokens absent from the model (OOV)
+    contribute nothing; the class prior is a per-query constant and is
+    omitted (rank-invariant within a query). Unlike the token-overlap
+    default, the model LEARNS per-term discriminativeness — terms whose
+    presence separates relevant from non-relevant pairs dominate, corpus
+    stopwords cancel (p_rel ≈ p_non → term ≈ 0).
+
+    Determinism contract (the TrigramLangIdScorer class): counts are
+    exact ints from ONE Spark aggregate; each log term is one fixed IEEE
+    expression tree; the per-pair sum folds left-to-right in query-token
+    position order — so fit AND scoring replay bit-for-bit in
+    self-contained SQL (plans/corpus_r10.q_rerank_trained). Tokenization
+    is ``spark_tokens`` on both sides (feed pre-lowered text or rely on
+    the tokenizer's own lower()). The fitted model travels as an
+    in-memory dict (cap-guarded collect) or a ``model_path`` JSON
+    artifact, identical to BigramLMScorer's contract.
+    """
+
+    output_schema = "rerank double"
+
+    def __init__(
+        self, model: dict | None = None, model_path: str | None = None
+    ):
+        if (model is None) == (model_path is None):
+            raise ValueError("provide exactly one of model or model_path")
+        self._model = model
+        self.model_path = model_path
+        self._terms: "dict[str, tuple[float, float]] | None" = None
+
+    @classmethod
+    def from_pairs(
+        cls,
+        df: DataFrame,
+        query_col: str = "query_text",
+        text_col: str = "text",
+        label_col: str = "label",
+        max_terms: int = 1_000_000,
+    ) -> "NaiveBayesPairScorer":
+        """Fit per-token match counts: one projection builds
+        (token, presence) structs per pair (presence computed BEFORE the
+        explode, so the document token array is scanned once per pair,
+        not once per query token), then ONE exploded aggregate and a
+        cap-guarded driver collect — the same bounded-fit shape as
+        TrigramLangIdScorer.from_corpus."""
+        from pyspark.sql import functions as F
+
+        from .text import tokens
+
+        # no higher-order-function lambdas here: a HOF lambda whose body
+        # references a sibling column trips Catalyst attribute binding
+        # when the input lineage contains a broadcast join (observed on
+        # Spark 4.1: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Explode the
+        # query tokens first, then plain array_contains(col, col) —
+        # per-token duplication of the doc token array is bounded by the
+        # short-query contract of the rerank stage.
+        ev = (
+            df.filter(
+                F.col(query_col).isNotNull()
+                & F.col(text_col).isNotNull()
+                & F.col(label_col).isNotNull()
+            )
+            .select(
+                F.col(label_col).cast("int").alias("_y"),
+                F.array_distinct(tokens(query_col)).alias("_qt"),
+                tokens(text_col).alias("_dt"),
+            )
+            .select("_y", F.explode("_qt").alias("_w"), "_dt")
+            .select(
+                "_y",
+                "_w",
+                F.array_contains("_dt", F.col("_w")).cast("int").alias("_m"),
+            )
+        )
+        hist = ev.groupBy("_w").agg(
+            F.sum("_y").alias("q_rel"),
+            F.sum(F.col("_y") * F.col("_m")).alias("m_rel"),
+            F.sum(F.lit(1) - F.col("_y")).alias("q_non"),
+            F.sum((F.lit(1) - F.col("_y")) * F.col("_m")).alias("m_non"),
+        )
+        rows = hist.limit(max_terms + 1).collect()
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"training pairs have more than max_terms={max_terms} "
+                "distinct query tokens; fit offline and use model_path"
+            )
+        if not rows:
+            raise ValueError("no (query, document, label) events to fit on")
+        cnt = {
+            r["_w"]: [int(r["m_rel"]), int(r["q_rel"]),
+                      int(r["m_non"]), int(r["q_non"])]
+            for r in rows
+        }
+        return cls(model={"cnt": cnt})
+
+    def save(self, path: str) -> None:
+        import json
+
+        if self._model is None:
+            self.load()
+        with open(path, "w") as fh:
+            json.dump(self._model, fh)
+
+    def load(self) -> None:
+        if self._model is not None:
+            return
+        import json
+
+        with open(self.model_path) as fh:
+            self._model = json.load(fh)
+
+    def _ensure_terms(self) -> None:
+        """Memoize the (present, absent) log terms per token once per
+        scorer instance — same value, same IEEE ops, same order as the
+        oracle's per-expression recomputation."""
+        import math
+
+        if self._terms is not None:
+            return
+        if self._model is None:
+            self.load()
+        terms: dict[str, tuple[float, float]] = {}
+        for w, (m_rel, q_rel, m_non, q_non) in self._model["cnt"].items():
+            p_rel = (float(m_rel) + 1.0) / (float(q_rel) + 2.0)
+            p_non = (float(m_non) + 1.0) / (float(q_non) + 2.0)
+            terms[w] = (
+                math.log10(p_rel / p_non),
+                math.log10((1.0 - p_rel) / (1.0 - p_non)),
+            )
+        self._terms = terms
+
+    def score_pairs(
+        self, queries: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
+        self._ensure_terms()
+        terms = self._terms
+        out = []
+        for q, t in zip(queries, texts):
+            if not isinstance(q, str) or not isinstance(t, str):
+                out.append(None)
+                continue
+            qtoks = list(dict.fromkeys(spark_tokens(q)))
+            dset = set(spark_tokens(t))
+            lp = 0.0
+            for w in qtoks:
+                pair = terms.get(w)
+                if pair is None:
+                    continue  # OOV: contributes nothing
+                lp += pair[0] if w in dset else pair[1]
+            out.append(lp)
+        return pd.DataFrame({"rerank": pd.Series(out, dtype="float64")})

@@ -14,19 +14,34 @@ the composed corpus-build pipeline as a value oracle.
   codegen'd projection (regexp/split/filter/sort built-ins — no UDF),
   replayed expression-for-expression in the oracle.
 
+- ``q_rerank_trained`` — the rerank seat's TRAINED leg
+  (scorers.NaiveBayesPairScorer, VERDICT r9 #4 — the TrigramLangIdScorer
+  move applied to reranking): Bernoulli naive Bayes over per-query-token
+  document presence, fitted on the BM25 batch's candidates with
+  AND-match relevance labels (every distinct query term present in the
+  document), then the same candidates reranked by the NB log-likelihood
+  ratio, per-query top-5. Fit counts, the smoothed log terms, and the
+  position-ordered fold all replay in one self-contained SQL statement.
+
 Same determinism contract as plans/corpus.py.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators import retrieval, text
+from ..operators.text import tokens as sql_tokens
 from ..session import apply_runtime_confs
 from ..sources.warc import TRACKING_PARAM_RE, url_dedup_groups
+from .corpus_r8 import _BM25_BATCH, _BM25_BATCH_K
+
+_RERANK_TRAINED_K = 5
 
 
 def _prep(spark: SparkSession) -> SparkSession:
@@ -165,12 +180,150 @@ def _url_dedup_oracle() -> str:
     """
 
 
+def _bm25_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """The 4-query BM25 batch's top-10 candidates joined to their text
+    and query text — the shared retrieve stage (exactly
+    corpus_r9.q_rerank_topk's candidate frame; candidates broadcast, the
+    corpus streams through the probe)."""
+    docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
+    cands = text.bm25_topk_batch(docs, _BM25_BATCH, k=_BM25_BATCH_K)
+    qtext = reduce(
+        lambda acc, kv: acc.when(F.col("query_id") == kv[0], F.lit(kv[1])),
+        [(qid, " ".join(terms)) for qid, terms in _BM25_BATCH.items()],
+        F,
+    ).otherwise(F.lit(None))
+    return docs.join(F.broadcast(cands), "doc_id").withColumn(
+        "query_text", qtext
+    )
+
+
+def q_rerank_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve -> fit -> rerank with the TRAINED pairwise model: the
+    BM25 batch candidates labeled by AND-match (all distinct query terms
+    present in the document — the fixture relevance signal), a Bernoulli
+    NB match model fitted on those labeled pairs (one bounded aggregate),
+    then the SAME candidates reranked by the NB log-likelihood ratio
+    through the pair-scorer seam, per-query top-5, ties ascending doc_id.
+
+    100-TB shape: fit = one exploded aggregate over O(queries x k)
+    candidate rows + a cap-guarded collect of the query-token vocabulary;
+    scoring = one Arrow map over the k-bounded candidates; top-k windows
+    partition by query_id. The corpus is scanned once (retrieval)."""
+    from ..operators.scorers import NaiveBayesPairScorer
+
+    enriched = _bm25_candidates(spark, sf)
+    # AND-match without a HOF lambda (lambdas over this broadcast-join
+    # lineage trip Catalyst binding — see NaiveBayesPairScorer.from_pairs):
+    # all query tokens present ⟺ array_except(qtoks, dtoks) is empty
+    labeled = enriched.withColumn(
+        "label",
+        (
+            F.size(
+                F.array_except(
+                    F.array_distinct(sql_tokens("query_text")),
+                    sql_tokens("text"),
+                )
+            )
+            == 0
+        ).cast("int"),
+    )
+    scorer = NaiveBayesPairScorer.from_pairs(
+        labeled, "query_text", "text", "label"
+    )
+    return retrieval.rerank_topk(
+        enriched, scorer, k=_RERANK_TRAINED_K
+    ).select("query_id", "doc_id", "rerank")
+
+
+def _rerank_trained_oracle() -> str:
+    # self-contained replay of fit AND scoring: candidates from the r8
+    # BM25 batch oracle, AND-match labels, the Bernoulli-NB match counts,
+    # the smoothed log-ratio terms (same IEEE expression trees as
+    # NaiveBayesPairScorer._ensure_terms), and the position-ordered fold
+    from .corpus_ext import _TOKS
+    from .corpus_r8 import ORACLE_SQL as R8_ORACLES
+
+    qterm_rows = ", ".join(
+        f"('{qid}', {pos}, '{w}')"
+        for qid, terms in _BM25_BATCH.items()
+        for pos, w in enumerate(dict.fromkeys(terms))
+    )
+    return f"""
+        WITH cand AS ({R8_ORACLES["q_bm25_batch"]}),
+        joined AS (
+            SELECT c.query_id, c.doc_id, {_TOKS} AS dtoks
+            FROM cand c JOIN documents ON documents.doc_id = c.doc_id
+        ),
+        qterms(query_id, pos, w) AS (VALUES {qterm_rows}),
+        lab AS (
+            SELECT j.query_id, j.doc_id,
+                   MIN(CASE WHEN list_contains(j.dtoks, qt.w)
+                            THEN 1 ELSE 0 END) AS y
+            FROM joined j JOIN qterms qt ON qt.query_id = j.query_id
+            GROUP BY j.query_id, j.doc_id
+        ),
+        ev AS (
+            SELECT qt.w, lab.y,
+                   CASE WHEN list_contains(j.dtoks, qt.w)
+                        THEN 1 ELSE 0 END AS m
+            FROM joined j
+            JOIN qterms qt ON qt.query_id = j.query_id
+            JOIN lab ON lab.query_id = j.query_id
+                    AND lab.doc_id = j.doc_id
+        ),
+        model AS (
+            SELECT w,
+                   SUM(y) AS q_rel, SUM(y * m) AS m_rel,
+                   SUM(1 - y) AS q_non, SUM((1 - y) * m) AS m_non
+            FROM ev GROUP BY w
+        ),
+        tm AS (
+            SELECT w,
+                   log10(((CAST(m_rel AS DOUBLE) + 1.0)
+                          / (CAST(q_rel AS DOUBLE) + 2.0))
+                         / ((CAST(m_non AS DOUBLE) + 1.0)
+                            / (CAST(q_non AS DOUBLE) + 2.0))) AS t_present,
+                   log10((1.0 - ((CAST(m_rel AS DOUBLE) + 1.0)
+                                 / (CAST(q_rel AS DOUBLE) + 2.0)))
+                         / (1.0 - ((CAST(m_non AS DOUBLE) + 1.0)
+                                   / (CAST(q_non AS DOUBLE) + 2.0))))
+                       AS t_absent
+            FROM model
+        ),
+        sc AS (
+            SELECT j.query_id, j.doc_id, qt.pos,
+                   CASE WHEN list_contains(j.dtoks, qt.w)
+                        THEN tm.t_present ELSE tm.t_absent END AS term
+            FROM joined j
+            JOIN qterms qt ON qt.query_id = j.query_id
+            JOIN tm ON tm.w = qt.w
+        ),
+        agg AS (
+            SELECT query_id, doc_id,
+                   list_reduce(list(term ORDER BY pos),
+                               (a, b) -> a + b) AS rerank
+            FROM sc GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rerank FROM (
+            SELECT query_id, doc_id, rerank,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rerank DESC, doc_id ASC
+                   ) AS rn
+            FROM agg
+        ) WHERE rn <= {_RERANK_TRAINED_K}
+        ORDER BY query_id, rerank DESC, doc_id ASC
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_dedup": q_url_dedup,
+    "q_rerank_trained": q_rerank_trained,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
 
 ORACLE_SQL: dict[str, str] = {
     "q_url_dedup": _url_dedup_oracle(),
+    "q_rerank_trained": _rerank_trained_oracle(),
 }

@@ -482,3 +482,25 @@ def test_round9_query_plan_shapes(spark, sf):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_round10_query_plan_shapes(spark, sf):
+    """Plan pins for the round-10 additions."""
+    from bigdata_usaspending_spark.plans import corpus_r10
+
+    # URL dedup: canonicalization is map-side codegen (no UDF, no
+    # Python), ONE scan, the only exchange keys on the canonical URL for
+    # the group-by — never a join, never a window
+    plan = _plan(corpus_r10.q_url_dedup(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+    # trained rerank: fit happens before plan construction (bounded model
+    # state); the scoring plan is the k-bounded candidates broadcast-joined
+    # to their text + one Arrow map — never sort-merge over the corpus
+    plan = _plan(corpus_r10.q_rerank_trained(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan

@@ -348,3 +348,65 @@ def test_rerank_topk_end_to_end_and_guards(spark):
     stub = CrossEncoderPairScorer("/models/ce.bin")
     with _pytest.raises(ImportError, match="sentence_transformers"):
         stub.load()
+
+
+def test_naive_bayes_pair_scorer_learns_term_weights(spark, tmp_path):
+    """The trained reranker must (a) learn per-term discriminativeness on
+    held-out pairs where raw token overlap ties, (b) survive a save/load
+    round trip bit-for-bit, and (c) guard its fit caps."""
+    from bigdata_usaspending_spark.operators.scorers import (
+        NaiveBayesPairScorer,
+        TokenOverlapPairScorer,
+        apply_pair_scorer,
+    )
+
+    # training pairs: queries are two tokens — "alpha" is discriminative
+    # (present in the doc iff the pair is relevant), "the" is noise
+    # (present in every doc regardless of label)
+    train = []
+    for i in range(8):
+        rel = i % 2
+        doc = ("the " + ("alpha " if rel else "beta ")) + f"filler{i}"
+        train.append((f"alpha the", doc, rel))
+    tdf = spark.createDataFrame(train, ["query_text", "text", "label"])
+    scorer = NaiveBayesPairScorer.from_pairs(tdf)
+
+    # held-out: two docs, both contain exactly ONE query token, so
+    # TokenOverlap ties them at 0.5 — the trained model must rank the
+    # alpha-doc (discriminative term) above the the-doc (noise term)
+    held = spark.createDataFrame(
+        [
+            (1, "alpha the", "alpha only here"),
+            (2, "alpha the", "the without signal"),
+        ],
+        ["pair_id", "query_text", "text"],
+    )
+    nb = {
+        r.pair_id: r.rerank
+        for r in apply_pair_scorer(held, scorer).collect()
+    }
+    ov = {
+        r.pair_id: r.rerank
+        for r in apply_pair_scorer(held, TokenOverlapPairScorer()).collect()
+    }
+    assert ov[1] == ov[2] == 0.5  # overlap can't separate them
+    assert nb[1] > nb[2]  # the trained model can
+
+    # save/load round trip is bit-exact
+    path = str(tmp_path / "nb.json")
+    scorer.save(path)
+    from_file = NaiveBayesPairScorer(model_path=path)
+    nb2 = {
+        r.pair_id: r.rerank
+        for r in apply_pair_scorer(held, from_file).collect()
+    }
+    assert nb == nb2
+
+    # guards: exactly one of model/model_path; fit caps; empty fit
+    with pytest.raises(ValueError):
+        NaiveBayesPairScorer()
+    with pytest.raises(ValueError, match="max_terms"):
+        NaiveBayesPairScorer.from_pairs(tdf, max_terms=1)
+    empty = spark.createDataFrame([], "query_text string, text string, label int")
+    with pytest.raises(ValueError, match="no .*events"):
+        NaiveBayesPairScorer.from_pairs(empty)
