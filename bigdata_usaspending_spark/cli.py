@@ -59,6 +59,38 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--output", default=None, help="write result parquet here")
     q.add_argument("--limit", type=int, default=20, help="rows to print without --output")
 
+    b = sub.add_parser(
+        "build-corpus",
+        help="WARC shards (or a documents parquet) -> curated, deduped, "
+        "packed training corpus (plans/build_corpus)",
+    )
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--warc", help="path/glob of .warc/.warc.gz shards")
+    src.add_argument(
+        "--documents",
+        help="parquet with doc_id/text/source[/target_uri] columns",
+    )
+    b.add_argument("--output", required=True)
+    b.add_argument(
+        "--decontaminate", default=None,
+        help="parquet of benchmark rows (text column); enables the "
+        "n-gram decontamination tier",
+    )
+    b.add_argument("--langs", default="en", help="comma-separated keep set")
+    b.add_argument("--min-tokens", type=int, default=4)
+    b.add_argument("--max-punct-ratio", type=float, default=0.5)
+    b.add_argument(
+        "--near-threshold", type=float, default=0.8,
+        help="minhash-LSH jaccard threshold; negative disables the tier",
+    )
+    b.add_argument("--quota-per-source", type=int, default=None)
+    b.add_argument("--block-size", type=int, default=512)
+    b.add_argument("--seed", type=int, default=0)
+    b.add_argument(
+        "--no-pii-scrub", action="store_true",
+        help="skip the PII redaction stage",
+    )
+
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
     )
@@ -114,6 +146,48 @@ def main(argv: list[str] | None = None) -> int:
             f"trained: rmse={result.regression_rmse:.2f} "
             f"auc={result.classification_auc:.4f} "
             f"centers={len(result.cluster_centers)} -> {args.models_dir}"
+        )
+        return 0
+
+    if args.job == "build-corpus":
+        from .plans.build_corpus import (
+            CorpusBuildConfig,
+            build_corpus,
+            write_corpus,
+        )
+        from .session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        if args.warc:
+            from .sources.warc import read_warc, warc_responses_to_documents
+
+            docs = warc_responses_to_documents(read_warc(spark, args.warc))
+        else:
+            docs = spark.read.parquet(args.documents)
+        bench = (
+            spark.read.parquet(args.decontaminate)
+            if args.decontaminate else None
+        )
+        cfg = CorpusBuildConfig(
+            langs=tuple(s for s in args.langs.split(",") if s),
+            min_tokens=args.min_tokens,
+            max_punct_ratio=args.max_punct_ratio,
+            near_threshold=(
+                None if args.near_threshold < 0 else args.near_threshold
+            ),
+            quota_per_source=args.quota_per_source,
+            block_size=args.block_size,
+            seed=args.seed,
+            scrub_pii=not args.no_pii_scrub,
+        )
+        out = build_corpus(docs, benchmark=bench, cfg=cfg)
+        write_corpus(out, args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        seqs = written.agg({"seq_id": "max"}).first()[0]
+        print(
+            f"wrote {n} documents / {0 if seqs is None else seqs + 1} "
+            f"packed sequences to {args.output}"
         )
         return 0
 

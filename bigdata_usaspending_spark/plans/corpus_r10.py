@@ -23,6 +23,16 @@ the composed corpus-build pipeline as a value oracle.
   ratio, per-query top-5. Fit counts, the smoothed log terms, and the
   position-ordered fold all replay in one self-contained SQL statement.
 
+- ``q_corpus_build_mini`` — the composed corpus-build pipeline
+  (plans/build_corpus.build_corpus, the build-corpus CLI job) as ONE
+  value oracle: quality + language gate (raw-division ratios, the
+  marker-vote LID) → md5-fingerprint exact dedup → 10-per-source quota
+  (portable-hash draw) → seeded epoch shuffle (position) → 128-token
+  sequence packing over the SHUFFLED order. The oracle replays every
+  stage in one self-contained statement; the URL / PII / near-dup /
+  decontamination tiers are exercised by their own oracles and the CLI
+  integration test (they'd add nothing but bulk here).
+
 Same determinism contract as plans/corpus.py.
 """
 
@@ -316,9 +326,117 @@ def _rerank_trained_oracle() -> str:
     """
 
 
+_MINI_SEED = 3
+_MINI_QUOTA = 10
+_MINI_BLOCK = 128
+_MINI_MIN_TOKENS = 8
+_MINI_MAX_PUNCT = 0.2
+
+
+def q_corpus_build_mini(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-build composition end to end (portable-hash variant of
+    the build-corpus CLI job): gate -> exact dedup -> per-source quota ->
+    epoch shuffle -> pack. Output is the packed training manifest
+    ``(doc_id, source, n_tokens, position, seq_id, seq_offset)``.
+
+    100-TB shape (inherited from the stage operators): three linear
+    scans' worth of gates fused into one, a fingerprint-keyed dedup
+    shuffle, one window per quota group, and the two-pass prefix-sum
+    shuffle/pack — no single-partition window, no driver state."""
+    from .build_corpus import CorpusBuildConfig, build_corpus
+
+    docs = load(_prep(spark), sf, "documents").select(
+        "doc_id", "text", "source"
+    )
+    cfg = CorpusBuildConfig(
+        langs=("en",),
+        min_tokens=_MINI_MIN_TOKENS,
+        max_punct_ratio=_MINI_MAX_PUNCT,
+        near_threshold=None,
+        quota_per_source=_MINI_QUOTA,
+        block_size=_MINI_BLOCK,
+        seed=_MINI_SEED,
+        scrub_pii=False,
+        portable=True,
+    )
+    return build_corpus(docs, cfg=cfg).select(
+        "doc_id", "source", "n_tokens", "position", "seq_id", "seq_offset"
+    )
+
+
+def _corpus_build_mini_oracle() -> str:
+    # stage-for-stage replay: the gate's raw divisions, the
+    # q_dedup_exact md5-fingerprint min-id, the q_sample_k_per_group
+    # '|'-salted quota hash, the q_corpus_shuffle ':'-seeded permutation
+    # hash, and the q_pack_sequences running-total coordinates — each
+    # expression identical to its stage oracle, composed as CTEs
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
+
+    return f"""
+        WITH gated AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+            WHERE text IS NOT NULL
+              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
+              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
+              AND {_LANGID_CASE} = 'en'
+        ),
+        uniq AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORMALIZED})
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        quota AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)
+                                        || '|{_MINI_SEED}'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS _rk
+                FROM uniq
+            ) WHERE _rk <= {_MINI_QUOTA}
+        ),
+        pos AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM (
+                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                FROM quota
+            )
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tokens, position,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM pos
+        )
+        SELECT doc_id, source, n_tokens, position,
+               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
+               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_dedup": q_url_dedup,
     "q_rerank_trained": q_rerank_trained,
+    "q_corpus_build_mini": q_corpus_build_mini,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -326,4 +444,5 @@ ROWS_ONLY_QUERIES: set[str] = set()
 ORACLE_SQL: dict[str, str] = {
     "q_url_dedup": _url_dedup_oracle(),
     "q_rerank_trained": _rerank_trained_oracle(),
+    "q_corpus_build_mini": _corpus_build_mini_oracle(),
 }

@@ -105,3 +105,119 @@ def test_cli_profile_prints_and_writes(spark, tmp_path):
     )
     assert res2.returncode == 0, res2.stderr[-2000:]
     assert "o_orderpriority" in res2.stdout
+
+
+# --------------------------------------------------------------------------
+# build-corpus: the composed WARC -> curated -> packed pipeline
+# --------------------------------------------------------------------------
+
+def _warc_record(rid: str, uri: str, body: str) -> bytes:
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body.encode()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far into the "
+    "deep green woods where the old owl is watching and the small birds "
+    "sing of the warm summer morning while the river is running past the "
+    "quiet village mill"
+)
+
+
+def test_build_corpus_cli_end_to_end(spark, tmp_path):
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    records = [
+        # URL-dup pair: same canonical URL, different texts -> URL tier
+        # keeps exactly one
+        ("<urn:uuid:u1>", "HTTP://Site.COM:80/page?utm_source=x",
+         "the first story of the day is a good one and it is long enough"),
+        ("<urn:uuid:u2>", "http://site.com/page",
+         "the second story of the day is a fine one and it is long enough"),
+        # exact-dup pair under the fingerprint (case/whitespace noise)
+        ("<urn:uuid:e1>", "http://site.com/a", _BASE),
+        ("<urn:uuid:e2>", "http://site.com/b", "  " + _BASE.upper() + "  "),
+        # near-dup of the base text (last word changed) -> LSH tier drops one
+        ("<urn:uuid:n1>", "http://site.com/c",
+         _BASE.rsplit(" ", 1)[0] + " barn"),
+        # junk: too short / pure punctuation
+        ("<urn:uuid:j1>", "http://site.com/d", "!!! ??? ***"),
+        # no language markers -> 'und' -> dropped by the lang gate
+        ("<urn:uuid:j2>", "http://site.com/e",
+         "zzz qqq www eee rrr ttt yyy uuu"),
+        # PII: email must be scrubbed, not dropped
+        ("<urn:uuid:p1>", "http://site.com/f",
+         "the contact address of the owner is bob@example.com and it is "
+         "the only address of the site"),
+    ]
+    (shard_dir / "s0.warc").write_bytes(
+        b"".join(_warc_record(*r) for r in records)
+    )
+    out = str(tmp_path / "corpus")
+    proc = _run(
+        "build-corpus", "--warc", str(shard_dir), "--output", out,
+        "--block-size", "32", "--seed", "3",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "packed sequences" in proc.stdout
+
+    rows = spark.read.parquet(out).collect()
+    texts = [r.text for r in rows]
+    # survivors: one of the URL-dup pair; ONE member of the fox cluster
+    # (e1/e2 merge on the fingerprint, the near-dup tier then merges that
+    # survivor with the barn variant); junk and und gone; the PII doc kept
+    # (scrubbed, not dropped) = 3 documents
+    assert len(rows) == 3
+    assert sum(1 for t in texts if "story of the day" in t) == 1
+    assert sum(1 for t in texts if "quick brown fox" in t.lower()) == 1
+    assert any("<EMAIL>" in t for t in texts)
+    assert not any("@" in t for t in texts)
+
+    # epoch permutation + packing invariants: positions are 0..N-1; walking
+    # them in order, each doc starts exactly where the token stream cursor
+    # is (seq_id * block + seq_offset == running token total)
+    by_pos = sorted(rows, key=lambda r: r.position)
+    assert [r.position for r in by_pos] == list(range(len(rows)))
+    cursor = 0
+    for r in by_pos:
+        assert 0 <= r.seq_offset < 32
+        assert r.seq_id * 32 + r.seq_offset == cursor
+        cursor += r.n_tokens
+
+
+def test_build_corpus_cli_documents_input_with_decontamination(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the small cat is one of the pets and it is happy", "a"),
+            (2, "the big dog is one of the guards and it is loyal", "a"),
+            # contaminated: shares 3-gram shingles with the benchmark row
+            (3, "the secret benchmark passage is hidden here and it is "
+                "the thing of value", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    bench = spark.createDataFrame(
+        [("the secret benchmark passage is hidden",)], "text string"
+    )
+    bpath = str(tmp_path / "bench")
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "corpus2")
+    proc = _run(
+        "build-corpus", "--documents", dpath, "--output", out,
+        "--decontaminate", bpath, "--block-size", "16",
+        "--near-threshold", "-1", "--quota-per-source", "5",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # the contaminated doc is gone
