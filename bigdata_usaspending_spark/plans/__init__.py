@@ -13,37 +13,34 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-9 window — steady-state rotation (the r8 window closed the
-    # final ledger gap; from here the window refreshes the oldest rows).
+    # Round-10 window — steady-state rotation.
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (the retrieval stack's fusion + rerank stages, DSIR resampling):
-    "q_hybrid_rrf", "q_rerank_topk", "q_rrf_grouped", "q_langid_trained",
-    "q_dsir_weights", "q_dsir_resample", "q_training_pipeline_v3",
-    "q_curriculum_phases",
-    # (b) operator path changed THIS round: BigramLMScorer.score_batch
-    # gained the pruned-artifact unigram fallback (ADVICE r8):
-    "q_lm_perplexity",
-    # (c) the one r5 row past last round's cap (carries the r7 judge's
-    # independent re-run), then 40 of the 50 r6 greens — oldest first:
-    "q_tpch_q21_shape",
-    "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys", "q_ann_lsh",
-    "q_approx_median", "q_case_when_label", "q_cast_to_date",
-    "q_cms_token_counts", "q_corr", "q_count_distinct", "q_decontaminate",
-    "q_dedup_embedding", "q_dedup_exact", "q_dedup_incremental_bloom",
-    "q_dedup_incremental_minhash", "q_dedup_ngram_jaccard",
-    "q_dedup_semantic", "q_describe_stats", "q_embedding_cosine_topk",
-    "q_join_dim_fact", "q_langid_scorer", "q_maxsim_topk",
-    "q_median_approx_scale", "q_month_derive", "q_pack_sequences",
-    "q_rollup_two_level", "q_sample_k_per_group", "q_skew_profile",
-    "q_table_profile", "q_table_profile_hll", "q_tdigest_quantiles",
-    "q_text_langid", "q_text_quality", "q_text_tokens", "q_topk",
-    "q_topn_frequency", "q_tpch_q12_shape", "q_training_data_pipeline",
-    "q_training_pipeline_v2", "q_value_counts",
-    # (the 10 remaining r6 greens — q_scan_project, q_first_row,
-    # q_orderby_asc, q_orderby_desc, q_dropna, q_filter_positive,
-    # q_window_tumbling, q_window_topk_per_group, q_weighted_sample,
-    # q_union_branches — all projection/filter/sort/window/sample/union
-    # plans untouched for 3+ rounds — lead the round-10 rotation.)
+    # (crawl-tier URL dedup, the trained rerank leg, the composed
+    # corpus-build capstone):
+    "q_url_dedup", "q_rerank_trained", "q_corpus_build_mini",
+    # (b) operator path changed THIS round: the capstone-v3 inline dedup
+    # now keys on md5(text) instead of the raw document (VERDICT r9):
+    "q_training_pipeline_v3",
+    # (c) the 10 r6 greens that are 3+ rounds stale on the external
+    # ledger (named by VERDICT r9 #1):
+    "q_scan_project", "q_first_row", "q_orderby_asc", "q_orderby_desc",
+    "q_dropna", "q_filter_positive", "q_window_tumbling",
+    "q_window_topk_per_group", "q_weighted_sample", "q_union_branches",
+    # (d) 36 of the 50 r7 greens (now the oldest external rows),
+    # alphabetical; the remaining 14 (q_stratified_sample ...
+    # q_window_ntile) plus the r8 wave lead the round-11 rotation:
+    "q_agg_salted", "q_ann_ivf_refined", "q_ann_ivf_topk",
+    "q_ann_quantized", "q_asof_attribution", "q_bm25_topk",
+    "q_commonness_scorer", "q_contamination_report",
+    "q_contamination_report_ngram", "q_cube_two_keys",
+    "q_dashboard_sankey", "q_decontaminate_semantic", "q_dedup_clusters",
+    "q_dedup_survivors", "q_deep_join_chain", "q_doc_fingerprint",
+    "q_drift_psi", "q_flagship_etl", "q_grouped_median",
+    "q_grouping_sets", "q_hash_sample", "q_having", "q_join_anti",
+    "q_join_full", "q_join_left", "q_join_salted", "q_join_semi",
+    "q_ml_prepare", "q_pivot_priority_by_month", "q_pricing_summary",
+    "q_quota_mix", "q_range_join_tiers", "q_scalar_functions",
+    "q_set_except", "q_set_intersect", "q_split_grouped",
 ]
 
 
