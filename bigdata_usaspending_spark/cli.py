@@ -11,6 +11,8 @@ app/spark_cassandra_etl_award_amount_aggregator.py:100-116 validated
       --awards ... --geo ... --aggregator awarding_sub_agency --output ...
   python -m bigdata_usaspending_spark.cli train \
       --awards ... --models-dir ... [--report report.txt]
+  python -m bigdata_usaspending_spark.cli build-corpus \
+      --warc '/crawl/*.warc.gz' --output /corpus [--decontaminate bench.pq]
 
 Each subcommand builds the session, runs one lazily-planned job, writes the
 sink, and exits — the §3.1 lifecycle with the Cassandra connector swapped
@@ -89,6 +91,16 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--no-pii-scrub", action="store_true",
         help="skip the PII redaction stage",
+    )
+    b.add_argument(
+        "--block-hosts", default="",
+        help="comma-separated URL hosts to drop before any other tier "
+        "(the blocked-domains gate; WARC input only)",
+    )
+    b.add_argument(
+        "--datasheet", default=None,
+        help="also write the per-source corpus datasheet parquet here "
+        "(doc/token counts, dup rate, token quartiles)",
     )
 
     pr = sub.add_parser(
@@ -170,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         cfg = CorpusBuildConfig(
             langs=tuple(s for s in args.langs.split(",") if s),
+            block_hosts=tuple(
+                s for s in args.block_hosts.split(",") if s
+            ),
             min_tokens=args.min_tokens,
             max_punct_ratio=args.max_punct_ratio,
             near_threshold=(
@@ -183,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
         out = build_corpus(docs, benchmark=bench, cfg=cfg)
         write_corpus(out, args.output)
         written = spark.read.parquet(args.output)
+        if args.datasheet:
+            from .plans.build_corpus import corpus_datasheet
+
+            corpus_datasheet(written).write.mode("overwrite").parquet(
+                args.datasheet
+            )
         n = written.count()
         seqs = written.agg({"seq_id": "max"}).first()[0]
         print(

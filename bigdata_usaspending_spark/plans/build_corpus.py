@@ -46,8 +46,14 @@ from ..operators.sampling import (
     pack_sequences,
     sample_k_per_group,
 )
-from ..operators.text import langid, pii_scrub, punct_ratio, token_count
-from ..sources.warc import url_dedup
+from ..operators.text import (
+    fingerprint,
+    langid,
+    pii_scrub,
+    punct_ratio,
+    token_count,
+)
+from ..sources.warc import host_of, url_dedup
 
 
 @dataclass(frozen=True)
@@ -58,6 +64,7 @@ class CorpusBuildConfig:
     cheaper xxhash64."""
 
     langs: tuple[str, ...] = ("en",)
+    block_hosts: tuple[str, ...] = ()
     min_tokens: int = 4
     max_punct_ratio: float = 0.5
     shingle_n: int = 3
@@ -84,6 +91,16 @@ def build_corpus(
     enables the decontamination tier."""
     cfg = cfg or CorpusBuildConfig()
     if "target_uri" in docs.columns:
+        if cfg.block_hosts:
+            # the C4/RefinedWeb blocked-domains tier: drop rows whose URL
+            # host is blocklisted; rows with no URL carry no host identity
+            # and always pass (coalesce keeps the null-host rows)
+            docs = docs.filter(
+                F.coalesce(
+                    ~host_of("target_uri").isin(*cfg.block_hosts),
+                    F.lit(True),
+                )
+            )
         docs = url_dedup(docs)
     docs = docs.filter(F.col("text").isNotNull())
     if cfg.scrub_pii:
@@ -148,4 +165,38 @@ def write_corpus(out: DataFrame, path: str, mode: str = "overwrite") -> None:
         .sortWithinPartitions("position")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def corpus_datasheet(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus datasheet in ONE aggregate pass: document and
+    token counts, the distinct-fingerprint count (1 - distinct/docs = the
+    exact duplication rate), and token-length quartiles — the summary
+    table a corpus release ships next to the data. Null-text rows carry
+    no content and are excluded.
+
+    100-TB shape: one scan, one shuffle keyed on source; the quartiles
+    come from the same mergeable percentile aggregate the curriculum
+    phasing uses (never a sort), and COUNT(DISTINCT md5) is one
+    two-phase aggregate on a 16-byte key."""
+    t = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        token_count(text_col),
+        fingerprint(text_col),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("fingerprint").alias("n_distinct_texts"),
+        F.percentile(
+            F.col("n_tokens").cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        ).alias("_q"),
+    ).select(
+        "source", "n_docs", "total_tokens", "n_distinct_texts",
+        F.element_at("_q", 1).alias("tok_p25"),
+        F.element_at("_q", 2).alias("tok_p50"),
+        F.element_at("_q", 3).alias("tok_p75"),
     )

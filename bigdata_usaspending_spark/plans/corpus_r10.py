@@ -33,6 +33,11 @@ the composed corpus-build pipeline as a value oracle.
   decontamination tiers are exercised by their own oracles and the CLI
   integration test (they'd add nothing but bulk here).
 
+- ``q_corpus_datasheet`` — the per-source corpus datasheet
+  (build_corpus.corpus_datasheet, the CLI's --datasheet sink): doc and
+  exact token counts, distinct-fingerprint counts (duplication rate),
+  token quartiles, in ONE aggregate pass.
+
 Same determinism contract as plans/corpus.py.
 """
 
@@ -433,10 +438,47 @@ def _corpus_build_mini_oracle() -> str:
     """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus datasheet (plans/build_corpus.corpus_datasheet —
+    the build-corpus CLI's --datasheet output): docs, exact token totals,
+    distinct-fingerprint counts (duplication rate), token quartiles.
+    ONE aggregate pass — one scan, one source-keyed shuffle, mergeable
+    percentile (never a sort)."""
+    from .build_corpus import corpus_datasheet
+
+    return corpus_datasheet(
+        load(_prep(spark), sf, "documents").select("text", "source")
+    )
+
+
+def _corpus_datasheet_oracle() -> str:
+    # quantile_cont is bit-identical to Spark's percentile (the
+    # q_quantile_summary bridge); counts and sums are exact ints
+    from .corpus_ext import _NORMALIZED, _TOKS
+
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   md5({_NORMALIZED}) AS fp
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT fp) AS n_distinct_texts,
+               quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS tok_p25,
+               quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS tok_p50,
+               quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS tok_p75
+        FROM t GROUP BY source
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_dedup": q_url_dedup,
     "q_rerank_trained": q_rerank_trained,
     "q_corpus_build_mini": q_corpus_build_mini,
+    "q_corpus_datasheet": q_corpus_datasheet,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -445,4 +487,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_url_dedup": _url_dedup_oracle(),
     "q_rerank_trained": _rerank_trained_oracle(),
     "q_corpus_build_mini": _corpus_build_mini_oracle(),
+    "q_corpus_datasheet": _corpus_datasheet_oracle(),
 }

@@ -300,3 +300,16 @@ def url_dedup(
     return df.join(keep, on=id_col, how="semi").unionByName(
         df.filter(F.col(url_col).isNull())
     )
+
+
+def host_of(col: "Column | str", alias: str = "host") -> "Column":
+    """Lowercased registered host of a URL (port and userinfo stripped) —
+    the grouping key for host-level crawl hygiene: per-host profiles,
+    blocklist gates (the C4/RefinedWeb "blocked domains" tier), and
+    politeness accounting. Strings without ``scheme://`` yield ''.
+    Pure codegen (two regexp_extracts), same engine-portable regex
+    subset as canonicalize_url."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    authority = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
+    no_user = F.regexp_replace(authority, r"^[^@]*@", "")
+    return F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1)).alias(alias)

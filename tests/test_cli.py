@@ -158,6 +158,10 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
         ("<urn:uuid:p1>", "http://site.com/f",
          "the contact address of the owner is bob@example.com and it is "
          "the only address of the site"),
+        # blocklisted host: dropped by the blocked-domains gate before
+        # any other tier, despite perfectly good english text
+        ("<urn:uuid:x1>", "http://Spam.Example/land",
+         "the finest of the deals and the best of the offers is here"),
     ]
     (shard_dir / "s0.warc").write_bytes(
         b"".join(_warc_record(*r) for r in records)
@@ -166,6 +170,7 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     proc = _run(
         "build-corpus", "--warc", str(shard_dir), "--output", out,
         "--block-size", "32", "--seed", "3",
+        "--block-hosts", "spam.example",
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "packed sequences" in proc.stdout
@@ -181,6 +186,7 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     assert sum(1 for t in texts if "quick brown fox" in t.lower()) == 1
     assert any("<EMAIL>" in t for t in texts)
     assert not any("@" in t for t in texts)
+    assert not any("finest of the deals" in t for t in texts)  # host gate
 
     # epoch permutation + packing invariants: positions are 0..N-1; walking
     # them in order, each doc starts exactly where the token stream cursor

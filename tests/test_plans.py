@@ -504,3 +504,19 @@ def test_round10_query_plan_shapes(spark, sf):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+    # corpus-build mini capstone: pure relational composition — zero
+    # Python anywhere (every gate/hash/window is codegen), nothing
+    # cartesian
+    plan = _plan(corpus_r10.q_corpus_build_mini(spark, sf))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # datasheet: ONE scan, one source-keyed aggregate — no join, no
+    # window, no sort, no Python
+    plan = _plan(corpus_r10.q_corpus_datasheet(spark, sf))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "Sort" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -298,3 +298,19 @@ def test_url_dedup_groups_and_survivors(spark):
     assert groups["http://a.example/p?x=1"] == (5, 1)
     survivors = sorted(r.doc_id for r in W.url_dedup(df).collect())
     assert survivors == [1, 3, 4, 5]
+
+
+def test_host_of(spark):
+    cases = [
+        ("HTTP://User:pw@WWW.Example.COM:8080/a?b#c", "www.example.com"),
+        ("https://site.org", "site.org"),
+        ("ftp://Host.Com:21/x", "host.com"),
+        ("not a url", ""),
+        ("http://a.b.c/path", "a.b.c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
+    ).select("i", W.host_of("u"))
+    got = {r.i: r.host for r in df.collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
