@@ -313,3 +313,56 @@ def host_of(col: "Column | str", alias: str = "host") -> "Column":
     authority = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
     no_user = F.regexp_replace(authority, r"^[^@]*@", "")
     return F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1)).alias(alias)
+
+
+def url_index(df: DataFrame, url_col: str = "target_uri") -> DataFrame:
+    """The crawl's distinct canonical-URL set — the persistent URL-tier
+    index an incremental pipeline maintains (write it partitioned/bucketed
+    by ``canonical_url`` so batch probes co-locate). The URL twin of
+    ``dedup.fingerprint_index``."""
+    return (
+        df.filter(F.col(url_col).isNotNull())
+        .select(canonicalize_url(url_col))
+        .distinct()
+    )
+
+
+def url_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "target_uri",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental URL dedup: survivors of a NEW crawl increment against
+    an existing ``url_index``. At 100 TB you never re-dedup the whole
+    crawl per ingest — drop batch rows whose canonical URL the index has
+    already seen, then min-id dedup the batch's own URL collisions. Union
+    the survivors' canonical URLs back into the index afterwards.
+
+    Join strategy is ``dedup.dedup_against_index``'s probe inversion
+    verbatim: with ``broadcast_batch=True`` (default) the crawl-sized
+    index is only ever SCANNED — the batch's distinct canonical-URL set
+    broadcasts into a semi-join over the index, the (batch-bounded) hit
+    set broadcasts back for the anti-join, and no index-side Exchange
+    exists in the plan. Rows with a null URL always survive (no URL
+    identity — the text tiers own them)."""
+    keyed = batch.filter(F.col(url_col).isNotNull()).select(
+        F.col(id_col), canonicalize_url(url_col)
+    )
+    if broadcast_batch:
+        batch_urls = keyed.select("canonical_url").distinct()
+        hits = index.join(
+            F.broadcast(batch_urls), on="canonical_url", how="semi"
+        )
+        fresh = keyed.join(F.broadcast(hits), on="canonical_url", how="anti")
+    else:
+        fresh = keyed.join(index, on="canonical_url", how="anti")
+    keep = (
+        fresh.groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return batch.join(keep, on=id_col, how="semi").unionByName(
+        batch.filter(F.col(url_col).isNull())
+    )

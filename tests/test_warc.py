@@ -314,3 +314,46 @@ def test_host_of(spark):
     got = {r.i: r.host for r in df.collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_against_index(spark):
+    """Incremental URL tier: index hits drop, in-batch URL collisions keep
+    the min id, null-URL rows always survive, and the index side is never
+    shuffled (the dedup_against_index probe-inversion plan)."""
+    corpus = spark.createDataFrame(
+        [(100, "http://a.example/seen"), (101, "http://a.example/also-seen")],
+        ["doc_id", "target_uri"],
+    )
+    index = W.url_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (1, "HTTP://A.Example:80/seen?utm_source=x"),  # index hit
+            (2, "http://a.example/new"),                    # fresh
+            (3, "http://a.example/new/"),                   # in-batch dup of 2
+            (4, None),                                      # null URL survives
+        ],
+        ["doc_id", "target_uri"],
+    )
+    got = sorted(r.doc_id for r in W.url_dedup_against_index(batch, index).collect())
+    assert got == [2, 4]
+
+    # the probe inversion's two broadcast joins (index SEMI
+    # broadcast(batch urls), batch ANTI broadcast(hits)) — the final
+    # batch⋈keep semi join's strategy is size-estimate-dependent on these
+    # in-memory frames and is not the property under test (the parquet
+    # variant is pinned by test_plans for the fingerprint twin)
+    plan = (
+        W.url_dedup_against_index(batch, index)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+
+    # refreshing the index with the survivors' URLs makes re-probing the
+    # same batch return only the null-URL row
+    new_index = index.union(
+        W.url_index(W.url_dedup_against_index(batch, index))
+    ).distinct()
+    again = sorted(
+        r.doc_id for r in W.url_dedup_against_index(batch, new_index).collect()
+    )
+    assert again == [4]
