@@ -496,14 +496,21 @@ def test_round10_query_plan_shapes(spark, sf):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan and "Window" not in plan
 
-    # trained rerank: fit happens before plan construction (bounded model
-    # state); the scoring plan is the k-bounded candidates broadcast-joined
-    # to their text + one Arrow map — never sort-merge over the corpus
-    plan = _plan(corpus_r10.q_rerank_trained(spark, sf))
+    # trained rerank, candidate stage: the k-bounded candidates broadcast
+    # onto the corpus text join — never sort-merge over the corpus. (The
+    # final query localCheckpoints this frame so fit and scoring share
+    # one BM25 pass, which hides the join from the outer plan — pin it
+    # on the stage frame itself.)
+    plan = _plan(corpus_r10._bm25_candidates(spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the full query: fit happens before plan construction (bounded
+    # model state); scoring is one Arrow map over the checkpointed
+    # candidates + the per-query top-k window — nothing cartesian
+    plan = _plan(corpus_r10.q_rerank_trained(spark, sf))
     assert "MapInPandas" in plan
-    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
     # corpus-build mini capstone: pure relational composition — zero
     # Python anywhere (every gate/hash/window is codegen), nothing
