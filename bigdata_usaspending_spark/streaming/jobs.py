@@ -15,6 +15,9 @@ history:
 - stream_exact_dedup: stateful exact dedup by fingerprint within the
   watermark horizon — the streaming member of the dedup family
   (operators/dedup.py).
+- stream_url_dedup: the crawl URL tier live — canonical-URL keyed
+  dropDuplicatesWithinWatermark (sources/warc.canonicalize_url), null
+  URLs passing through.
 
 At scale: state is bounded by the watermark; the shuffle key is the
 window/group key, same partitioning discipline as the batch jobs.
@@ -85,6 +88,34 @@ def stream_exact_dedup(
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def stream_url_dedup(
+    docs: DataFrame,
+    ts_col: str,
+    url_col: str = "target_uri",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the crawl pipeline's URL tier
+    (sources/warc.url_dedup): drop rows whose CANONICAL URL was already
+    seen inside the watermark horizon — live crawl frontiers re-enqueue
+    the same page under tracking-param/case/port noise constantly, so
+    URL-level dedup is the first stateful stage of a streaming ingest.
+    Rows with a null URL carry no URL identity and pass through
+    untouched (union of the two branches; the text dedup tiers own
+    them). State keys on the canonical URL string (bounded-small), and
+    canonicalization itself is the stateless codegen projection —
+    exactly the batch tier's arithmetic, so batch backfills and the
+    stream agree row-for-row."""
+    from ..sources.warc import canonicalize_url
+
+    with_url = docs.filter(F.col(url_col).isNotNull()).withColumn(
+        "canonical_url", canonicalize_url(url_col)
+    )
+    deduped = with_url.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["canonical_url"]).drop("canonical_url")
+    return deduped.unionByName(docs.filter(F.col(url_col).isNull()))
 
 
 def stream_near_dedup_simhash(

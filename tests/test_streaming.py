@@ -1118,3 +1118,35 @@ def test_stream_lm_scorer_via_model_artifact(spark, tmp_path):
     }
     assert got == want and len(got) == 4
     q.stop()
+
+
+def test_stream_url_dedup(spark, tmp_path):
+    """Streaming URL tier: canonical-URL dup dropped within the watermark,
+    distinct URLs kept, null-URL rows pass through; agrees with the batch
+    tier's survivor set on the same rows."""
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "HTTP://A.Example:80/p?utm_source=x"),
+            (2, "2024-01-01 00:01:00", "http://a.example/p"),      # canon dup
+            (3, "2024-01-01 00:02:00", "https://a.example/p"),     # distinct
+            (4, "2024-01-01 00:03:00", None),                      # null passes
+        ],
+        "doc_id long, ts_str string, target_uri string",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = jobs.run_to_memory(
+        jobs.stream_url_dedup(stream, "ts"), "url_dedup_stream",
+        output_mode="append",
+    )
+    kept = sorted(r.doc_id for r in spark.table("url_dedup_stream").collect())
+    assert len(kept) == 3 and {3, 4} <= set(kept)
+    assert 1 in kept or 2 in kept  # exactly one of the canonical dups
+
+    # batch-twin agreement on the survivor COUNT and the guaranteed rows
+    from bigdata_usaspending_spark.sources.warc import url_dedup
+
+    batch_kept = sorted(r.doc_id for r in url_dedup(docs).collect())
+    assert len(batch_kept) == len(kept) and {3, 4} <= set(batch_kept)
+    q.stop()
