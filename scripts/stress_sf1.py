@@ -454,6 +454,23 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
         "training_pipeline_v3",
         lambda: corpus_r9.q_training_pipeline_v3(spark, sf_dir),
     )
+
+    # round-10 additions: the crawl URL tier, the trained reranker, the
+    # composed corpus build, and the datasheet
+    from bigdata_usaspending_spark.plans import corpus_r10
+
+    out["url_dedup"] = timed(
+        "url_dedup", lambda: corpus_r10.q_url_dedup(spark, sf_dir)
+    )
+    out["rerank_trained"] = timed(
+        "rerank_trained", lambda: corpus_r10.q_rerank_trained(spark, sf_dir)
+    )
+    out["corpus_build_mini"] = timed(
+        "corpus_build_mini", lambda: corpus_r10.q_corpus_build_mini(spark, sf_dir)
+    )
+    out["corpus_datasheet"] = timed(
+        "corpus_datasheet", lambda: corpus_r10.q_corpus_datasheet(spark, sf_dir)
+    )
     return out
 
 
