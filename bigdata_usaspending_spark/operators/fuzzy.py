@@ -236,3 +236,128 @@ def edit_distance_pairs(
             "id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist")
         )
     )
+
+
+def _segment_bounds(k: int, length_col: Column, i_col: Column):
+    """1-based (start, length) of segment ``i`` when a string of length
+    ``length_col`` is evenly partitioned into k+1 segments (PassJoin's
+    partition scheme: the first ``len mod (k+1)`` segments are one char
+    longer, so segment lengths differ by at most one)."""
+    b = F.floor(length_col / (k + 1)).cast("int")
+    r = (length_col % (k + 1)).cast("int")
+    slen = F.when(i_col < r, b + 1).otherwise(b).cast("int")
+    start = (
+        F.lit(1)
+        + F.when(i_col < r, i_col * (b + 1)).otherwise(
+            r * (b + 1) + (i_col - r) * b
+        )
+    ).cast("int")
+    return start, slen
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Self similarity-join for ARBITRARY edit-distance thresholds via
+    PassJoin segment blocking (Li, Deng & Feng 2011 — public paper):
+    ``levenshtein(a, b) <= k`` requires (pigeonhole over an optimal
+    alignment: the <= k edits touch at most k of a's k+1 segments) that
+    ``b`` contain at least one of ``a``'s k+1 even-partition segments
+    VERBATIM, shifted by at most k positions, with ``|len(a) - len(b)|
+    <= k``. So:
+
+    - index side: each string emits its k+1 segments keyed by
+      ``(segment_index, len, segment_text)`` — k+1 rows per string;
+    - probe side: each string emits, for every segment index and every
+      compatible indexed length L in ``[len-k, len+k]``, its substrings
+      of the segment's length at start positions within ±k of the
+      segment's start — at most ``(k+1) x (2k+1) x (2k+1)`` keys per
+      string, CONSTANT in string length (unlike the order-2 deletion
+      neighborhood's O(len²), which is why this is the k >= 3 method);
+    - candidates join on the key (an equality shuffle, never all-pairs),
+      then a banded ``levenshtein(a, b, k)`` verify makes results exact.
+
+    Zero-length segments (strings shorter than k+1) key on the empty
+    string within the same (index, length) bucket — those buckets are
+    cliques of the sub-(k+1)-length population, which is exactly the set
+    pigeonhole can't prune. Returns ``(id_a, id_b, name_a, name_b,
+    dist)`` with ``id_a < id_b``. Everything below is explode +
+    substring arithmetic — whole-stage codegen, no UDF.
+    """
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError("max_dist must be >= 1")
+    s = F.col(str_col)
+    base = df.where(s.isNotNull()).select(F.col(id_col), s.alias("_s"))
+
+    # index side: the k+1 segments of each string
+    seg_start, seg_len = _segment_bounds(k, F.length("name_a"), F.col("_i"))
+    idx = (
+        _ensure_parallelism(base)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("_s").alias("name_a"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            "id_a", "name_a", "_i",
+            F.length("name_a").alias("_L"),
+            F.substring(F.col("name_a"), seg_start, seg_len).alias("_key"),
+        )
+    )
+    # probe side: substrings at segment-compatible lengths and positions
+    n = F.length("_s")
+    pr = (
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_s"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            "id_b", "_s", "_i",
+            F.explode(
+                F.sequence(F.greatest(n - k, F.lit(0)), n + k)
+            ).alias("_L"),
+        )
+    )
+    p_start, p_len = _segment_bounds(k, F.col("_L").cast("long"), F.col("_i"))
+    pr = pr.select("id_b", "_s", "_i", "_L", p_start.alias("_p"), p_len.alias("_sl"))
+    lo = F.greatest(F.col("_p") - k, F.lit(1))
+    hi = F.least(F.length("_s") - F.col("_sl") + 1, F.col("_p") + k)
+    positions = (
+        F.when(F.col("_sl") == 0, F.array(F.lit(1)))
+        .when(lo <= hi, F.sequence(lo, hi))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    probe = (
+        pr.select("id_b", "_s", "_i", "_L", "_sl", F.explode(positions).alias("_pos"))
+        .select(
+            "id_b",
+            F.col("_s").alias("name_b"),
+            "_i", "_L",
+            F.substring(F.col("_s"), F.col("_pos"), F.col("_sl")).alias("_key"),
+        )
+        .dropDuplicates(["id_b", "_i", "_L", "_key"])
+    )
+    joined = idx.join(probe, ["_i", "_L", "_key"]).where(
+        F.col("id_a") != F.col("id_b")
+    )
+    a_lt = F.col("id_a") < F.col("id_b")
+    cand = joined.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.when(a_lt, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+        F.when(a_lt, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+    ).dropDuplicates(["id_a", "id_b"])
+    dist = F.levenshtein("name_a", "name_b", k)
+    return (
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

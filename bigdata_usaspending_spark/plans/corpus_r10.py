@@ -33,6 +33,11 @@ the composed corpus-build pipeline as a value oracle.
   decontamination tiers are exercised by their own oracles and the CLI
   integration test (they'd add nothing but bulk here).
 
+- ``q_fuzzy_name_pairs_k3`` — edit-distance-3 similarity join via
+  PassJoin segment blocking (fuzzy.passjoin_pairs, after Li/Deng/Feng
+  2011): the k >= 3 member of the fuzzy family, constant keys per row
+  where deletion neighborhoods are O(len^k). Oracle = all-pairs
+  levenshtein ground truth on the bounded roster (the k1/k2 pattern).
 - ``q_corpus_datasheet`` — the per-source corpus datasheet
   (build_corpus.corpus_datasheet, the CLI's --datasheet sink): doc and
   exact token counts, distinct-fingerprint counts (duplication rate),
@@ -442,6 +447,25 @@ def _corpus_build_mini_oracle() -> str:
     """
 
 
+def q_fuzzy_name_pairs_k3(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance-3 name pairs via PassJoin segment blocking
+    (fuzzy.passjoin_pairs — the k >= 3 member of the fuzzy family, where
+    deletion neighborhoods blow up O(len^k)): k+1 even segments as index
+    keys, position-banded substrings as probes, candidates on an
+    equality join (never all-pairs), banded levenshtein verify. The
+    deterministic 10% id gate keeps the distance-3 demonstration bounded
+    (digit-named fixtures make the k=3 match set ~quadratically dense —
+    the q_fuzzy_name_pairs_k2 precedent)."""
+    from ..operators import fuzzy
+
+    cust = (
+        load(_prep(spark), sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(F.col("c_custkey") % 10 == 0)
+    )
+    return fuzzy.passjoin_pairs(cust, "c_custkey", "c_name", max_dist=3)
+
+
 def q_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus datasheet (plans/build_corpus.corpus_datasheet —
     the build-corpus CLI's --datasheet output): docs, exact token totals,
@@ -483,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rerank_trained": q_rerank_trained,
     "q_corpus_build_mini": q_corpus_build_mini,
     "q_corpus_datasheet": q_corpus_datasheet,
+    "q_fuzzy_name_pairs_k3": q_fuzzy_name_pairs_k3,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -492,4 +517,17 @@ ORACLE_SQL: dict[str, str] = {
     "q_rerank_trained": _rerank_trained_oracle(),
     "q_corpus_build_mini": _corpus_build_mini_oracle(),
     "q_corpus_datasheet": _corpus_datasheet_oracle(),
+    # all-pairs levenshtein ground truth over the bounded roster — the
+    # blocking is internal; the oracle checks the MATH (the k1/k2 pattern)
+    "q_fuzzy_name_pairs_k3": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+         AND a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+         AND abs(length(a.c_name) - length(b.c_name)) <= 3
+         AND levenshtein(a.c_name, b.c_name) <= 3
+    """,
 }

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_usaspending_spark.operators import fuzzy, timeseries
@@ -211,3 +212,64 @@ def test_hll_partial_sketches_persist_and_merge(spark, tmp_path):
     # estimator equality. Both must still land on the true cardinality.
     assert abs(merged / 997 - 1.0) < 0.05
     assert abs(direct / 997 - 1.0) < 0.05
+
+
+def test_passjoin_pairs_matches_brute_force(spark):
+    """PassJoin (k >= 3 segment blocking) must be EXACT against a Python
+    brute-force levenshtein over a mixed roster — random short strings,
+    crafted near pairs, empty strings — for k = 1..4 (the k=1/2 cases
+    double-check the shared verify against the FastSS path)."""
+    import itertools
+    import random
+
+    from bigdata_usaspending_spark.operators.fuzzy import passjoin_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    random.seed(7)
+    rows = [
+        (i, "".join(random.choice("abcdef") for _ in range(random.randint(0, 14))))
+        for i in range(80)
+    ]
+    rows += [(200, "kitten"), (201, "sitting"), (202, "kitte"),
+             (203, "mitten"), (204, ""), (205, "abc"), (206, "abcd")]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    for k in (1, 3, 4):
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in passjoin_pairs(df, "rid", "name", max_dist=k).collect()
+        )
+        want = sorted(
+            (a, b, lev(x, y))
+            for (a, x), (b, y) in itertools.combinations(rows, 2)
+            if lev(x, y) <= k
+        )
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+    with pytest.raises(ValueError, match="max_dist"):
+        passjoin_pairs(df, "rid", "name", max_dist=0)
+
+
+def test_passjoin_plan_is_codegen_equality_join(spark):
+    """The candidate stage must be an equality join on the segment key —
+    never a cartesian product — with zero Python evaluation anywhere."""
+    from bigdata_usaspending_spark.operators.fuzzy import passjoin_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i % 7}x{i % 3}") for i in range(60)], ["rid", "name"]
+    )
+    plan = (
+        passjoin_pairs(df, "rid", "name", max_dist=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
