@@ -140,8 +140,8 @@ def _neighborhood(df: DataFrame, id_col: str, str_col: str, k: int) -> DataFrame
     if k == 2:
         return deletion_variants_order2(df, id_col, str_col)
     raise ValueError(
-        f"max_dist={k} not supported: FastSS neighborhoods are implemented "
-        "for k in (1, 2); use segment blocking (PassJoin) for larger k"
+        f"max_dist={k} not supported by FastSS neighborhoods (k in (1, 2)); "
+        "edit_distance_pairs/join dispatch k >= 3 to PassJoin automatically"
     )
 
 
@@ -167,6 +167,10 @@ def edit_distance_join(
         raise ValueError(
             "left/right id and string column names must be distinct in the "
             "output; alias one side before joining"
+        )
+    if max_dist >= 3:
+        return passjoin_join(
+            left, right, left_id, left_str, right_id, right_str, max_dist
         )
     a = _ensure_parallelism(
         _neighborhood(left, left_id, left_str, max_dist).select(
@@ -205,6 +209,8 @@ def edit_distance_pairs(
     ``MAX_LEN_ORDER2``); either way the candidate set is provably complete
     and the final banded-levenshtein filter makes emitted pairs exact.
     """
+    if max_dist >= 3:
+        return passjoin_pairs(df, id_col, str_col, max_dist)
     va = _neighborhood(df, id_col, str_col, max_dist)
     # The verify-side levenshtein runs inside the candidate join; when the
     # input arrives as one small-file scan partition that join would run on
@@ -255,6 +261,74 @@ def _segment_bounds(k: int, length_col: Column, i_col: Column):
     return start, slen
 
 
+def _passjoin_index(df: DataFrame, id_col: str, str_col: str, k: int,
+                    id_out: str, name_out: str) -> DataFrame:
+    """Index side: the k+1 even-partition segments of each string, keyed
+    ``(_i, _L, _key)``."""
+    base = df.where(F.col(str_col).isNotNull()).select(
+        F.col(id_col).alias(id_out), F.col(str_col).alias(name_out)
+    )
+    seg_start, seg_len = _segment_bounds(k, F.length(name_out), F.col("_i"))
+    return (
+        _ensure_parallelism(base)
+        .select(
+            id_out, name_out,
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            id_out, name_out, "_i",
+            F.length(name_out).alias("_L"),
+            F.substring(F.col(name_out), seg_start, seg_len).alias("_key"),
+        )
+    )
+
+
+def _passjoin_probe(df: DataFrame, id_col: str, str_col: str, k: int,
+                    id_out: str, name_out: str) -> DataFrame:
+    """Probe side: substrings at segment-compatible lengths (±k) and
+    start positions (±k of the segment's start), deduped per key."""
+    base = df.where(F.col(str_col).isNotNull()).select(
+        F.col(id_col).alias(id_out), F.col(str_col).alias("_s")
+    )
+    n = F.length("_s")
+    pr = (
+        base.select(
+            id_out, "_s",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            id_out, "_s", "_i",
+            F.explode(
+                F.sequence(F.greatest(n - k, F.lit(0)), n + k)
+            ).alias("_L"),
+        )
+    )
+    p_start, p_len = _segment_bounds(k, F.col("_L").cast("long"), F.col("_i"))
+    pr = pr.select(
+        id_out, "_s", "_i", "_L", p_start.alias("_p"), p_len.alias("_sl")
+    )
+    lo = F.greatest(F.col("_p") - k, F.lit(1))
+    hi = F.least(F.length("_s") - F.col("_sl") + 1, F.col("_p") + k)
+    positions = (
+        F.when(F.col("_sl") == 0, F.array(F.lit(1)))
+        .when(lo <= hi, F.sequence(lo, hi))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    return (
+        pr.select(
+            id_out, "_s", "_i", "_L", "_sl",
+            F.explode(positions).alias("_pos"),
+        )
+        .select(
+            id_out,
+            F.col("_s").alias(name_out),
+            "_i", "_L",
+            F.substring(F.col("_s"), F.col("_pos"), F.col("_sl")).alias("_key"),
+        )
+        .dropDuplicates([id_out, "_i", "_L", "_key"])
+    )
+
+
 def passjoin_pairs(
     df: DataFrame,
     id_col: str,
@@ -290,58 +364,8 @@ def passjoin_pairs(
     k = int(max_dist)
     if k < 1:
         raise ValueError("max_dist must be >= 1")
-    s = F.col(str_col)
-    base = df.where(s.isNotNull()).select(F.col(id_col), s.alias("_s"))
-
-    # index side: the k+1 segments of each string
-    seg_start, seg_len = _segment_bounds(k, F.length("name_a"), F.col("_i"))
-    idx = (
-        _ensure_parallelism(base)
-        .select(
-            F.col(id_col).alias("id_a"),
-            F.col("_s").alias("name_a"),
-            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
-        )
-        .select(
-            "id_a", "name_a", "_i",
-            F.length("name_a").alias("_L"),
-            F.substring(F.col("name_a"), seg_start, seg_len).alias("_key"),
-        )
-    )
-    # probe side: substrings at segment-compatible lengths and positions
-    n = F.length("_s")
-    pr = (
-        base.select(
-            F.col(id_col).alias("id_b"),
-            F.col("_s"),
-            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
-        )
-        .select(
-            "id_b", "_s", "_i",
-            F.explode(
-                F.sequence(F.greatest(n - k, F.lit(0)), n + k)
-            ).alias("_L"),
-        )
-    )
-    p_start, p_len = _segment_bounds(k, F.col("_L").cast("long"), F.col("_i"))
-    pr = pr.select("id_b", "_s", "_i", "_L", p_start.alias("_p"), p_len.alias("_sl"))
-    lo = F.greatest(F.col("_p") - k, F.lit(1))
-    hi = F.least(F.length("_s") - F.col("_sl") + 1, F.col("_p") + k)
-    positions = (
-        F.when(F.col("_sl") == 0, F.array(F.lit(1)))
-        .when(lo <= hi, F.sequence(lo, hi))
-        .otherwise(F.array().cast("array<int>"))
-    )
-    probe = (
-        pr.select("id_b", "_s", "_i", "_L", "_sl", F.explode(positions).alias("_pos"))
-        .select(
-            "id_b",
-            F.col("_s").alias("name_b"),
-            "_i", "_L",
-            F.substring(F.col("_s"), F.col("_pos"), F.col("_sl")).alias("_key"),
-        )
-        .dropDuplicates(["id_b", "_i", "_L", "_key"])
-    )
+    idx = _passjoin_index(df, id_col, str_col, k, "id_a", "name_a")
+    probe = _passjoin_probe(df, id_col, str_col, k, "id_b", "name_b")
     joined = idx.join(probe, ["_i", "_L", "_key"]).where(
         F.col("id_a") != F.col("id_b")
     )
@@ -359,5 +383,49 @@ def passjoin_pairs(
         .select(
             "id_a", "id_b", "name_a", "name_b",
             F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+def passjoin_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Two-table PassJoin record linkage: rows of ``left`` matched to
+    rows of ``right`` within ``levenshtein <= max_dist`` — the k >= 3
+    counterpart of ``edit_distance_join``. The substring lemma is
+    one-directional-complete (if ed(l, r) <= k, r contains one of l's
+    segments), so LEFT indexes and RIGHT probes; same output contract as
+    edit_distance_join."""
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError("max_dist must be >= 1")
+    if len({left_id, left_str, right_id, right_str}) != 4:
+        raise ValueError(
+            "left/right id and string column names must be distinct in the "
+            "output; alias one side before joining"
+        )
+    idx = _passjoin_index(left, left_id, left_str, k, "_lid", "_ls")
+    probe = _passjoin_probe(right, right_id, right_str, k, "_rid", "_rs")
+    cand = (
+        idx.join(probe, ["_i", "_L", "_key"])
+        .select("_lid", "_rid", "_ls", "_rs")
+        .dropDuplicates(["_lid", "_rid"])
+    )
+    dist = F.levenshtein("_ls", "_rs", k)
+    return (
+        cand.withColumn("_d", dist)
+        .where(F.col("_d") >= 0)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_ls").alias(left_str),
+            F.col("_rs").alias(right_str),
+            F.col("_d").cast("int").alias("dist"),
         )
     )

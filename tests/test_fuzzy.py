@@ -65,13 +65,19 @@ def test_deletion_variants_shape(spark):
     assert sorted(r["_variant"] for r in rows) == ["ab", "abc", "ac", "bc"]
 
 
-def test_edit_distance_pairs_rejects_large_k(spark):
-    df = spark.createDataFrame([(1, "abc")], "id long, name string")
-    try:
-        fuzzy.edit_distance_pairs(df, "id", "name", max_dist=3)
-        raise AssertionError("expected ValueError")
-    except ValueError:
-        pass
+def test_edit_distance_pairs_dispatches_large_k_to_passjoin(spark):
+    """k >= 3 routes to PassJoin (round 10) instead of raising; the raw
+    FastSS neighborhood builder still rejects it."""
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abcd"), (3, "zzzzzz")], "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy.edit_distance_pairs(df, "id", "name", max_dist=3).collect()
+    }
+    assert got == {(1, 2, 1)}
+    with pytest.raises(ValueError, match="FastSS"):
+        fuzzy._neighborhood(df, "id", "name", 3)
 
 
 def test_edit_distance_pairs_k2_matches_bruteforce(spark):
