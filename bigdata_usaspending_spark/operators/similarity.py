@@ -1613,3 +1613,244 @@ def ivf_knn_join(
         "cell",
     ).mapInPandas(scan, schema="q_id long, neighbor_id long, cosine double")
     return _global_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ hybrid: coarse cells + product-quantized RESIDUALS (faiss IndexIVFPQ)
+# --------------------------------------------------------------------------
+
+def ivf_residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroid_vec: str = "centroid",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Append each assigned vector's residual (vector − its cell
+    centroid) — what IVF-PQ quantizes: residual magnitudes are much
+    smaller than raw vectors, so the same code budget buys far less
+    quantization error (the faiss IndexIVFPQ construction). Broadcast
+    join on the cell (centroids are model state, O(cells) rows) + one
+    elementwise zip — no shuffle of the vector table."""
+    cents = centroids.select(F.col(cell_col), F.col(centroid_vec).alias("_cent"))
+    resid = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.col("_cent"),
+        lambda a, b: a - b,
+    )
+    return (
+        assigned.join(F.broadcast(cents), on=cell_col)
+        .select(*assigned.columns, resid.alias(out_col))
+    )
+
+
+def ivf_pq_encode(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    dsub: "int | None" = None,
+) -> DataFrame:
+    """PQ-encode the RESIDUALS of IVF-assigned vectors: the index build
+    step of IVF-PQ. Output carries the original columns + ``codes``; at
+    100 TB write it partitioned by cell (ivf_index_write's layout) so
+    probes prune files AND scan only m-byte codes."""
+    resid = ivf_residuals(assigned, centroids, vec_col=vec_col, cell_col=cell_col)
+    encoded = pq_encode(resid, codebooks, vec_col="residual", dsub=dsub)
+    return encoded.drop("residual")
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroid_vec: str = "centroid",
+    dsub: "int | None" = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the faiss IndexIVFPQ query path, composed from
+    this module's audited pieces:
+
+    1. coarse probe: score the query against the (driver-side, model
+       state) centroids by the same left-fold cosine as ivf_assign; keep
+       the ``nprobe`` nearest cells (ties to lowest cell);
+    2. per-cell ADC tables: for each probed cell, the query RESIDUAL
+       (q − centroid_cell) builds an m x k squared-L2 table against the
+       shared residual codebooks — nprobe tiny tables, driver-side, the
+       same left-fold binary64 arithmetic as pq_topk's;
+    3. ADC scan: candidates = encoded rows of the probed cells (a
+       broadcast semi-join that prunes to nprobe partitions when the
+       index is written partitioned by cell); each row's approximate
+       distance = sum of its cell's table entries selected by its codes,
+       folded sub-ascending;
+    4. exact rerank: the k*rerank_factor best candidates re-scored by
+       exact squared L2 on the ORIGINAL vectors; top-k ascending.
+
+    Returns ``(id_col, l2sq)``. Stale codes (out of table range) raise
+    with the pq_topk diagnosis; dropped-cell NaN slots surface NULLs
+    first, same contract."""
+    cb_rows = _collect_codebooks(codebooks)
+    if dsub is None:
+        dsub = len(cb_rows[0][2])
+    qvec = [float(x) for x in _as_qvec(query)]
+
+    def _fold_dot_py(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # 1) coarse probe (driver-side: centroids are bounded model state)
+    cent_rows = sorted(
+        (r[cell_col], [float(x) for x in r[centroid_vec]])
+        for r in centroids.collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivf_pq_topk: empty centroid set")
+    qn = _fold_dot_py(qvec, qvec) ** 0.5
+    scored = [
+        (c, _fold_dot_py(qvec, cv) / (qn * (_fold_dot_py(cv, cv) ** 0.5)), cv)
+        for c, cv in cent_rows
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    probed = scored[: max(1, int(nprobe))]
+
+    # 2) per-cell ADC tables over the query residual
+    nested = _nest_by_sub(cb_rows)
+
+    def _tables_for(qr):
+        lookups = []
+        for sub, cents in nested:
+            ds = []
+            for cell, centroid in cents:
+                acc = 0.0
+                for x, y in zip(qr[sub * dsub : (sub + 1) * dsub], centroid):
+                    acc = acc + (x - y) * (x - y)
+                ds.append((cell, acc))
+            arr = np.full(max(c for c, _ in ds) + 1, np.nan)
+            for cell, d in ds:
+                arr[cell] = d
+            lookups.append(arr)
+        return lookups
+
+    cell_tables = {
+        c: _tables_for([qx - cx for qx, cx in zip(qvec, cv)])
+        for c, _, cv in probed
+    }
+
+    # 3) ADC scan over the probed cells' candidates
+    probe_cells = encoded.sparkSession.createDataFrame(
+        [(int(c),) for c in cell_tables], f"{cell_col} int"
+    )
+    cands = encoded.join(F.broadcast(probe_cells), on=cell_col, how="semi")
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, cell: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        c = np.array(codes.tolist(), dtype=np.int64)
+        cl = cell.to_numpy()
+        acc = np.zeros(c.shape[0])
+        for j in range(c.shape[1]):
+            cj = c[:, j]
+            for cc, lookups in cell_tables.items():
+                mask = cl == cc
+                if not mask.any():
+                    continue
+                arr = lookups[j]
+                sel = cj[mask]
+                if sel.size and (sel.min() < 0 or sel.max() >= len(arr)):
+                    bad = int(sel[(sel < 0) | (sel >= len(arr))][0])
+                    raise ValueError(
+                        f"PQ code {bad} out of range for subspace {j} "
+                        f"table of {len(arr)} cells — re-encode after "
+                        "training"
+                    )
+                acc[mask] += arr[sel]
+        if np.isnan(acc).any():
+            return pd.Series(acc).astype("Float64")
+        return pd.Series(acc)
+
+    q64 = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _l2sq_exact(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        diff = x - q64[None, :]
+        return pd.Series(_fold_sum_cols(diff * diff))
+
+    shortlist = (
+        cands.select(
+            F.col(id_col), F.col(vec_col),
+            _adc(F.col("codes"), F.col(cell_col).cast("long")).alias("_ad"),
+        )
+        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        shortlist.select(F.col(id_col), _l2sq_exact(F.col(vec_col)).alias("l2sq"))
+        .orderBy(F.asc("l2sq"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_recall_audit(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    floor: float = 0.8,
+    m: int = 16,
+    kc: int = 16,
+    nprobe: int = 3,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """IVF-PQ through the audit contract (the rp_lsh_recall_audit /
+    CMS/HLL/GK pattern): build the index (assign → residual codebooks →
+    encode), run the approximate query, and emit the EXACT euclidean
+    top-k witness (oracle-replayable fold distances) + ``recall_ok``
+    pinned TRUE iff IVF-PQ hit >= ``floor`` of the exact set. The
+    approximate result never leaves the plan; the guarantee does."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    resid = ivf_residuals(assigned, centroids, vec_col=vec_col)
+    dsub = None
+    cb = pq_train_driver(resid, vec_col="residual", m=m, k=kc)
+    encoded = pq_encode(resid, cb, vec_col="residual", dsub=dsub).drop("residual")
+    approx_ids = {
+        r[id_col]
+        for r in ivf_pq_topk(
+            encoded, centroids, cb, query_vec,
+            k=k, nprobe=nprobe, rerank_factor=rerank_factor,
+            id_col=id_col, vec_col=vec_col,
+        ).collect()  # k-bounded
+    }
+    exact = (
+        df.select(
+            F.col(id_col),
+            euclidean_to_query_kernel(query_vec)(F.col(vec_col)).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+        .localCheckpoint()
+    )
+    exact_ids = [r[id_col] for r in exact.select(id_col).collect()]  # k-bounded
+    ok = (
+        len(set(exact_ids) & approx_ids) >= floor * len(exact_ids)
+        if exact_ids
+        else True
+    )
+    return exact.withColumn("recall_ok", F.lit(bool(ok))).orderBy(
+        F.asc("distance"), F.asc(id_col)
+    )

@@ -38,6 +38,10 @@ the composed corpus-build pipeline as a value oracle.
   2011): the k >= 3 member of the fuzzy family, constant keys per row
   where deletion neighborhoods are O(len^k). Oracle = all-pairs
   levenshtein ground truth on the bounded roster (the k1/k2 pattern).
+- ``q_ann_ivf_pq`` — the IVF-PQ hybrid index (coarse cells + residual
+  product quantization + per-cell ADC + exact rerank, the faiss
+  IndexIVFPQ composition) via the audit contract: exact euclidean
+  witness + recall_ok >= 0.8 pinned TRUE.
 - ``q_corpus_datasheet`` — the per-source corpus datasheet
   (build_corpus.corpus_datasheet, the CLI's --datasheet sink): doc and
   exact token counts, distinct-fingerprint counts (duplication rate),
@@ -466,6 +470,28 @@ def q_fuzzy_name_pairs_k3(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy.passjoin_pairs(cust, "c_custkey", "c_name", max_dist=3)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ hybrid ANN through the audit contract
+    (similarity.ivf_pq_recall_audit — the faiss IndexIVFPQ composition:
+    coarse cosine cells -> residual PQ codebooks -> per-cell ADC tables
+    -> exact rerank): output is the EXACT euclidean top-10 witness +
+    recall_ok pinned TRUE iff the hybrid hit >= 80% of the exact set.
+    The fixture embeddings are isotropic (exact neighbors spread over
+    8 of the 10 label cells), so the demonstration probes nprobe=8 —
+    production indexes have thousands of cells and probe ~1%; what this
+    row pins is the correctness of the composition, witness, and
+    guarantee, same as q_ann_lsh."""
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids, _query_vec_list
+
+    emb = load(_prep(spark), sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    return similarity.ivf_pq_recall_audit(
+        data, _ivf_centroids(emb), _query_vec_list(emb),
+        k=10, m=32, kc=16, nprobe=8, rerank_factor=32,
+    )
+
+
 def q_corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus datasheet (plans/build_corpus.corpus_datasheet —
     the build-corpus CLI's --datasheet output): docs, exact token totals,
@@ -502,12 +528,30 @@ def _corpus_datasheet_oracle() -> str:
     """
 
 
+def _ivf_pq_oracle() -> str:
+    # the q_ann_lsh audit-contract oracle: exact euclidean top-10 witness
+    # (left-fold squared diffs, bit-identical to the Spark kernel) +
+    # pinned recall boolean
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_euclid_sql('e.embedding', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY distance ASC, e.vec_id ASC
+        LIMIT 10
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_dedup": q_url_dedup,
     "q_rerank_trained": q_rerank_trained,
     "q_corpus_build_mini": q_corpus_build_mini,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_fuzzy_name_pairs_k3": q_fuzzy_name_pairs_k3,
+    "q_ann_ivf_pq": q_ann_ivf_pq,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -517,6 +561,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_rerank_trained": _rerank_trained_oracle(),
     "q_corpus_build_mini": _corpus_build_mini_oracle(),
     "q_corpus_datasheet": _corpus_datasheet_oracle(),
+    "q_ann_ivf_pq": _ivf_pq_oracle(),
     # all-pairs levenshtein ground truth over the bounded roster — the
     # blocking is internal; the oracle checks the MATH (the k1/k2 pattern)
     "q_fuzzy_name_pairs_k3": """

@@ -679,3 +679,59 @@ def test_contamination_report_evidence(spark):
     kept = {r.vec_id
             for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()}
     assert kept == {2, 3} and kept.isdisjoint(rep)
+
+
+def test_ivf_pq_hybrid_end_to_end(spark, sf_small):
+    """IVF-PQ composition: residuals subtract the assigned centroid
+    exactly; the hybrid's top-k with everything probed and a deep rerank
+    equals brute-force exact L2; the recall audit emits the exact witness
+    with recall_ok TRUE at the fixture's probe settings."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import similarity as S
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = _ivf_centroids(emb)
+    q = _query_vec_list(emb)
+
+    assigned = S.ivf_assign(data, cents)
+    resid = S.ivf_residuals(assigned, cents)
+    row = resid.select("vec_id", "cell", "embedding", "residual").first()
+    cent = {r.cell: list(r.centroid) for r in cents.collect()}[row.cell]
+    for rv, xv, cv in zip(row.residual, row.embedding, cent):
+        assert abs(rv - (float(xv) - cv)) < 1e-12
+
+    cb = S.pq_train_driver(resid, vec_col="residual", m=32, k=16)
+    enc = S.ivf_pq_encode(assigned, cents, cb)
+    assert "codes" in enc.columns and "residual" not in enc.columns
+    assert enc.count() == data.count()
+
+    # with ALL cells probed and a full-depth rerank the exact rerank sees
+    # every vector, so the hybrid must EQUAL brute-force exact L2 top-k
+    n_cells = cents.count()
+    n = data.count()
+    got = [
+        (r.vec_id, r.l2sq)
+        for r in S.ivf_pq_topk(
+            enc, cents, cb, q, k=5, nprobe=n_cells, rerank_factor=n,
+        ).collect()
+    ]
+    kern = S.euclidean_to_query_kernel(q)
+    want = [
+        (r.vec_id, r.d * r.d)
+        for r in data.select(
+            "vec_id", kern(F.col("embedding")).alias("d")
+        ).orderBy("d", "vec_id").limit(5).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gd), (_, wd) in zip(got, want):
+        assert abs(gd - wd) < 1e-9
+
+    audit = S.ivf_pq_recall_audit(
+        data, cents, q, k=10, m=32, kc=16, nprobe=8, rerank_factor=32
+    ).collect()
+    assert len(audit) == 10 and all(r.recall_ok for r in audit)
