@@ -19,6 +19,7 @@ _VERIFY_FIRST = [
     # corpus-build capstone):
     "q_url_dedup", "q_rerank_trained", "q_corpus_build_mini",
     "q_corpus_datasheet", "q_fuzzy_name_pairs_k3", "q_ann_ivf_pq",
+    "q_sequence_manifest",
     # (b) operator path changed THIS round: the capstone-v3 inline dedup
     # now keys on md5(text) instead of the raw document (VERDICT r9):
     "q_training_pipeline_v3",
@@ -27,10 +28,9 @@ _VERIFY_FIRST = [
     "q_scan_project", "q_first_row", "q_orderby_asc", "q_orderby_desc",
     "q_dropna", "q_filter_positive", "q_window_tumbling",
     "q_window_topk_per_group", "q_weighted_sample", "q_union_branches",
-    # (d) 33 of the 50 r7 greens (now the oldest external rows),
-    # alphabetical; the remaining 17 (q_set_except, q_set_intersect,
-    # q_split_grouped, q_stratified_sample ... q_window_ntile) plus the
-    # r8 wave lead the round-11 rotation:
+    # (d) 32 of the 50 r7 greens (now the oldest external rows),
+    # alphabetical; the remaining 18 (q_scalar_functions ...
+    # q_window_ntile) plus the r8 wave lead the round-11 rotation:
     "q_agg_salted", "q_ann_ivf_refined", "q_ann_ivf_topk",
     "q_ann_quantized", "q_asof_attribution", "q_bm25_topk",
     "q_commonness_scorer", "q_contamination_report",
@@ -41,7 +41,7 @@ _VERIFY_FIRST = [
     "q_grouping_sets", "q_hash_sample", "q_having", "q_join_anti",
     "q_join_full", "q_join_left", "q_join_salted", "q_join_semi",
     "q_ml_prepare", "q_pivot_priority_by_month", "q_pricing_summary",
-    "q_quota_mix", "q_range_join_tiers", "q_scalar_functions",
+    "q_quota_mix", "q_range_join_tiers",
 ]
 
 

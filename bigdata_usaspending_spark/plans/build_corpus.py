@@ -211,3 +211,44 @@ def corpus_datasheet(
         F.element_at("_q", 2).alias("tok_p50"),
         F.element_at("_q", 3).alias("tok_p75"),
     )
+
+
+def sequence_manifest(corpus: DataFrame) -> DataFrame:
+    """The training reader's view of a built corpus: one row per packed
+    training sequence with its ordered document spans — what a data
+    loader needs to materialize sequence ``seq_id`` without scanning
+    anything else. Output: ``(seq_id, docs, n_docs, n_tokens,
+    starts_mid_document)`` where ``docs`` is the position-ordered array
+    of (doc_id, seq_offset, n_tokens) structs whose FIRST token lands in
+    the sequence, and ``starts_mid_document`` flags sequences that open
+    inside a document carried over from the previous block (seq_offset
+    of the first doc > 0 means the head of this sequence belongs to the
+    previous row's tail document — the standard concat-and-chunk
+    carry-over).
+
+    One shuffle keyed on seq_id; the struct list is bounded by the block
+    size (a sequence holds at most block_size document starts)."""
+    docs = F.sort_array(
+        F.collect_list(F.struct("position", "doc_id", "seq_offset", "n_tokens"))
+    )
+    return (
+        corpus.groupBy("seq_id")
+        .agg(
+            F.transform(
+                docs,
+                lambda d: F.struct(
+                    d["doc_id"].alias("doc_id"),
+                    d["seq_offset"].alias("seq_offset"),
+                    d["n_tokens"].alias("n_tokens"),
+                ),
+            ).alias("docs"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "seq_id", "docs", "n_docs", "n_tokens",
+            (F.element_at("docs", 1)["seq_offset"] > 0).alias(
+                "starts_mid_document"
+            ),
+        )
+    )

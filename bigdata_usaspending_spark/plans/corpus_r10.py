@@ -38,6 +38,9 @@ the composed corpus-build pipeline as a value oracle.
   2011): the k >= 3 member of the fuzzy family, constant keys per row
   where deletion neighborhoods are O(len^k). Oracle = all-pairs
   levenshtein ground truth on the bounded roster (the k1/k2 pattern).
+- ``q_sequence_manifest`` — the training reader's per-sequence manifest
+  over the mini-built corpus (ordered doc spans, counts, token totals,
+  mid-document carry-over flag) — the build -> read lifecycle closed.
 - ``q_ann_ivf_pq`` — the IVF-PQ hybrid index (coarse cells + residual
   product quantization + per-cell ADC + exact rerank, the faiss
   IndexIVFPQ composition) via the audit contract: exact euclidean
@@ -470,6 +473,33 @@ def q_fuzzy_name_pairs_k3(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy.passjoin_pairs(cust, "c_custkey", "c_name", max_dist=3)
 
 
+def q_sequence_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The training reader's per-sequence manifest over the mini-built
+    corpus (build_corpus.sequence_manifest): ordered document spans per
+    packed sequence, span list flattened to a string for the
+    cross-engine value compare. Pins the build -> read lifecycle: every
+    sequence's spans, doc counts, token totals, and the mid-document
+    carry-over flag replay on top of the mini pipeline's oracle."""
+    from .build_corpus import sequence_manifest
+
+    corpus = q_corpus_build_mini(spark, sf)
+    m = sequence_manifest(corpus)
+    spans = F.array_join(
+        F.transform(
+            "docs",
+            lambda d: F.concat(
+                d["doc_id"].cast("string"), F.lit("@"),
+                d["seq_offset"].cast("string"),
+            ),
+        ),
+        ",",
+    )
+    return m.select(
+        "seq_id", spans.alias("doc_spans"),
+        "n_docs", "n_tokens", "starts_mid_document",
+    )
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ hybrid ANN through the audit contract
     (similarity.ivf_pq_recall_audit — the faiss IndexIVFPQ composition:
@@ -552,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_fuzzy_name_pairs_k3": q_fuzzy_name_pairs_k3,
     "q_ann_ivf_pq": q_ann_ivf_pq,
+    "q_sequence_manifest": q_sequence_manifest,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -562,6 +593,17 @@ ORACLE_SQL: dict[str, str] = {
     "q_corpus_build_mini": _corpus_build_mini_oracle(),
     "q_corpus_datasheet": _corpus_datasheet_oracle(),
     "q_ann_ivf_pq": _ivf_pq_oracle(),
+    "q_sequence_manifest": f"""
+        WITH corpus AS ({_corpus_build_mini_oracle()})
+        SELECT seq_id,
+               string_agg(CAST(doc_id AS VARCHAR) || '@'
+                          || CAST(seq_offset AS VARCHAR),
+                          ',' ORDER BY position) AS doc_spans,
+               CAST(COUNT(*) AS INTEGER) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               arg_min(seq_offset, position) > 0 AS starts_mid_document
+        FROM corpus GROUP BY seq_id
+    """,
     # all-pairs levenshtein ground truth over the bounded roster — the
     # blocking is internal; the oracle checks the MATH (the k1/k2 pattern)
     "q_fuzzy_name_pairs_k3": """

@@ -1,0 +1,98 @@
+"""Library-level tests for the composed corpus-build pipeline
+(plans/build_corpus) — the subprocess CLI path is covered in test_cli.py;
+these pin edge cases and the reader-side manifest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_usaspending_spark.plans.build_corpus import (
+    CorpusBuildConfig,
+    build_corpus,
+    corpus_datasheet,
+    sequence_manifest,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_build_corpus_near_tier_with_zero_pairs(spark):
+    """The near-dup tier must be a no-op (not an error, not a row drop)
+    when the LSH candidate join finds nothing — the common case on an
+    already-clean corpus."""
+    rows = [
+        (1, "the red fox ran over the old stone bridge and it is gone", "a"),
+        (2, "a completely different sentence about the blue sea and the "
+            "sand is here", "a"),
+        (3, "yet another text on the topic of trains and the long rails "
+            "is written", "b"),
+    ]
+    out = build_corpus(
+        _docs(spark, rows),
+        cfg=CorpusBuildConfig(near_threshold=0.8, block_size=16,
+                              scrub_pii=False),
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]
+
+
+def test_build_corpus_empty_after_gates(spark):
+    """An input where nothing survives the gates yields an EMPTY corpus
+    frame with the full schema — not an error (pack/shuffle run on zero
+    rows)."""
+    rows = [(1, "!!!", "a"), (2, "zz qq ww", "b"), (3, None, "c")]
+    out = build_corpus(
+        _docs(spark, rows),
+        cfg=CorpusBuildConfig(near_threshold=None, block_size=16),
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "text", "source", "n_tokens", "position", "seq_id",
+        "seq_offset",
+    }
+
+
+def test_sequence_manifest_invariants(spark):
+    """Manifest spans must tile the token stream: walking sequences in
+    order, each sequence's first doc starts at its seq_offset, token
+    totals add up, and starts_mid_document is set exactly when the
+    previous sequence's tail document spills over."""
+    rows = [
+        (i, "the word list number %d is a text of the day and it is fine "
+            "padding words here" % i, "s%d" % (i % 2))
+        for i in range(12)
+    ]
+    corpus = build_corpus(
+        _docs(spark, rows),
+        cfg=CorpusBuildConfig(near_threshold=None, block_size=24,
+                              scrub_pii=False, min_tokens=4),
+    )
+    total_docs = corpus.count()
+    m = {r.seq_id: r for r in sequence_manifest(corpus).collect()}
+    assert sum(r.n_docs for r in m.values()) == total_docs
+    by_pos = sorted(corpus.collect(), key=lambda r: r.position)
+    stream = 0
+    for r in by_pos:
+        assert r.seq_id * 24 + r.seq_offset == stream
+        stream += r.n_tokens
+    for sid, row in m.items():
+        # spans are position-ordered and the first span's offset decides
+        # the carry-over flag
+        offsets = [d.seq_offset for d in row.docs]
+        assert row.starts_mid_document == (offsets[0] > 0)
+        assert row.n_tokens == sum(d.n_tokens for d in row.docs)
+
+
+def test_corpus_datasheet_values(spark):
+    rows = [
+        (1, "the cat is a pet", "a"),
+        (2, "THE  cat is a pet", "a"),   # fingerprint-dup of 1
+        (3, "the dog is a guard", "a"),
+        (4, "the bird is a singer", "b"),
+    ]
+    ds = {r.source: r for r in corpus_datasheet(_docs(spark, rows)).collect()}
+    assert ds["a"].n_docs == 3 and ds["a"].n_distinct_texts == 2
+    assert ds["b"].n_docs == 1 and ds["b"].n_distinct_texts == 1
+    assert ds["a"].total_tokens == 5 + 5 + 5
+    assert ds["a"].tok_p50 == 5.0
