@@ -102,6 +102,11 @@ def _parser() -> argparse.ArgumentParser:
         help="also write the per-source corpus datasheet parquet here "
         "(doc/token counts, dup rate, token quartiles)",
     )
+    b.add_argument(
+        "--manifest", default=None,
+        help="also write the per-sequence training manifest parquet here "
+        "(ordered doc spans per packed sequence — the data-loader index)",
+    )
 
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
@@ -203,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
 
             corpus_datasheet(written).write.mode("overwrite").parquet(
                 args.datasheet
+            )
+        if args.manifest:
+            from .plans.build_corpus import sequence_manifest
+
+            sequence_manifest(written).write.mode("overwrite").parquet(
+                args.manifest
             )
         n = written.count()
         seqs = written.agg({"seq_id": "max"}).first()[0]

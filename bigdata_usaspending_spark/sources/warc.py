@@ -366,3 +366,34 @@ def url_dedup_against_index(
     return batch.join(keep, on=id_col, how="semi").unionByName(
         batch.filter(F.col(url_col).isNull())
     )
+
+
+def warc_host_profile(warc: DataFrame) -> DataFrame:
+    """Per-host crawl accounting over raw WARC records — the politeness /
+    coverage view a crawl operator reads before rebalancing a frontier:
+    fetch counts, payload bytes, distinct canonical URLs, the fetch-time
+    span, and the observed request rate (fetches per second across the
+    span; 0.0 for single-fetch hosts). One aggregate pass keyed on the
+    host; WARC-Date parses with try_to_timestamp (malformed dates yield
+    null and drop out of the span/rate, never error — ANSI-safe)."""
+    resp = warc.filter(F.col("warc_type") == "response")
+    ts = F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
+    rows = resp.select(
+        host_of("target_uri"),
+        F.col("content_length"),
+        canonicalize_url("target_uri"),
+        ts.alias("_ts"),
+    )
+    span = (
+        F.unix_timestamp(F.max("_ts")) - F.unix_timestamp(F.min("_ts"))
+    ).cast("double")
+    return rows.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("content_length").cast("long").alias("payload_bytes"),
+        F.count_distinct("canonical_url").alias("n_urls"),
+        F.min("_ts").alias("first_fetch"),
+        F.max("_ts").alias("last_fetch"),
+        F.when(span > 0, F.count(F.lit(1)).cast("double") / span)
+        .otherwise(F.lit(0.0))
+        .alias("fetches_per_sec"),
+    )

@@ -167,10 +167,12 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
         b"".join(_warc_record(*r) for r in records)
     )
     out = str(tmp_path / "corpus")
+    manifest = str(tmp_path / "manifest")
     proc = _run(
         "build-corpus", "--warc", str(shard_dir), "--output", out,
         "--block-size", "32", "--seed", "3",
         "--block-hosts", "spam.example",
+        "--manifest", manifest,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "packed sequences" in proc.stdout
@@ -198,6 +200,11 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
         assert 0 <= r.seq_offset < 32
         assert r.seq_id * 32 + r.seq_offset == cursor
         cursor += r.n_tokens
+
+    # the --manifest sink indexes every document exactly once
+    man = spark.read.parquet(manifest).collect()
+    assert sum(r.n_docs for r in man) == len(rows)
+    assert sum(r.n_tokens for r in man) == sum(r.n_tokens for r in by_pos)
 
 
 def test_build_corpus_cli_documents_input_with_decontamination(spark, tmp_path):

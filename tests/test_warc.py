@@ -357,3 +357,34 @@ def test_url_dedup_against_index(spark):
         r.doc_id for r in W.url_dedup_against_index(batch, new_index).collect()
     )
     assert again == [4]
+
+
+def test_warc_host_profile(spark, tmp_path):
+    """Per-host politeness accounting: fetch counts, distinct canonical
+    URLs (noise variants collapse), time span and request rate."""
+    recs = []
+    for i, (uri, date) in enumerate([
+        ("http://a.example/p?utm_source=x", "2024-01-01T00:00:00Z"),
+        ("HTTP://A.Example:80/p",           "2024-01-01T00:00:10Z"),
+        ("http://a.example/q",              "2024-01-01T00:00:20Z"),
+        ("http://b.example/only",           "2024-01-01T00:00:00Z"),
+    ]):
+        body = b"HTTP/1.1 200 OK\r\n\r\nbody %d" % i
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Record-ID: <urn:uuid:h%d>" % i,
+            b"WARC-Date: " + date.encode(),
+            b"WARC-Target-URI: " + uri.encode(),
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        recs.append(b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n")
+    d = tmp_path / "hp"
+    d.mkdir()
+    (d / "s.warc").write_bytes(b"".join(recs))
+    prof = {r.host: r for r in W.warc_host_profile(W.read_warc(spark, str(d))).collect()}
+    a = prof["a.example"]
+    assert a.n_fetches == 3 and a.n_urls == 2  # the two /p variants collapse
+    assert abs(a.fetches_per_sec - 3 / 20) < 1e-12
+    b = prof["b.example"]
+    assert b.n_fetches == 1 and b.fetches_per_sec == 0.0
