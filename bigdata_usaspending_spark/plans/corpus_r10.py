@@ -161,8 +161,13 @@ def _url_dedup_oracle() -> str:
         ),
         comp AS (
             SELECT doc_id, u, scheme,
-                   lower(regexp_extract(authority, '^([^:]*)', 1)) AS host,
-                   regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+                   regexp_extract(authority, '^([^@]*@)', 1) AS userinfo,
+                   lower(regexp_extract(
+                       regexp_replace(authority, '^[^@]*@', ''),
+                       '^([^:]*)', 1)) AS host,
+                   regexp_extract(
+                       regexp_replace(authority, '^[^@]*@', ''),
+                       ':([0-9]+)$', 1) AS port,
                    substr(rest, len(authority) + 1) AS pathquery
             FROM (
                 SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority
@@ -170,7 +175,7 @@ def _url_dedup_oracle() -> str:
             )
         ),
         pq AS (
-            SELECT doc_id, u, scheme, host, port,
+            SELECT doc_id, u, scheme, userinfo, host, port,
                    regexp_replace(
                        regexp_extract(pathquery, '^([^?]*)', 1),
                        '/+$', '') AS path,
@@ -188,7 +193,7 @@ def _url_dedup_oracle() -> str:
         canon AS (
             SELECT doc_id,
                    CASE WHEN scheme = '' THEN u ELSE
-                       scheme || '://' || host
+                       scheme || '://' || userinfo || host
                        || CASE WHEN port = ''
                                     OR (scheme = 'http' AND port = '80')
                                     OR (scheme = 'https' AND port = '443')

@@ -229,8 +229,10 @@ def canonicalize_url(col: "Column | str", alias: str = "canonical_url") -> "Colu
     - tracking parameters removed (``TRACKING_PARAM_RE``: utm_*, fbclid,
       gclid, msclkid, mc_eid, igshid) and the surviving query segments
       sorted bytewise, so param order never splits a dedup group;
-    - userinfo, percent-encoding case, and ``www.`` are left untouched
-      (conservative: never merges URLs that could be distinct resources).
+    - userinfo is preserved VERBATIM ahead of the case-folded host
+      (``User@Host.COM`` -> ``User@host.com``); percent-encoding case
+      and ``www.`` are left untouched (conservative: never merges URLs
+      that could be distinct resources).
 
     Strings without a ``scheme://`` are passed through trimmed (relative
     links and junk rows dedup on themselves rather than erroring). Pure
@@ -244,8 +246,13 @@ def canonicalize_url(col: "Column | str", alias: str = "canonical_url") -> "Colu
     rest = F.regexp_replace(u, _SCHEME_RE, "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
     pathquery = F.substr(rest, F.length(authority) + 1)
-    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
-    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    # userinfo ("user:pw@") rides verbatim; host/port parse AFTER it —
+    # '^([^:]*)' over the raw authority would otherwise take "user" as
+    # the host and drop the real one
+    userinfo = F.regexp_extract(authority, r"^([^@]*@)", 1)
+    hostport = F.regexp_replace(authority, r"^[^@]*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -267,7 +274,7 @@ def canonicalize_url(col: "Column | str", alias: str = "canonical_url") -> "Colu
         F.size(kept) > 0,
         F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
     ).otherwise(F.lit(""))
-    canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+    canon = F.concat(scheme, F.lit("://"), userinfo, host, portpart, path, qpart)
     return F.when(scheme == "", u).otherwise(canon).alias(alias)
 
 

@@ -259,6 +259,11 @@ CANON_CASES = [
     ("not a url", "not a url"),
     # other schemes: normalized but ports untouched
     ("FTP://Host.Com:21/file", "ftp://host.com:21/file"),
+    # userinfo rides verbatim; the REAL host behind it case-folds and the
+    # default port still strips (the round-10 review fix: '^([^:]*)' over
+    # the raw authority used to take "User" as the host)
+    ("http://User:Pw@WWW.Example.COM:80/a", "http://User:Pw@www.example.com/a"),
+    ("https://tok@Example.com:8443/b", "https://tok@example.com:8443/b"),
 ]
 
 
