@@ -91,6 +91,11 @@ def build_corpus(
     training sequences. ``benchmark`` (any frame with a ``text`` column)
     enables the decontamination tier."""
     cfg = cfg or CorpusBuildConfig()
+    if not cfg.langs:
+        raise ValueError(
+            "CorpusBuildConfig.langs must name at least one language to "
+            "keep (an empty keep set would drop the whole corpus)"
+        )
     if "target_uri" in docs.columns:
         if cfg.block_hosts:
             # the C4/RefinedWeb blocked-domains tier: drop rows whose URL

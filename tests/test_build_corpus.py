@@ -96,3 +96,13 @@ def test_corpus_datasheet_values(spark):
     assert ds["b"].n_docs == 1 and ds["b"].n_distinct_texts == 1
     assert ds["a"].total_tokens == 5 + 5 + 5
     assert ds["a"].tok_p50 == 5.0
+
+
+def test_build_corpus_rejects_empty_lang_set(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="langs"):
+        build_corpus(
+            _docs(spark, [(1, "the a of", "a")]),
+            cfg=CorpusBuildConfig(langs=()),
+        )
