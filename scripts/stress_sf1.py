@@ -471,6 +471,17 @@ def workloads(spark, sf_dir: str) -> dict[str, float]:
     out["corpus_datasheet"] = timed(
         "corpus_datasheet", lambda: corpus_r10.q_corpus_datasheet(spark, sf_dir)
     )
+    out["fuzzy_k3_passjoin"] = timed(
+        "fuzzy_k3_passjoin",
+        lambda: corpus_r10.q_fuzzy_name_pairs_k3(spark, sf_dir),
+    )
+    out["ann_ivf_pq"] = timed(
+        "ann_ivf_pq", lambda: corpus_r10.q_ann_ivf_pq(spark, sf_dir)
+    )
+    out["sequence_manifest"] = timed(
+        "sequence_manifest",
+        lambda: corpus_r10.q_sequence_manifest(spark, sf_dir),
+    )
     return out
 
 
