@@ -107,6 +107,11 @@ def _parser() -> argparse.ArgumentParser:
         help="also write the per-sequence training manifest parquet here "
         "(ordered doc spans per packed sequence — the data-loader index)",
     )
+    b.add_argument(
+        "--host-profile", default=None,
+        help="also write the per-host crawl accounting parquet here "
+        "(fetches, bytes, URLs, time span, request rate; WARC input only)",
+    )
 
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
@@ -178,8 +183,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.warc:
             from .sources.warc import read_warc, warc_responses_to_documents
 
-            docs = warc_responses_to_documents(read_warc(spark, args.warc))
+            raw = read_warc(spark, args.warc)
+            if args.host_profile:
+                from .sources.warc import warc_host_profile
+
+                warc_host_profile(raw).write.mode("overwrite").parquet(
+                    args.host_profile
+                )
+            docs = warc_responses_to_documents(raw)
         else:
+            if args.host_profile:
+                raise SystemExit(
+                    "--host-profile needs --warc input (documents parquet "
+                    "has no fetch records)"
+                )
             docs = spark.read.parquet(args.documents)
         bench = (
             spark.read.parquet(args.decontaminate)

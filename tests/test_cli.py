@@ -168,11 +168,13 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     )
     out = str(tmp_path / "corpus")
     manifest = str(tmp_path / "manifest")
+    hostprof = str(tmp_path / "hosts")
     proc = _run(
         "build-corpus", "--warc", str(shard_dir), "--output", out,
         "--block-size", "32", "--seed", "3",
         "--block-hosts", "spam.example",
         "--manifest", manifest,
+        "--host-profile", hostprof,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "packed sequences" in proc.stdout
@@ -205,6 +207,12 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     man = spark.read.parquet(manifest).collect()
     assert sum(r.n_docs for r in man) == len(rows)
     assert sum(r.n_tokens for r in man) == sum(r.n_tokens for r in by_pos)
+
+    # the --host-profile sink accounts for ALL fetches, including rows
+    # later dropped by the gates (it profiles the crawl, not the corpus)
+    hp = {r.host: r for r in spark.read.parquet(hostprof).collect()}
+    assert hp["site.com"].n_fetches == 8
+    assert hp["spam.example"].n_fetches == 1
 
 
 def test_build_corpus_cli_documents_input_with_decontamination(spark, tmp_path):
