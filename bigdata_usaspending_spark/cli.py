@@ -99,8 +99,9 @@ def _parser() -> argparse.ArgumentParser:
     )
     b.add_argument(
         "--datasheet", default=None,
-        help="also write the per-source corpus datasheet parquet here "
-        "(doc/token counts, dup rate, token quartiles)",
+        help="also write the per-source datasheet of the INPUT corpus "
+        "here (doc/token counts, dup rate, token quartiles — profiled "
+        "before the dedup tiers, where dup rate still means something)",
     )
     b.add_argument(
         "--manifest", default=None,
@@ -202,10 +203,17 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.decontaminate)
             if args.decontaminate else None
         )
+        # normalize list flags: langid() emits lowercase codes and
+        # host_of() lowercases hosts, so unstripped/mixed-case entries
+        # ('en, fr' / 'Spam.Example') would silently match nothing
         cfg = CorpusBuildConfig(
-            langs=tuple(s for s in args.langs.split(",") if s),
+            langs=tuple(
+                v.strip().lower()
+                for v in args.langs.split(",") if v.strip()
+            ),
             block_hosts=tuple(
-                s for s in args.block_hosts.split(",") if s
+                v.strip().lower()
+                for v in args.block_hosts.split(",") if v.strip()
             ),
             min_tokens=args.min_tokens,
             max_punct_ratio=args.max_punct_ratio,
@@ -223,7 +231,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.datasheet:
             from .plans.build_corpus import corpus_datasheet
 
-            corpus_datasheet(written).write.mode("overwrite").parquet(
+            # profile the INPUT corpus, not the curated output — the
+            # datasheet's duplication-rate column is structurally zero
+            # after the dedup tiers have run
+            corpus_datasheet(docs).write.mode("overwrite").parquet(
                 args.datasheet
             )
         if args.manifest:
@@ -232,8 +243,11 @@ def main(argv: list[str] | None = None) -> int:
             sequence_manifest(written).write.mode("overwrite").parquet(
                 args.manifest
             )
-        n = written.count()
-        seqs = written.agg({"seq_id": "max"}).first()[0]
+        from pyspark.sql import functions as F
+
+        n, seqs = written.agg(
+            F.count(F.lit(1)), F.max("seq_id")
+        ).first()
         print(
             f"wrote {n} documents / {0 if seqs is None else seqs + 1} "
             f"packed sequences to {args.output}"

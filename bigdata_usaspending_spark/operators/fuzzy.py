@@ -158,10 +158,11 @@ def edit_distance_join(
     within ``levenshtein <= max_dist`` (the dirty-table -> canonical-table
     direction of entity resolution).
 
-    Returns ``(left_id, right_id, left_str, right_str, dist)``. Same
-    FastSS blocking (order ``max_dist`` in {1, 2}) and banded verification
-    as ``edit_distance_pairs``; both deletion neighborhoods are linear in
-    their input, and the candidate equi-join shuffles on the variant key.
+    Returns ``(left_id, right_id, left_str, right_str, dist)``. FastSS
+    deletion-neighborhood blocking for ``max_dist`` in {1, 2} (linear
+    variants, candidate equi-join on the variant key); ``max_dist >= 3``
+    dispatches to ``passjoin_join`` (segment blocking — same output
+    contract). Banded verification either way.
     """
     if len({left_id, left_str, right_id, right_str}) != 4:
         raise ValueError(

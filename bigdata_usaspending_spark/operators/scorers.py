@@ -963,12 +963,14 @@ class NaiveBayesPairScorer(PairScorer):
         label_col: str = "label",
         max_terms: int = 1_000_000,
     ) -> "NaiveBayesPairScorer":
-        """Fit per-token match counts: one projection builds
-        (token, presence) structs per pair (presence computed BEFORE the
-        explode, so the document token array is scanned once per pair,
-        not once per query token), then ONE exploded aggregate and a
-        cap-guarded driver collect — the same bounded-fit shape as
-        TrigramLangIdScorer.from_corpus."""
+        """Fit per-token match counts: explode the query's distinct
+        tokens, test document presence per exploded row (the document
+        token array is scanned once PER QUERY TOKEN — the
+        presence-before-explode form would scan it once per pair, but
+        its HOF lambda trips Catalyst over broadcast-join lineages, see
+        the comment below; queries are short, so the extra scans are
+        bounded), then ONE aggregate and a cap-guarded driver collect —
+        the same bounded-fit shape as TrigramLangIdScorer.from_corpus."""
         from pyspark.sql import functions as F
 
         from .text import tokens

@@ -1716,10 +1716,15 @@ def ivf_pq_topk(
     if not cent_rows:
         raise ValueError("ivf_pq_topk: empty centroid set")
     qn = _fold_dot_py(qvec, qvec) ** 0.5
-    scored = [
-        (c, _fold_dot_py(qvec, cv) / (qn * (_fold_dot_py(cv, cv) ** 0.5)), cv)
-        for c, cv in cent_rows
-    ]
+
+    def _probe_score(cv):
+        # degenerate inputs score -inf instead of raising: a zero-norm
+        # query probes the lowest cells deterministically, a zero-norm
+        # centroid is never probed (the SQL cosine's null-degrade twin)
+        den = qn * (_fold_dot_py(cv, cv) ** 0.5)
+        return _fold_dot_py(qvec, cv) / den if den > 0.0 else float("-inf")
+
+    scored = [(c, _probe_score(cv), cv) for c, cv in cent_rows]
     scored.sort(key=lambda t: (-t[1], t[0]))
     probed = scored[: max(1, int(nprobe))]
 
@@ -1825,9 +1830,8 @@ def ivf_pq_recall_audit(
     approximate result never leaves the plan; the guarantee does."""
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     resid = ivf_residuals(assigned, centroids, vec_col=vec_col)
-    dsub = None
     cb = pq_train_driver(resid, vec_col="residual", m=m, k=kc)
-    encoded = pq_encode(resid, cb, vec_col="residual", dsub=dsub).drop("residual")
+    encoded = pq_encode(resid, cb, vec_col="residual").drop("residual")
     approx_ids = {
         r[id_col]
         for r in ivf_pq_topk(

@@ -400,7 +400,11 @@ def warc_host_profile(warc: DataFrame) -> DataFrame:
         F.count_distinct("canonical_url").alias("n_urls"),
         F.min("_ts").alias("first_fetch"),
         F.max("_ts").alias("last_fetch"),
-        F.when(span > 0, F.count(F.lit(1)).cast("double") / span)
+        # rate numerator counts only DATED fetches (count of _ts skips
+        # nulls) so malformed dates drop out of the rate, not just the
+        # span — otherwise 10 fetches with 2 parseable dates 1 s apart
+        # would report 10 fetches/s
+        F.when(span > 0, F.count("_ts").cast("double") / span)
         .otherwise(F.lit(0.0))
         .alias("fetches_per_sec"),
     )

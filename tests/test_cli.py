@@ -169,12 +169,14 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     out = str(tmp_path / "corpus")
     manifest = str(tmp_path / "manifest")
     hostprof = str(tmp_path / "hosts")
+    datasheet = str(tmp_path / "datasheet")
     proc = _run(
         "build-corpus", "--warc", str(shard_dir), "--output", out,
         "--block-size", "32", "--seed", "3",
-        "--block-hosts", "spam.example",
+        "--block-hosts", "Spam.Example",   # mixed case: CLI must normalize
         "--manifest", manifest,
         "--host-profile", hostprof,
+        "--datasheet", datasheet,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "packed sequences" in proc.stdout
@@ -213,6 +215,11 @@ def test_build_corpus_cli_end_to_end(spark, tmp_path):
     hp = {r.host: r for r in spark.read.parquet(hostprof).collect()}
     assert hp["site.com"].n_fetches == 8
     assert hp["spam.example"].n_fetches == 1
+
+    # the --datasheet sink profiles the INPUT corpus (pre-dedup), so the
+    # fox cluster's fingerprint duplicate is visible in the dup rate
+    ds = {r.source: r for r in spark.read.parquet(datasheet).collect()}
+    assert ds["warc"].n_docs > ds["warc"].n_distinct_texts
 
 
 def test_build_corpus_cli_documents_input_with_decontamination(spark, tmp_path):
