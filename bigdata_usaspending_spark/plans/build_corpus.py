@@ -96,6 +96,13 @@ def build_corpus(
             "CorpusBuildConfig.langs must name at least one language to "
             "keep (an empty keep set would drop the whole corpus)"
         )
+    if cfg.block_hosts and "target_uri" not in docs.columns:
+        # a blocklist the input can't express would silently gate nothing —
+        # same contract as the CLI's --host-profile guard
+        raise ValueError(
+            "block_hosts given but the input has no target_uri column; "
+            "host blocking needs per-row URLs"
+        )
     if "target_uri" in docs.columns:
         if cfg.block_hosts:
             # the C4/RefinedWeb blocked-domains tier: drop rows whose URL

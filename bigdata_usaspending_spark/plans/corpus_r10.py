@@ -78,6 +78,8 @@ def _prep(spark: SparkSession) -> SparkSession:
 def _synth_url() -> "F.Column":
     """Deterministic noisy URL per document, from (doc_id, source) only.
 
+    doc_id % 13 == 0 rows get a bracketed-IPv6 authority (mixed case,
+    default port) — exercising the bracket-aware host/port parse; else
     variant = doc_id % 3, page = doc_id % 7:
       0: ``HTTP://EXAMPLE.COM:80/{source}/page{p}/?utm_source=feed&id={p}#top``
       1: ``http://example.com/{source}/page{p}?id={p}&utm_campaign=x``
@@ -87,6 +89,13 @@ def _synth_url() -> "F.Column":
     v = F.col("doc_id") % 3
     return (
         F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("http://[2001:DB8::1]:80/"), F.col("source"),
+                F.lit("/page"), page, F.lit("?id="), page,
+            ),
+        )
+        .when(
             v == 0,
             F.concat(
                 F.lit("HTTP://EXAMPLE.COM:80/"), F.col("source"),
@@ -123,6 +132,10 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 _SYNTH_URL_SQL = """
     CASE
+        WHEN doc_id % 13 = 0 THEN
+            'http://[2001:DB8::1]:80/' || source || '/page'
+            || CAST(doc_id % 7 AS VARCHAR) || '?id='
+            || CAST(doc_id % 7 AS VARCHAR)
         WHEN doc_id % 3 = 0 THEN
             'HTTP://EXAMPLE.COM:80/' || source || '/page'
             || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&id='
@@ -160,17 +173,32 @@ def _url_dedup_oracle() -> str:
             FROM t
         ),
         comp AS (
+            -- bracket-aware host/port split, mirroring
+            -- sources/warc.canonicalize_url: a well-formed '[...]' group
+            -- is the host whole; malformed bracket authorities pass
+            -- verbatim with no port split
             SELECT doc_id, u, scheme,
                    regexp_extract(authority, '^([^@]*@)', 1) AS userinfo,
-                   lower(regexp_extract(
-                       regexp_replace(authority, '^[^@]*@', ''),
-                       '^([^:]*)', 1)) AS host,
-                   regexp_extract(
-                       regexp_replace(authority, '^[^@]*@', ''),
-                       ':([0-9]+)$', 1) AS port,
+                   CASE WHEN substr(hostport, 1, 1) <> '['
+                        THEN lower(regexp_extract(hostport, '^([^:]*)', 1))
+                        WHEN regexp_extract(
+                                 hostport, '^(\\[[^\\]]*\\])', 1) <> ''
+                        THEN lower(regexp_extract(
+                                 hostport, '^(\\[[^\\]]*\\])', 1))
+                        ELSE hostport END AS host,
+                   CASE WHEN substr(hostport, 1, 1) <> '['
+                        THEN regexp_extract(hostport, ':([0-9]+)$', 1)
+                        WHEN regexp_extract(
+                                 hostport, '^(\\[[^\\]]*\\])', 1) <> ''
+                        THEN regexp_extract(
+                                 hostport, '^\\[[^\\]]*\\]:([0-9]+)$', 1)
+                        ELSE '' END AS port,
                    substr(rest, len(authority) + 1) AS pathquery
             FROM (
-                SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority
+                SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority,
+                       regexp_replace(
+                           regexp_extract(rest, '^([^/?]*)', 1),
+                           '^[^@]*@', '') AS hostport
                 FROM parts
             )
         ),

@@ -251,8 +251,24 @@ def canonicalize_url(col: "Column | str", alias: str = "canonical_url") -> "Colu
     # the host and drop the real one
     userinfo = F.regexp_extract(authority, r"^([^@]*@)", 1)
     hostport = F.regexp_replace(authority, r"^[^@]*@", "")
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    # bracketed IPv6 authorities ([2001:db8::1]:8080) carry colons inside
+    # the host — '^([^:]*)' would truncate at the first one and MERGE
+    # distinct addresses. Extract a well-formed bracket group whole (hex
+    # case-folds like any host, RFC 4007/5952); a malformed bracket
+    # authority (unclosed '[') passes through verbatim with no port split
+    # so distinct junk never collapses to one group.
+    bhost = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    is_bracket = F.substring(hostport, 1, 1) == "["
+    host = (
+        F.when(~is_bracket, F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)))
+        .when(bhost != "", F.lower(bhost))
+        .otherwise(hostport)
+    )
+    port = (
+        F.when(~is_bracket, F.regexp_extract(hostport, r":([0-9]+)$", 1))
+        .when(bhost != "", F.regexp_extract(hostport, r"^\[[^\]]*\]:([0-9]+)$", 1))
+        .otherwise(F.lit(""))
+    )
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -319,7 +335,19 @@ def host_of(col: "Column | str", alias: str = "host") -> "Column":
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     authority = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2)
     no_user = F.regexp_replace(authority, r"^[^@]*@", "")
-    return F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1)).alias(alias)
+    # same bracketed-IPv6 handling as canonicalize_url: a well-formed
+    # '[...]' group is the host whole; malformed bracket authorities pass
+    # verbatim so distinct hosts never share a group/blocklist key
+    bhost = F.regexp_extract(no_user, r"^(\[[^\]]*\])", 1)
+    host = (
+        F.when(
+            F.substring(no_user, 1, 1) != "[",
+            F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1)),
+        )
+        .when(bhost != "", F.lower(bhost))
+        .otherwise(no_user)
+    )
+    return host.alias(alias)
 
 
 def url_index(df: DataFrame, url_col: str = "target_uri") -> DataFrame:
@@ -382,9 +410,22 @@ def warc_host_profile(warc: DataFrame) -> DataFrame:
     span, and the observed request rate (fetches per second across the
     span; 0.0 for single-fetch hosts). One aggregate pass keyed on the
     host; WARC-Date parses with try_to_timestamp (malformed dates yield
-    null and drop out of the span/rate, never error — ANSI-safe)."""
+    null and drop out of the span/rate, never error — ANSI-safe). WARC
+    1.1 permits fractional seconds (2023-01-01T00:00:00.123Z) — those
+    parse via a second leg that trims the fraction first (any digit
+    count), so sub-second crawls report real spans/rates instead of
+    silently all-null timestamps."""
     resp = warc.filter(F.col("warc_type") == "response")
-    ts = F.try_to_timestamp(F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
+    whole = F.try_to_timestamp(
+        F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+    )
+    ts = F.coalesce(
+        whole,
+        F.try_to_timestamp(
+            F.regexp_replace(F.col("warc_date"), r"\.[0-9]+", ""),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssX"),
+        ),
+    )
     rows = resp.select(
         host_of("target_uri"),
         F.col("content_length"),

@@ -4,6 +4,7 @@ these pin edge cases and the reader-side manifest."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_usaspending_spark.plans.build_corpus import (
@@ -96,6 +97,18 @@ def test_corpus_datasheet_values(spark):
     assert ds["b"].n_docs == 1 and ds["b"].n_distinct_texts == 1
     assert ds["a"].total_tokens == 5 + 5 + 5
     assert ds["a"].tok_p50 == 5.0
+
+
+def test_build_corpus_block_hosts_requires_target_uri(spark):
+    """A blocklist over an input with no target_uri column must raise
+    (round-11 ADVICE fix) — silently gating nothing would hand back an
+    unfiltered corpus."""
+    rows = [(1, "plain text with enough tokens here", "a")]
+    with pytest.raises(ValueError, match="target_uri"):
+        build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(block_hosts=("bad.example",)),
+        )
 
 
 def test_build_corpus_rejects_empty_lang_set(spark):

@@ -264,6 +264,17 @@ CANON_CASES = [
     # the raw authority used to take "User" as the host)
     ("http://User:Pw@WWW.Example.COM:80/a", "http://User:Pw@www.example.com/a"),
     ("https://tok@Example.com:8443/b", "https://tok@example.com:8443/b"),
+    # bracketed IPv6 (the round-11 ADVICE fix): the whole [..] group is
+    # the host — case-folds, default port strips, non-default port kept,
+    # and DISTINCT addresses never truncate to the same prefix
+    ("http://[2001:DB8::1]:80/x/", "http://[2001:db8::1]/x"),
+    ("https://[2001:db8::1]:8443/x", "https://[2001:db8::1]:8443/x"),
+    ("http://[2001:db8::1]/x", "http://[2001:db8::1]/x"),
+    ("http://[2001:db8::2]/x", "http://[2001:db8::2]/x"),
+    ("http://u@[2001:DB8::1]:80/x", "http://u@[2001:db8::1]/x"),
+    # malformed bracket authority (unclosed '['): verbatim passthrough,
+    # no port split, no case fold — distinct junk never merges
+    ("http://[2001:db8/x", "http://[2001:db8/x"),
 ]
 
 
@@ -312,6 +323,11 @@ def test_host_of(spark):
         ("ftp://Host.Com:21/x", "host.com"),
         ("not a url", ""),
         ("http://a.b.c/path", "a.b.c"),
+        # bracketed IPv6: whole [..] group, port stripped, hex case-folds
+        ("http://[2001:DB8::1]:8080/x", "[2001:db8::1]"),
+        ("http://u@[2001:db8::1]/x", "[2001:db8::1]"),
+        # malformed bracket: verbatim, never truncated at a colon
+        ("http://[2001:db8", "[2001:db8"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
@@ -372,6 +388,9 @@ def test_warc_host_profile(spark, tmp_path):
         ("http://a.example/p?utm_source=x", "2024-01-01T00:00:00Z"),
         ("HTTP://A.Example:80/p",           "2024-01-01T00:00:10Z"),
         ("http://a.example/q",              "2024-01-01T00:00:20Z"),
+        # WARC 1.1 fractional seconds must parse (round-11 ADVICE fix),
+        # not silently null out of the span/rate
+        ("http://a.example/r",              "2024-01-01T00:00:30.500Z"),
         ("http://b.example/only",           "2024-01-01T00:00:00Z"),
     ]):
         body = b"HTTP/1.1 200 OK\r\n\r\nbody %d" % i
@@ -389,7 +408,8 @@ def test_warc_host_profile(spark, tmp_path):
     (d / "s.warc").write_bytes(b"".join(recs))
     prof = {r.host: r for r in W.warc_host_profile(W.read_warc(spark, str(d))).collect()}
     a = prof["a.example"]
-    assert a.n_fetches == 3 and a.n_urls == 2  # the two /p variants collapse
-    assert abs(a.fetches_per_sec - 3 / 20) < 1e-12
+    assert a.n_fetches == 4 and a.n_urls == 3  # the two /p variants collapse
+    # span 00:00:00 -> 00:00:30 (fraction truncated to the second)
+    assert abs(a.fetches_per_sec - 4 / 30) < 1e-12
     b = prof["b.example"]
     assert b.n_fetches == 1 and b.fetches_per_sec == 0.0
