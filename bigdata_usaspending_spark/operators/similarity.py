@@ -1701,6 +1701,36 @@ def ivf_pq_topk(
     if dsub is None:
         dsub = len(cb_rows[0][2])
     qvec = [float(x) for x in _as_qvec(query)]
+    cent_rows = sorted(
+        (r[cell_col], [float(x) for x in r[centroid_vec]])
+        for r in centroids.collect()
+    )
+    cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
+
+    # 3) ADC scan over the probed cells' candidates
+    probe_cells = encoded.sparkSession.createDataFrame(
+        [(int(c),) for c in cell_tables], f"{cell_col} int"
+    )
+    cands = encoded.join(F.broadcast(probe_cells), on=cell_col, how="semi")
+    return _ivf_pq_adc_rerank(
+        cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, cell_col
+    )
+
+
+def _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub):
+    """Driver-side steps 1–2 of the IVF-PQ query path, shared by the live
+    (``ivf_pq_topk``) and persisted (``ivf_pq_index_topk``) probes:
+
+    1. coarse probe — rank ``(cell, centroid)`` pairs by the same
+       left-fold cosine as ivf_assign, keep the ``nprobe`` nearest (ties
+       to lowest cell);
+    2. per probed cell, build the m x k squared-L2 ADC table of the query
+       RESIDUAL (q − centroid_cell) against the residual codebook rows.
+
+    Returns ``{cell: [per-sub lookup arrays]}``. Both inputs are bounded
+    model state (cells, m*k codebook rows), never corpus-sized."""
+    if not cent_rows:
+        raise ValueError("ivf_pq probe: empty centroid set")
 
     def _fold_dot_py(a, b):
         acc = 0.0
@@ -1708,13 +1738,6 @@ def ivf_pq_topk(
             acc = acc + x * y
         return acc
 
-    # 1) coarse probe (driver-side: centroids are bounded model state)
-    cent_rows = sorted(
-        (r[cell_col], [float(x) for x in r[centroid_vec]])
-        for r in centroids.collect()
-    )
-    if not cent_rows:
-        raise ValueError("ivf_pq_topk: empty centroid set")
     qn = _fold_dot_py(qvec, qvec) ** 0.5
 
     def _probe_score(cv):
@@ -1727,8 +1750,6 @@ def ivf_pq_topk(
     scored = [(c, _probe_score(cv), cv) for c, cv in cent_rows]
     scored.sort(key=lambda t: (-t[1], t[0]))
     probed = scored[: max(1, int(nprobe))]
-
-    # 2) per-cell ADC tables over the query residual
     nested = _nest_by_sub(cb_rows)
 
     def _tables_for(qr):
@@ -1746,16 +1767,26 @@ def ivf_pq_topk(
             lookups.append(arr)
         return lookups
 
-    cell_tables = {
+    return {
         c: _tables_for([qx - cx for qx, cx in zip(qvec, cv)])
         for c, _, cv in probed
     }
 
-    # 3) ADC scan over the probed cells' candidates
-    probe_cells = encoded.sparkSession.createDataFrame(
-        [(int(c),) for c in cell_tables], f"{cell_col} int"
-    )
-    cands = encoded.join(F.broadcast(probe_cells), on=cell_col, how="semi")
+
+def _ivf_pq_adc_rerank(
+    cands: DataFrame,
+    cell_tables: dict,
+    qvec: list,
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Steps 3–4 of the IVF-PQ query path over an already cell-pruned
+    candidate frame: Arrow ADC scan (approximate distance = the row's
+    cell table entries selected by its codes, folded sub-ascending), then
+    exact squared-L2 rerank of the ``k*rerank_factor`` best."""
 
     @F.pandas_udf("double")
     def _adc(codes: pd.Series, cell: pd.Series) -> pd.Series:
@@ -1844,6 +1875,220 @@ def ivf_pq_recall_audit(
         df.select(
             F.col(id_col),
             euclidean_to_query_kernel(query_vec)(F.col(vec_col)).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+        .localCheckpoint()
+    )
+    exact_ids = [r[id_col] for r in exact.select(id_col).collect()]  # k-bounded
+    ok = (
+        len(set(exact_ids) & approx_ids) >= floor * len(exact_ids)
+        if exact_ids
+        else True
+    )
+    return exact.withColumn("recall_ok", F.lit(bool(ok))).orderBy(
+        F.asc("distance"), F.asc(id_col)
+    )
+
+
+def _read_bounded_rows(spark, path: str, what: str, max_cells: int):
+    """Cap-guarded read of persisted model state: one scan, limit(cap+1)
+    bounds driver memory AND detects overflow in the same job."""
+    rows = spark.read.parquet(path).limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"index has {len(rows)} {what} rows > max_cells={max_cells}; "
+            "a driver-side model load needs bounded state"
+        )
+    return rows
+
+
+def ivf_pq_index_write(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: "int | None" = None,
+) -> None:
+    """Persist an IVF-PQ index — the faiss ``write_index(IndexIVFPQ)``
+    analog, mirroring ``ivf_index_write``'s contract so the hybrid gets
+    the same build-once / add-batches / probe-forever lifecycle. Layout:
+
+    - ``{path}/centroids.parquet`` — coarse cells (bounded model state);
+    - ``{path}/codebooks.parquet`` — residual PQ codebooks (m*k rows);
+    - ``{path}/vectors.parquet`` — every vector with its cell and m-byte
+      ``codes``, written ``partitionBy(cell)`` so probes prune at the
+      FILE level (nprobe cells → nprobe directories read).
+
+    The original vectors ride along for the exact-rerank stage (the
+    faiss IndexRefineFlat pairing — plain IndexIVFPQ drops them and
+    skips reranking). Both model frames are collected ONCE and localized
+    before use, so expensive training lineage (ivf_refine /
+    pq_train re-scan the corpus) never executes twice."""
+    spark = df.sparkSession
+    local_cents = spark.createDataFrame(centroids.collect(), centroids.schema)
+    local_cb = spark.createDataFrame(codebooks.collect(), codebooks.schema)
+    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+    encoded = ivf_pq_encode(
+        assigned, local_cents, local_cb, vec_col=vec_col, dsub=dsub
+    )
+    local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    local_cb.write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    (
+        encoded.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors.parquet")
+    )
+
+
+def ivf_pq_index_add(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> None:
+    """Incrementally ADD vectors to a persisted IVF-PQ index — the faiss
+    ``IndexIVFPQ.add`` analog: new vectors are assigned with the SAVED
+    centroids and encoded with the SAVED residual codebooks (one bounded
+    model read + broadcast kernels — the index is never rescanned, the
+    quantizer never retrained), then appended into the same
+    ``partitionBy(cell)`` layout so existing probe plans keep pruning
+    over both generations.
+
+    Standard IVF-PQ caveat (faiss semantics): adds move neither
+    centroids nor codebooks; if the data distribution drifts far from
+    the training set, quantization error grows — rebuild rather than
+    adding forever."""
+    cdf = spark.read.parquet(f"{path}/centroids.parquet")
+    local_cents = spark.createDataFrame(
+        _read_bounded_rows(spark, f"{path}/centroids.parquet", "cell", max_cells),
+        cdf.schema,
+    )
+    cbdf = spark.read.parquet(f"{path}/codebooks.parquet")
+    local_cb = spark.createDataFrame(
+        _read_bounded_rows(
+            spark, f"{path}/codebooks.parquet", "codebook", max_cells
+        ),
+        cbdf.schema,
+    )
+    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+    encoded = ivf_pq_encode(assigned, local_cents, local_cb, vec_col=vec_col)
+    # fail fast on a mismatched add: appending a different column set or
+    # vector type writes a SECOND schema into the partitioned layout,
+    # which later probes surface as null ids/codes executor-side
+    saved = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(f"{path}/vectors.parquet").schema.fields
+    }
+    adding = {f.name: f.dataType.simpleString() for f in encoded.schema.fields}
+    if saved != adding:
+        raise ValueError(
+            f"batch schema {sorted(adding.items())} does not match the "
+            f"index's vector schema {sorted(saved.items())}; pass the "
+            "id_col/vec_col the index was built with"
+        )
+    (
+        encoded.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors.parquet")
+    )
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    query,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: centroids + codebooks load
+    driver-side (cap-guarded — index-parameter-bounded model state), the
+    coarse probe and per-cell ADC tables are the SAME driver-side math as
+    ``ivf_pq_topk`` (shared ``_ivf_pq_probe_tables``), and the vectors
+    scan carries a ``cell IN (...)`` predicate on the PARTITION column —
+    Catalyst prunes to nprobe directories before a single row is read.
+    Result is identical to running ivf_pq_topk over the index's live
+    frames with the same model state."""
+    qvec = [float(x) for x in _as_qvec(query)]
+    cent_rows = sorted(
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in _read_bounded_rows(
+            spark, f"{path}/centroids.parquet", "cell", max_cells
+        )
+    )
+    cb_rows = sorted(
+        (r["sub"], r["cell"], list(r["centroid"]))
+        for r in _read_bounded_rows(
+            spark, f"{path}/codebooks.parquet", "codebook", max_cells
+        )
+    )
+    dsub = len(cb_rows[0][2])
+    cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
+    cands = spark.read.parquet(f"{path}/vectors.parquet").filter(
+        F.col("cell").isin([int(c) for c in cell_tables])
+    )
+    return _ivf_pq_adc_rerank(
+        cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"
+    )
+
+
+def ivf_pq_index_lifecycle_audit(
+    initial: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    query_vec: "list[float]",
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    floor: float = 0.8,
+    m: int = 16,
+    kc: int = 16,
+    nprobe: int = 3,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """The full persisted-index lifecycle through the audit contract
+    (the ivf_pq_recall_audit pattern): train residual codebooks on the
+    INITIAL corpus, ``ivf_pq_index_write`` it, ``ivf_pq_index_add`` the
+    new batch with the SAVED model state (no retraining — the add path's
+    whole point), probe the persisted partitioned layout, and emit the
+    EXACT euclidean top-k witness over initial ∪ batch + ``recall_ok``
+    pinned TRUE iff the persisted-index probe hit >= ``floor`` of the
+    exact set. The approximate result never leaves the plan; the
+    guarantee does."""
+    spark = initial.sparkSession
+    assigned = ivf_assign(initial, centroids, id_col=id_col, vec_col=vec_col)
+    resid = ivf_residuals(assigned, centroids, vec_col=vec_col)
+    cb = pq_train_driver(resid, vec_col="residual", m=m, k=kc)
+    ivf_pq_index_write(
+        initial, centroids, cb, path, id_col=id_col, vec_col=vec_col
+    )
+    ivf_pq_index_add(spark, path, batch, id_col=id_col, vec_col=vec_col)
+    approx_ids = {
+        r[id_col]
+        for r in ivf_pq_index_topk(
+            spark, path, query_vec,
+            k=k, nprobe=nprobe, rerank_factor=rerank_factor,
+            id_col=id_col, vec_col=vec_col,
+        ).collect()  # k-bounded
+    }
+    full = initial.select(id_col, vec_col).unionByName(
+        batch.select(id_col, vec_col)
+    )
+    exact = (
+        full.select(
+            F.col(id_col),
+            euclidean_to_query_kernel(query_vec)(F.col(vec_col)).alias(
+                "distance"
+            ),
         )
         .orderBy(F.asc("distance"), F.asc(id_col))
         .limit(k)

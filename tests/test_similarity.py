@@ -131,6 +131,81 @@ def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
         )
 
 
+def test_ivf_pq_index_roundtrip(spark, sf_small, tmp_path):
+    """The persisted IVF-PQ index (write → add → probe) must return
+    EXACTLY what ivf_pq_topk returns over the live frames with the same
+    model state, prune the probe scan to the probed cells' partitions,
+    cap-guard the model loads, and fail fast on a mismatched add."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    qvec = _query_vec_list(emb)
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=16, k=8)
+
+    path = str(tmp_path / "ivfpq_index")
+    similarity.ivf_pq_index_write(data, centroids, cb, path)
+    got = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, nprobe=4, rerank_factor=8
+    )
+    live_enc = similarity.ivf_pq_encode(assigned, centroids, cb)
+    want = similarity.ivf_pq_topk(
+        live_enc, centroids, cb, qvec, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in got.collect()] == [
+        (r.vec_id, r.l2sq) for r in want
+    ]
+
+    # partition pruning: cell IN (...) lands in PartitionFilters — the
+    # probe reads nprobe directories, not the corpus
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    # cap guard: bounded model state is a hard contract
+    with pytest.raises(ValueError, match="max_cells"):
+        similarity.ivf_pq_index_topk(spark, path, qvec, max_cells=2)
+
+    # incremental ADD with the SAVED centroids + codebooks: the merged
+    # probe equals the live operator over the two-generation union
+    new_batch = data.filter(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_pq_index_add(spark, path, new_batch)
+    merged = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, nprobe=4, rerank_factor=8
+    )
+    union_enc = live_enc.unionByName(
+        similarity.ivf_pq_encode(
+            similarity.ivf_assign(new_batch, centroids), centroids, cb
+        )
+    )
+    expect = similarity.ivf_pq_topk(
+        union_enc, centroids, cb, qvec, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in merged.collect()] == [
+        (r.vec_id, r.l2sq) for r in expect
+    ]
+    with pytest.raises(ValueError, match="max_cells"):
+        similarity.ivf_pq_index_add(spark, path, new_batch, max_cells=2)
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.ivf_pq_index_add(
+            spark,
+            path,
+            new_batch.withColumnRenamed("vec_id", "id"),
+            id_col="id",
+        )
+
+
 def test_lsh_neighbors_deterministic(vecs):
     a = similarity.random_projection_lsh_neighbors(
         vecs.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
