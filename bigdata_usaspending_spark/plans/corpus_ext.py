@@ -701,7 +701,16 @@ def _basehash_sql(x: str) -> str:
     return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+def _minhash_pairs_ctes(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """The dedup.minhash_lsh_pairs replay as a reusable CTE chain ending
+    in ``lsh_pairs (id_a, id_b, jaccard)`` — composable over any
+    ``(doc_id, text)`` source CTE (the q_corpus_build_near composition
+    splices it after its exact-dedup stage)."""
     r = num_hashes // bands
     # affine family twin: (x*(2i+1) + (1000003*i + 12345)) % p on base = h % p
     mins = ",\n               ".join(
@@ -715,8 +724,7 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
         )
         for b in range(bands)
     )
-    return f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
         s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
         hs AS (
             SELECT doc_id, list_distinct(list_transform(sh, g -> {_basehash_sql('g')})) AS hs
@@ -733,16 +741,24 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-                   / CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))
-                          AS DOUBLE) AS jaccard
-            FROM cand c
-            JOIN hs ha ON c.id_a = ha.doc_id
-            JOIN hs hb ON c.id_b = hb.doc_id
-        ) WHERE jaccard >= {threshold}
+        ),
+        lsh_pairs AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                       / CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))
+                              AS DOUBLE) AS jaccard
+                FROM cand c
+                JOIN hs ha ON c.id_a = ha.doc_id
+                JOIN hs hb ON c.id_b = hb.doc_id
+            ) WHERE jaccard >= {threshold}
+        )"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes(num_hashes, bands, threshold)}
+        SELECT id_a, id_b, jaccard FROM lsh_pairs
     """
 
 

@@ -100,12 +100,172 @@ def _ivf_pq_incremental_oracle() -> str:
     """
 
 
+_NEAR_THRESHOLD = 0.8
+
+
+def _near_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents plus one synthesized near-dup per doc_id % 17 == 0 row:
+    id + 1_000_000, text + one trailing token. Appending a token keeps
+    Jaccard over distinct 3-gram shingles at (n-2)/(n-1) or higher —
+    above 0.8 for every gated doc (>= 8 tokens) — so the LSH tier must
+    merge each variant into its source's component and drop it (min-id
+    original survives)."""
+    docs = load(_prep(spark), sf, "documents").select(
+        "doc_id", "text", "source"
+    )
+    variants = docs.filter(
+        ((F.col("doc_id") % 17) == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+        F.col("source"),
+    )
+    return docs.unionByName(variants)
+
+
+def q_corpus_build_near(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-build composition with the minhash-LSH near-dup tier ON
+    (VERDICT r10 #4): gate -> exact dedup -> banded-LSH near-dedup
+    (candidate pairs -> exact-Jaccard verify -> connected components ->
+    drop non-roots) -> per-source quota -> epoch shuffle -> pack. Same
+    parameters as q_corpus_build_mini plus near_threshold=0.8; input is
+    the documents table with synthesized near-dup variants so the tier
+    has real work at every SF.
+
+    100-TB shape adds the LSH stages to the mini pipeline's: the
+    candidate shuffle is O(docs x bands) on band-signature keys (never
+    all-pairs), verification joins hashed shingle sets only for
+    candidates, and components run star-contraction rounds sized to the
+    pair volume — no driver graph."""
+    from .build_corpus import CorpusBuildConfig, build_corpus
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+
+    cfg = CorpusBuildConfig(
+        langs=("en",),
+        min_tokens=_MINI_MIN_TOKENS,
+        max_punct_ratio=_MINI_MAX_PUNCT,
+        near_threshold=_NEAR_THRESHOLD,
+        quota_per_source=_MINI_QUOTA,
+        block_size=_MINI_BLOCK,
+        seed=_MINI_SEED,
+        scrub_pii=False,
+        portable=True,
+    )
+    return build_corpus(_near_docs(spark, sf), cfg=cfg).select(
+        "doc_id", "source", "n_tokens", "position", "seq_id", "seq_offset"
+    )
+
+
+def _corpus_build_near_oracle() -> str:
+    # the q_corpus_build_mini stage replay with the near-dup tier spliced
+    # between exact dedup and quota: the q_dedup_minhash_lsh CTE chain
+    # (affine minhash family, banded candidates, exact-Jaccard verify)
+    # over the exact-dedup survivors, then the q_dedup_clusters recursive
+    # min-label components, then drop non-root members
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS, _minhash_pairs_ctes
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+
+    return f"""
+        WITH RECURSIVE input AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text, source
+            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+        ),
+        gated AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM input
+            WHERE text IS NOT NULL
+              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
+              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
+              AND {_LANGID_CASE} = 'en'
+        ),
+        uniq AS (
+            SELECT doc_id, source, text, n_tokens FROM (
+                SELECT doc_id, source, text, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORMALIZED})
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        {_minhash_pairs_ctes(threshold=_NEAR_THRESHOLD, src="uniq")},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION
+            SELECT id_b, id_a FROM lsh_pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id
+        ),
+        losers AS (
+            SELECT id FROM (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            ) WHERE id <> component
+        ),
+        kept AS (
+            SELECT doc_id, source, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+        ),
+        quota AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)
+                                        || '|{_MINI_SEED}'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS _rk
+                FROM kept
+            ) WHERE _rk <= {_MINI_QUOTA}
+        ),
+        pos AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM (
+                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                FROM quota
+            )
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tokens, position,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM pos
+        )
+        SELECT doc_id, source, n_tokens, position,
+               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
+               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_pq_incremental": q_ann_ivf_pq_incremental,
+    "q_corpus_build_near": q_corpus_build_near,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
 
 ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_pq_incremental": _ivf_pq_incremental_oracle(),
+    "q_corpus_build_near": _corpus_build_near_oracle(),
 }
