@@ -13,35 +13,41 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-10 window — steady-state rotation.
+    # Round-11 window — steady-state rotation.
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (crawl-tier URL dedup, the trained rerank leg, the composed
-    # corpus-build capstone):
-    "q_url_dedup", "q_rerank_trained", "q_corpus_build_mini",
-    "q_corpus_datasheet", "q_fuzzy_name_pairs_k3", "q_ann_ivf_pq",
-    "q_sequence_manifest",
-    # (b) operator path changed THIS round: the capstone-v3 inline dedup
-    # now keys on md5(text) instead of the raw document (VERDICT r9):
-    "q_training_pipeline_v3",
-    # (c) the 10 r6 greens that are 3+ rounds stale on the external
-    # ledger (named by VERDICT r9 #1):
-    "q_scan_project", "q_first_row", "q_orderby_asc", "q_orderby_desc",
-    "q_dropna", "q_filter_positive", "q_window_tumbling",
-    "q_window_topk_per_group", "q_weighted_sample", "q_union_branches",
-    # (d) 32 of the 50 r7 greens (now the oldest external rows),
-    # alphabetical; the remaining 18 (q_scalar_functions ...
-    # q_window_ntile) plus the r8 wave lead the round-11 rotation:
-    "q_agg_salted", "q_ann_ivf_refined", "q_ann_ivf_topk",
-    "q_ann_quantized", "q_asof_attribution", "q_bm25_topk",
-    "q_commonness_scorer", "q_contamination_report",
-    "q_contamination_report_ngram", "q_cube_two_keys",
-    "q_dashboard_sankey", "q_decontaminate_semantic", "q_dedup_clusters",
-    "q_dedup_survivors", "q_deep_join_chain", "q_doc_fingerprint",
-    "q_drift_psi", "q_flagship_etl", "q_grouped_median",
-    "q_grouping_sets", "q_hash_sample", "q_having", "q_join_anti",
-    "q_join_full", "q_join_left", "q_join_salted", "q_join_semi",
-    "q_ml_prepare", "q_pivot_priority_by_month", "q_pricing_summary",
-    "q_quota_mix", "q_range_join_tiers",
+    # (the persisted IVF-PQ index lifecycle, the composed corpus build
+    # with the LSH near-dup tier on, fuzzy dim matching):
+    "q_ann_ivf_pq_incremental", "q_corpus_build_near", "q_fuzzy_dim_match",
+    # (b) operator path changed THIS round: canonicalize_url grew
+    # bracketed-IPv6 handling (q_url_dedup's values changed — the synth
+    # now includes an IPv6 variant); ivf_pq_topk's probe/ADC stages were
+    # factored into shared helpers (q_ann_ivf_pq); build_corpus gained
+    # the block-hosts guard (q_corpus_build_mini); the minhash oracle
+    # was refactored into a composable CTE chain (q_dedup_minhash_lsh —
+    # also the oldest-r8 wave's member most worth a fresh row):
+    "q_url_dedup", "q_ann_ivf_pq", "q_corpus_build_mini",
+    "q_dedup_minhash_lsh",
+    # (c) the 18 r7 greens that are now 4 rounds stale on the external
+    # ledger (named by VERDICT r10 #1), alphabetical:
+    "q_scalar_functions", "q_set_except", "q_set_intersect",
+    "q_split_grouped", "q_stratified_sample", "q_text_commonness",
+    "q_text_repetition", "q_token_budget_mix", "q_tpch_q18_shape",
+    "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
+    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_unpivot_monthly",
+    "q_window_lag_delta", "q_window_moving_sum", "q_window_ntile",
+    # (d) 25 of the 49 r8 greens (the oldest remaining external rows),
+    # alphabetical; the rest of the r8 wave (q_pii_scrub ...
+    # q_tpch_q22_shape, sketches, SCD2) plus refreshed r9 rows lead the
+    # round-12 rotation:
+    "q_ann_ivf_knn_join", "q_ann_pq_topk", "q_ann_rp_lsh",
+    "q_bm25_batch", "q_boilerplate_scrub", "q_chunk_dedup",
+    "q_chunk_documents", "q_consistent_sample", "q_corpus_shuffle",
+    "q_dashboard_payload", "q_dedup_incremental", "q_dedup_simhash",
+    "q_ewma_monthly", "q_fixed_histogram", "q_fuzzy_name_pairs",
+    "q_fuzzy_name_pairs_k2", "q_heavy_hitter_tokens", "q_hll_distinct",
+    "q_hll_intersection", "q_knn_join", "q_mad_outliers",
+    "q_monthly_gap_fill", "q_multimodal_bytes", "q_orders_open_by_month",
+    "q_passage_scrub",
 ]
 
 

@@ -258,9 +258,90 @@ def _corpus_build_near_oracle() -> str:
     """
 
 
+def _dirty_names(cust: DataFrame) -> DataFrame:
+    """Deterministic typo'd copy of the roster's names — the dirty fact
+    side of the entity-resolution demo. custkey % 3 picks the corruption
+    (all plain substring surgery, replayable verbatim in SQL):
+      0: 3rd char deleted                (edit distance 1)
+      1: 5th char replaced with 'x'      (edit distance 1)
+      2: first three chars -> 'zzz'      (edit distance 3)"""
+    name = F.col("c_name")
+    v = F.col("c_custkey") % 3
+    dirty = (
+        F.when(
+            v == 0,
+            F.concat(F.substring(name, 1, 2), F.substring(name, 4, 1000)),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.substring(name, 1, 4), F.lit("x"), F.substring(name, 6, 1000)
+            ),
+        )
+        .otherwise(F.concat(F.lit("zzz"), F.substring(name, 4, 1000)))
+    )
+    return cust.select(
+        F.col("c_custkey").alias("dirty_id"), dirty.alias("dirty_name")
+    )
+
+
+def q_fuzzy_dim_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution against a canonical dimension via the two-table
+    PassJoin (fuzzy.passjoin_join, VERDICT r10 #5): the clean customer
+    roster indexes its k+1 even segments, the dirty (typo'd) name column
+    probes with position-banded substrings, candidates meet on an
+    equality join — never all-pairs — and a banded levenshtein verify
+    makes the match exact at edit distance <= 3. The same deterministic
+    10%-of-BUILDING roster as q_fuzzy_name_pairs_k3 keeps the
+    demonstration bounded; the oracle is all-pairs ground truth."""
+    from ..operators import fuzzy
+
+    cust = (
+        load(_prep(spark), sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(F.col("c_custkey") % 10 == 0)
+    )
+    return fuzzy.passjoin_join(
+        cust.select("c_custkey", "c_name"),
+        _dirty_names(cust),
+        "c_custkey", "c_name", "dirty_id", "dirty_name",
+        max_dist=3,
+    )
+
+
+_DIRTY_NAME_SQL = """
+    CASE c_custkey % 3
+        WHEN 0 THEN substr(c_name, 1, 2) || substr(c_name, 4, 1000)
+        WHEN 1 THEN substr(c_name, 1, 4) || 'x' || substr(c_name, 6, 1000)
+        ELSE 'zzz' || substr(c_name, 4, 1000)
+    END
+"""
+
+
+def _fuzzy_dim_match_oracle() -> str:
+    # all-pairs levenshtein ground truth over the bounded roster — the
+    # blocking is internal; the oracle checks the MATH (the
+    # q_fuzzy_name_pairs_k3 pattern, two-table form)
+    return f"""
+        WITH roster AS (
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+        ),
+        dirty AS (
+            SELECT c_custkey AS dirty_id, {_DIRTY_NAME_SQL} AS dirty_name
+            FROM roster
+        )
+        SELECT r.c_custkey, d.dirty_id, r.c_name, d.dirty_name,
+               CAST(levenshtein(r.c_name, d.dirty_name) AS INTEGER) AS dist
+        FROM roster r JOIN dirty d
+          ON levenshtein(r.c_name, d.dirty_name) <= 3
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_pq_incremental": q_ann_ivf_pq_incremental,
     "q_corpus_build_near": q_corpus_build_near,
+    "q_fuzzy_dim_match": q_fuzzy_dim_match,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -268,4 +349,5 @@ ROWS_ONLY_QUERIES: set[str] = set()
 ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_pq_incremental": _ivf_pq_incremental_oracle(),
     "q_corpus_build_near": _corpus_build_near_oracle(),
+    "q_fuzzy_dim_match": _fuzzy_dim_match_oracle(),
 }
