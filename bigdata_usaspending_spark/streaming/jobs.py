@@ -1014,6 +1014,210 @@ def stream_decontaminate(
     return query
 
 
+def corpus_append_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    langs: tuple = ("en",),
+    min_tokens: int = 4,
+    max_punct_ratio: float = 0.5,
+    block_size: int = 512,
+    scrub_pii: bool = True,
+    url_col: "str | None" = None,
+) -> bool:
+    """One idempotent micro-batch of the streaming corpus build — the
+    incremental form of plans/build_corpus.build_corpus's gate → URL
+    dedup → exact dedup → pack chain (VERDICT r10 #7; the near-dup /
+    quota / epoch-shuffle tiers are corpus-global decisions and stay a
+    batch/backfill concern, exactly like LSH banding in the near-dedup
+    streaming note).
+
+    Stages, each the BATCH operator's arithmetic verbatim so a batch
+    rebuild and the stream agree row-for-row:
+
+    - gate: the same raw-division quality + LID expressions as
+      build_corpus (token floor, punct ceiling, language keep-set),
+      optional PII scrub;
+    - URL tier (when ``url_col`` given): in-batch min-id per canonical
+      URL, then drop URLs the committed corpus has seen — the
+      url_dedup_against_index probe inversion (batch URL set broadcasts,
+      state is only scanned);
+    - exact tier: in-batch min-id per normalized fingerprint, then drop
+      fingerprints the committed corpus has seen (same inversion);
+    - pack-offset: survivors are laid end to end in doc_id order
+      CONTINUING from the committed corpus's token total, so sequence
+      coordinates keep tiling across micro-batches (position, seq_id,
+      seq_offset — the build_corpus packing formula with a carried
+      base). The prefix window runs over micro-batch rows only
+      (trigger-bounded — the pack_sequences two-pass form is for
+      corpus-sized frames).
+
+    State is ONE versioned table (the packed corpus, carrying its
+    fingerprint and canonical_url columns), committed atomically with
+    the batch_id manifest — the merge_rollup_batch exactly-once
+    contract: replays skip, a crash before the manifest flip leaves the
+    previous corpus intact. Probe sets and base offsets derive from the
+    state by slim column scans; a production deployment splits the
+    indexes out (dedup.fingerprint_index / warc.url_index, bucketed) and
+    appends corpus files instead of rewriting (io-style manifested
+    appends), keeping per-batch cost O(batch + index probe)."""
+    from pyspark.sql import Window
+
+    from ..io import (
+        commit_versioned_state,
+        read_state_manifest,
+        read_versioned_state,
+    )
+    from ..operators.text import (
+        fingerprint,
+        langid,
+        pii_scrub,
+        punct_ratio,
+        token_count,
+    )
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False  # replayed batch — already appended and committed
+    spark = batch_df.sparkSession
+    cur = read_versioned_state(spark, state_path)
+
+    docs = batch_df.filter(F.col("text").isNotNull())
+    if scrub_pii:
+        docs = docs.withColumn("text", pii_scrub("text"))
+    gated = (
+        docs.withColumn("n_tokens", token_count("text"))
+        .withColumn("_punct", punct_ratio("text"))
+        .withColumn("_lang", langid("text"))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("_punct") <= max_punct_ratio)
+            & F.col("_lang").isin(*langs)
+        )
+        .drop("_punct", "_lang")
+    )
+    keyed = gated.withColumn("fingerprint", fingerprint("text"))
+    if url_col is not None:
+        from ..sources.warc import canonicalize_url
+
+        keyed = keyed.withColumn("canonical_url", canonicalize_url(url_col))
+    else:
+        keyed = keyed.withColumn("canonical_url", F.lit(None).cast("string"))
+
+    with_url = keyed.filter(F.col("canonical_url").isNotNull())
+    no_url = keyed.filter(F.col("canonical_url").isNull())
+    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
+    with_url = (
+        with_url.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if cur is not None:
+        url_hits = (
+            cur.filter(F.col("canonical_url").isNotNull())
+            .join(
+                F.broadcast(with_url.select("canonical_url").distinct()),
+                on="canonical_url",
+                how="semi",
+            )
+            .select("canonical_url")
+            .distinct()
+        )
+        with_url = with_url.join(
+            F.broadcast(url_hits), on="canonical_url", how="anti"
+        )
+    merged = with_url.unionByName(no_url)
+
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    merged = (
+        merged.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if cur is not None:
+        fp_hits = (
+            cur.join(
+                F.broadcast(merged.select("fingerprint").distinct()),
+                on="fingerprint",
+                how="semi",
+            )
+            .select("fingerprint")
+            .distinct()
+        )
+        merged = merged.join(F.broadcast(fp_hits), on="fingerprint", how="anti")
+
+    if cur is None:
+        base_pos, base_tok = 0, 0
+    else:
+        row = cur.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("n_tokens"), F.lit(0))
+        ).first()
+        base_pos, base_tok = int(row[0]), int(row[1])
+    # micro-batch prefix sum: trigger-bounded rows, documented above
+    w = Window.orderBy("doc_id")
+    start = (
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tokens")
+        + F.lit(base_tok)
+    ).cast("long")
+    carried = [
+        c for c in ("doc_id", "text", "source") if c in merged.columns
+    ]
+    new_rows = merged.select(
+        *carried,
+        "n_tokens",
+        "fingerprint",
+        "canonical_url",
+        (F.row_number().over(w) - 1 + F.lit(base_pos))
+        .cast("long")
+        .alias("position"),
+        F.floor(start / block_size).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(block_size)).cast("long").alias("seq_offset"),
+    )
+    out = new_rows if cur is None else cur.unionByName(new_rows)
+    commit_versioned_state(out, state_path, batch_id)
+    return True
+
+
+def stream_build_corpus(
+    docs: DataFrame,
+    state_path: str,
+    langs: tuple = ("en",),
+    min_tokens: int = 4,
+    max_punct_ratio: float = 0.5,
+    block_size: int = 512,
+    scrub_pii: bool = True,
+    url_col: "str | None" = None,
+    checkpoint: "str | None" = None,
+):
+    """Keep a packed training corpus incrementally fresh from a document
+    stream — the streaming twin of the build-corpus CLI job, making the
+    capstone incremental like the rollups: each micro-batch is gated,
+    URL- and fingerprint-deduped against the committed corpus, and
+    packed CONTINUING the committed token stream, with the
+    merge_rollup_batch exactly-once versioned-state contract. Feeding
+    batches in doc_id order reproduces the batch pipeline's packing
+    bit-for-bit (tested); out-of-order arrival packs in arrival order —
+    the streaming tradeoff a backfill rebuild erases."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        corpus_append_batch(
+            batch_df, state_path, batch_id,
+            langs=langs, min_tokens=min_tokens,
+            max_punct_ratio=max_punct_ratio, block_size=block_size,
+            scrub_pii=scrub_pii, url_col=url_col,
+        )
+
+    writer = docs.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def stream_bm25_score(
     docs: DataFrame,
     queries: "dict[str, list[str]]",

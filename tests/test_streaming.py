@@ -1150,3 +1150,123 @@ def test_stream_url_dedup(spark, tmp_path):
     batch_kept = sorted(r.doc_id for r in url_dedup(docs).collect())
     assert len(batch_kept) == len(kept) and {3, 4} <= set(batch_kept)
     q.stop()
+
+
+def _warc_record(rid: str, uri: str, body: bytes, date: str) -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: <" + rid.encode() + b">",
+        b"WARC-Date: " + date.encode(),
+        b"WARC-Target-URI: " + uri.encode(),
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _rid_with_hash(prefix: str, lo: int, hi: int) -> str:
+    """A record id whose warc_responses_to_documents doc_id (sha256 head,
+    63-bit) lands in [lo, hi) — lets the fixture pin arrival order ==
+    doc_id order, so the stream's first-seen-wins dedup and the batch
+    twin's min-id dedup keep the SAME survivors (the agreement the test
+    is entitled to assert; see stream_build_corpus's ordering note)."""
+    import hashlib
+
+    for i in range(100_000):
+        rid = f"{prefix}-{i}"
+        key = f"<{rid}>"
+        h = int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "big") >> 1
+        if lo <= h < hi:
+            return rid
+    raise AssertionError("no rid found in hash range")
+
+
+def test_stream_build_corpus_matches_batch(spark, tmp_path):
+    """Incremental == recompute, bit-for-bit: streaming the fixture WARC
+    documents in two micro-batch runs (restart between them) produces the
+    SAME packed corpus — positions, seq_id/seq_offset tiling across the
+    batch boundary — as ONE corpus_append_batch over the union; replays
+    never double-append; gate/URL/exact tiers drop the right rows."""
+    from bigdata_usaspending_spark.io import read_versioned_state
+    from bigdata_usaspending_spark.sources import warc as W
+
+    half = 1 << 61
+    body_dup = b"HTTP/1.1 200 OK\r\n\r\nthe shared body is the same in both crawls with many tokens"
+    # file 1: small-hash ids; file 2: large-hash ids -> arrival order
+    # == doc_id order across the whole fixture
+    f1 = [
+        _warc_record(_rid_with_hash("a1", 0, half), "http://s.example/p1",
+                     b"HTTP/1.1 200 OK\r\n\r\nthe first page has a body with plenty of english tokens in it",
+                     "2024-01-01T00:00:00Z"),
+        _warc_record(_rid_with_hash("a2", 0, half), "HTTP://Dup.Example:80/x?utm_source=f",
+                     b"HTTP/1.1 200 OK\r\n\r\nthe canonical url of this page is the one to dedup on",
+                     "2024-01-01T00:00:01Z"),
+        _warc_record(_rid_with_hash("a3", 0, half), "http://s.example/p2",
+                     body_dup, "2024-01-01T00:00:02.500Z"),
+        # junk: fails the token-count gate
+        _warc_record(_rid_with_hash("a4", 0, half), "http://s.example/junk",
+                     b"HTTP/1.1 200 OK\r\n\r\n!!!", "2024-01-01T00:00:03Z"),
+    ]
+    f2 = [
+        # URL dup of a2 (different record): dropped by the URL tier
+        _warc_record(_rid_with_hash("b1", half, 2 * half), "http://dup.example/x",
+                     b"HTTP/1.1 200 OK\r\n\r\nthe second crawl refetched the page and got a new body",
+                     "2024-01-02T00:00:00Z"),
+        # text dup of a3 (different URL): dropped by the exact tier
+        _warc_record(_rid_with_hash("b2", half, 2 * half), "http://t.example/q1",
+                     body_dup, "2024-01-02T00:00:01Z"),
+        _warc_record(_rid_with_hash("b3", half, 2 * half), "http://t.example/q2",
+                     b"HTTP/1.1 200 OK\r\n\r\nthe final page of the fixture is new and must be kept",
+                     "2024-01-02T00:00:02Z"),
+    ]
+    wdir1, wdir2 = tmp_path / "w1", tmp_path / "w2"
+    wdir1.mkdir(); wdir2.mkdir()
+    (wdir1 / "c1.warc").write_bytes(b"".join(f1))
+    (wdir2 / "c2.warc").write_bytes(b"".join(f2))
+    docs1 = W.warc_responses_to_documents(W.read_warc(spark, str(wdir1)))
+    docs2 = W.warc_responses_to_documents(W.read_warc(spark, str(wdir2)))
+    assert docs1.agg(F.max("doc_id")).first()[0] < docs2.agg(
+        F.min("doc_id")
+    ).first()[0]
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "corpus_state")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(min_tokens=8, block_size=16, scrub_pii=False,
+              url_col="target_uri")
+    docs1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    jobs.stream_build_corpus(stream, state, checkpoint=ckpt, **kw).stop()
+    n_after_b1 = read_versioned_state(spark, state).count()
+    docs2.coalesce(1).write.mode("append").parquet(landing)
+    stream2 = spark.readStream.schema(schema).parquet(landing)
+    jobs.stream_build_corpus(stream2, state, checkpoint=ckpt, **kw).stop()
+    got = read_versioned_state(spark, state)
+
+    # batch twin: ONE append over the union into fresh state
+    state_b = str(tmp_path / "corpus_state_batch")
+    assert jobs.corpus_append_batch(
+        docs1.unionByName(docs2), state_b, 0, **kw
+    )
+    want = read_versioned_state(spark, state_b)
+    key = ["position", "doc_id", "n_tokens", "seq_id", "seq_offset",
+           "canonical_url", "source", "text"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+
+    # the right rows survived: junk gated, URL dup and text dup dropped
+    assert got.count() == 4 and n_after_b1 == 3
+    # sequence coordinates tile across the batch boundary
+    rows = sorted(got.select("position", "n_tokens", "seq_id",
+                             "seq_offset").collect())
+    running = 0
+    for pos, (p, n, sid, soff) in enumerate(rows):
+        assert p == pos
+        assert sid == running // 16 and soff == running % 16
+        running += n
+
+    # replay safety: re-running the SAME batch_id is a no-op
+    assert not jobs.corpus_append_batch(docs1, state_b, 0, **kw)
+    assert read_versioned_state(spark, state_b).count() == 4
