@@ -1840,6 +1840,28 @@ def _ivf_pq_adc_rerank(
     )
 
 
+def _bounded_train_frame(
+    resid: DataFrame, id_col: str, cap: int
+) -> DataFrame:
+    """Deterministic codebook-training sample: when the corpus exceeds
+    ``cap`` rows, keep a portable-hash fraction of ~cap rows (faiss
+    practice — quantizer codebooks train on a bounded sample regardless
+    of corpus size; the round-11 stress isolated pq_train as the ONLY
+    corpus-proportional stage of the ivf_pq audit shape, 29 s at 200k
+    vectors from the Decimal-mean loop). At or below the cap — every
+    parity fixture — this is the identity, so oracle results are
+    unchanged. The under-cap check is a limit(cap+1) probe (early-stops
+    instead of re-executing the residual lineage corpus-wide); only the
+    over-cap path pays a full count for the sampling fraction."""
+    if resid.select(id_col).limit(cap + 1).count() <= cap:
+        return resid
+    n = resid.count()
+    num = max(1, -(-cap * 1000 // n))  # ceil(cap/n * 1000) per-mille
+    from .sampling import hash_sample
+
+    return hash_sample(resid, id_col, num, 1000)
+
+
 def ivf_pq_recall_audit(
     df: DataFrame,
     centroids: DataFrame,
@@ -1852,16 +1874,23 @@ def ivf_pq_recall_audit(
     kc: int = 16,
     nprobe: int = 3,
     rerank_factor: int = 8,
+    train_cap: int = 65_536,
 ) -> DataFrame:
     """IVF-PQ through the audit contract (the rp_lsh_recall_audit /
     CMS/HLL/GK pattern): build the index (assign → residual codebooks →
     encode), run the approximate query, and emit the EXACT euclidean
     top-k witness (oracle-replayable fold distances) + ``recall_ok``
     pinned TRUE iff IVF-PQ hit >= ``floor`` of the exact set. The
-    approximate result never leaves the plan; the guarantee does."""
+    approximate result never leaves the plan; the guarantee does.
+    Codebooks train on a ``train_cap``-bounded deterministic sample of
+    the residuals (identity at parity scales; see
+    _bounded_train_frame)."""
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     resid = ivf_residuals(assigned, centroids, vec_col=vec_col)
-    cb = pq_train_driver(resid, vec_col="residual", m=m, k=kc)
+    cb = pq_train_driver(
+        _bounded_train_frame(resid, id_col, train_cap),
+        vec_col="residual", m=m, k=kc,
+    )
     encoded = pq_encode(resid, cb, vec_col="residual").drop("residual")
     approx_ids = {
         r[id_col]
@@ -1934,6 +1963,16 @@ def ivf_pq_index_write(
     encoded = ivf_pq_encode(
         assigned, local_cents, local_cb, vec_col=vec_col, dsub=dsub
     )
+    _ivf_pq_index_write_encoded(encoded, local_cents, local_cb, path)
+
+
+def _ivf_pq_index_write_encoded(
+    encoded: DataFrame, local_cents: DataFrame, local_cb: DataFrame, path: str
+) -> None:
+    """Write an IVF-PQ index from an ALREADY-encoded frame plus localized
+    model frames — the shared tail of ivf_pq_index_write, split out so a
+    caller that already holds the encoded rows (the lifecycle audit
+    builds them anyway) doesn't pay a second assign+encode pass."""
     local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     local_cb.write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
     (
@@ -2054,6 +2093,7 @@ def ivf_pq_index_lifecycle_audit(
     kc: int = 16,
     nprobe: int = 3,
     rerank_factor: int = 8,
+    train_cap: int = 65_536,
 ) -> DataFrame:
     """The full persisted-index lifecycle through the audit contract
     (the ivf_pq_recall_audit pattern): train residual codebooks on the
@@ -2063,14 +2103,22 @@ def ivf_pq_index_lifecycle_audit(
     EXACT euclidean top-k witness over initial ∪ batch + ``recall_ok``
     pinned TRUE iff the persisted-index probe hit >= ``floor`` of the
     exact set. The approximate result never leaves the plan; the
-    guarantee does."""
+    guarantee does. Codebooks train on a ``train_cap``-bounded
+    deterministic sample of the initial residuals (identity at parity
+    scales; see _bounded_train_frame). Centroids are localized ONCE and
+    the training pass's encoded rows feed the index write directly —
+    centroid lineage (mean_centroids re-scans the corpus) and the
+    assign+encode pass never execute twice."""
     spark = initial.sparkSession
-    assigned = ivf_assign(initial, centroids, id_col=id_col, vec_col=vec_col)
-    resid = ivf_residuals(assigned, centroids, vec_col=vec_col)
-    cb = pq_train_driver(resid, vec_col="residual", m=m, k=kc)
-    ivf_pq_index_write(
-        initial, centroids, cb, path, id_col=id_col, vec_col=vec_col
+    local_cents = spark.createDataFrame(centroids.collect(), centroids.schema)
+    assigned = ivf_assign(initial, local_cents, id_col=id_col, vec_col=vec_col)
+    resid = ivf_residuals(assigned, local_cents, vec_col=vec_col)
+    cb = pq_train_driver(
+        _bounded_train_frame(resid, id_col, train_cap),
+        vec_col="residual", m=m, k=kc,
     )
+    encoded = ivf_pq_encode(assigned, local_cents, cb, vec_col=vec_col)
+    _ivf_pq_index_write_encoded(encoded, local_cents, cb, path)
     ivf_pq_index_add(spark, path, batch, id_col=id_col, vec_col=vec_col)
     approx_ids = {
         r[id_col]

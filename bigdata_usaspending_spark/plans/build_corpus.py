@@ -141,6 +141,12 @@ def build_corpus(
         )
     kept = exact_dedup(gated, "doc_id")
     if cfg.near_threshold is not None:
+        # localCheckpoint: the near tier consumes `kept` twice (the LSH
+        # signature build and the anti-join's left side) on top of the
+        # downstream quota/shuffle chain — without it the gate->dedup
+        # lineage re-executes per consumer (~2 s each at sf0.1). Same
+        # inter-stage materialization note as `shuffled` below.
+        kept = kept.localCheckpoint()
         pairs = minhash_lsh_pairs(
             kept, "doc_id",
             n=cfg.shingle_n, threshold=cfg.near_threshold,

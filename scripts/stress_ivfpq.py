@@ -112,6 +112,14 @@ def stage_times(spark, emb_path: str, tag: str) -> dict[str, float]:
         )
 
     out["pq_train"] = timed("pq_train", train)
+
+    def train_capped():
+        similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=M, k=KC,
+        )
+
+    out["pq_train_capped"] = timed("pq_train_capped", train_capped)
     cb = cb_holder["cb"]
     encoded = similarity.ivf_pq_encode(assigned, cents, cb)
     out["encode"] = timed("encode", lambda: encoded.count())
