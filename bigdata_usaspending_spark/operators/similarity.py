@@ -1840,6 +1840,58 @@ def _ivf_pq_adc_rerank(
     )
 
 
+def semantic_dedup_against_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """Incremental SemDeDup: survivors of a NEW embedding batch against a
+    PERSISTED IVF index (``ivf_index_write``'s layout) — the semantic
+    member of the incremental dedup family (the exact/bloom/minhash/URL
+    tiers' probe inversion applied to embeddings). At 100 TB you never
+    re-cluster the corpus per ingest: batch vectors are assigned with the
+    SAVED centroids (bounded model read + broadcast kernel), compared by
+    exact cosine ONLY against index vectors in their assigned cells —
+    the index scan carries a ``cell IN (batch's cells)`` partition
+    predicate and the batch side broadcasts into the join, so the index
+    is pruned-scanned, never shuffled — and against earlier (smaller-id)
+    batch rows in the same cell (cosine_pairs_blocked, the SemDeDup
+    within-cluster compare). Returns the surviving batch ``(id, cell)``
+    rows; union the survivors back into the index afterwards
+    (ivf_index_add). Same pairwise min-id semantics as semantic_dedup."""
+    cdf = spark.read.parquet(f"{path}/centroids.parquet")
+    local_cents = spark.createDataFrame(
+        _read_bounded_rows(spark, f"{path}/centroids.parquet", "cell", max_cells),
+        cdf.schema,
+    )
+    assigned = ivf_assign(batch, local_cents, id_col=id_col, vec_col=vec_col)
+    # the batch's cell set is bounded by the index's cell count (model
+    # state), so this collect is max_cells-bounded
+    batch_cells = [int(r[0]) for r in assigned.select("cell").distinct().collect()]
+    a = assigned.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"), "cell"
+    )
+    idx = spark.read.parquet(f"{path}/vectors.parquet").filter(
+        F.col("cell").isin(batch_cells)
+    )
+    index_hits = (
+        idx.select(F.col(vec_col).alias("_ivec"), "cell")
+        .join(F.broadcast(a), on="cell")
+        .filter(cosine(F.col("_bvec"), F.col("_ivec")) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    in_batch = cosine_pairs_blocked(
+        assigned, "cell", id_col=id_col, vec_col=vec_col, threshold=threshold
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    drops = index_hits.unionByName(in_batch).distinct()
+    return assigned.join(drops, on=id_col, how="anti").select(id_col, "cell")
+
+
 def _bounded_train_frame(
     resid: DataFrame, id_col: str, cap: int
 ) -> DataFrame:

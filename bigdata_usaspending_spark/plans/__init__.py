@@ -16,8 +16,10 @@ _VERIFY_FIRST = [
     # Round-11 window — steady-state rotation.
     # (a) never-driver-checked queries FIRST — this round's additions
     # (the persisted IVF-PQ index lifecycle, the composed corpus build
-    # with the LSH near-dup tier on, fuzzy dim matching):
+    # with the LSH near-dup tier on, fuzzy dim matching, incremental
+    # SemDeDup against the persisted IVF index):
     "q_ann_ivf_pq_incremental", "q_corpus_build_near", "q_fuzzy_dim_match",
+    "q_semantic_dedup_incremental",
     # (b) operator path changed THIS round: canonicalize_url grew
     # bracketed-IPv6 handling (q_url_dedup's values changed — the synth
     # now includes an IPv6 variant); ivf_pq_topk's probe/ADC stages were
@@ -47,7 +49,6 @@ _VERIFY_FIRST = [
     "q_fuzzy_name_pairs_k2", "q_heavy_hitter_tokens", "q_hll_distinct",
     "q_hll_intersection", "q_knn_join", "q_mad_outliers",
     "q_monthly_gap_fill", "q_multimodal_bytes", "q_orders_open_by_month",
-    "q_passage_scrub",
 ]
 
 

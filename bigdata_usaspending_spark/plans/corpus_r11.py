@@ -25,6 +25,15 @@ corpus build with its near-dup LSH tier live, and fuzzy dim matching.
   token — high-Jaccard with its source and merged by the LSH tier, with
   the min-id original surviving.
 
+- ``q_semantic_dedup_incremental`` — incremental SemDeDup against the
+  persisted IVF index (similarity.semantic_dedup_against_index): the
+  semantic member of the incremental-dedup family. Batch vectors are
+  assigned with the SAVED centroids, cosine-compared only against index
+  vectors in their cells (partition-pruned scan, batch broadcast) and
+  earlier same-cell batch rows; survivors returned. Full value oracle:
+  decimal centroid means, rank-window assignment, cell-blocked fold
+  cosines, pairwise min-id drops — every stage replayed.
+
 - ``q_fuzzy_dim_match`` — entity resolution of a dirty fact-side name
   column against a canonical dimension via the two-table PassJoin
   (fuzzy.passjoin_join, VERDICT r10 #5 — the reference's geo-dim
@@ -258,6 +267,97 @@ def _corpus_build_near_oracle() -> str:
     """
 
 
+_SEMANTIC_INCR_THRESHOLD = 0.4
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup against a persisted IVF index
+    (similarity.semantic_dedup_against_index): the initial corpus
+    (vec_id % 4 != 1) persists as an ivf_index_write layout, then the
+    held-out batch probes it — assigned with the SAVED centroids,
+    cosine-compared only against index vectors in its cells (partition-
+    pruned scan, batch broadcast) and earlier same-cell batch rows.
+    Output: the surviving batch (vec_id, cell) rows. The semantic member
+    of the incremental-dedup family (exact/bloom/minhash/URL tiers),
+    composed with the ANN index layout. The index materializes under a
+    per-call temp dir; the survivors checkpoint before cleanup."""
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids
+
+    emb = load(_prep(spark), sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    initial = data.filter(F.col("vec_id") % 4 != 1)
+    batch = data.filter(F.col("vec_id") % 4 == 1)
+    tmp = tempfile.mkdtemp(prefix="semdedup_idx_")
+    try:
+        similarity.ivf_index_write(
+            initial.select("vec_id", "embedding"), _ivf_centroids(emb), tmp
+        )
+        return similarity.semantic_dedup_against_index(
+            spark, tmp, batch.select("vec_id", "embedding"),
+            threshold=_SEMANTIC_INCR_THRESHOLD,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _semantic_dedup_incremental_oracle() -> str:
+    # full replay: decimal label-mean centroids, rank-window assignment
+    # (the ivf_assign twin the q_dedup_semantic oracle pins), cell-blocked
+    # exact cosine against the initial (index) side and earlier batch rows
+    from .corpus_ext import _cosine_sql
+
+    return f"""
+        WITH px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS VARCHAR)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell, list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        scores AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {_cosine_sql('e.embedding', 'c.centroid')} AS cs
+            FROM embeddings e, cent c
+            WHERE e.vec_id <> 0
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, cell ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
+        ),
+        idx AS (SELECT * FROM assigned WHERE vec_id % 4 <> 1),
+        batch AS (SELECT * FROM assigned WHERE vec_id % 4 = 1),
+        index_hits AS (
+            SELECT DISTINCT b.vec_id
+            FROM batch b JOIN idx i ON b.cell = i.cell
+            WHERE {_cosine_sql('b.embedding', 'i.embedding')}
+                  >= {_SEMANTIC_INCR_THRESHOLD}
+        ),
+        in_batch AS (
+            SELECT DISTINCT y.vec_id
+            FROM batch x JOIN batch y
+              ON x.cell = y.cell AND x.vec_id < y.vec_id
+            WHERE {_cosine_sql('x.embedding', 'y.embedding')}
+                  >= {_SEMANTIC_INCR_THRESHOLD}
+        )
+        SELECT vec_id, cell FROM batch
+        WHERE vec_id NOT IN (SELECT vec_id FROM index_hits)
+          AND vec_id NOT IN (SELECT vec_id FROM in_batch)
+    """
+
+
 def _dirty_names(cust: DataFrame) -> DataFrame:
     """Deterministic typo'd copy of the roster's names — the dirty fact
     side of the entity-resolution demo. custkey % 3 picks the corruption
@@ -342,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_pq_incremental": q_ann_ivf_pq_incremental,
     "q_corpus_build_near": q_corpus_build_near,
     "q_fuzzy_dim_match": q_fuzzy_dim_match,
+    "q_semantic_dedup_incremental": q_semantic_dedup_incremental,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -350,4 +451,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_pq_incremental": _ivf_pq_incremental_oracle(),
     "q_corpus_build_near": _corpus_build_near_oracle(),
     "q_fuzzy_dim_match": _fuzzy_dim_match_oracle(),
+    "q_semantic_dedup_incremental": _semantic_dedup_incremental_oracle(),
 }

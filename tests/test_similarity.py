@@ -206,6 +206,44 @@ def test_ivf_pq_index_roundtrip(spark, sf_small, tmp_path):
         )
 
 
+def test_semantic_dedup_against_index(spark, tmp_path, vecs):
+    """Incremental SemDeDup: batch rows duplicated by the index drop,
+    earlier same-cell batch rows suppress later ones (pairwise min-id),
+    rows in a cell the index never populated survive, and the probe scan
+    prunes to the batch's cells."""
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    initial = vecs.filter(F.col("vec_id").isin(1, 2)).select(
+        "vec_id", "embedding"
+    )  # cell 0: [0.9,0.1,0]; cell 1: [0,1,0]
+    path = str(tmp_path / "sem_idx")
+    similarity.ivf_index_write(initial, centroids, path)
+    batch = spark.createDataFrame(
+        [
+            (10, [0.95, 0.05, 0.0]),  # cell 0, cos~1 to vec 1 -> index dup
+            (11, [0.0, 0.9, 0.1]),    # cell 1, cos~0.99 to vec 2 -> dup
+            (12, [0.0, 0.0, 1.0]),    # cell 2: index EMPTY there -> survives
+            (13, [0.0, 0.05, 0.95]),  # cell 2, dup of 12 in-batch -> drops
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.semantic_dedup_against_index(
+        spark, path, batch, threshold=0.9
+    )
+    assert {(r.vec_id, r.cell) for r in out.collect()} == {(12, 2)}
+    # a lower threshold that nothing meets keeps the whole batch
+    all_kept = similarity.semantic_dedup_against_index(
+        spark, path, batch.filter(F.col("vec_id") == 12), threshold=0.9
+    )
+    assert [r.vec_id for r in all_kept.collect()] == [12]
+    with pytest.raises(ValueError, match="max_cells"):
+        similarity.semantic_dedup_against_index(
+            spark, path, batch, threshold=0.9, max_cells=2
+        )
+
+
 def test_lsh_neighbors_deterministic(vecs):
     a = similarity.random_projection_lsh_neighbors(
         vecs.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=3
