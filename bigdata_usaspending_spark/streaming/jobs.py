@@ -1218,6 +1218,109 @@ def stream_build_corpus(
     return query
 
 
+def semantic_dedup_append_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    centroids: DataFrame,
+    batch_id: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One idempotent micro-batch of streaming semantic dedup — the
+    SemDeDup incremental tier live (the similarity.semantic_dedup_
+    against_index probe applied to a versioned survivor state): assign
+    the batch with the static centroids (bounded model state, the
+    stream_enriched_rollup static-dim pattern), drop rows cosine >=
+    ``threshold`` to any COMMITTED survivor in the same cell (batch side
+    broadcasts; state is only scanned, cell-filtered) or to an earlier
+    same-cell batch row (pairwise min-id, the semantic_dedup contract),
+    and commit state ∪ survivors atomically. Same exactly-once contract
+    as corpus_append_batch: replayed batch_ids skip, a crash before the
+    manifest flip leaves the previous survivor set intact. A production
+    deployment keeps the survivor set in the partitionBy(cell) IVF index
+    layout instead (semantic_dedup_against_index + ivf_index_add) and
+    manifests the appends."""
+    from ..io import (
+        commit_versioned_state,
+        read_state_manifest,
+        read_versioned_state,
+    )
+    from ..operators.similarity import (
+        cosine,
+        cosine_pairs_blocked,
+        ivf_assign,
+    )
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    spark = batch_df.sparkSession
+    cur = read_versioned_state(spark, state_path)
+    assigned = ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+    in_batch = (
+        cosine_pairs_blocked(
+            assigned, "cell", id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    if cur is not None:
+        a = assigned.select(
+            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"), "cell"
+        )
+        state_hits = (
+            cur.select(F.col(vec_col).alias("_svec"), "cell")
+            .join(F.broadcast(a), on="cell")
+            .filter(cosine(F.col("_bvec"), F.col("_svec")) >= threshold)
+            .select(F.col("_bid").alias(id_col))
+            .distinct()
+        )
+        drops = in_batch.unionByName(state_hits).distinct()
+    else:
+        drops = in_batch
+    survivors = assigned.join(drops, on=id_col, how="anti").select(
+        id_col, vec_col, "cell"
+    )
+    out = survivors if cur is None else cur.unionByName(survivors)
+    commit_versioned_state(out, state_path, batch_id)
+    return True
+
+
+def stream_semantic_dedup(
+    vectors: DataFrame,
+    state_path: str,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: "str | None" = None,
+):
+    """Keep a semantically deduplicated embedding set incrementally fresh
+    from a vector stream — the streaming twin of the incremental SemDeDup
+    tier (q_semantic_dedup_incremental), the embedding-space member of
+    the streaming dedup family (exact fingerprint / simhash / URL tiers).
+    foreachBatch + versioned survivor state: each batch probes the
+    COMMITTED survivors cell-blocked, never re-clusters history. Feeding
+    batches in id order reproduces one whole-input append bit-for-bit
+    (tested); out-of-order arrival keeps first-seen survivors — the
+    streaming tradeoff a backfill rebuild erases."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_dedup_append_batch(
+            batch_df, state_path, centroids, batch_id,
+            threshold=threshold, id_col=id_col, vec_col=vec_col,
+        )
+
+    writer = vectors.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def stream_bm25_score(
     docs: DataFrame,
     queries: "dict[str, list[str]]",

@@ -1270,3 +1270,66 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
     # replay safety: re-running the SAME batch_id is a no-op
     assert not jobs.corpus_append_batch(docs1, state_b, 0, **kw)
     assert read_versioned_state(spark, state_b).count() == 4
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup tier: two micro-batch runs (restart between)
+    leave the SAME survivor state as one append over the union; state
+    hits drop later arrivals, in-batch pairs keep the min id, replays
+    never double-append."""
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1, 0.0]),   # cell 0 survivor
+            (2, [0.95, 0.05, 0.0]),  # cell 0, dup of 1 in-batch -> drops
+            (3, [0.0, 1.0, 0.0]),   # cell 1 survivor
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (11, [0.92, 0.08, 0.0]),  # cell 0, dup of COMMITTED 1 -> drops
+            (12, [0.0, 0.0, 1.0]),    # cell 2: state empty there -> survives
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    landing = str(tmp_path / "vecs")
+    state = str(tmp_path / "sem_state")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_semantic_dedup(
+        spark.readStream.schema(schema).parquet(landing), state, centroids,
+        threshold=0.9, checkpoint=ckpt,
+    ).stop()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    jobs.stream_semantic_dedup(
+        spark.readStream.schema(schema).parquet(landing), state, centroids,
+        threshold=0.9, checkpoint=ckpt,
+    ).stop()
+    got = {
+        (r.vec_id, r.cell)
+        for r in read_versioned_state(spark, state).collect()
+    }
+    assert got == {(1, 0), (3, 1), (12, 2)}
+
+    # batch twin: one append over the union (ids increase with arrival)
+    state_b = str(tmp_path / "sem_state_batch")
+    assert jobs.semantic_dedup_append_batch(
+        b1.unionByName(b2), state_b, centroids, 0, threshold=0.9
+    )
+    want = {
+        (r.vec_id, r.cell)
+        for r in read_versioned_state(spark, state_b).collect()
+    }
+    assert got == want
+    # replay: same batch_id is a no-op
+    assert not jobs.semantic_dedup_append_batch(
+        b1, state_b, centroids, 0, threshold=0.9
+    )
+    assert read_versioned_state(spark, state_b).count() == 3
