@@ -327,6 +327,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard — the
+    rolling-hash member of the near-dup family (text.winnow_fingerprints:
+    MOSS character k-gram winnowing). Same candidate shape as
+    ngram_jaccard_pairs — explode the per-document fingerprint set,
+    equality-join on the fingerprint (only pairs sharing >= 1 selected
+    hash are compared; lossless for threshold > 0), count shared, exact
+    Jaccard over the distinct sets — but the exploded volume is the
+    winnowed density (~2/(w+1) of the k-gram count), so the shuffle is a
+    small fraction of the shingle tier's. Documents with an empty
+    fingerprint set (shorter than ``k`` normalized chars) have no overlap
+    defined and drop out, as in minhash_lsh_pairs."""
+    from .text import winnow_fingerprints
+
+    fps = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        )
+        .select(
+            "_id",
+            winnow_fingerprints(text_col, k=k, w=w, portable=portable),
+        )
+        .filter(F.size("fingerprints") > 0)
+        .select(
+            "_id",
+            F.size("fingerprints").alias("_nf"),
+            F.explode("fingerprints").alias("_f"),
+        )
+    )
+    # lazy cache shared by both sides of the candidate self-join (the
+    # ngram_jaccard_pairs measurement and ownership note apply verbatim)
+    fps.cache()
+    a = fps.select(F.col("_id").alias("id_a"), F.col("_nf").alias("nf_a"), "_f")
+    b = fps.select(F.col("_id").alias("id_b"), F.col("_nf").alias("nf_b"), "_f")
+    inter = (
+        a.join(
+            b,
+            on=(
+                (a["_f"] == b["_f"])
+                & (F.col("id_a") < F.col("id_b"))
+                # length-ratio prune: j <= min(nf)/max(nf) < threshold -> skip
+                & (
+                    F.least("nf_a", "nf_b")
+                    >= F.lit(threshold) * F.greatest("nf_a", "nf_b")
+                )
+            ),
+        )
+        .groupBy("id_a", "id_b", "nf_a", "nf_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        (F.col("nf_a") + F.col("nf_b") - F.col("_inter")).cast("double")
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

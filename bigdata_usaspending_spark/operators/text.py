@@ -271,6 +271,74 @@ def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     return F.md5(normalized.cast("binary")).alias(alias)
 
 
+def winnow_fingerprints(
+    col: Column | str,
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+    alias: str = "fingerprints",
+) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — public paper): rolling character k-gram hashes over the
+    whitespace-normalized lowercased text, then the MINIMUM hash of every
+    w-hash window, distinct — the selected set. Guarantee: any two
+    documents sharing a substring of length >= w + k - 1 share at least
+    one fingerprint, and fingerprint density is ~2/(w+1) of the k-gram
+    count, so the per-document state is a small fraction of the text —
+    the copy-detection / overlap-mining primitive (``dedup.winnow_pairs``
+    builds the pair tier on it).
+
+    Documents shorter than ``k`` normalized characters yield an empty
+    set; with fewer than ``w`` k-grams, the single window over all grams
+    is kept (the paper's boundary case). ``portable=True`` swaps xxhash64
+    for the md5-derived 60-bit hash so every stage replays in plain SQL.
+
+    Implementation note: the normalized string and the gram array bind as
+    HOF lambda VALUES (the single-element-array transform), so the
+    regex normalization and the hashing run once per row even after
+    Catalyst's projection collapse — the shingles_of O(n^2) trap
+    documented in dedup.py does not apply. Pure codegen: no UDF."""
+    from .dedup import portable_hash60
+
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    empty = F.array().cast("array<bigint>")
+
+    def grams_of(s0: Column) -> Column:
+        return F.when(
+            F.length(s0) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s0) - k + 1),
+                lambda i: hash_fn(F.substr(s0, i, F.lit(k))),
+            ),
+        ).otherwise(empty)
+
+    def wins_of(g: Column) -> Column:
+        return F.when(
+            F.size(g) >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(g) - w + 1, F.lit(1))
+                    ),
+                    lambda j: F.array_min(F.slice(g, j, w)),
+                )
+            ),
+        ).otherwise(empty)
+
+    expr = F.element_at(
+        F.transform(
+            F.array(s),
+            lambda s0: F.element_at(
+                F.transform(F.array(grams_of(s0)), wins_of), 1
+            ),
+        ),
+        1,
+    )
+    return expr.alias(alias)
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -358,6 +358,82 @@ def _semantic_dedup_incremental_oracle() -> str:
     """
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+_WINNOW_THRESHOLD = 0.5
+
+
+def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by MOSS winnowing fingerprints
+    (text.winnow_fingerprints + dedup.winnow_pairs): rolling character
+    8-gram hashes, min-of-each-4-window selection, exact Jaccard over
+    the selected sets — the rolling-hash member of the near-dup family
+    (guarantee: any shared substring of length >= w+k-1 = 11 shares a
+    fingerprint). Input includes the synthesized trailing-token variants
+    (_near_docs) so near — not only exact — matches appear at every SF.
+    The candidate join explodes only the winnowed density (~2/(w+1) of
+    the k-grams), a small fraction of the shingle tier's shuffle."""
+    from ..operators import dedup
+
+    docs = _near_docs(spark, sf).select("doc_id", "text")
+    return dedup.winnow_pairs(
+        docs, "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, threshold=_WINNOW_THRESHOLD,
+        portable=True,
+    )
+
+
+def _dedup_winnow_oracle() -> str:
+    # stage replay: normalization, rolling k-gram 60-bit hashes, window
+    # minima (single boundary window below w grams), distinct selection,
+    # then the ngram_jaccard inverted-join verify over the selected sets
+    from .corpus_ext import _NORMALIZED, _basehash_sql
+
+    gram_hash = _basehash_sql(f"substr(s, i, {_WINNOW_K})")
+    return f"""
+        WITH input AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
+            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+        ),
+        t AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM input
+            WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) >= {_WINNOW_K}
+                        THEN list_transform(
+                                 range(1, length(s) - {_WINNOW_K} + 2),
+                                 i -> {gram_hash})
+                        ELSE CAST([] AS BIGINT[]) END AS grams
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                       j -> list_min(list_slice(grams, j, j + {_WINNOW_W} - 1))
+                   )) AS fps
+            FROM g WHERE len(grams) >= 1
+        ),
+        e AS (SELECT doc_id AS id, len(fps) AS nf, unnest(fps) AS f FROM f),
+        i AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.nf AS nf_a, b.nf AS nf_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.f = b.f AND a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / CAST(nf_a + nf_b - c AS DOUBLE)
+                       AS jaccard
+            FROM i
+        ) WHERE jaccard >= {_WINNOW_THRESHOLD}
+    """
+
+
 def _dirty_names(cust: DataFrame) -> DataFrame:
     """Deterministic typo'd copy of the roster's names — the dirty fact
     side of the entity-resolution demo. custkey % 3 picks the corruption
@@ -443,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_build_near": q_corpus_build_near,
     "q_fuzzy_dim_match": q_fuzzy_dim_match,
     "q_semantic_dedup_incremental": q_semantic_dedup_incremental,
+    "q_dedup_winnow": q_dedup_winnow,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -452,4 +529,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_corpus_build_near": _corpus_build_near_oracle(),
     "q_fuzzy_dim_match": _fuzzy_dim_match_oracle(),
     "q_semantic_dedup_incremental": _semantic_dedup_incremental_oracle(),
+    "q_dedup_winnow": _dedup_winnow_oracle(),
 }

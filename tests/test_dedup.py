@@ -492,3 +492,68 @@ def test_near_dedup_against_index_semantics_and_plan(spark, sf_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """MOSS winnowing: normalization-insensitive, the w+k-1 shared-substring
+    guarantee holds, short docs yield empty sets, sub-w gram counts keep
+    the single boundary window."""
+    from bigdata_usaspending_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog today"),
+        (1, "the  QUICK brown fox jumps over the lazy dog today"),  # same normalized
+        # shares the >= 11-char normalized substring "brown fox jumps ..."
+        (2, "a brown fox jumps over things"),
+        (3, "zz"),          # < k: empty
+        (4, "exactlyk"),    # exactly k chars: one gram, one window
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r.doc_id: r.fingerprints
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=8, w=4)
+        ).collect()
+    }
+    assert fp[0] == fp[1]
+    assert set(fp[0]) & set(fp[2])  # guarantee: shared substring -> shared fp
+    assert fp[3] == [] and len(fp[4]) == 1 and fp[5] == []
+    # density: selected set is a fraction of the gram count (~2/(w+1))
+    assert 0 < len(fp[0]) < len(rows[0][1]) - 8 + 1
+
+
+def test_winnow_pairs_matches_bruteforce(spark):
+    """winnow_pairs (inverted-join + length prune) equals the brute-force
+    all-pairs Jaccard over the same fingerprint sets."""
+    from itertools import combinations
+
+    from bigdata_usaspending_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the park",
+        "the quick brown fox jumps over the lazy dog in the lot",
+        "an entirely different document about trains and long rails",
+        "an entirely different document about trains and long roads",
+        "short one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.winnow_pairs(df, "doc_id", threshold=0.3).collect()
+    }
+    sets = {
+        r.doc_id: set(r.fingerprints)
+        for r in df.select("doc_id", winnow_fingerprints("text")).collect()
+        if r.fingerprints
+    }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert got == want and (0, 1) in got and (2, 3) in got
