@@ -393,6 +393,90 @@ def winnow_pairs(
     )
 
 
+def winnow_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The persistent rolling-hash near-dup index: one row per doc with
+    its winnowed fingerprint set (``_id, fps``) — what an incremental
+    pipeline stores (partitioned however ingest likes; the prober only
+    ever scans it). Docs below ``k`` normalized characters have no
+    overlap defined and are excluded, exactly as in winnow_pairs."""
+    from .text import winnow_fingerprints
+
+    return (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        )
+        .select(
+            "_id",
+            winnow_fingerprints(
+                text_col, k=k, w=w, portable=portable, alias="fps"
+            ),
+        )
+        .filter(F.size("fps") > 0)
+    )
+
+
+def winnow_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental rolling-hash near dedup: keep the batch docs that are
+    not a verified near-duplicate (fingerprint Jaccard >= ``threshold``)
+    of ANY corpus doc in a persisted ``winnow_index`` — the winnowing
+    member of the incremental family (exact / bloom / minhash / URL /
+    semantic). Candidates are pairs sharing >= 1 selected fingerprint
+    (lossless for any threshold > 0, and winnowing guarantees a shared
+    fingerprint for any shared substring of length >= w+k-1), then the
+    exact-Jaccard verify makes precision exact.
+
+    Probe inversion, same as near_dedup_against_index: every join
+    broadcasts the BATCH side, the corpus-sized index is only ever
+    scanned — exploded index fingerprints join broadcast(batch
+    fingerprints), the verify joins each side's sets back (index side
+    via broadcast of candidate ids), survivors = batch ANTI
+    broadcast(matched ids). Batch docs with no fingerprints (below ``k``
+    normalized chars) always survive."""
+    bfps = winnow_index(batch, id_col, text_col, k, w, portable)
+    bfps = bfps.localCheckpoint(eager=False)  # reused by probe + verify
+    b_ex = bfps.select(F.col("_id").alias("_bid"), F.explode("fps").alias("_f"))
+    i_ex = index.select(F.col("_id").alias("_iid"), F.explode("fps").alias("_f"))
+    cand = (
+        i_ex.join(F.broadcast(b_ex), on="_f")
+        .select("_bid", "_iid")
+        .dropDuplicates(["_bid", "_iid"])
+    )
+    verified = (
+        index.select(F.col("_id").alias("_iid"), F.col("fps").alias("fps_i"))
+        .join(F.broadcast(cand), "_iid")
+        .join(
+            F.broadcast(
+                bfps.select(F.col("_id").alias("_bid"), F.col("fps").alias("fps_b"))
+            ),
+            "_bid",
+        )
+    )
+    inter = F.size(F.array_intersect("fps_b", "fps_i")).cast("double")
+    union = F.size(F.array_union("fps_b", "fps_i")).cast("double")
+    matched = (
+        verified.filter((inter / union) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(F.broadcast(matched), on=id_col, how="anti")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ _VERIFY_FIRST = [
     # SemDeDup against the persisted IVF index):
     "q_ann_ivf_pq_incremental", "q_corpus_build_near", "q_fuzzy_dim_match",
     "q_semantic_dedup_incremental", "q_dedup_winnow",
+    "q_dedup_incremental_winnow",
     # (b) operator path changed THIS round: canonicalize_url grew
     # bracketed-IPv6 handling (q_url_dedup's values changed — the synth
     # now includes an IPv6 variant); ivf_pq_topk's probe/ADC stages were
@@ -48,7 +49,7 @@ _VERIFY_FIRST = [
     "q_ewma_monthly", "q_fixed_histogram", "q_fuzzy_name_pairs",
     "q_fuzzy_name_pairs_k2", "q_heavy_hitter_tokens", "q_hll_distinct",
     "q_hll_intersection", "q_knn_join", "q_mad_outliers",
-    "q_monthly_gap_fill", "q_multimodal_bytes",
+    "q_monthly_gap_fill",
 ]
 
 

@@ -434,6 +434,82 @@ def _dedup_winnow_oracle() -> str:
     """
 
 
+def q_dedup_incremental_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rolling-hash near dedup against a persisted winnowing
+    index (dedup.winnow_dedup_against_index): docs with doc_id % 3 == 0
+    play the indexed corpus, the rest arrive as a batch; survivors are
+    batch docs with no fingerprint-Jaccard >= 0.5 match in the corpus.
+    The winnowing member of the incremental family — fingerprint-keyed
+    probe + exact verify, every join broadcasting the batch side, index
+    scan-only. Fully oracle-checked via the portable hash bridge."""
+    from ..operators import dedup
+
+    docs = load(_prep(spark), sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    index = dedup.winnow_index(
+        corpus, "doc_id", k=_WINNOW_K, w=_WINNOW_W, portable=True
+    )
+    return dedup.winnow_dedup_against_index(
+        batch, index, "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W,
+        threshold=_WINNOW_THRESHOLD, portable=True,
+    ).select("doc_id", "source")
+
+
+def _dedup_incremental_winnow_oracle() -> str:
+    # the winnow stage replay over documents, split %3, candidates =
+    # shared-fingerprint pairs (lossless), exact-Jaccard verify; batch
+    # docs with no fingerprints always survive
+    from .corpus_ext import _NORMALIZED, _basehash_sql
+
+    gram_hash = _basehash_sql(f"substr(s, i, {_WINNOW_K})")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM documents
+            WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) >= {_WINNOW_K}
+                        THEN list_transform(
+                                 range(1, length(s) - {_WINNOW_K} + 2),
+                                 i -> {gram_hash})
+                        ELSE CAST([] AS BIGINT[]) END AS grams
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                       j -> list_min(list_slice(grams, j, j + {_WINNOW_W} - 1))
+                   )) AS fps
+            FROM g WHERE len(grams) >= 1
+        ),
+        e_i AS (
+            SELECT doc_id AS iid, len(fps) AS nf_i, unnest(fps) AS fp
+            FROM f WHERE doc_id % 3 = 0
+        ),
+        e_b AS (
+            SELECT doc_id AS bid, len(fps) AS nf_b, unnest(fps) AS fp
+            FROM f WHERE doc_id % 3 <> 0
+        ),
+        i AS (
+            SELECT bid, iid, nf_b, nf_i, count(*) AS c
+            FROM e_b JOIN e_i USING (fp)
+            GROUP BY 1, 2, 3, 4
+        ),
+        matched AS (
+            SELECT DISTINCT bid FROM i
+            WHERE CAST(c AS DOUBLE) / CAST(nf_b + nf_i - c AS DOUBLE)
+                  >= {_WINNOW_THRESHOLD}
+        )
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 3 <> 0
+          AND d.doc_id NOT IN (SELECT bid FROM matched)
+    """
+
+
 def _dirty_names(cust: DataFrame) -> DataFrame:
     """Deterministic typo'd copy of the roster's names — the dirty fact
     side of the entity-resolution demo. custkey % 3 picks the corruption
@@ -520,6 +596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_dim_match": q_fuzzy_dim_match,
     "q_semantic_dedup_incremental": q_semantic_dedup_incremental,
     "q_dedup_winnow": q_dedup_winnow,
+    "q_dedup_incremental_winnow": q_dedup_incremental_winnow,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -530,4 +607,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_fuzzy_dim_match": _fuzzy_dim_match_oracle(),
     "q_semantic_dedup_incremental": _semantic_dedup_incremental_oracle(),
     "q_dedup_winnow": _dedup_winnow_oracle(),
+    "q_dedup_incremental_winnow": _dedup_incremental_winnow_oracle(),
 }

@@ -557,3 +557,41 @@ def test_winnow_pairs_matches_bruteforce(spark):
             if j >= 0.3:
                 want[(a, b)] = j
     assert got == want and (0, 1) in got and (2, 3) in got
+
+
+def test_winnow_dedup_against_index_semantics_and_plan(spark):
+    """Incremental winnow tier: near-dup batch docs drop, fresh and
+    below-k docs survive, and the probe-inversion plan broadcasts the
+    batch side (no SortMergeJoin — the index is never shuffled)."""
+    import pandas as pd
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "some indexed corpus document with its own words",
+                ],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 4],
+                "text": [
+                    # shares the long prefix with corpus doc 0 -> near-dup
+                    "the quick brown fox jumps over the lazy dog tonight",
+                    "completely fresh content with no overlap whatsoever",
+                    "zz",  # < k normalized chars: no fingerprints, survives
+                ],
+            }
+        )
+    )
+    index = dedup.winnow_index(corpus, "doc_id")
+    out = dedup.winnow_dedup_against_index(batch, index, "doc_id", threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
