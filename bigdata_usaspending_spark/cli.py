@@ -114,6 +114,55 @@ def _parser() -> argparse.ArgumentParser:
         "(fetches, bytes, URLs, time span, request rate; WARC input only)",
     )
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="build / incrementally add to / search a persisted ANN index "
+        "(IVF or IVF-PQ vector index; operators/similarity)",
+    )
+    ai.add_argument("action", choices=["build", "add", "search"])
+    ai.add_argument("--index", required=True, help="index root directory")
+    ai.add_argument(
+        "--vectors", default=None,
+        help="parquet of (id, vector) rows (build / add)",
+    )
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+    ai.add_argument(
+        "--cells", type=int, default=16, help="coarse cell count (build)"
+    )
+    ai.add_argument(
+        "--refine-iters", type=int, default=2,
+        help="Lloyd refinement iterations over the deterministic "
+        "hash-bucket init (build)",
+    )
+    ai.add_argument(
+        "--pq", action="store_true",
+        help="build an IVF-PQ index (residual product quantization); "
+        "add / search autodetect the layout",
+    )
+    ai.add_argument("--m", type=int, default=16, help="PQ subspaces (build --pq)")
+    ai.add_argument(
+        "--kc", type=int, default=16,
+        help="PQ codebook size per subspace (build --pq)",
+    )
+    ai.add_argument(
+        "--train-cap", type=int, default=65_536,
+        help="codebook training sample bound (build --pq)",
+    )
+    ai.add_argument(
+        "--query", default=None,
+        help="comma-separated query vector (search); use the "
+        "--query=-0.1,0.2,... form when the first component is negative "
+        "(argparse reads a bare leading '-' as an option)",
+    )
+    ai.add_argument("--k", type=int, default=10)
+    ai.add_argument("--nprobe", type=int, default=2)
+    ai.add_argument(
+        "--rerank-factor", type=int, default=4,
+        help="IVF-PQ exact-rerank multiplier (search)",
+    )
+    ai.add_argument("--output", default=None, help="write search result parquet here")
+
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
     )
@@ -266,6 +315,108 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
         else:
             out.show(args.limit, truncate=False)
+        return 0
+
+    if args.job == "ann-index":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+        from .session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        is_pq = os.path.isdir(os.path.join(args.index, "codebooks.parquet"))
+        if args.action in ("build", "add") and not args.vectors:
+            raise SystemExit(f"ann-index {args.action} needs --vectors")
+        if args.action == "build":
+            df = spark.read.parquet(args.vectors)
+            # deterministic init (portable-hash buckets -> decimal means),
+            # then Lloyd refinement — k-means without RNG, so rebuilds of
+            # the same vectors produce the same index
+            init = similarity.mean_centroids(
+                df.select(
+                    F.pmod(
+                        F.xxhash64(F.col(args.id_col).cast("string")),
+                        F.lit(args.cells),
+                    ).cast("int").alias("cell"),
+                    F.col(args.vec_col).alias("embedding"),
+                )
+            )
+            cents = similarity.ivf_refine(
+                df, init, iterations=args.refine_iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            # localize once: refinement lineage re-scans the corpus per
+            # consumer otherwise (the index-write pattern)
+            cents = spark.createDataFrame(cents.collect(), cents.schema)
+            if args.pq:
+                assigned = similarity.ivf_assign(
+                    df, cents, id_col=args.id_col, vec_col=args.vec_col
+                )
+                resid = similarity.ivf_residuals(
+                    assigned, cents, vec_col=args.vec_col
+                )
+                cb = similarity.pq_train_driver(
+                    similarity._bounded_train_frame(
+                        resid, args.id_col, args.train_cap
+                    ),
+                    vec_col="residual", m=args.m, k=args.kc,
+                )
+                similarity.ivf_pq_index_write(
+                    df, cents, cb, args.index,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            else:
+                similarity.ivf_index_write(
+                    df, cents, args.index,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            kind = "IVF-PQ" if args.pq else "IVF"
+            print(
+                f"built {kind} index: {n} vectors / {cents.count()} cells "
+                f"-> {args.index}"
+            )
+            return 0
+        if args.action == "add":
+            df = spark.read.parquet(args.vectors)
+            if is_pq:
+                similarity.ivf_pq_index_add(
+                    spark, args.index, df,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            else:
+                similarity.ivf_index_add(
+                    spark, args.index, df,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            print(f"index now holds {n} vectors ({args.index})")
+            return 0
+        # search
+        if not args.query:
+            raise SystemExit("ann-index search needs --query")
+        qvec = [float(x) for x in args.query.split(",") if x.strip()]
+        if is_pq:
+            out = similarity.ivf_pq_index_topk(
+                spark, args.index, qvec,
+                k=args.k, nprobe=args.nprobe,
+                rerank_factor=args.rerank_factor,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        else:
+            out = similarity.ivf_index_topk(
+                spark, args.index, qvec,
+                k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote top-{args.k} to {args.output}")
+        else:
+            for row in out.collect():  # k-bounded
+                print(tuple(row))
         return 0
 
     if args.job == "profile":

@@ -249,3 +249,47 @@ def test_build_corpus_cli_documents_input_with_decontamination(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}  # the contaminated doc is gone
+
+
+def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
+    """ann-index build -> add -> search as real subprocesses: the IVF-PQ
+    layout round-trips, the add lands in the partitioned layout, and the
+    search returns the exact nearest vector first (the query IS a corpus
+    vector, so its own id must lead with distance ~0)."""
+    from bigdata_usaspending_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_small, "embeddings")
+    initial = str(tmp_path / "initial")
+    batch = str(tmp_path / "batch")
+    emb.filter((F.col("vec_id") % 5 != 1) & (F.col("vec_id") != 0)).select(
+        "vec_id", "embedding"
+    ).write.parquet(initial)
+    emb.filter(F.col("vec_id") % 5 == 1).select(
+        "vec_id", "embedding"
+    ).write.parquet(batch)
+    qrow = emb.filter(F.col("vec_id") == 2).select("embedding").first()
+    qvec = ",".join(str(float(x)) for x in qrow[0])
+    index = str(tmp_path / "idx")
+
+    built = _run(
+        "ann-index", "build", "--vectors", initial, "--index", index,
+        "--cells", "8", "--refine-iters", "1", "--pq", "--m", "16",
+        "--kc", "8",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    assert "built IVF-PQ index" in built.stdout
+
+    added = _run("ann-index", "add", "--vectors", batch, "--index", index)
+    assert added.returncode == 0, added.stderr[-2000:]
+
+    out = str(tmp_path / "hits")
+    found = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--nprobe", "8", "--rerank-factor", "16",
+        "--output", out,
+    )
+    assert found.returncode == 0, found.stderr[-2000:]
+    hits = spark.read.parquet(out).orderBy("l2sq").collect()
+    assert hits[0].vec_id == 2 and hits[0].l2sq < 1e-9
+    assert len(hits) == 3
