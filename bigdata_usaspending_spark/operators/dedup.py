@@ -335,6 +335,7 @@ def winnow_pairs(
     w: int = 4,
     threshold: float = 0.5,
     portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint Jaccard — the
     rolling-hash member of the near-dup family (text.winnow_fingerprints:
@@ -346,7 +347,19 @@ def winnow_pairs(
     winnowed density (~2/(w+1) of the k-gram count), so the shuffle is a
     small fraction of the shingle tier's. Documents with an empty
     fingerprint set (shorter than ``k`` normalized chars) have no overlap
-    defined and drop out, as in minhash_lsh_pairs."""
+    defined and drop out, as in minhash_lsh_pairs.
+
+    ``max_fingerprint_df`` is the stop-gram cap (ngram_jaccard_pairs'
+    max_shingle_df applied to selected hashes): fingerprints present in
+    more than that many documents are dropped before the self-join — a
+    fingerprint shared by d documents contributes d² candidate rows, so
+    boilerplate-heavy corpora degenerate toward all-pairs without it.
+    Exactly the ngram precedent's contract: shared-fingerprint counts
+    (and therefore Jaccard) exclude capped fingerprints while set sizes
+    stay full, so capped similarity is an UNDERESTIMATE — a
+    precision-safe recall trade-off (true near-dups share many rare
+    fingerprints). The incremental form (winnow_dedup_against_index)
+    re-joins the full sets at verify time and stays value-exact."""
     from .text import winnow_fingerprints
 
     fps = (
@@ -367,6 +380,14 @@ def winnow_pairs(
     # lazy cache shared by both sides of the candidate self-join (the
     # ngram_jaccard_pairs measurement and ownership note apply verbatim)
     fps.cache()
+    if max_fingerprint_df is not None:
+        heavy = (
+            fps.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_df)
+            .select("_f")
+        )
+        fps = fps.join(heavy, on="_f", how="anti")
     a = fps.select(F.col("_id").alias("id_a"), F.col("_nf").alias("nf_a"), "_f")
     b = fps.select(F.col("_id").alias("id_b"), F.col("_nf").alias("nf_b"), "_f")
     inter = (
@@ -431,6 +452,7 @@ def winnow_dedup_against_index(
     w: int = 4,
     threshold: float = 0.5,
     portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
 ) -> DataFrame:
     """Incremental rolling-hash near dedup: keep the batch docs that are
     not a verified near-duplicate (fingerprint Jaccard >= ``threshold``)
@@ -447,11 +469,31 @@ def winnow_dedup_against_index(
     fingerprints), the verify joins each side's sets back (index side
     via broadcast of candidate ids), survivors = batch ANTI
     broadcast(matched ids). Batch docs with no fingerprints (below ``k``
-    normalized chars) always survive."""
+    normalized chars) always survive.
+
+    ``max_fingerprint_df``: stop-gram cap over the COMBINED (index ∪
+    batch) document frequency — fingerprints above it are dropped from
+    candidate generation only (a fingerprint in d docs contributes up to
+    d² candidate rows; boilerplate-heavy corpora degenerate toward
+    all-pairs without the cap). The verify re-joins the FULL fingerprint
+    sets, so every surviving pair's Jaccard — and thus the drop decision
+    — is value-exact; the only trade-off is recall for pairs whose every
+    shared fingerprint is capped (the family's documented one)."""
     bfps = winnow_index(batch, id_col, text_col, k, w, portable)
     bfps = bfps.localCheckpoint(eager=False)  # reused by probe + verify
     b_ex = bfps.select(F.col("_id").alias("_bid"), F.explode("fps").alias("_f"))
     i_ex = index.select(F.col("_id").alias("_iid"), F.explode("fps").alias("_f"))
+    if max_fingerprint_df is not None:
+        heavy = (
+            i_ex.select("_f")
+            .unionByName(b_ex.select("_f"))
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_df)
+            .select("_f")
+        )
+        i_ex = i_ex.join(heavy, on="_f", how="anti")
+        b_ex = b_ex.join(heavy, on="_f", how="anti")
     cand = (
         i_ex.join(F.broadcast(b_ex), on="_f")
         .select("_bid", "_iid")
