@@ -363,11 +363,25 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     vec_col="residual", m=args.m, k=args.kc,
                 )
-                similarity.ivf_pq_index_write(
-                    df, cents, cb, args.index,
-                    id_col=args.id_col, vec_col=args.vec_col,
+                # the assignment already exists for training — encode it
+                # and write directly instead of paying ivf_pq_index_write's
+                # second full assign+encode pass
+                encoded = similarity.ivf_pq_encode(
+                    assigned, cents, cb, vec_col=args.vec_col
+                )
+                similarity._ivf_pq_index_write_encoded(
+                    encoded, cents, cb, args.index
                 )
             else:
+                # a rebuild over a former IVF-PQ directory must not leave
+                # stale codebooks behind — add/search autodetect PQ from
+                # that file and would probe a codes-less vectors layout
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(args.index, "codebooks.parquet"),
+                    ignore_errors=True,
+                )
                 similarity.ivf_index_write(
                     df, cents, args.index,
                     id_col=args.id_col, vec_col=args.vec_col,

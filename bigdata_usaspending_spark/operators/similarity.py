@@ -1863,10 +1863,8 @@ def semantic_dedup_against_index(
     within-cluster compare). Returns the surviving batch ``(id, cell)``
     rows; union the survivors back into the index afterwards
     (ivf_index_add). Same pairwise min-id semantics as semantic_dedup."""
-    cdf = spark.read.parquet(f"{path}/centroids.parquet")
-    local_cents = spark.createDataFrame(
-        _read_bounded_rows(spark, f"{path}/centroids.parquet", "cell", max_cells),
-        cdf.schema,
+    local_cents = _localized_model(
+        spark, f"{path}/centroids.parquet", "cell", max_cells
     )
     assigned = ivf_assign(batch, local_cents, id_col=id_col, vec_col=vec_col)
     # the batch's cell set is bounded by the index's cell count (model
@@ -1984,6 +1982,20 @@ def _read_bounded_rows(spark, path: str, what: str, max_cells: int):
     return rows
 
 
+def _localized_model(spark, path: str, what: str, max_cells: int) -> DataFrame:
+    """Cap-guarded persisted model state as a LocalRelation — ONE
+    spark.read supplies both the rows and the schema (a separate
+    schema-only read would list/footer-scan the same files twice)."""
+    df = spark.read.parquet(path)
+    rows = df.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"index has {len(rows)} {what} rows > max_cells={max_cells}; "
+            "a driver-side model load needs bounded state"
+        )
+    return spark.createDataFrame(rows, df.schema)
+
+
 def ivf_pq_index_write(
     df: DataFrame,
     centroids: DataFrame,
@@ -2054,17 +2066,11 @@ def ivf_pq_index_add(
     centroids nor codebooks; if the data distribution drifts far from
     the training set, quantization error grows — rebuild rather than
     adding forever."""
-    cdf = spark.read.parquet(f"{path}/centroids.parquet")
-    local_cents = spark.createDataFrame(
-        _read_bounded_rows(spark, f"{path}/centroids.parquet", "cell", max_cells),
-        cdf.schema,
+    local_cents = _localized_model(
+        spark, f"{path}/centroids.parquet", "cell", max_cells
     )
-    cbdf = spark.read.parquet(f"{path}/codebooks.parquet")
-    local_cb = spark.createDataFrame(
-        _read_bounded_rows(
-            spark, f"{path}/codebooks.parquet", "codebook", max_cells
-        ),
-        cbdf.schema,
+    local_cb = _localized_model(
+        spark, f"{path}/codebooks.parquet", "codebook", max_cells
     )
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     encoded = ivf_pq_encode(assigned, local_cents, local_cb, vec_col=vec_col)
@@ -2121,6 +2127,12 @@ def ivf_pq_index_topk(
             spark, f"{path}/codebooks.parquet", "codebook", max_cells
         )
     )
+    if not cb_rows:
+        raise ValueError(
+            f"ivf_pq probe: empty codebook set at {path}/codebooks.parquet "
+            "— the index is truncated or was not written by "
+            "ivf_pq_index_write"
+        )
     dsub = len(cb_rows[0][2])
     cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
     cands = spark.read.parquet(f"{path}/vectors.parquet").filter(

@@ -38,7 +38,7 @@ _VERIFY_FIRST = [
     "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
     "q_tpch_q7_shape", "q_tpch_q8_shape", "q_unpivot_monthly",
     "q_window_lag_delta", "q_window_moving_sum", "q_window_ntile",
-    # (d) 25 of the 49 r8 greens (the oldest remaining external rows),
+    # (d) 22 of the 49 r8 greens (the oldest remaining external rows),
     # alphabetical; the rest of the r8 wave (q_pii_scrub ...
     # q_tpch_q22_shape, sketches, SCD2) plus refreshed r9 rows lead the
     # round-12 rotation:

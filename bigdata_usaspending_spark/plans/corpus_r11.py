@@ -372,21 +372,28 @@ def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint). Input includes the synthesized trailing-token variants
     (_near_docs) so near — not only exact — matches appear at every SF.
     The candidate join explodes only the winnowed density (~2/(w+1) of
-    the k-grams), a small fraction of the shingle tier's shuffle."""
+    the k-grams), a small fraction of the shingle tier's shuffle;
+    max_fingerprint_df=50 is the stop-gram cap the fixture's boilerplate
+    density demands (the q_dedup_incremental_winnow verdict — without it
+    hot fingerprints contribute df² candidate rows), with the pairs
+    form's documented capped-Jaccard (underestimate) semantics replayed
+    in the oracle."""
     from ..operators import dedup
 
     docs = _near_docs(spark, sf).select("doc_id", "text")
     return dedup.winnow_pairs(
         docs, "doc_id",
         k=_WINNOW_K, w=_WINNOW_W, threshold=_WINNOW_THRESHOLD,
-        portable=True,
+        portable=True, max_fingerprint_df=_WINNOW_MAX_DF,
     )
 
 
 def _dedup_winnow_oracle() -> str:
     # stage replay: normalization, rolling k-gram 60-bit hashes, window
     # minima (single boundary window below w grams), distinct selection,
-    # then the ngram_jaccard inverted-join verify over the selected sets
+    # the combined-df stop-gram cap, then the ngram_jaccard inverted-join
+    # verify — the pairs form's capped semantics: shared counts exclude
+    # capped fingerprints while set sizes stay full (underestimate)
     from .corpus_ext import _NORMALIZED, _basehash_sql
 
     gram_hash = _basehash_sql(f"substr(s, i, {_WINNOW_K})")
@@ -418,7 +425,17 @@ def _dedup_winnow_oracle() -> str:
                    )) AS fps
             FROM g WHERE len(grams) >= 1
         ),
-        e AS (SELECT doc_id AS id, len(fps) AS nf, unnest(fps) AS f FROM f),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc
+                FROM (SELECT unnest(fps) AS fp FROM f) GROUP BY fp
+            ) WHERE dfc > {_WINNOW_MAX_DF}
+        ),
+        e AS (
+            SELECT id, nf, f FROM (
+                SELECT doc_id AS id, len(fps) AS nf, unnest(fps) AS f FROM f
+            ) WHERE f NOT IN (SELECT fp FROM heavy)
+        ),
         i AS (
             SELECT a.id AS id_a, b.id AS id_b, a.nf AS nf_a, b.nf AS nf_b,
                    count(*) AS c

@@ -1032,18 +1032,26 @@ def corpus_append_batch(
     batch/backfill concern, exactly like LSH banding in the near-dedup
     streaming note).
 
-    Stages, each the BATCH operator's arithmetic verbatim so a batch
-    rebuild and the stream agree row-for-row:
+    Stages run in the BATCH pipeline's ORDER with the batch operators'
+    arithmetic verbatim, so a one-shot rebuild over the same rows (or
+    one append over the concatenated batches, arrival-ordered) agrees
+    row-for-row:
 
+    - URL tier FIRST (when ``url_col`` given), exactly where
+      build_corpus runs it — on the RAW rows, before any text gate:
+      in-batch min-id per canonical URL, then drop URLs the committed
+      state has seen (probe inversion: the batch URL set broadcasts,
+      state is only scanned). Every URL claimant is REMEMBERED in state
+      even if later tiers drop it (a "ledger" row with null
+      position/fingerprint): in the batch pipeline a gated-out claimant
+      still consumed its URL, so a later re-fetch must not resurrect it;
     - gate: the same raw-division quality + LID expressions as
       build_corpus (token floor, punct ceiling, language keep-set),
-      optional PII scrub;
-    - URL tier (when ``url_col`` given): in-batch min-id per canonical
-      URL, then drop URLs the committed corpus has seen — the
-      url_dedup_against_index probe inversion (batch URL set broadcasts,
-      state is only scanned);
+      optional PII scrub. Gates are pure functions of the text, so
+      survivors-only fingerprint state stays batch-consistent;
     - exact tier: in-batch min-id per normalized fingerprint, then drop
-      fingerprints the committed corpus has seen (same inversion);
+      fingerprints the committed PACKED corpus has seen (same
+      inversion);
     - pack-offset: survivors are laid end to end in doc_id order
       CONTINUING from the committed corpus's token total, so sequence
       coordinates keep tiling across micro-batches (position, seq_id,
@@ -1052,15 +1060,16 @@ def corpus_append_batch(
       (trigger-bounded — the pack_sequences two-pass form is for
       corpus-sized frames).
 
-    State is ONE versioned table (the packed corpus, carrying its
-    fingerprint and canonical_url columns), committed atomically with
-    the batch_id manifest — the merge_rollup_batch exactly-once
-    contract: replays skip, a crash before the manifest flip leaves the
-    previous corpus intact. Probe sets and base offsets derive from the
-    state by slim column scans; a production deployment splits the
-    indexes out (dedup.fingerprint_index / warc.url_index, bucketed) and
-    appends corpus files instead of rewriting (io-style manifested
-    appends), keeping per-batch cost O(batch + index probe)."""
+    State is ONE versioned table: the packed corpus rows (non-null
+    position) plus the URL-claim ledger rows (null position), committed
+    atomically with the batch_id manifest — the merge_rollup_batch
+    exactly-once contract: replays skip, a crash before the manifest
+    flip leaves the previous corpus intact. Probe sets and base offsets
+    derive from the state by slim column scans; a production deployment
+    splits the indexes out (dedup.fingerprint_index / warc.url_index,
+    bucketed) and appends corpus files instead of rewriting (io-style
+    manifested appends), keeping per-batch cost O(batch + index
+    probe)."""
     from pyspark.sql import Window
 
     from ..io import (
@@ -1081,31 +1090,21 @@ def corpus_append_batch(
         return False  # replayed batch — already appended and committed
     spark = batch_df.sparkSession
     cur = read_versioned_state(spark, state_path)
-
-    docs = batch_df.filter(F.col("text").isNotNull())
-    if scrub_pii:
-        docs = docs.withColumn("text", pii_scrub("text"))
-    gated = (
-        docs.withColumn("n_tokens", token_count("text"))
-        .withColumn("_punct", punct_ratio("text"))
-        .withColumn("_lang", langid("text"))
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("_punct") <= max_punct_ratio)
-            & F.col("_lang").isin(*langs)
-        )
-        .drop("_punct", "_lang")
+    packed_state = (
+        cur.filter(F.col("position").isNotNull()) if cur is not None else None
     )
-    keyed = gated.withColumn("fingerprint", fingerprint("text"))
+
+    # --- URL tier first (build_corpus order): raw rows, null-text included
     if url_col is not None:
         from ..sources.warc import canonicalize_url
 
-        keyed = keyed.withColumn("canonical_url", canonicalize_url(url_col))
+        docs = batch_df.withColumn("canonical_url", canonicalize_url(url_col))
     else:
-        keyed = keyed.withColumn("canonical_url", F.lit(None).cast("string"))
-
-    with_url = keyed.filter(F.col("canonical_url").isNotNull())
-    no_url = keyed.filter(F.col("canonical_url").isNull())
+        docs = batch_df.withColumn(
+            "canonical_url", F.lit(None).cast("string")
+        )
+    with_url = docs.filter(F.col("canonical_url").isNotNull())
+    no_url = docs.filter(F.col("canonical_url").isNull())
     w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
     with_url = (
         with_url.withColumn("_rn", F.row_number().over(w_url))
@@ -1126,17 +1125,35 @@ def corpus_append_batch(
         with_url = with_url.join(
             F.broadcast(url_hits), on="canonical_url", how="anti"
         )
-    merged = with_url.unionByName(no_url)
+    claimed = with_url.unionByName(no_url)
 
+    # --- quality/LID gate over the URL-tier survivors
+    gated = claimed.filter(F.col("text").isNotNull())
+    if scrub_pii:
+        gated = gated.withColumn("text", pii_scrub("text"))
+    gated = (
+        gated.withColumn("n_tokens", token_count("text"))
+        .withColumn("_punct", punct_ratio("text"))
+        .withColumn("_lang", langid("text"))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("_punct") <= max_punct_ratio)
+            & F.col("_lang").isin(*langs)
+        )
+        .drop("_punct", "_lang")
+    )
+    merged = gated.withColumn("fingerprint", fingerprint("text"))
+
+    # --- exact tier: in-batch min-id + packed-state probe
     w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
     merged = (
         merged.withColumn("_rn", F.row_number().over(w_fp))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if cur is not None:
+    if packed_state is not None:
         fp_hits = (
-            cur.join(
+            packed_state.join(
                 F.broadcast(merged.select("fingerprint").distinct()),
                 on="fingerprint",
                 how="semi",
@@ -1146,10 +1163,10 @@ def corpus_append_batch(
         )
         merged = merged.join(F.broadcast(fp_hits), on="fingerprint", how="anti")
 
-    if cur is None:
+    if packed_state is None:
         base_pos, base_tok = 0, 0
     else:
-        row = cur.agg(
+        row = packed_state.agg(
             F.count(F.lit(1)), F.coalesce(F.sum("n_tokens"), F.lit(0))
         ).first()
         base_pos, base_tok = int(row[0]), int(row[1])
@@ -1176,7 +1193,29 @@ def corpus_append_batch(
         F.floor(start / block_size).cast("long").alias("seq_id"),
         F.pmod(start, F.lit(block_size)).cast("long").alias("seq_offset"),
     )
-    out = new_rows if cur is None else cur.unionByName(new_rows)
+    # --- URL-claim ledger: claimants that did NOT get packed (gated out
+    # or fingerprint-dropped) still consumed their canonical URL in the
+    # batch pipeline's ordering — remember them as null-position rows so
+    # later re-fetches of the same URL keep dropping
+    ledger = (
+        with_url.join(new_rows.select("doc_id"), on="doc_id", how="anti")
+        .select(
+            "doc_id",
+            *(
+                [F.lit(None).cast("string").alias("text")]
+                if "text" in carried else []
+            ),
+            *([F.col("source")] if "source" in carried else []),
+            F.lit(None).cast("int").alias("n_tokens"),
+            F.lit(None).cast("string").alias("fingerprint"),
+            "canonical_url",
+            F.lit(None).cast("long").alias("position"),
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_offset"),
+        )
+    )
+    appended = new_rows.unionByName(ledger)
+    out = appended if cur is None else cur.unionByName(appended)
     commit_versioned_state(out, state_path, batch_id)
     return True
 
@@ -1194,13 +1233,17 @@ def stream_build_corpus(
 ):
     """Keep a packed training corpus incrementally fresh from a document
     stream — the streaming twin of the build-corpus CLI job, making the
-    capstone incremental like the rollups: each micro-batch is gated,
-    URL- and fingerprint-deduped against the committed corpus, and
-    packed CONTINUING the committed token stream, with the
+    capstone incremental like the rollups: each micro-batch runs the
+    batch pipeline's stages IN ITS ORDER (URL tier on raw rows first —
+    with a URL-claim ledger so gated-out claimants keep their URL
+    consumed, exactly like the one-shot build — then gate, fingerprint
+    dedup, pack CONTINUING the committed token stream), with the
     merge_rollup_batch exactly-once versioned-state contract. Feeding
-    batches in doc_id order reproduces the batch pipeline's packing
-    bit-for-bit (tested); out-of-order arrival packs in arrival order —
-    the streaming tradeoff a backfill rebuild erases."""
+    batches in doc_id order reproduces one whole-input append
+    bit-for-bit, including the gated-URL-claim case (tested);
+    out-of-order arrival packs in arrival order — the streaming tradeoff
+    a backfill rebuild erases. Readers take ``position IS NOT NULL``
+    rows (the ledger rows carry URL state only)."""
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         corpus_append_batch(
@@ -1228,19 +1271,24 @@ def semantic_dedup_append_batch(
     vec_col: str = "embedding",
 ) -> bool:
     """One idempotent micro-batch of streaming semantic dedup — the
-    SemDeDup incremental tier live (the similarity.semantic_dedup_
-    against_index probe applied to a versioned survivor state): assign
-    the batch with the static centroids (bounded model state, the
-    stream_enriched_rollup static-dim pattern), drop rows cosine >=
-    ``threshold`` to any COMMITTED survivor in the same cell (batch side
-    broadcasts; state is only scanned, cell-filtered) or to an earlier
-    same-cell batch row (pairwise min-id, the semantic_dedup contract),
-    and commit state ∪ survivors atomically. Same exactly-once contract
-    as corpus_append_batch: replayed batch_ids skip, a crash before the
-    manifest flip leaves the previous survivor set intact. A production
-    deployment keeps the survivor set in the partitionBy(cell) IVF index
-    layout instead (semantic_dedup_against_index + ivf_index_add) and
-    manifests the appends."""
+    SemDeDup incremental tier live: assign the batch with the static
+    centroids (bounded model state, the stream_enriched_rollup
+    static-dim pattern), drop rows cosine >= ``threshold`` to ANY
+    committed row in the same cell (batch side broadcasts; state is only
+    scanned, cell-filtered) or to an earlier same-cell batch row.
+
+    State keeps EVERY processed row with a ``survivor`` flag, and the
+    probe compares against dropped rows too — semantic_dedup's pairwise
+    min-id contract is NOT transitive-free (a dropped row still
+    suppresses later rows it pairs with), so survivor-only state would
+    diverge from a whole-input run exactly on chains A~B~C where only
+    B~C crosses the threshold. With the full ledger, N id-ordered
+    appends equal one whole-input append bit-for-bit (tested, including
+    a transitive chain). Same exactly-once contract as
+    corpus_append_batch: replayed batch_ids skip, a crash before the
+    manifest flip leaves the previous state intact. A production
+    deployment shards the ledger by cell (the partitionBy(cell) IVF
+    index layout) and manifests the appends."""
     from ..io import (
         commit_versioned_state,
         read_state_manifest,
@@ -1280,10 +1328,16 @@ def semantic_dedup_append_batch(
         drops = in_batch.unionByName(state_hits).distinct()
     else:
         drops = in_batch
-    survivors = assigned.join(drops, on=id_col, how="anti").select(
-        id_col, vec_col, "cell"
+    flagged = (
+        assigned.join(
+            drops.withColumn("_dropped", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            id_col, vec_col, "cell",
+            F.col("_dropped").isNull().alias("survivor"),
+        )
     )
-    out = survivors if cur is None else cur.unionByName(survivors)
+    out = flagged if cur is None else cur.unionByName(flagged)
     commit_versioned_state(out, state_path, batch_id)
     return True
 
@@ -1301,11 +1355,14 @@ def stream_semantic_dedup(
     from a vector stream — the streaming twin of the incremental SemDeDup
     tier (q_semantic_dedup_incremental), the embedding-space member of
     the streaming dedup family (exact fingerprint / simhash / URL tiers).
-    foreachBatch + versioned survivor state: each batch probes the
-    COMMITTED survivors cell-blocked, never re-clusters history. Feeding
-    batches in id order reproduces one whole-input append bit-for-bit
-    (tested); out-of-order arrival keeps first-seen survivors — the
-    streaming tradeoff a backfill rebuild erases."""
+    foreachBatch + a versioned full ledger (every row, survivor-flagged —
+    see semantic_dedup_append_batch for why dropped rows must keep
+    suppressing): each batch probes the committed ledger cell-blocked,
+    never re-clusters history. Feeding batches in id order reproduces
+    one whole-input append bit-for-bit (tested, including a transitive
+    A~B~C chain); out-of-order arrival keeps first-seen semantics — the
+    streaming tradeoff a backfill rebuild erases. Readers take
+    ``survivor = true`` rows."""
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         semantic_dedup_append_batch(

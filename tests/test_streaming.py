@@ -1206,6 +1206,11 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
         # junk: fails the token-count gate
         _warc_record(_rid_with_hash("a4", 0, half), "http://s.example/junk",
                      b"HTTP/1.1 200 OK\r\n\r\n!!!", "2024-01-01T00:00:03Z"),
+        # junk CLAIMING a URL: the claim must persist (URL-claim ledger)
+        # even though the gate drops the document — the batch pipeline's
+        # URL-before-gate ordering
+        _warc_record(_rid_with_hash("a5", 0, half), "http://claim.example/x",
+                     b"HTTP/1.1 200 OK\r\n\r\n???", "2024-01-01T00:00:04Z"),
     ]
     f2 = [
         # URL dup of a2 (different record): dropped by the URL tier
@@ -1218,6 +1223,12 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
         _warc_record(_rid_with_hash("b3", half, 2 * half), "http://t.example/q2",
                      b"HTTP/1.1 200 OK\r\n\r\nthe final page of the fixture is new and must be kept",
                      "2024-01-02T00:00:02Z"),
+        # GOOD-text re-fetch of the junk claimant's URL: must be dropped
+        # by the URL tier in both the stream and the one-append twin
+        # (the gated-out a5 already consumed http://claim.example/x)
+        _warc_record(_rid_with_hash("b4", half, 2 * half), "http://Claim.Example:80/x",
+                     b"HTTP/1.1 200 OK\r\n\r\nthe refetch of the claimed page has perfectly good text now",
+                     "2024-01-02T00:00:03Z"),
     ]
     wdir1, wdir2 = tmp_path / "w1", tmp_path / "w2"
     wdir1.mkdir(); wdir2.mkdir()
@@ -1238,26 +1249,39 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
     schema = spark.read.parquet(landing).schema
     stream = spark.readStream.schema(schema).parquet(landing)
     jobs.stream_build_corpus(stream, state, checkpoint=ckpt, **kw).stop()
-    n_after_b1 = read_versioned_state(spark, state).count()
+    state1 = read_versioned_state(spark, state)
+    n_after_b1 = state1.filter(F.col("position").isNotNull()).count()
     docs2.coalesce(1).write.mode("append").parquet(landing)
     stream2 = spark.readStream.schema(schema).parquet(landing)
     jobs.stream_build_corpus(stream2, state, checkpoint=ckpt, **kw).stop()
-    got = read_versioned_state(spark, state)
+    state_full = read_versioned_state(spark, state)
+    got = state_full.filter(F.col("position").isNotNull())
 
-    # batch twin: ONE append over the union into fresh state
+    # batch twin: ONE append over the union into fresh state — the FULL
+    # state (packed corpus + URL-claim ledger) must agree row-for-row
     state_b = str(tmp_path / "corpus_state_batch")
     assert jobs.corpus_append_batch(
         docs1.unionByName(docs2), state_b, 0, **kw
     )
-    want = read_versioned_state(spark, state_b)
+    want_full = read_versioned_state(spark, state_b)
+    from collections import Counter
     key = ["position", "doc_id", "n_tokens", "seq_id", "seq_offset",
            "canonical_url", "source", "text"]
-    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
-        map(tuple, want.select(*key).collect())
+    assert Counter(map(tuple, state_full.select(*key).collect())) == Counter(
+        map(tuple, want_full.select(*key).collect())
     )
 
-    # the right rows survived: junk gated, URL dup and text dup dropped
+    # the right rows survived: junk gated, URL dup, text dup, AND the
+    # good-text refetch of the gated claimant's URL all dropped
     assert got.count() == 4 and n_after_b1 == 3
+    # the ledger carries every URL claimant that did not get packed: the
+    # two gated junk claimants (a4, a5) plus the fingerprint-dropped b2
+    # (its URL was still consumed), and nothing else
+    ledger = state_full.filter(F.col("position").isNull())
+    assert ledger.count() == 3
+    assert "http://claim.example/x" in {
+        r.canonical_url for r in ledger.collect()
+    }
     # sequence coordinates tile across the batch boundary
     rows = sorted(got.select("position", "n_tokens", "seq_id",
                              "seq_offset").collect())
@@ -1269,32 +1293,43 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
 
     # replay safety: re-running the SAME batch_id is a no-op
     assert not jobs.corpus_append_batch(docs1, state_b, 0, **kw)
-    assert read_versioned_state(spark, state_b).count() == 4
+    assert read_versioned_state(spark, state_b).filter(
+        F.col("position").isNotNull()
+    ).count() == 4
 
 
 def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     """Streaming SemDeDup tier: two micro-batch runs (restart between)
-    leave the SAME survivor state as one append over the union; state
-    hits drop later arrivals, in-batch pairs keep the min id, replays
-    never double-append."""
+    leave the SAME state as one append over the union — INCLUDING the
+    transitive chain A~B~C where only B~C crosses the threshold (the
+    pairwise contract: dropped B must still suppress later C, so the
+    ledger keeps dropped rows); replays never double-append."""
+    import math
+
     from bigdata_usaspending_spark.io import read_versioned_state
 
     centroids = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
         "cell int, centroid array<double>",
     )
+    s25, c25 = math.sin(math.radians(25)), math.cos(math.radians(25))
+    s40, c40 = math.sin(math.radians(40)), math.cos(math.radians(40))
     b1 = spark.createDataFrame(
         [
-            (1, [0.9, 0.1, 0.0]),   # cell 0 survivor
+            (1, [0.9, 0.1, 0.0]),    # cell 0 survivor
             (2, [0.95, 0.05, 0.0]),  # cell 0, dup of 1 in-batch -> drops
-            (3, [0.0, 1.0, 0.0]),   # cell 1 survivor
+            (3, [0.0, 1.0, 0.0]),    # cell 1 survivor
+            (4, [0.0, 0.0, 1.0]),    # cell 2 survivor (0 deg)
+            (5, [0.0, s25, c25]),    # cell 2, cos(4,5)=cos25 -> drops
         ],
         "vec_id long, embedding array<float>",
     )
     b2 = spark.createDataFrame(
         [
             (11, [0.92, 0.08, 0.0]),  # cell 0, dup of COMMITTED 1 -> drops
-            (12, [0.0, 0.0, 1.0]),    # cell 2: state empty there -> survives
+            # cell 2 at 40 deg: cos vs survivor 4 = cos40 < 0.9, but cos vs
+            # DROPPED 5 = cos15 >= 0.9 -> must drop (transitive chain)
+            (12, [0.0, s40, c40]),
         ],
         "vec_id long, embedding array<float>",
     )
@@ -1312,24 +1347,27 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         spark.readStream.schema(schema).parquet(landing), state, centroids,
         threshold=0.9, checkpoint=ckpt,
     ).stop()
+    ledger = read_versioned_state(spark, state)
     got = {
         (r.vec_id, r.cell)
-        for r in read_versioned_state(spark, state).collect()
+        for r in ledger.filter(F.col("survivor")).collect()
     }
-    assert got == {(1, 0), (3, 1), (12, 2)}
+    assert got == {(1, 0), (3, 1), (4, 2)}
+    assert ledger.count() == 7  # every processed row, survivor-flagged
 
     # batch twin: one append over the union (ids increase with arrival)
+    # must produce the IDENTICAL flagged ledger
     state_b = str(tmp_path / "sem_state_batch")
     assert jobs.semantic_dedup_append_batch(
         b1.unionByName(b2), state_b, centroids, 0, threshold=0.9
     )
-    want = {
-        (r.vec_id, r.cell)
-        for r in read_versioned_state(spark, state_b).collect()
-    }
-    assert got == want
+    want_ledger = read_versioned_state(spark, state_b)
+    key = ["vec_id", "cell", "survivor"]
+    assert sorted(map(tuple, ledger.select(*key).collect())) == sorted(
+        map(tuple, want_ledger.select(*key).collect())
+    )
     # replay: same batch_id is a no-op
     assert not jobs.semantic_dedup_append_batch(
         b1, state_b, centroids, 0, threshold=0.9
     )
-    assert read_versioned_state(spark, state_b).count() == 3
+    assert read_versioned_state(spark, state_b).count() == 7
