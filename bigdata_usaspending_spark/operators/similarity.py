@@ -1862,7 +1862,14 @@ def semantic_dedup_against_index(
     batch rows in the same cell (cosine_pairs_blocked, the SemDeDup
     within-cluster compare). Returns the surviving batch ``(id, cell)``
     rows; union the survivors back into the index afterwards
-    (ivf_index_add). Same pairwise min-id semantics as semantic_dedup."""
+    (ivf_index_add). Semantics: FIRST-SEEN-WINS against the index (an
+    index hit drops the batch row regardless of id ordering — the index
+    row was committed earlier); min-id within the batch. Note the
+    recommended survivors-only index re-add means a DROPPED batch row
+    stops suppressing later batches, so transitive chains (A~B~C where
+    B was dropped) can diverge from a whole-input semantic_dedup run;
+    streaming/jobs.semantic_dedup_append_batch keeps a full
+    survivor-flagged ledger for exact whole-input parity."""
     local_cents = _localized_model(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
@@ -1975,8 +1982,10 @@ def _read_bounded_rows(spark, path: str, what: str, max_cells: int):
     bounds driver memory AND detects overflow in the same job."""
     rows = spark.read.parquet(path).limit(max_cells + 1).collect()
     if len(rows) > max_cells:
+        # rows was read with limit(max_cells+1): report the bound, not
+        # the truncated length, as the table may be far larger
         raise ValueError(
-            f"index has {len(rows)} {what} rows > max_cells={max_cells}; "
+            f"index has more than max_cells={max_cells} {what} rows; "
             "a driver-side model load needs bounded state"
         )
     return rows
@@ -1990,7 +1999,7 @@ def _localized_model(spark, path: str, what: str, max_cells: int) -> DataFrame:
     rows = df.limit(max_cells + 1).collect()
     if len(rows) > max_cells:
         raise ValueError(
-            f"index has {len(rows)} {what} rows > max_cells={max_cells}; "
+            f"index has more than max_cells={max_cells} {what} rows; "
             "a driver-side model load needs bounded state"
         )
     return spark.createDataFrame(rows, df.schema)

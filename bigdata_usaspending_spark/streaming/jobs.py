@@ -1220,6 +1220,30 @@ def corpus_append_batch(
     return True
 
 
+def _require_checkpoint_for_committed_state(
+    spark, state_path: str, checkpoint: "str | None", job: str
+) -> None:
+    """Guard for stateful availableNow jobs whose exactly-once contract
+    keys on Spark's monotone batch_id: once a manifest is committed, a
+    NEW query without a checkpoint restarts batch_id at 0, every batch
+    lands at or below ``manifest.batch_id``, and the replay guard
+    silently drops the new data. Raise up front instead."""
+    if checkpoint:
+        return
+    from ..io import read_state_manifest
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None:
+        raise ValueError(
+            f"{job}: state at {state_path!r} already has a committed "
+            f"manifest (batch_id={manifest['batch_id']}) but no "
+            "checkpointLocation was given — a fresh query restarts "
+            "batch_id at 0 and the exactly-once replay guard would "
+            "silently discard every new batch. Pass the original "
+            "checkpoint to resume, or a new state_path to start over."
+        )
+
+
 def stream_build_corpus(
     docs: DataFrame,
     state_path: str,
@@ -1243,7 +1267,16 @@ def stream_build_corpus(
     bit-for-bit, including the gated-URL-claim case (tested);
     out-of-order arrival packs in arrival order — the streaming tradeoff
     a backfill rebuild erases. Readers take ``position IS NOT NULL``
-    rows (the ledger rows carry URL state only)."""
+    rows (the ledger rows carry URL state only).
+
+    ``checkpoint`` is REQUIRED once state exists: a fresh query without
+    a checkpoint restarts batch_id at 0, and the exactly-once replay
+    guard (``batch_id <= manifest.batch_id``) would silently discard
+    every new batch as a replay — so this raises instead of losing
+    data."""
+    _require_checkpoint_for_committed_state(
+        docs.sparkSession, state_path, checkpoint, "stream_build_corpus"
+    )
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         corpus_append_batch(
@@ -1362,7 +1395,14 @@ def stream_semantic_dedup(
     one whole-input append bit-for-bit (tested, including a transitive
     A~B~C chain); out-of-order arrival keeps first-seen semantics — the
     streaming tradeoff a backfill rebuild erases. Readers take
-    ``survivor = true`` rows."""
+    ``survivor = true`` rows.
+
+    ``checkpoint`` is REQUIRED once state exists (see
+    stream_build_corpus: a fresh query restarts batch_id at 0 and the
+    replay guard would silently discard new data)."""
+    _require_checkpoint_for_committed_state(
+        vectors.sparkSession, state_path, checkpoint, "stream_semantic_dedup"
+    )
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         semantic_dedup_append_batch(

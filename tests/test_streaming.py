@@ -1371,3 +1371,48 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         b1, state_b, centroids, 0, threshold=0.9
     )
     assert read_versioned_state(spark, state_b).count() == 7
+
+
+def test_stateful_stream_requires_checkpoint_once_committed(spark, tmp_path):
+    """A fresh query without a checkpoint restarts batch_id at 0, and the
+    exactly-once replay guard would silently discard every new batch as a
+    replay — the stateful stream jobs must raise up front instead."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then "
+              "it runs away into the quiet green forest with the wind")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "st")
+    assert jobs.corpus_append_batch(docs, state, 0, min_tokens=2)
+    landing = str(tmp_path / "landing")
+    docs.write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_build_corpus(stream, state, min_tokens=2)
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, centroid array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    vstate = str(tmp_path / "vst")
+    assert jobs.semantic_dedup_append_batch(vecs, vstate, centroids, 0)
+    vlanding = str(tmp_path / "vlanding")
+    vecs.write.parquet(vlanding)
+    vschema = spark.read.parquet(vlanding).schema
+    vstream = spark.readStream.schema(vschema).parquet(vlanding)
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_semantic_dedup(vstream, vstate, centroids)
+
+    # no state committed yet -> checkpoint optional (first run is safe)
+    fresh = str(tmp_path / "fresh_state")
+    jobs.stream_build_corpus(stream, fresh, min_tokens=2).stop()
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    assert read_versioned_state(spark, fresh).filter(
+        F.col("position").isNotNull()
+    ).count() == 1
