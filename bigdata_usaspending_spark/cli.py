@@ -83,7 +83,18 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--max-punct-ratio", type=float, default=0.5)
     b.add_argument(
         "--near-threshold", type=float, default=0.8,
-        help="minhash-LSH jaccard threshold; negative disables the tier",
+        help="near-dup jaccard threshold; negative disables the tier",
+    )
+    b.add_argument(
+        "--near-method", choices=("minhash", "winnow"), default="minhash",
+        help="near-dup tier: banded minhash-LSH over token shingles, or "
+        "MOSS rolling-hash winnowing fingerprints (deterministic recall "
+        "for shared substrings >= w+k-1 chars)",
+    )
+    b.add_argument(
+        "--near-max-df", type=int, default=None,
+        help="winnow tier stop-gram cap: fingerprints in more than this "
+        "many docs stop generating candidates (boilerplate guard)",
     )
     b.add_argument("--quota-per-source", type=int, default=None)
     b.add_argument("--block-size", type=int, default=512)
@@ -269,6 +280,8 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=(
                 None if args.near_threshold < 0 else args.near_threshold
             ),
+            near_method=args.near_method,
+            near_max_df=args.near_max_df,
             quota_per_source=args.quota_per_source,
             block_size=args.block_size,
             seed=args.seed,

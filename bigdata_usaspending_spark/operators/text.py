@@ -277,6 +277,7 @@ def winnow_fingerprints(
     w: int = 4,
     portable: bool = False,
     alias: str = "fingerprints",
+    robust: bool = False,
 ) -> Column:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — public paper): rolling character k-gram hashes over the
@@ -293,11 +294,27 @@ def winnow_fingerprints(
     is kept (the paper's boundary case). ``portable=True`` swaps xxhash64
     for the md5-derived 60-bit hash so every stage replays in plain SQL.
 
+    ``robust=True`` switches to ROBUST winnowing (the paper's §5
+    algorithm) and the output becomes POSITIONED fingerprints —
+    ``array<struct<fp bigint, pos int>>`` with ``pos`` the 1-based k-gram
+    index: each window selects its minimum hash, ties broken by keeping
+    the PREVIOUS window's selection when it is still a minimum of the
+    current window, else the RIGHTMOST minimal position. Selected hash
+    VALUES are identical to the plain form (every selection is a window
+    minimum — tested), but on repetitive text (boilerplate, the stop-gram
+    pressure) far fewer POSITIONS are selected: a run of equal hashes
+    yields ~1 fingerprint per w grams instead of one per window, and the
+    positions make match LOCALIZATION possible (the MOSS offset-pair use
+    case). Selected positions are strictly increasing (windows slide
+    right and a new selection is always inside the current window), so
+    the array is ordered and duplicate-free by construction.
+
     Implementation note: the normalized string and the gram array bind as
     HOF lambda VALUES (the single-element-array transform), so the
     regex normalization and the hashing run once per row even after
     Catalyst's projection collapse — the shingles_of O(n^2) trap
-    documented in dedup.py does not apply. Pure codegen: no UDF."""
+    documented in dedup.py does not apply. Pure codegen: no UDF (the
+    robust selection is one F.aggregate fold over window indices)."""
     from .dedup import portable_hash60
 
     hash_fn = portable_hash60 if portable else F.xxhash64
@@ -327,11 +344,55 @@ def winnow_fingerprints(
             ),
         ).otherwise(empty)
 
+    def robust_of(g: Column) -> Column:
+        # one left fold over window start indices carrying (last selected
+        # position, selections): keep `last` while it is still a minimum
+        # of the current window, else append the rightmost minimal
+        # position — the paper's §5 rule verbatim. F.get is 0-based and
+        # NULL-safe (last=0 sentinel never trips ANSI element_at).
+        nwin = F.greatest(F.size(g) - w + 1, F.lit(1))
+
+        def step(acc: Column, j: Column) -> Column:
+            win = F.slice(g, j, w)
+            m = F.array_min(win)
+            keep = (acc["last"] >= j) & (F.get(g, acc["last"] - 1) == m)
+            rel = F.array_max(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(win)),
+                    lambda i: F.get(win, i - 1) == m,
+                )
+            )
+            newpos = (j + rel - 1).cast("int")
+            return F.struct(
+                F.when(keep, acc["last"]).otherwise(newpos).alias("last"),
+                F.when(keep, acc["sel"])
+                .otherwise(F.array_append(acc["sel"], newpos))
+                .alias("sel"),
+            )
+
+        init = F.struct(
+            F.lit(0).cast("int").alias("last"),
+            F.array().cast("array<int>").alias("sel"),
+        )
+        sel = F.aggregate(
+            F.sequence(F.lit(1), nwin), init, step, lambda acc: acc["sel"]
+        )
+        structs = F.transform(
+            sel,
+            lambda p: F.struct(
+                F.get(g, p - 1).alias("fp"), p.alias("pos")
+            ),
+        )
+        return F.when(F.size(g) >= 1, structs).otherwise(
+            F.array().cast("array<struct<fp:bigint,pos:int>>")
+        )
+
+    pick = robust_of if robust else wins_of
     expr = F.element_at(
         F.transform(
             F.array(s),
             lambda s0: F.element_at(
-                F.transform(F.array(grams_of(s0)), wins_of), 1
+                F.transform(F.array(grams_of(s0)), pick), 1
             ),
         ),
         1,

@@ -59,7 +59,7 @@ def all_queries():
     50-entry verification window rotates over not-yet-checked queries."""
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11,
+        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -75,6 +75,7 @@ def all_queries():
     merged.update(corpus_r9.QUERIES)
     merged.update(corpus_r10.QUERIES)
     merged.update(corpus_r11.QUERIES)
+    merged.update(corpus_r12.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -85,7 +86,7 @@ def all_queries():
 def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11,
+        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -101,6 +102,7 @@ def all_oracles():
     merged.update(corpus_r9.ORACLE_SQL)
     merged.update(corpus_r10.ORACLE_SQL)
     merged.update(corpus_r11.ORACLE_SQL)
+    merged.update(corpus_r12.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -109,7 +111,7 @@ def all_oracles():
 def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
-        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11,
+        corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
         corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
@@ -126,6 +128,7 @@ def rows_only_queries():
         | set(corpus_r9.ROWS_ONLY_QUERIES)
         | set(corpus_r10.ROWS_ONLY_QUERIES)
         | set(corpus_r11.ROWS_ONLY_QUERIES)
+        | set(corpus_r12.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

@@ -13,8 +13,10 @@ applied to the whole pipeline):
   3. quality + LID gate  operators/text.{token_count,punct_ratio,langid}
   4. decontaminate       operators/dedup.decontaminate  (benchmark n-grams)
   5. exact dedup         operators/dedup.exact_dedup    (md5 fingerprint)
-  6. near-dup tier       operators/dedup.{minhash_lsh_pairs,
-                         connected_components}          (keep component min)
+  6. near-dup tier       operators/dedup.{minhash_lsh_pairs | winnow_pairs,
+                         connected_components}          (keep component min;
+                         cfg.near_method picks banded-LSH shingle Jaccard or
+                         MOSS rolling-hash winnowing)
   7. source quota        operators/sampling.sample_k_per_group
   8. epoch shuffle       operators/sampling.global_shuffle
   9. sequence packing    operators/sampling.pack_sequences (over position —
@@ -41,6 +43,7 @@ from ..operators.dedup import (
     decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
+    winnow_pairs,
 )
 from ..operators.sampling import (
     global_shuffle,
@@ -70,6 +73,19 @@ class CorpusBuildConfig:
     max_punct_ratio: float = 0.5
     shingle_n: int = 3
     near_threshold: "float | None" = 0.8
+    # near-dup tier algorithm: "minhash" (banded LSH over token shingles,
+    # probabilistic recall ~1-(1-j^r)^bands) or "winnow" (MOSS rolling-hash
+    # fingerprints, deterministic recall for shared substrings >=
+    # winnow_w + winnow_k - 1 chars — the tier real crawls prefer when
+    # shingle Jaccard is too slow; candidate volume is the winnowed
+    # density, a ~2/(w+1) fraction of the k-grams)
+    near_method: str = "minhash"
+    winnow_k: int = 8
+    winnow_w: int = 4
+    # stop-gram cap for the winnow tier (max docs a fingerprint may appear
+    # in and still generate candidates — the boilerplate df² guard);
+    # None = uncapped
+    near_max_df: "int | None" = None
     quota_per_source: "int | None" = None
     block_size: int = 512
     seed: int = 0
@@ -141,17 +157,31 @@ def build_corpus(
         )
     kept = exact_dedup(gated, "doc_id")
     if cfg.near_threshold is not None:
-        # localCheckpoint: the near tier consumes `kept` twice (the LSH
-        # signature build and the anti-join's left side) on top of the
-        # downstream quota/shuffle chain — without it the gate->dedup
-        # lineage re-executes per consumer (~2 s each at sf0.1). Same
-        # inter-stage materialization note as `shuffled` below.
+        # localCheckpoint: the near tier consumes `kept` twice (the
+        # signature/fingerprint build and the anti-join's left side) on
+        # top of the downstream quota/shuffle chain — without it the
+        # gate->dedup lineage re-executes per consumer (~2 s each at
+        # sf0.1). Same inter-stage materialization note as `shuffled`
+        # below.
         kept = kept.localCheckpoint()
-        pairs = minhash_lsh_pairs(
-            kept, "doc_id",
-            n=cfg.shingle_n, threshold=cfg.near_threshold,
-            portable=cfg.portable,
-        )
+        if cfg.near_method == "winnow":
+            pairs = winnow_pairs(
+                kept, "doc_id",
+                k=cfg.winnow_k, w=cfg.winnow_w,
+                threshold=cfg.near_threshold, portable=cfg.portable,
+                max_fingerprint_df=cfg.near_max_df,
+            )
+        elif cfg.near_method == "minhash":
+            pairs = minhash_lsh_pairs(
+                kept, "doc_id",
+                n=cfg.shingle_n, threshold=cfg.near_threshold,
+                portable=cfg.portable,
+            )
+        else:
+            raise ValueError(
+                f"unknown near_method {cfg.near_method!r}; "
+                "expected 'minhash' or 'winnow'"
+            )
         comps = connected_components(pairs)
         losers = comps.filter(F.col("doc_id") != F.col("component")).select(
             "doc_id"

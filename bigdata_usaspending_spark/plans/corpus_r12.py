@@ -1,0 +1,356 @@
+"""Corpus wave 12: robust winnowing and the winnow-tier corpus build.
+
+- ``q_winnow_robust`` — ROBUST winnowing (Schleimer/Wilkerson/Aiken,
+  SIGMOD 2003 §5) as positioned fingerprints: each w-window selects its
+  minimum k-gram hash, ties broken by KEEPING the previous window's
+  selection while it is still a minimum, else the RIGHTMOST minimal
+  position. Values equal plain winnowing's distinct minima; the
+  positional selection is what collapses repetitive text (a run of equal
+  hashes selects ~1 fingerprint per w grams instead of one per window —
+  the boilerplate-churn reduction) and enables MOSS-style match
+  localization. The oracle replays the tie-break exactly with a
+  recursive CTE folding over window indices.
+
+- ``q_corpus_build_winnow`` — the composed corpus-build pipeline with
+  the ROLLING-HASH near-dup tier (cfg.near_method="winnow", VERDICT r11
+  #3): gate -> exact dedup -> winnowing-fingerprint pairs (stop-gram
+  capped) -> connected components -> drop non-roots -> quota -> shuffle
+  -> pack. The tier real crawls prefer when shingle-Jaccard minhash is
+  too slow: deterministic recall (any shared substring >= w+k-1 chars
+  shares a fingerprint), candidate volume the winnowed ~2/(w+1) density.
+  Full stage-replay CTE oracle — the q_corpus_build_near chain with the
+  winnow pair stages spliced in where the minhash CTEs were.
+
+Reference parity note: the reference engine (app/data_processing.py)
+has no dedup/corpus surface; these extend SURVEY §7.4's training-data
+pipeline plan with the public MOSS construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..session import apply_runtime_confs
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return apply_runtime_confs(spark)
+
+
+_ROBUST_K = 8
+_ROBUST_W = 4
+
+
+def q_winnow_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust-winnowing positioned fingerprints over a deterministic
+    1-in-7 document sample: one row per selected (doc_id, pos, fp) —
+    the full tie-break trace, value-checked position by position against
+    the oracle's recursive-CTE replay. The sample keeps the exploded
+    output bounded while every selection that IS emitted is exact."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            winnow_fingerprints(
+                "text", k=_ROBUST_K, w=_ROBUST_W, portable=True, robust=True
+            ).alias("fps"),
+        )
+        .select("doc_id", F.explode("fps").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+    )
+
+
+def _winnow_robust_oracle() -> str:
+    # the §5 algorithm replayed as a recursive CTE folding over window
+    # start indices j (0-based; window j+1 covers gram positions
+    # j+1 .. j+w): carry (last selected position, selections); keep
+    # `last` while it is in-window and still a minimum, else append the
+    # rightmost minimal position (len - position of the min in the
+    # reversed window + 1, offset by j)
+    from .corpus_ext import _NORMALIZED, _basehash_sql
+
+    k, w = _ROBUST_K, _ROBUST_W
+    gram_hash = _basehash_sql(f"substr(s, i, {k})")
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM documents
+            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) >= {k}
+                        THEN list_transform(
+                                 range(1, length(s) - {k} + 2),
+                                 i -> {gram_hash})
+                        ELSE CAST([] AS BIGINT[]) END AS grams
+            FROM t
+        ),
+        base AS (
+            SELECT doc_id, grams,
+                   greatest(len(grams) - {w} + 1, 1) AS nwin
+            FROM g WHERE len(grams) >= 1
+        ),
+        r AS (
+            SELECT doc_id, grams, nwin,
+                   0 AS j, 0 AS last, CAST([] AS INTEGER[]) AS sel
+            FROM base
+            UNION ALL
+            SELECT doc_id, grams, nwin, j + 1,
+                   CASE WHEN keep THEN last ELSE newpos END,
+                   CASE WHEN keep THEN sel
+                        ELSE list_append(sel, newpos) END
+            FROM (
+                SELECT doc_id, grams, nwin, j, last, sel,
+                       (last > j AND grams[last] = m) AS keep,
+                       CAST(j + len(win)
+                            - list_position(list_reverse(win), m) + 1
+                            AS INTEGER) AS newpos
+                FROM (
+                    SELECT *,
+                           list_slice(grams, j + 1, j + {w}) AS win,
+                           list_min(list_slice(grams, j + 1, j + {w})) AS m
+                    FROM r WHERE j < nwin
+                )
+            )
+        ),
+        fin AS (SELECT doc_id, grams, sel FROM r WHERE j = nwin)
+        SELECT doc_id, CAST(p AS INTEGER) AS pos, grams[p] AS fp
+        FROM (SELECT doc_id, grams, unnest(sel) AS p FROM fin)
+    """
+
+
+_WINNOW_BUILD_THRESHOLD = 0.5
+_WINNOW_BUILD_MAX_DF = 50
+
+
+def q_corpus_build_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-build composition with the rolling-hash near-dup tier
+    (near_method="winnow", VERDICT r11 #3): gate -> exact dedup ->
+    winnowing-fingerprint pairs (k=8, w=4, capped-Jaccard >= 0.5,
+    stop-gram cap 50) -> connected components -> drop non-roots -> quota
+    -> shuffle -> pack. Same parameters and synthesized near-dup input as
+    q_corpus_build_near, so the two tiers are directly comparable: the
+    trailing-token variants share all but a tail's worth of selected
+    fingerprints with their sources and must be merged and dropped.
+
+    100-TB shape vs the minhash tier: the candidate shuffle is the
+    winnowed density (~2/(w+1) of the k-grams) instead of docs x bands
+    signature rows, recall is DETERMINISTIC (any shared substring >=
+    w+k-1 chars shares a fingerprint — no banding probability), and the
+    stop-gram cap bounds candidates <= cap x exploded rows on
+    boilerplate-heavy crawls."""
+    from .build_corpus import CorpusBuildConfig, build_corpus
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+    from .corpus_r11 import _near_docs
+
+    cfg = CorpusBuildConfig(
+        langs=("en",),
+        min_tokens=_MINI_MIN_TOKENS,
+        max_punct_ratio=_MINI_MAX_PUNCT,
+        near_threshold=_WINNOW_BUILD_THRESHOLD,
+        near_method="winnow",
+        winnow_k=_ROBUST_K,
+        winnow_w=_ROBUST_W,
+        near_max_df=_WINNOW_BUILD_MAX_DF,
+        quota_per_source=_MINI_QUOTA,
+        block_size=_MINI_BLOCK,
+        seed=_MINI_SEED,
+        scrub_pii=False,
+        portable=True,
+    )
+    return build_corpus(_near_docs(spark, sf), cfg=cfg).select(
+        "doc_id", "source", "n_tokens", "position", "seq_id", "seq_offset"
+    )
+
+
+def _winnow_pairs_ctes(
+    k: int, w: int, threshold: float, max_df: int, src: str
+) -> str:
+    """The dedup.winnow_pairs replay as a reusable CTE chain ending in
+    ``win_pairs (id_a, id_b, jaccard)`` — composable over any
+    ``(doc_id, text)`` source CTE (the q_dedup_winnow stages with the
+    source parameterized, the _minhash_pairs_ctes pattern). Capped
+    semantics replay exactly: fingerprints above ``max_df`` docs drop
+    from candidate generation AND shared counts while set sizes stay
+    full (underestimate). The operator's length-ratio prune needs no
+    replay: capped shared counts never exceed min(nf), so pruned pairs
+    are exactly those the threshold filter removes anyway."""
+    from .corpus_ext import _NORMALIZED, _basehash_sql
+
+    gram_hash = _basehash_sql(f"substr(s, i, {k})")
+    return f"""wt AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
+            WHERE text IS NOT NULL
+        ),
+        wg AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) >= {k}
+                        THEN list_transform(
+                                 range(1, length(s) - {k} + 2),
+                                 i -> {gram_hash})
+                        ELSE CAST([] AS BIGINT[]) END AS grams
+            FROM wt
+        ),
+        wf AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+                       j -> list_min(list_slice(grams, j, j + {w} - 1))
+                   )) AS fps
+            FROM wg WHERE len(grams) >= 1
+        ),
+        wheavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc
+                FROM (SELECT unnest(fps) AS fp FROM wf) GROUP BY fp
+            ) WHERE dfc > {max_df}
+        ),
+        we AS (
+            SELECT id, nf, f FROM (
+                SELECT doc_id AS id, len(fps) AS nf, unnest(fps) AS f
+                FROM wf
+            ) WHERE f NOT IN (SELECT fp FROM wheavy)
+        ),
+        wi AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.nf AS nf_a, b.nf AS nf_b,
+                   count(*) AS c
+            FROM we a JOIN we b ON a.f = b.f AND a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ),
+        win_pairs AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       CAST(c AS DOUBLE)
+                       / CAST(nf_a + nf_b - c AS DOUBLE) AS jaccard
+                FROM wi
+            ) WHERE jaccard >= {threshold}
+        )"""
+
+
+def _corpus_build_winnow_oracle() -> str:
+    # the q_corpus_build_near stage replay with the winnow pair chain
+    # spliced in where the minhash CTEs were: gate, exact dedup, winnow
+    # pairs over the survivors, recursive min-label components, drop
+    # non-roots, quota, seeded shuffle, pack
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+
+    return f"""
+        WITH RECURSIVE input AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text, source
+            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+        ),
+        gated AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM input
+            WHERE text IS NOT NULL
+              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
+              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
+              AND {_LANGID_CASE} = 'en'
+        ),
+        uniq AS (
+            SELECT doc_id, source, text, n_tokens FROM (
+                SELECT doc_id, source, text, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORMALIZED})
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        {_winnow_pairs_ctes(_ROBUST_K, _ROBUST_W, _WINNOW_BUILD_THRESHOLD,
+                            _WINNOW_BUILD_MAX_DF, src="uniq")},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM win_pairs
+            UNION
+            SELECT id_b, id_a FROM win_pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id
+        ),
+        losers AS (
+            SELECT id FROM (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            ) WHERE id <> component
+        ),
+        kept AS (
+            SELECT doc_id, source, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+        ),
+        quota AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)
+                                        || '|{_MINI_SEED}'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS _rk
+                FROM kept
+            ) WHERE _rk <= {_MINI_QUOTA}
+        ),
+        pos AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM (
+                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                FROM quota
+            )
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tokens, position,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM pos
+        )
+        SELECT doc_id, source, n_tokens, position,
+               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
+               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_winnow_robust": q_winnow_robust,
+    "q_corpus_build_winnow": q_corpus_build_winnow,
+}
+
+ROWS_ONLY_QUERIES: set[str] = set()
+
+ORACLE_SQL: dict[str, str] = {
+    "q_winnow_robust": _winnow_robust_oracle(),
+    "q_corpus_build_winnow": _corpus_build_winnow_oracle(),
+}

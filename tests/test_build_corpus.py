@@ -119,3 +119,45 @@ def test_build_corpus_rejects_empty_lang_set(spark):
             _docs(spark, [(1, "the a of", "a")]),
             cfg=CorpusBuildConfig(langs=()),
         )
+
+
+def test_build_corpus_winnow_tier_merges_near_dups(spark):
+    """near_method="winnow": rolling-hash near-dups (shared substring far
+    above w+k-1) merge into one component and only the min-id survives;
+    unrelated docs pass; the minhash tier on the same input agrees on
+    the survivor set; an unknown method raises."""
+    shared = ("the quick brown fox jumps over the lazy dog near the old "
+              "stone bridge by the river")
+    rows = [
+        (1, shared, "a"),
+        (2, shared + " again", "a"),  # near-dup of 1: must drop
+        (3, "a completely different sentence about the blue sea and the "
+            "sand is here", "b"),
+        (4, "yet another text on the topic of trains and the long rails "
+            "is written", "b"),
+    ]
+    for method in ("winnow", "minhash"):
+        out = build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(
+                near_threshold=0.5, near_method=method, block_size=16,
+                scrub_pii=False,
+            ),
+        ).collect()
+        assert sorted(r.doc_id for r in out) == [1, 3, 4], method
+
+    # the stop-gram cap plumbs through (uncapped result identical here)
+    out = build_corpus(
+        _docs(spark, rows),
+        cfg=CorpusBuildConfig(
+            near_threshold=0.5, near_method="winnow", near_max_df=3,
+            block_size=16, scrub_pii=False,
+        ),
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3, 4]
+
+    with pytest.raises(ValueError, match="near_method"):
+        build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(near_threshold=0.5, near_method="simhash"),
+        )

@@ -293,3 +293,32 @@ def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
     hits = spark.read.parquet(out).orderBy("l2sq").collect()
     assert hits[0].vec_id == 2 and hits[0].l2sq < 1e-9
     assert len(hits) == 3
+
+
+def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
+    """build-corpus --near-method winnow as a real subprocess: the
+    rolling-hash tier merges a trailing-token near-dup (min-id original
+    survives) while unrelated docs pass; --near-max-df plumbs through."""
+    shared = ("the quick brown fox jumps over the lazy dog near the old "
+              "stone bridge by the river")
+    docs = spark.createDataFrame(
+        [
+            (1, shared, "a"),
+            (2, shared + " again", "a"),  # winnow near-dup: must drop
+            (3, "a completely different sentence about the blue sea and "
+                "the sand is here", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    out = str(tmp_path / "corpus_w")
+    proc = _run(
+        "build-corpus", "--documents", dpath, "--output", out,
+        "--block-size", "16", "--near-threshold", "0.5",
+        "--near-method", "winnow", "--near-max-df", "50",
+        "--no-pii-scrub",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}

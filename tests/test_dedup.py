@@ -523,6 +523,78 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert 0 < len(fp[0]) < len(rows[0][1]) - 8 + 1
 
 
+def test_winnow_robust_matches_reference_and_reduces_churn(spark):
+    """Robust winnowing (SIGMOD'03 §5): positioned selection matches a
+    direct Python port of the paper's algorithm (keep the previous
+    selection while it is still a window minimum, else rightmost min);
+    selected VALUES equal the plain form's distinct set (so the w+k-1
+    guarantee carries over); positions strictly increase; and on
+    repetitive text the positioned count collapses to ~nwin/w instead of
+    one-per-window — the boilerplate-churn reduction the tie-break buys."""
+    import hashlib
+    import random
+    import re
+
+    from bigdata_usaspending_spark.operators.text import winnow_fingerprints
+
+    K, W = 8, 4
+
+    def ref_robust(text):
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(s) < K:
+            return []
+        g = [
+            int(hashlib.md5(s[i : i + K].encode()).hexdigest()[:15], 16)
+            for i in range(len(s) - K + 1)
+        ]
+        last, sel = 0, []
+        for j in range(1, max(len(g) - W + 1, 1) + 1):
+            win = g[j - 1 : j - 1 + W]
+            m = min(win)
+            if last >= j and g[last - 1] == m:
+                continue
+            last = j + max(i + 1 for i, v in enumerate(win) if v == m) - 1
+            sel.append(last)
+        return [(g[p - 1], p) for p in sel]
+
+    rng = random.Random(7)
+    texts = [
+        "The quick brown fox jumps over the lazy dog today",
+        "a" * 50,  # pure run: every gram hash identical (maximal ties)
+        "boilerplate header boilerplate header unique tail xyz",
+        "zz",  # < k: empty
+        "exactlyk",  # one gram, one boundary window
+    ] + [
+        # tiny alphabet forces repeated grams (= hash ties) constantly
+        "".join(rng.choice("ab ") for _ in range(rng.randint(5, 60)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints("text", k=K, w=W, portable=True, robust=True)
+            .alias("rob"),
+            winnow_fingerprints("text", k=K, w=W, portable=True)
+            .alias("plain"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        got = [(x.fp, x.pos) for x in out[i].rob]
+        assert got == ref_robust(t), f"doc {i}: {t!r}"
+        assert {x.fp for x in out[i].rob} == set(out[i].plain)
+        pos = [x.pos for x in out[i].rob]
+        assert pos == sorted(set(pos))  # strictly increasing
+    # churn: the all-ties run text selects ~1 per w windows, not 1/window
+    run = out[1].rob
+    n_grams = len(re.sub(r"\s+", " ", texts[1]).strip()) - K + 1
+    nwin = max(n_grams - W + 1, 1)
+    assert len(run) <= -(-nwin // W) + 1 < nwin
+
+
 def test_winnow_pairs_matches_bruteforce(spark):
     """winnow_pairs (inverted-join + length prune) equals the brute-force
     all-pairs Jaccard over the same fingerprint sets."""
