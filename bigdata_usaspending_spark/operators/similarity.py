@@ -625,9 +625,22 @@ def ivf_index_topk(
     )
     if len(cent_rows) > max_cells:
         raise ValueError(
-            f"index has {len(cent_rows)} cells > max_cells={max_cells}; "
+            f"index has more than max_cells={max_cells} cells; "
             "a driver-side cell ranking needs bounded model state"
         )
+    cells = _ivf_probe_cells(cent_rows, qvec, nprobe)
+    cand = spark.read.parquet(f"{path}/vectors.parquet").filter(
+        F.col("cell").isin(cells)
+    )
+    return brute_force_topk(cand, qvec, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def _ivf_probe_cells(cent_rows, qvec, nprobe: int) -> "list[int]":
+    """The coarse IVF probe shared by the single-query persisted probe
+    (ivf_index_topk) and the many-query serving path (streaming
+    ann-search): rank ``(cell, centroid)`` rows by the same left-fold
+    cosine and (cosine DESC, cell ASC) tie order as ivf_topk's
+    distributed probe; return the ``nprobe`` nearest cell ids."""
     q = np.array(qvec, dtype=np.float64)
     qn = float(np.sqrt(_fold_sum_cols(q[None, :] * q[None, :])[0]))
     ranked = []
@@ -636,11 +649,7 @@ def ivf_index_topk(
         cn = float(np.sqrt(_fold_sum_cols(c[None, :] * c[None, :])[0]))
         cs = float(_fold_dot_mat(q[None, :], c[None, :])[0]) / (qn * cn)
         ranked.append((-cs, int(r["cell"])))
-    cells = [cell for _, cell in sorted(ranked)[:nprobe]]
-    cand = spark.read.parquet(f"{path}/vectors.parquet").filter(
-        F.col("cell").isin(cells)
-    )
-    return brute_force_topk(cand, qvec, id_col=id_col, vec_col=vec_col, k=k)
+    return [cell for _, cell in sorted(ranked)[:nprobe]]
 
 
 def rp_weight(table: int, dim: int) -> float:
@@ -2150,6 +2159,88 @@ def ivf_pq_index_topk(
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"
     )
+
+
+def ann_index_search_many(
+    spark,
+    path: str,
+    queries: "list[tuple]",
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+):
+    """Probe a persisted IVF or IVF-PQ index (layout autodetected by the
+    presence of ``codebooks.parquet``, the ann-index CLI contract) for
+    MANY query vectors with the model state loaded ONCE — the serving
+    seam under the streaming vector-search job. ``queries`` is a list of
+    ``(query_id, vector)`` pairs (trigger-bounded by the caller); each
+    query runs the exact single-query probe math (shared
+    ``_ivf_probe_cells`` / ``_ivf_pq_probe_tables`` /
+    ``_ivf_pq_adc_rerank`` helpers), so per-query results are
+    bit-identical to ``ivf_index_topk`` / ``ivf_pq_index_topk`` over the
+    same index.
+
+    Returns ``(rows, score_col)``: driver-side result tuples
+    ``(query_id, rank, hit_id, score)`` — k-bounded per query — and the
+    probe's native score column name (``"l2sq"`` for the PQ layout's
+    exact-rerank distance, ``"cosine"`` for plain IVF). Every per-query
+    scan is partition-pruned to its nprobe cell directories; the only
+    corpus-independent driver state is the model rows (cap-guarded)."""
+    import os
+
+    is_pq = os.path.isdir(os.path.join(path, "codebooks.parquet"))
+    cent_raw = _read_bounded_rows(
+        spark, f"{path}/centroids.parquet", "cell", max_cells
+    )
+    vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    out = []
+    if is_pq:
+        cent_rows = sorted(
+            (r["cell"], [float(x) for x in r["centroid"]]) for r in cent_raw
+        )
+        cb_rows = sorted(
+            (r["sub"], r["cell"], list(r["centroid"]))
+            for r in _read_bounded_rows(
+                spark, f"{path}/codebooks.parquet", "codebook", max_cells
+            )
+        )
+        if not cb_rows:
+            raise ValueError(
+                f"ann search: empty codebook set at {path}/codebooks.parquet"
+            )
+        dsub = len(cb_rows[0][2])
+        for qid, vec in queries:
+            qvec = [float(x) for x in vec]
+            cell_tables = _ivf_pq_probe_tables(
+                cent_rows, cb_rows, qvec, nprobe, dsub
+            )
+            cands = vectors.filter(
+                F.col("cell").isin([int(c) for c in cell_tables])
+            )
+            hits = _ivf_pq_adc_rerank(
+                cands, cell_tables, qvec, k, rerank_factor,
+                id_col, vec_col, "cell",
+            ).collect()  # k-bounded
+            out.extend(
+                (qid, rank, h[0], float(h[1]))
+                for rank, h in enumerate(hits, start=1)
+            )
+        return out, "l2sq"
+    for qid, vec in queries:
+        qvec = [float(x) for x in vec]
+        cells = _ivf_probe_cells(cent_raw, qvec, nprobe)
+        cands = vectors.filter(F.col("cell").isin(cells))
+        hits = brute_force_topk(
+            cands, qvec, id_col=id_col, vec_col=vec_col, k=k
+        ).collect()  # k-bounded
+        out.extend(
+            (qid, rank, h[0], float(h[1]))
+            for rank, h in enumerate(hits, start=1)
+        )
+    return out, "cosine"
 
 
 def ivf_pq_index_lifecycle_audit(

@@ -1294,6 +1294,31 @@ def stream_build_corpus(
     return query
 
 
+def corpus_manifest_from_state(spark, state_path: str) -> DataFrame:
+    """The training reader's per-sequence manifest over a streaming
+    corpus build's COMMITTED state — the plans/build_corpus.
+    sequence_manifest twin for the incremental pipeline (VERDICT r11
+    #7): packed rows (``position IS NOT NULL``; ledger rows carry URL
+    state only) group into one row per training sequence with its
+    position-ordered document spans. Because corpus_append_batch packs
+    every batch CONTINUING the committed token stream with the batch
+    formula, this manifest is bit-equal to sequence_manifest over a
+    one-shot append of the same concatenated input (tested in the
+    stream-vs-batch agreement suite). Same 100-TB shape as the batch
+    form: one shuffle keyed on seq_id, struct lists bounded by the block
+    size."""
+    from ..io import read_versioned_state
+    from ..plans.build_corpus import sequence_manifest
+
+    cur = read_versioned_state(spark, state_path)
+    if cur is None:
+        raise ValueError(
+            f"no committed corpus state at {state_path!r}; run "
+            "stream_build_corpus (or corpus_append_batch) first"
+        )
+    return sequence_manifest(cur.filter(F.col("position").isNotNull()))
+
+
 def semantic_dedup_append_batch(
     batch_df: DataFrame,
     state_path: str,
@@ -1411,6 +1436,115 @@ def stream_semantic_dedup(
         )
 
     writer = vectors.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
+def ann_search_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    batch_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries_per_batch: int = 1024,
+) -> None:
+    """One idempotent micro-batch of the streaming vector-search serving
+    job: probe the PERSISTED IVF / IVF-PQ index (layout autodetected)
+    once per query row and land ``(query_id, rank, vec_id, score)`` hits
+    in a batch_id-keyed partition — the decontaminate_batch idempotency
+    contract (replays overwrite their own partition).
+
+    The micro-batch query set collects driver-side, cap-guarded at
+    ``max_queries_per_batch`` — a SERVING batch is trigger-bounded by
+    contract, exactly like the bounded model state the probe itself
+    loads; the cap raises rather than silently pulling an unbounded
+    stream. Model state (centroids + codebooks) loads ONCE per trigger
+    (similarity.ann_index_search_many), and every per-query candidate
+    scan stays partition-pruned to its nprobe cell directories — the
+    index is never re-read whole, never shuffled. Per-query results are
+    bit-identical to the batch probes (ivf_index_topk /
+    ivf_pq_index_topk) over the same index."""
+    from ..operators.similarity import ann_index_search_many
+
+    spark = batch_df.sparkSession
+    rows = (
+        batch_df.select(query_id_col, vec_col)
+        .limit(max_queries_per_batch + 1)
+        .collect()
+    )
+    if len(rows) > max_queries_per_batch:
+        raise ValueError(
+            f"ann_search_batch: more than max_queries_per_batch="
+            f"{max_queries_per_batch} queries in one trigger; size the "
+            "trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) to the "
+            "serving budget instead of letting one batch grow unbounded"
+        )
+    hits, score_col = ann_index_search_many(
+        spark, index_path,
+        [(r[0], r[1]) for r in rows],
+        k=k, nprobe=nprobe, rerank_factor=rerank_factor,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            batch_df.schema[query_id_col],
+            StructField("rank", IntegerType(), False),
+            StructField("vec_id", LongType(), True),
+            StructField(score_col, DoubleType(), True),
+        ]
+    )
+    out = spark.createDataFrame(hits, schema)
+    (
+        out.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(sink_path)
+    )
+
+
+def stream_ann_search(
+    queries: DataFrame,
+    index_path: str,
+    sink_path: str,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries_per_batch: int = 1024,
+    checkpoint: "str | None" = None,
+):
+    """Streaming vector search over a persisted ANN index — the serving
+    twin of the ann-index CLI's ``search`` (VERDICT r11 #5): query
+    vectors flow in, per-query top-k hits flow out, the index stays a
+    static partitioned layout probed with pruned scans (the
+    stream_enriched_rollup static-side pattern applied to the IVF
+    family). Stateless per trigger — no watermark, no state store; index
+    refreshes are a restart, exactly like the frozen-stats contract of
+    stream_bm25_score. Emits rows bit-identical to running the batch
+    probe per query (tested against ivf_pq_index_topk / ivf_index_topk
+    on a fixture query stream)."""
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        ann_search_batch(
+            batch_df, index_path, sink_path, batch_id,
+            k=k, nprobe=nprobe, rerank_factor=rerank_factor,
+            query_id_col=query_id_col, vec_col=vec_col,
+            max_queries_per_batch=max_queries_per_batch,
+        )
+
+    writer = queries.writeStream.foreachBatch(probe).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     query = writer.start()

@@ -1297,6 +1297,31 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
         F.col("position").isNotNull()
     ).count() == 4
 
+    # per-sequence manifest over the committed state: bit-equal to the
+    # batch sequence_manifest over the one-shot append of the same
+    # concatenated input (the incremental pack keeps tiling, so the
+    # reader-side view agrees too)
+    from bigdata_usaspending_spark.plans.build_corpus import (
+        sequence_manifest,
+    )
+
+    got_manifest = jobs.corpus_manifest_from_state(spark, state).collect()
+    want_manifest = sequence_manifest(
+        want_full.filter(F.col("position").isNotNull())
+    ).collect()
+    key_m = lambda r: (  # noqa: E731
+        r.seq_id,
+        tuple((d.doc_id, d.seq_offset, d.n_tokens) for d in r.docs),
+        r.n_docs, r.n_tokens, r.starts_mid_document,
+    )
+    assert sorted(map(key_m, got_manifest)) == sorted(
+        map(key_m, want_manifest)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed corpus state"):
+        jobs.corpus_manifest_from_state(spark, str(tmp_path / "nowhere"))
+
 
 def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     """Streaming SemDeDup tier: two micro-batch runs (restart between)
@@ -1416,3 +1441,84 @@ def test_stateful_stream_requires_checkpoint_once_committed(spark, tmp_path):
     assert read_versioned_state(spark, fresh).filter(
         F.col("position").isNotNull()
     ).count() == 1
+
+
+def test_stream_ann_search_matches_batch_probe(spark, sf_small, tmp_path):
+    """Streaming vector search over a persisted index: every query's hits
+    are bit-identical to the single-query batch probe (ivf_pq_index_topk
+    for the PQ layout, ivf_index_topk for plain IVF), ranks are 1..k, and
+    the per-trigger query cap raises instead of collecting unbounded."""
+    import pytest
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import similarity
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    centroids = _ivf_centroids(emb)
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=16, k=8)
+    pq_path = str(tmp_path / "pq_idx")
+    similarity.ivf_pq_index_write(data, centroids, cb, pq_path)
+    ivf_path = str(tmp_path / "ivf_idx")
+    similarity.ivf_index_write(data, centroids, ivf_path)
+
+    qrows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in data.filter(F.col("vec_id").isin(2, 7, 11)).collect()
+    ]
+    landing = str(tmp_path / "queries")
+    spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    for path, probe_one, score_col in (
+        (
+            pq_path,
+            lambda v: similarity.ivf_pq_index_topk(
+                spark, pq_path, v, k=5, nprobe=4, rerank_factor=8
+            ),
+            "l2sq",
+        ),
+        (
+            ivf_path,
+            lambda v: similarity.ivf_index_topk(
+                spark, ivf_path, v, k=5, nprobe=4
+            ),
+            "cosine",
+        ),
+    ):
+        sink = str(tmp_path / f"hits_{score_col}")
+        jobs.stream_ann_search(
+            spark.readStream.schema(schema).parquet(landing),
+            path, sink, k=5, nprobe=4, rerank_factor=8,
+        ).stop()
+        got = spark.read.parquet(sink)
+        assert set(got.columns) == {
+            "query_id", "rank", "vec_id", score_col, "_batch_id"
+        }
+        for qid, vec in qrows:
+            mine = [
+                (r.rank, r.vec_id, r[score_col])
+                for r in got.filter(F.col("query_id") == qid)
+                .orderBy("rank")
+                .collect()
+            ]
+            want = [
+                (i + 1, r[0], float(r[1]))
+                for i, r in enumerate(probe_one(vec).collect())
+            ]
+            assert mine == want, (score_col, qid)
+
+    # the serving cap is a hard contract: raise, never unbounded collect
+    with pytest.raises(ValueError, match="max_queries_per_batch"):
+        jobs.ann_search_batch(
+            spark.createDataFrame(
+                qrows, "query_id long, embedding array<float>"
+            ),
+            pq_path, str(tmp_path / "overflow"), 0,
+            max_queries_per_batch=2,
+        )
