@@ -172,6 +172,12 @@ def _parser() -> argparse.ArgumentParser:
         "--rerank-factor", type=int, default=4,
         help="IVF-PQ exact-rerank multiplier (search)",
     )
+    ai.add_argument(
+        "--adc-prune", action="store_true",
+        help="IVF-PQ search: skip probed cells whose ADC lower bound "
+        "exceeds the phase-1 shortlist threshold (identical results, "
+        "fewer cell directories read)",
+    )
     ai.add_argument("--output", default=None, help="write search result parquet here")
 
     pr = sub.add_parser(
@@ -426,12 +432,20 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("ann-index search needs --query")
         qvec = [float(x) for x in args.query.split(",") if x.strip()]
         if is_pq:
+            stats: dict = {}
             out = similarity.ivf_pq_index_topk(
                 spark, args.index, qvec,
                 k=args.k, nprobe=args.nprobe,
                 rerank_factor=args.rerank_factor,
                 id_col=args.id_col, vec_col=args.vec_col,
+                adc_prune=args.adc_prune, probe_stats=stats,
             )
+            if args.adc_prune and stats.get("pruned_cells"):
+                print(
+                    f"adc-prune: scanned {len(stats['cells_scanned'])} of "
+                    f"{len(stats['cells_ranked'])} probed cells "
+                    f"(pruned {stats['pruned_cells']})"
+                )
         else:
             out = similarity.ivf_index_topk(
                 spark, args.index, qvec,

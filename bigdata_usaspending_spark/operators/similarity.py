@@ -36,6 +36,8 @@ Execution tiers (deliberate, per kernel):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1782,20 +1784,11 @@ def _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub):
     }
 
 
-def _ivf_pq_adc_rerank(
-    cands: DataFrame,
-    cell_tables: dict,
-    qvec: list,
-    k: int,
-    rerank_factor: int,
-    id_col: str,
-    vec_col: str,
-    cell_col: str,
-) -> DataFrame:
-    """Steps 3–4 of the IVF-PQ query path over an already cell-pruned
-    candidate frame: Arrow ADC scan (approximate distance = the row's
-    cell table entries selected by its codes, folded sub-ascending), then
-    exact squared-L2 rerank of the ``k*rerank_factor`` best."""
+def _adc_kernel(cell_tables: dict):
+    """The Arrow ADC scan kernel over ``{cell: per-sub lookup arrays}``
+    tables: approximate distance = the row's cell-table entries selected
+    by its codes, folded sub-ascending. Shared by the rerank path and the
+    adc-prune phase-1 threshold scan."""
 
     @F.pandas_udf("double")
     def _adc(codes: pd.Series, cell: pd.Series) -> pd.Series:
@@ -1823,6 +1816,24 @@ def _ivf_pq_adc_rerank(
         if np.isnan(acc).any():
             return pd.Series(acc).astype("Float64")
         return pd.Series(acc)
+
+    return _adc
+
+
+def _ivf_pq_adc_rerank(
+    cands: DataFrame,
+    cell_tables: dict,
+    qvec: list,
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Steps 3–4 of the IVF-PQ query path over an already cell-pruned
+    candidate frame: Arrow ADC scan (_adc_kernel), then exact squared-L2
+    rerank of the ``k*rerank_factor`` best."""
+    _adc = _adc_kernel(cell_tables)
 
     q64 = np.array(qvec, dtype=np.float64)
 
@@ -2123,6 +2134,9 @@ def ivf_pq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cells: int = 65_536,
+    adc_prune: bool = False,
+    prune_phase1: int = 1,
+    probe_stats: "dict | None" = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: centroids + codebooks load
     driver-side (cap-guarded — index-parameter-bounded model state), the
@@ -2131,7 +2145,26 @@ def ivf_pq_index_topk(
     scan carries a ``cell IN (...)`` predicate on the PARTITION column —
     Catalyst prunes to nprobe directories before a single row is read.
     Result is identical to running ivf_pq_topk over the index's live
-    frames with the same model state."""
+    frames with the same model state.
+
+    ``adc_prune=True`` adds residual-aware cell pruning (the faiss
+    IVF-pruning idea, VERDICT r11 #6) with an EXACTNESS guarantee —
+    identical output, fewer cell directories read: scan the
+    ``prune_phase1`` nearest cells first, take the k*rerank_factor-th
+    ADC distance as threshold ``t``, then SKIP any remaining probed cell
+    whose ADC LOWER BOUND (per-sub minimum of its lookup table, summed —
+    no vector in the cell can score below it) exceeds ``t``: phase-1
+    alone already supplies k*rerank_factor rows at or below ``t``, so a
+    vector with ADC > t can never enter the shortlist, and the pruned
+    probe's shortlist — hence the exact-reranked top-k — is
+    bit-identical to the full nprobe probe (tested). Pruning bites when
+    cells are separated (the production case: a far cell's query
+    residual is far from every codebook entry, inflating its bound); on
+    isotropic data the bound stays below ``t`` and the probe degrades
+    gracefully to the plain nprobe scan. Costs one extra k*rerank-bounded
+    collect over the phase-1 directories. ``probe_stats`` (a dict, if
+    given) receives cells_ranked / cells_scanned / pruned_cells /
+    threshold for ops visibility."""
     qvec = [float(x) for x in _as_qvec(query)]
     cent_rows = sorted(
         (r["cell"], [float(x) for x in r["centroid"]])
@@ -2153,9 +2186,44 @@ def ivf_pq_index_topk(
         )
     dsub = len(cb_rows[0][2])
     cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
-    cands = spark.read.parquet(f"{path}/vectors.parquet").filter(
-        F.col("cell").isin([int(c) for c in cell_tables])
-    )
+    vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    cells = [int(c) for c in cell_tables]  # centroid-ranked probe order
+    if probe_stats is not None:
+        probe_stats.update(
+            cells_ranked=list(cells), cells_scanned=list(cells),
+            pruned_cells=[], threshold=None,
+        )
+    p1n = max(1, int(prune_phase1))
+    if adc_prune and len(cells) > p1n:
+        p1 = cells[:p1n]
+        shortlist1 = (
+            vectors.filter(F.col("cell").isin(p1))
+            .select(
+                _adc_kernel({c: cell_tables[c] for c in p1})(
+                    F.col("codes"), F.col("cell").cast("long")
+                ).alias("_ad")
+            )
+            .orderBy(F.asc("_ad"))
+            .limit(k * rerank_factor)
+            .collect()  # k*rerank-bounded
+        )
+        if len(shortlist1) >= k * rerank_factor:
+            t = float(shortlist1[-1][0])
+            if not math.isnan(t):
+                lb = {
+                    c: float(sum(np.nanmin(a) for a in cell_tables[c]))
+                    for c in cells[p1n:]
+                }
+                kept = [c for c in cells[p1n:] if lb[c] <= t]
+                pruned = [c for c in cells[p1n:] if lb[c] > t]
+                cells = p1 + kept
+                cell_tables = {c: cell_tables[c] for c in cells}
+                if probe_stats is not None:
+                    probe_stats.update(
+                        cells_scanned=list(cells),
+                        pruned_cells=pruned, threshold=t,
+                    )
+    cands = vectors.filter(F.col("cell").isin(cells))
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"
     )

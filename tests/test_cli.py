@@ -294,6 +294,19 @@ def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
     assert hits[0].vec_id == 2 and hits[0].l2sq < 1e-9
     assert len(hits) == 3
 
+    # --adc-prune: identical hits (the exactness guarantee end-to-end)
+    out2 = str(tmp_path / "hits_pruned")
+    found2 = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--nprobe", "8", "--rerank-factor", "16",
+        "--adc-prune", "--output", out2,
+    )
+    assert found2.returncode == 0, found2.stderr[-2000:]
+    hits2 = spark.read.parquet(out2).orderBy("l2sq").collect()
+    assert [(r.vec_id, r.l2sq) for r in hits2] == [
+        (r.vec_id, r.l2sq) for r in hits
+    ]
+
 
 def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
     """build-corpus --near-method winnow as a real subprocess: the

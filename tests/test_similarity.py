@@ -848,3 +848,84 @@ def test_ivf_pq_hybrid_end_to_end(spark, sf_small):
         data, cents, q, k=10, m=32, kc=16, nprobe=8, rerank_factor=32
     ).collect()
     assert len(audit) == 10 and all(r.recall_ok for r in audit)
+
+
+def test_ivf_pq_adc_prune_exact_at_fewer_cells(spark, sf_small, tmp_path):
+    """Residual-aware probe pruning (adc_prune): on clustered data the
+    far probed cells' ADC lower bounds exceed the phase-1 shortlist
+    threshold, so the probe reads FEWER cell directories while returning
+    BIT-IDENTICAL results to the full nprobe probe (the exactness
+    guarantee: phase-1 alone supplies k*rerank rows at or below the
+    threshold, so no vector in a pruned cell can enter the shortlist).
+    On the isotropic fixture embeddings the bound stays loose and the
+    probe degrades gracefully to the plain scan — results still equal."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    # 4 well-separated clusters, deterministic jitter (no RNG)
+    dim, per = 8, 60
+    centers = [
+        [40.0 * (c == j) for j in range(dim)] for c in range(4)
+    ]
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = list(centers[c])
+            v[(i * 3) % dim] += ((i % 7) - 3) * 0.31
+            v[(i * 5 + 1) % dim] += ((i % 5) - 2) * 0.17
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    data = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    centroids = spark.createDataFrame(
+        [(c, centers[c]) for c in range(4)],
+        "cell int, centroid array<double>",
+    )
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=4, k=8)
+    path = str(tmp_path / "clustered_idx")
+    similarity.ivf_pq_index_write(data, centroids, cb, path)
+
+    qvec = list(centers[0])
+    qvec[2] += 0.05  # near cluster 0
+    full = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=5, nprobe=4, rerank_factor=4
+    ).collect()
+    stats: dict = {}
+    pruned = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=5, nprobe=4, rerank_factor=4,
+        adc_prune=True, probe_stats=stats,
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in pruned] == [
+        (r.vec_id, r.l2sq) for r in full
+    ]
+    # the curve point the verdict asks for: >= current recall (equal — the
+    # results are bit-identical) at strictly FEWER probed cells
+    assert len(stats["cells_ranked"]) == 4
+    assert len(stats["cells_scanned"]) < 4
+    assert stats["pruned_cells"] and stats["threshold"] is not None
+    assert set(stats["cells_scanned"]) | set(stats["pruned_cells"]) == set(
+        stats["cells_ranked"]
+    )
+
+    # graceful degrade on isotropic data: bit-equal, possibly no pruning
+    emb = load(spark, sf_small, "embeddings")
+    idata = emb.filter(F.col("vec_id") != 0)
+    icent = _ivf_centroids(emb)
+    iassigned = similarity.ivf_assign(idata, icent)
+    iresid = similarity.ivf_residuals(iassigned, icent)
+    icb = similarity.pq_train_driver(iresid, vec_col="residual", m=16, k=8)
+    ipath = str(tmp_path / "iso_idx")
+    similarity.ivf_pq_index_write(idata, icent, icb, ipath)
+    iq = _query_vec_list(emb)
+    a = similarity.ivf_pq_index_topk(
+        spark, ipath, iq, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    b = similarity.ivf_pq_index_topk(
+        spark, ipath, iq, k=10, nprobe=4, rerank_factor=8, adc_prune=True
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in a] == [(r.vec_id, r.l2sq) for r in b]
