@@ -343,9 +343,151 @@ def _corpus_build_winnow_oracle() -> str:
     """
 
 
+_PRUNE_SHIFT = 40.0
+
+
+def _clustered_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic clustered synth over the embeddings fixture: shift
+    each vector by +40 in coordinate ``label`` — ten well-separated
+    clusters (pairwise centroid distance ~56, intra-cluster jitter < 1)
+    with the original values as jitter. The fixture's isotropic
+    embeddings never trigger lower-bound pruning (every cell's bound
+    sits below any shortlist threshold — measured round 12); this synth
+    is the production geometry where it must: a far cell's query
+    residual is ~40 units from every codebook entry, so its ADC lower
+    bound exceeds any near-cluster threshold. float32 widens to binary64
+    losslessly, so the +40.0 arithmetic replays bit-exactly in SQL."""
+    emb = load(_prep(spark), sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == F.col("label").cast("int"), F.lit(_PRUNE_SHIFT))
+            .otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def q_ann_ivf_pq_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """The residual-aware pruned IVF-PQ probe (adc_prune, VERDICT r11
+    #6) through the audit contract, on geometry where pruning MUST bite:
+    ten well-separated clusters (_clustered_embeddings), query near the
+    label-0 cluster, nprobe = all 10 cells. Output is the EXACT
+    euclidean top-10 witness plus three pinned booleans the oracle
+    expects TRUE: ``recall_ok`` (pruned probe hit >= 80% of the exact
+    top-5 set), ``prune_exact`` (pruned hits bit-equal to the full-nprobe
+    probe — the exactness guarantee), and ``prune_effective`` (the probe
+    actually skipped >= 1 cell directory, so the guarantee was exercised,
+    not vacuous). Index materializes under a per-call temp dir; the
+    witness checkpoints before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..operators import similarity
+
+    shifted = _clustered_embeddings(spark, sf)
+    data = shifted.filter(F.col("vec_id") != 0)
+    qrow = shifted.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    qvec[0] += _PRUNE_SHIFT  # move the query into the label-0 cluster
+    centroids = similarity.mean_centroids(
+        data.select(F.col("label").alias("cell"), "embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_pruned_")
+    try:
+        assigned = similarity.ivf_assign(data, centroids)
+        resid = similarity.ivf_residuals(assigned, centroids)
+        cb = similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=32, k=32,
+        )
+        similarity.ivf_pq_index_write(data, centroids, cb, tmp)
+        full = similarity.ivf_pq_index_topk(
+            spark, tmp, qvec, k=5, nprobe=10, rerank_factor=16
+        ).collect()  # k-bounded
+        stats: dict = {}
+        pruned = similarity.ivf_pq_index_topk(
+            spark, tmp, qvec, k=5, nprobe=10, rerank_factor=16,
+            adc_prune=True, prune_phase1=2, probe_stats=stats,
+        ).collect()  # k-bounded
+        prune_exact = [(r[0], r[1]) for r in pruned] == [
+            (r[0], r[1]) for r in full
+        ]
+        prune_effective = bool(stats.get("pruned_cells"))
+        exact = (
+            data.select(
+                "vec_id",
+                similarity.euclidean_to_query_kernel(qvec)(
+                    F.col("embedding")
+                ).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc("vec_id"))
+            .limit(5)
+            .localCheckpoint()
+        )
+        exact_ids = [r.vec_id for r in exact.collect()]  # k-bounded
+        hit = {r[0] for r in pruned}
+        recall_ok = (
+            len(set(exact_ids) & hit) >= 0.8 * len(exact_ids)
+            if exact_ids
+            else True
+        )
+        return exact.select(
+            "vec_id", "distance",
+            F.lit(bool(recall_ok)).alias("recall_ok"),
+            F.lit(bool(prune_exact)).alias("prune_exact"),
+            F.lit(bool(prune_effective)).alias("prune_effective"),
+        ).orderBy(F.asc("distance"), F.asc("vec_id"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_ivf_pq_pruned_oracle() -> str:
+    # audit-contract oracle: exact euclidean top-10 witness over the
+    # shifted (clustered) vectors — the +40-at-coordinate-`label` synth
+    # replayed via posexplode/re-aggregate — plus the three pinned
+    # booleans (recall floor, pruned == full, pruning exercised)
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH shifted AS (
+            SELECT vec_id,
+                   list(CAST(x AS DOUBLE)
+                        + CASE WHEN pos = label + 1
+                               THEN {_PRUNE_SHIFT!r} ELSE 0.0 END
+                        ORDER BY pos) AS emb
+            FROM (
+                SELECT vec_id, label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            )
+            GROUP BY vec_id, label
+        ),
+        q AS (
+            SELECT list_transform(
+                       range(1, len(emb) + 1),
+                       i -> emb[i] + CASE WHEN i = 1
+                                          THEN {_PRUNE_SHIFT!r}
+                                          ELSE 0.0 END
+                   ) AS q_emb
+            FROM shifted WHERE vec_id = 0
+        )
+        SELECT s.vec_id, {_euclid_sql('s.emb', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok, TRUE AS prune_exact,
+               TRUE AS prune_effective
+        FROM shifted s, q
+        WHERE s.vec_id <> 0
+        ORDER BY distance ASC, s.vec_id ASC
+        LIMIT 5
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
+    "q_ann_ivf_pq_pruned": q_ann_ivf_pq_pruned,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -353,4 +495,5 @@ ROWS_ONLY_QUERIES: set[str] = set()
 ORACLE_SQL: dict[str, str] = {
     "q_winnow_robust": _winnow_robust_oracle(),
     "q_corpus_build_winnow": _corpus_build_winnow_oracle(),
+    "q_ann_ivf_pq_pruned": _ann_ivf_pq_pruned_oracle(),
 }
