@@ -414,6 +414,113 @@ def winnow_pairs(
     )
 
 
+def winnow_match_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+) -> DataFrame:
+    """Near-duplicate pairs WITH matched-span localization — the MOSS
+    offset-pair use case robust winnowing's positions exist for
+    (text.winnow_fingerprints(robust=True); SIGMOD'03 §5): for every
+    verified pair, where in each document the shared content sits.
+
+    Pipeline: positioned robust fingerprints per doc → anchor join on
+    the fingerprint VALUE (every shared selected k-gram hash is an
+    anchor (pos_a, pos_b)) → per-pair aggregate. Jaccard verifies over
+    DISTINCT fingerprint values, which robust selection provably shares
+    with plain winnowing (tested), so the pair set at a given threshold
+    matches winnow_pairs'; the positions add the span evidence on top.
+
+    Output per pair: ``id_a, id_b, jaccard, n_shared`` (distinct shared
+    fingerprint values), ``n_anchors`` (matched position pairs — a hash
+    appearing at a positions in A and b in B contributes a*b anchors),
+    and the covering character spans in each doc's NORMALIZED text:
+    ``a_start/a_end`` and ``b_start/b_end`` (1-based, inclusive;
+    min anchor position .. max anchor position + k - 1).
+
+    ``max_fingerprint_df`` is the stop-gram cap (winnow_pairs' contract
+    over document frequency): capped fingerprints leave candidate
+    generation AND the shared/anchor counts while per-doc set sizes stay
+    full — the same underestimate semantics, which also bounds the
+    anchor cross-products boilerplate would otherwise explode.
+
+    100-TB shape: the anchor join explodes the ROBUST positioned
+    density — at most the plain winnowed density, and collapsed ~w-fold
+    on repetitive text (the tie-break's point) — then one aggregate
+    keyed on the pair; never all-pairs."""
+    from .text import winnow_fingerprints
+
+    pos_fps = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        )
+        .select(
+            "_id",
+            winnow_fingerprints(
+                text_col, k=k, w=w, portable=portable, robust=True,
+                alias="pfps",
+            ),
+        )
+        .filter(F.size("pfps") > 0)
+        .select(
+            "_id",
+            # distinct VALUE count — the Jaccard denominator (== the
+            # plain winnowed set size)
+            F.size(
+                F.array_distinct(F.transform("pfps", lambda s: s["fp"]))
+            ).alias("_nf"),
+            F.explode("pfps").alias("_s"),
+        )
+        .select("_id", "_nf", F.col("_s.fp").alias("_f"),
+                F.col("_s.pos").alias("_p"))
+    )
+    pos_fps.cache()  # both sides of the anchor self-join
+    if max_fingerprint_df is not None:
+        heavy = (
+            pos_fps.select("_id", "_f")
+            .distinct()
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_df)
+            .select("_f")
+        )
+        pos_fps = pos_fps.join(heavy, on="_f", how="anti")
+    a = pos_fps.select(
+        F.col("_id").alias("id_a"), F.col("_nf").alias("nf_a"),
+        "_f", F.col("_p").alias("pos_a"),
+    )
+    b = pos_fps.select(
+        F.col("_id").alias("id_b"), F.col("_nf").alias("nf_b"),
+        "_f", F.col("_p").alias("pos_b"),
+    )
+    anchors = a.join(
+        b, on=(a["_f"] == b["_f"]) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a", "id_b", "nf_a", "nf_b",
+        a["_f"].alias("_f"), "pos_a", "pos_b",
+    )
+    agg = anchors.groupBy("id_a", "id_b", "nf_a", "nf_b").agg(
+        F.count_distinct("_f").alias("n_shared"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.min("pos_a").alias("a_start"),
+        (F.max("pos_a") + F.lit(k - 1)).alias("a_end"),
+        F.min("pos_b").alias("b_start"),
+        (F.max("pos_b") + F.lit(k - 1)).alias("b_end"),
+    )
+    jac = F.col("n_shared").cast("double") / (
+        (F.col("nf_a") + F.col("nf_b") - F.col("n_shared")).cast("double")
+    )
+    return agg.select(
+        "id_a", "id_b", jac.alias("jaccard"), "n_shared", "n_anchors",
+        "a_start", "a_end", "b_start", "b_end",
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def winnow_index(
     df: DataFrame,
     id_col: str,

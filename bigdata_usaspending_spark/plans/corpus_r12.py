@@ -74,21 +74,23 @@ def q_winnow_robust(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _winnow_robust_oracle() -> str:
-    # the §5 algorithm replayed as a recursive CTE folding over window
-    # start indices j (0-based; window j+1 covers gram positions
-    # j+1 .. j+w): carry (last selected position, selections); keep
-    # `last` while it is in-window and still a minimum, else append the
-    # rightmost minimal position (len - position of the min in the
-    # reversed window + 1, offset by j)
+def _robust_fps_ctes(src: str) -> str:
+    """The §5 robust-winnowing replay as a reusable recursive CTE chain
+    ending in ``rfp (doc_id, pos, fp)`` — composable over any
+    ``(doc_id, text)`` source CTE (q_winnow_robust and the span
+    localization oracle share it). Fold over window start indices j
+    (0-based; window j+1 covers gram positions j+1 .. j+w): carry (last
+    selected position, selections); keep ``last`` while it is in-window
+    and still a minimum, else append the rightmost minimal position
+    (len - position of the min in the reversed window + 1, offset by
+    j). Must be spliced into a ``WITH RECURSIVE`` clause."""
     from .corpus_ext import _NORMALIZED, _basehash_sql
 
     k, w = _ROBUST_K, _ROBUST_W
     gram_hash = _basehash_sql(f"substr(s, i, {k})")
-    return f"""
-        WITH RECURSIVE t AS (
-            SELECT doc_id, {_NORMALIZED} AS s FROM documents
-            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+    return f"""t AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
+            WHERE text IS NOT NULL
         ),
         g AS (
             SELECT doc_id,
@@ -127,9 +129,20 @@ def _winnow_robust_oracle() -> str:
                 )
             )
         ),
-        fin AS (SELECT doc_id, grams, sel FROM r WHERE j = nwin)
-        SELECT doc_id, CAST(p AS INTEGER) AS pos, grams[p] AS fp
-        FROM (SELECT doc_id, grams, unnest(sel) AS p FROM fin)
+        fin AS (SELECT doc_id, grams, sel FROM r WHERE j = nwin),
+        rfp AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS pos, grams[p] AS fp
+            FROM (SELECT doc_id, grams, unnest(sel) AS p FROM fin)
+        )"""
+
+
+def _winnow_robust_oracle() -> str:
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        ),
+        {_robust_fps_ctes(src="sample")}
+        SELECT doc_id, pos, fp FROM rfp
     """
 
 
@@ -343,6 +356,93 @@ def _corpus_build_winnow_oracle() -> str:
     """
 
 
+_SPAN_THRESHOLD = 0.5
+_SPAN_MAX_DF = 50
+
+
+def q_winnow_match_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style match-span localization (dedup.winnow_match_spans) over
+    the 1-in-7 document sample plus synthesized trailing-token variants:
+    for every verified near-dup pair, WHERE the shared content sits —
+    per-pair distinct-shared-fingerprint Jaccard, anchor counts, and the
+    covering character spans in each doc's normalized text. The payoff of
+    robust winnowing's positioned selection (q_winnow_robust): the same
+    anchors a plagiarism/overlap report needs, fully value-checked
+    against the recursive-CTE tie-break replay + SQL anchor joins."""
+    from ..operators import dedup
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    return dedup.winnow_match_spans(
+        docs.unionByName(variants), "doc_id",
+        k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
+        portable=True, max_fingerprint_df=_SPAN_MAX_DF,
+    )
+
+
+def _winnow_match_spans_oracle() -> str:
+    # the robust positioned-fps chain over sample ∪ variants, then the
+    # span replay: doc-df stop-gram cap, anchor join on fingerprint
+    # VALUES, per-pair aggregate (distinct shared values for Jaccard,
+    # raw anchor count, min/max positions + k - 1 for the covering
+    # spans), threshold filter
+    k = _ROBUST_K
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
+            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ),
+        {_robust_fps_ctes(src="sample")},
+        nf AS (
+            SELECT doc_id, count(DISTINCT fp) AS nf FROM rfp GROUP BY doc_id
+        ),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc
+                FROM (SELECT DISTINCT doc_id, fp FROM rfp) GROUP BY fp
+            ) WHERE dfc > {_SPAN_MAX_DF}
+        ),
+        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
+        anc AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        agg AS (
+            SELECT id_a, id_b,
+                   count(DISTINCT fp) AS n_shared,
+                   CAST(count(*) AS BIGINT) AS n_anchors,
+                   min(pos_a) AS a_start,
+                   max(pos_a) + {k - 1} AS a_end,
+                   min(pos_b) AS b_start,
+                   max(pos_b) + {k - 1} AS b_end
+            FROM anc GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, jaccard, n_shared, n_anchors,
+               a_start, a_end, b_start, b_end
+        FROM (
+            SELECT g.id_a, g.id_b,
+                   CAST(g.n_shared AS DOUBLE)
+                   / CAST(na.nf + nb.nf - g.n_shared AS DOUBLE) AS jaccard,
+                   g.n_shared, g.n_anchors,
+                   g.a_start, g.a_end, g.b_start, g.b_end
+            FROM agg g
+            JOIN nf na ON g.id_a = na.doc_id
+            JOIN nf nb ON g.id_b = nb.doc_id
+        ) WHERE jaccard >= {_SPAN_THRESHOLD}
+    """
+
+
 _PRUNE_SHIFT = 40.0
 
 
@@ -488,6 +588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
     "q_ann_ivf_pq_pruned": q_ann_ivf_pq_pruned,
+    "q_winnow_match_spans": q_winnow_match_spans,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -496,4 +597,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_winnow_robust": _winnow_robust_oracle(),
     "q_corpus_build_winnow": _corpus_build_winnow_oracle(),
     "q_ann_ivf_pq_pruned": _ann_ivf_pq_pruned_oracle(),
+    "q_winnow_match_spans": _winnow_match_spans_oracle(),
 }

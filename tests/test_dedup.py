@@ -667,3 +667,95 @@ def test_winnow_dedup_against_index_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_match_spans_matches_bruteforce(spark):
+    """Span localization: pairs, Jaccard, anchor counts and covering
+    spans all equal a brute-force Python replay over the positioned
+    robust fingerprints; the pair set matches winnow_pairs at the same
+    threshold (robust values == plain values); spans cover the shared
+    prefix of a trailing-token near-dup."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    K, W, TH = 8, 4, 0.5
+
+    def ref_pos_fps(text):
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(s) < K:
+            return []
+        g = [
+            int(hashlib.md5(s[i : i + K].encode()).hexdigest()[:15], 16)
+            for i in range(len(s) - K + 1)
+        ]
+        last, sel = 0, []
+        for j in range(1, max(len(g) - W + 1, 1) + 1):
+            win = g[j - 1 : j - 1 + W]
+            m = min(win)
+            if last >= j and g[last - 1] == m:
+                continue
+            last = j + max(i + 1 for i, v in enumerate(win) if v == m) - 1
+            sel.append(last)
+        return [(g[p - 1], p) for p in sel]
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    texts = {
+        1: base,
+        2: base + " again",  # near-dup: long shared prefix
+        3: "a completely different sentence about the blue sea and the "
+           "sand is here now",
+        4: "a completely different sentence about the blue sea and the "
+           "sand is here soon",  # near-dup of 3
+        5: "unrelated text about trains and long rails going far away",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (
+            r.jaccard, r.n_shared, r.n_anchors,
+            r.a_start, r.a_end, r.b_start, r.b_end,
+        )
+        for r in dedup.winnow_match_spans(
+            df, "doc_id", k=K, w=W, threshold=TH, portable=True
+        ).collect()
+    }
+
+    fps = {i: ref_pos_fps(t) for i, t in texts.items()}
+    want = {}
+    for x, y in combinations(sorted(fps), 2):
+        vx, vy = {f for f, _ in fps[x]}, {f for f, _ in fps[y]}
+        shared = vx & vy
+        if not shared:
+            continue
+        j = len(shared) / len(vx | vy)
+        if j < TH:
+            continue
+        ax = [p for f, p in fps[x] if f in shared]
+        ay = [p for f, p in fps[y] if f in shared]
+        n_anchors = sum(
+            sum(1 for f2, _ in fps[y] if f2 == f) for f, _ in fps[x]
+            if f in shared
+        )
+        want[(x, y)] = (
+            j, len(shared), n_anchors,
+            min(ax), max(ax) + K - 1, min(ay), max(ay) + K - 1,
+        )
+    assert got == want and (1, 2) in got and (3, 4) in got
+
+    # pair set agrees with the value-set tier at the same threshold
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_pairs(
+            df, "doc_id", k=K, w=W, threshold=TH, portable=True
+        ).collect()
+    }
+    assert set(got) == plain
+
+    # the near-dup's span covers (most of) the shared prefix in BOTH docs
+    j, ns, na, a0, a1, b0, b1 = got[(1, 2)]
+    norm_len = len(re.sub(r"\s+", " ", base.lower()).strip())
+    assert a0 >= 1 and a1 <= norm_len and a1 - a0 > norm_len * 0.5
+    assert b0 == a0  # identical prefix -> identical first anchor
