@@ -1294,6 +1294,135 @@ def stream_build_corpus(
     return query
 
 
+def winnow_dedup_append_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """One idempotent micro-batch of streaming rolling-hash near dedup —
+    the winnowing member of the streaming dedup family (exact / simhash
+    / URL / semantic): drop a batch doc iff its winnowing-fingerprint
+    Jaccard >= ``threshold`` against ANY earlier doc — an earlier
+    same-batch doc (in-batch pairwise min-id via winnow_pairs) or any
+    committed ledger row (winnow_dedup_against_index over the FULL
+    ledger: dropped rows keep suppressing, the semantic tier's
+    transitive-chain rationale — A~B~C with only B~C above threshold
+    must still drop C after B dropped).
+
+    State is a versioned full ledger ``(doc_id, fps, survivor)`` — the
+    fingerprint sets, not the text, so the probe re-verifies exact
+    set Jaccard without re-fingerprinting history; docs below ``k``
+    normalized chars carry an empty set (they match nothing and always
+    survive). N id-ordered appends equal one whole-input append
+    bit-for-bit when ``max_fingerprint_df`` is None (tested, including
+    a transitive chain); WITH a stop-gram cap the document frequencies
+    are computed per append over state ∪ batch, so capped-candidate
+    recall can differ from the one-shot run — the family's documented
+    cap trade-off, now with a split-dependence caveat. Exactly-once:
+    replayed batch_ids skip, a crash before the manifest flip leaves
+    the previous ledger intact."""
+    from ..io import (
+        commit_versioned_state,
+        read_state_manifest,
+        read_versioned_state,
+    )
+    from ..operators.dedup import winnow_dedup_against_index, winnow_pairs
+    from ..operators.text import winnow_fingerprints
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    cur = read_versioned_state(batch_df.sparkSession, state_path)
+    bfps = batch_df.select(
+        F.col(id_col),
+        winnow_fingerprints(
+            text_col, k=k, w=w, portable=portable, alias="fps"
+        ),
+    )
+    in_batch = (
+        winnow_pairs(
+            batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
+            portable=portable, max_fingerprint_df=max_fingerprint_df,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    drops = in_batch
+    if cur is not None:
+        survivors_vs_state = winnow_dedup_against_index(
+            batch_df,
+            cur.select(F.col(id_col).alias("_id"), "fps"),
+            id_col, text_col, k=k, w=w, threshold=threshold,
+            portable=portable, max_fingerprint_df=max_fingerprint_df,
+        ).select(id_col)
+        state_hits = batch_df.select(id_col).join(
+            survivors_vs_state, on=id_col, how="anti"
+        )
+        drops = drops.unionByName(state_hits).distinct()
+    flagged = bfps.join(
+        drops.withColumn("_dropped", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col, "fps", F.col("_dropped").isNull().alias("survivor")
+    )
+    out = flagged if cur is None else cur.unionByName(flagged)
+    commit_versioned_state(out, state_path, batch_id)
+    return True
+
+
+def stream_near_dedup_winnow(
+    docs: DataFrame,
+    state_path: str,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: "str | None" = None,
+):
+    """Keep a rolling-hash near-deduplicated document set incrementally
+    fresh from a stream — the streaming twin of the incremental winnow
+    tier (q_dedup_incremental_winnow), completing the streaming dedup
+    family (exact fingerprint / simhash / URL / semantic / winnow).
+    foreachBatch + a versioned full ledger of fingerprint sets (see
+    winnow_dedup_append_batch for the semantics and the cap caveat);
+    each batch probes the committed ledger by probe inversion (batch
+    broadcasts, ledger scan-only), never re-fingerprints history.
+    Feeding batches in id order reproduces one whole-input append
+    bit-for-bit (tested, including a transitive A~B~C chain). Readers
+    take ``survivor = true`` rows.
+
+    ``checkpoint`` is REQUIRED once state exists (see
+    stream_build_corpus: a fresh query restarts batch_id at 0 and the
+    replay guard would silently discard new data)."""
+    _require_checkpoint_for_committed_state(
+        docs.sparkSession, state_path, checkpoint, "stream_near_dedup_winnow"
+    )
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        winnow_dedup_append_batch(
+            batch_df, state_path, batch_id,
+            k=k, w=w, threshold=threshold, portable=portable,
+            max_fingerprint_df=max_fingerprint_df,
+            id_col=id_col, text_col=text_col,
+        )
+
+    writer = docs.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def corpus_manifest_from_state(spark, state_path: str) -> DataFrame:
     """The training reader's per-sequence manifest over a streaming
     corpus build's COMMITTED state — the plans/build_corpus.

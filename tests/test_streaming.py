@@ -1522,3 +1522,85 @@ def test_stream_ann_search_matches_batch_probe(spark, sf_small, tmp_path):
             pq_path, str(tmp_path / "overflow"), 0,
             max_queries_per_batch=2,
         )
+
+
+def test_stream_near_dedup_winnow_matches_batch(spark, tmp_path):
+    """Streaming winnow tier: two micro-batch runs (restart between)
+    leave the SAME ledger as one whole-input append — INCLUDING the
+    transitive chain A~B~C where only consecutive Jaccards cross the
+    threshold (dropped B must keep suppressing C, so the ledger keeps
+    dropped rows); sub-k docs survive with empty sets; replays no-op;
+    the checkpoint guard fires once state exists."""
+    import pytest
+
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    A = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    B = A + " by the wide river today"
+    C = B + " while birds sing in the quiet green forest all morning long"
+    # preconditions pinned by the operator itself below: jac(A,B) and
+    # jac(B,C) >= 0.5 > jac(A,C)
+    b1 = spark.createDataFrame(
+        [(1, A), (2, B), (3, "an entirely different text about trains "
+                             "and long rails going far away tonight")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(11, C),      # drops ONLY via the dropped B (transitive chain)
+         (12, "zz"),   # sub-k: empty set, survives
+         (13, "an entirely different text about trains and long rails "
+              "going far away tonight")],  # dup of committed 3: drops
+        "doc_id long, text string",
+    )
+    from bigdata_usaspending_spark.operators.dedup import winnow_pairs
+
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in winnow_pairs(
+            b1.unionByName(b2), "doc_id", threshold=0.0, portable=True
+        ).collect()
+    }
+    assert jac[(1, 2)] >= 0.5 and jac[(2, 11)] >= 0.5
+    assert jac.get((1, 11), 0.0) < 0.5
+
+    landing = str(tmp_path / "docs")
+    state = str(tmp_path / "winnow_state")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    kw = dict(threshold=0.5, portable=True)
+    jobs.stream_near_dedup_winnow(
+        spark.readStream.schema(schema).parquet(landing), state,
+        checkpoint=ckpt, **kw,
+    ).stop()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    jobs.stream_near_dedup_winnow(
+        spark.readStream.schema(schema).parquet(landing), state,
+        checkpoint=ckpt, **kw,
+    ).stop()
+    ledger = read_versioned_state(spark, state)
+    got = {(r.doc_id, r.survivor) for r in ledger.collect()}
+    assert got == {
+        (1, True), (2, False), (3, True),
+        (11, False), (12, True), (13, False),
+    }
+
+    # batch twin: ONE append over the union must match the full ledger
+    state_b = str(tmp_path / "winnow_state_batch")
+    assert jobs.winnow_dedup_append_batch(
+        b1.unionByName(b2), state_b, 0, **kw
+    )
+    want = read_versioned_state(spark, state_b)
+    key = ["doc_id", "survivor", "fps"]
+    assert sorted(
+        (r.doc_id, r.survivor, tuple(r.fps)) for r in ledger.collect()
+    ) == sorted(
+        (r.doc_id, r.survivor, tuple(r.fps)) for r in want.collect()
+    )
+
+    # replay no-op + checkpoint guard
+    assert not jobs.winnow_dedup_append_batch(b1, state_b, 0, **kw)
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_near_dedup_winnow(
+            spark.readStream.schema(schema).parquet(landing), state, **kw
+        )
