@@ -13,43 +13,42 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-11 window — steady-state rotation.
+    # Round-12 window — steady-state rotation (VERDICT r11 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (the persisted IVF-PQ index lifecycle, the composed corpus build
-    # with the LSH near-dup tier on, fuzzy dim matching, incremental
-    # SemDeDup against the persisted IVF index):
-    "q_ann_ivf_pq_incremental", "q_corpus_build_near", "q_fuzzy_dim_match",
-    "q_semantic_dedup_incremental", "q_dedup_winnow",
-    "q_dedup_incremental_winnow",
-    # (b) operator path changed THIS round: canonicalize_url grew
-    # bracketed-IPv6 handling (q_url_dedup's values changed — the synth
-    # now includes an IPv6 variant); ivf_pq_topk's probe/ADC stages were
-    # factored into shared helpers (q_ann_ivf_pq); build_corpus gained
-    # the block-hosts guard (q_corpus_build_mini); the minhash oracle
-    # was refactored into a composable CTE chain (q_dedup_minhash_lsh —
-    # also the oldest-r8 wave's member most worth a fresh row):
-    "q_url_dedup", "q_ann_ivf_pq", "q_corpus_build_mini",
-    "q_dedup_minhash_lsh",
-    # (c) the 18 r7 greens that are now 4 rounds stale on the external
-    # ledger (named by VERDICT r10 #1), alphabetical:
-    "q_scalar_functions", "q_set_except", "q_set_intersect",
-    "q_split_grouped", "q_stratified_sample", "q_text_commonness",
-    "q_text_repetition", "q_token_budget_mix", "q_tpch_q18_shape",
-    "q_tpch_q3_shape", "q_tpch_q4_shape", "q_tpch_q5_shape",
-    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_unpivot_monthly",
-    "q_window_lag_delta", "q_window_moving_sum", "q_window_ntile",
-    # (d) 22 of the 49 r8 greens (the oldest remaining external rows),
-    # alphabetical; the rest of the r8 wave (q_pii_scrub ...
-    # q_tpch_q22_shape, sketches, SCD2) plus refreshed r9 rows lead the
-    # round-12 rotation:
-    "q_ann_ivf_knn_join", "q_ann_pq_topk", "q_ann_rp_lsh",
-    "q_bm25_batch", "q_boilerplate_scrub", "q_chunk_dedup",
-    "q_chunk_documents", "q_consistent_sample", "q_corpus_shuffle",
-    "q_dashboard_payload", "q_dedup_incremental", "q_dedup_simhash",
-    "q_ewma_monthly", "q_fixed_histogram", "q_fuzzy_name_pairs",
-    "q_fuzzy_name_pairs_k2", "q_heavy_hitter_tokens", "q_hll_distinct",
-    "q_hll_intersection", "q_knn_join", "q_mad_outliers",
-    "q_monthly_gap_fill",
+    # (robust winnowing, the winnow-tier corpus build, the pruned
+    # IVF-PQ probe audit, MOSS match-span localization):
+    "q_winnow_robust", "q_corpus_build_winnow", "q_ann_ivf_pq_pruned",
+    "q_winnow_match_spans",
+    # (b) operator path changed THIS round: winnow_fingerprints grew the
+    # robust branch (q_dedup_winnow, q_dedup_incremental_winnow share
+    # the plain path); ivf_pq_index_topk gained adc_prune and the ADC
+    # kernel was factored out (q_ann_ivf_pq_incremental, q_ann_ivf_pq
+    # exercise the shared rerank); build_corpus's near tier became a
+    # method dispatch (q_corpus_build_near, q_corpus_build_mini):
+    "q_dedup_winnow", "q_dedup_incremental_winnow",
+    "q_ann_ivf_pq_incremental", "q_ann_ivf_pq", "q_corpus_build_near",
+    "q_corpus_build_mini",
+    # (c) the entire remaining r8 wave — the oldest external rows, 4
+    # rounds stale (named by VERDICT r11 #1), alphabetical:
+    "q_multimodal_bytes", "q_orders_open_by_month", "q_passage_scrub",
+    "q_pii_scrub", "q_quantile_summary", "q_repeated_passages",
+    "q_scd2_customer_segment", "q_session_window", "q_sessionize",
+    "q_string_agg_per_nation", "q_temperature_mix", "q_tpch_q10_shape",
+    "q_tpch_q11_shape", "q_tpch_q13_shape", "q_tpch_q14_shape",
+    "q_tpch_q15_shape", "q_tpch_q16_shape", "q_tpch_q17_shape",
+    "q_tpch_q19_shape", "q_tpch_q20_shape", "q_tpch_q22_shape",
+    "q_tpch_q2_shape", "q_tpch_q6_shape", "q_tpch_q9_shape",
+    "q_window_rank_family", "q_zscore_outliers",
+    # (d) 14 of the oldest r9 rows, the retrieval family first (they are
+    # also this round's isolated-session re-measure targets — a fresh
+    # external row closes the q_rerank_topk weak mark from both sides),
+    # then the verdict-named trained/DSIR/curriculum rows, then the
+    # alphabetically-first of the rest:
+    "q_hybrid_rrf", "q_rrf_grouped", "q_rerank_topk", "q_lm_perplexity",
+    "q_langid_trained", "q_dsir_weights", "q_dsir_resample",
+    "q_curriculum_phases", "q_training_data_pipeline",
+    "q_training_pipeline_v2", "q_agg_by_month", "q_agg_sum_by_key",
+    "q_agg_sum_two_keys", "q_ann_lsh",
 ]
 
 

@@ -50,27 +50,35 @@ def q_winnow_robust(spark: SparkSession, sf: str) -> DataFrame:
     1-in-7 document sample: one row per selected (doc_id, pos, fp) —
     the full tie-break trace, value-checked position by position against
     the oracle's recursive-CTE replay. The sample keeps the exploded
-    output bounded while every selection that IS emitted is exact."""
+    output bounded while every selection that IS emitted is exact.
+
+    The sampled scan arrives as ONE small-file partition, which would
+    serialize the per-window fold (interpreted HOF, the CPU-heavy stage)
+    on a single core — _ensure_parallelism spreads it, the
+    dedup-family contract (11.6 -> ~1 s at sf0.1, measured round 12)."""
+    from ..operators.dedup import _ensure_parallelism
     from ..operators.text import winnow_fingerprints
 
-    docs = (
+    docs = _ensure_parallelism(
         load(_prep(spark), sf, "documents")
         .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    return (
-        docs.select(
-            "doc_id",
+    # explode IN the same select as the fold: staging the array through
+    # an intermediate Project made the plan ~17x slower at sf0.1 (7.2 vs
+    # 0.4 s warm, measured round 12 — the staged Generate evaluates the
+    # fold expression far less efficiently than the collapsed form)
+    return docs.select(
+        "doc_id",
+        F.explode(
             winnow_fingerprints(
                 "text", k=_ROBUST_K, w=_ROBUST_W, portable=True, robust=True
-            ).alias("fps"),
-        )
-        .select("doc_id", F.explode("fps").alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.pos").alias("pos"),
-            F.col("s.fp").alias("fp"),
-        )
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.fp").alias("fp"),
     )
 
 
