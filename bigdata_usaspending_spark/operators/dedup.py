@@ -336,6 +336,7 @@ def winnow_pairs(
     threshold: float = 0.5,
     portable: bool = False,
     max_fingerprint_df: "int | None" = None,
+    fps_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint Jaccard — the
     rolling-hash member of the near-dup family (text.winnow_fingerprints:
@@ -359,27 +360,43 @@ def winnow_pairs(
     stay full, so capped similarity is an UNDERESTIMATE — a
     precision-safe recall trade-off (true near-dups share many rare
     fingerprints). The incremental form (winnow_dedup_against_index)
-    re-joins the full sets at verify time and stays value-exact."""
+    re-joins the full sets at verify time and stays value-exact.
+
+    ``fps_df`` (optional): a precomputed ``(_id, fps)`` fingerprint frame
+    (winnow_index's shape) — the seam that lets a caller who already
+    fingerprinted the batch (the streaming winnow tier runs pairs AND the
+    index probe per micro-batch) avoid re-normalizing and re-hashing the
+    text. The caller owns that frame's persistence (materialize it —
+    localCheckpoint — before sharing it across consumers); the internal
+    lazy cache is only taken on the self-fingerprinted path."""
     from .text import winnow_fingerprints
 
-    fps = (
-        _ensure_parallelism(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col))
-        )
-        .select(
+    if fps_df is not None:
+        fps = fps_df.filter(F.size("fps") > 0).select(
             "_id",
-            winnow_fingerprints(text_col, k=k, w=w, portable=portable),
+            F.size("fps").alias("_nf"),
+            F.explode("fps").alias("_f"),
         )
-        .filter(F.size("fingerprints") > 0)
-        .select(
-            "_id",
-            F.size("fingerprints").alias("_nf"),
-            F.explode("fingerprints").alias("_f"),
+    else:
+        fps = (
+            _ensure_parallelism(
+                df.select(F.col(id_col).alias("_id"), F.col(text_col))
+            )
+            .select(
+                "_id",
+                winnow_fingerprints(text_col, k=k, w=w, portable=portable),
+            )
+            .filter(F.size("fingerprints") > 0)
+            .select(
+                "_id",
+                F.size("fingerprints").alias("_nf"),
+                F.explode("fingerprints").alias("_f"),
+            )
         )
-    )
-    # lazy cache shared by both sides of the candidate self-join (the
-    # ngram_jaccard_pairs measurement and ownership note apply verbatim)
-    fps.cache()
+        # lazy cache shared by both sides of the candidate self-join (the
+        # ngram_jaccard_pairs measurement and ownership note apply
+        # verbatim)
+        fps.cache()
     if max_fingerprint_df is not None:
         heavy = (
             fps.groupBy("_f")
@@ -560,6 +577,7 @@ def winnow_dedup_against_index(
     threshold: float = 0.5,
     portable: bool = False,
     max_fingerprint_df: "int | None" = None,
+    batch_fps: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental rolling-hash near dedup: keep the batch docs that are
     not a verified near-duplicate (fingerprint Jaccard >= ``threshold``)
@@ -585,9 +603,17 @@ def winnow_dedup_against_index(
     all-pairs without the cap). The verify re-joins the FULL fingerprint
     sets, so every surviving pair's Jaccard — and thus the drop decision
     — is value-exact; the only trade-off is recall for pairs whose every
-    shared fingerprint is capped (the family's documented one)."""
-    bfps = winnow_index(batch, id_col, text_col, k, w, portable)
-    bfps = bfps.localCheckpoint(eager=False)  # reused by probe + verify
+    shared fingerprint is capped (the family's documented one).
+
+    ``batch_fps`` (optional): a precomputed ``(_id, fps)`` frame for the
+    batch (winnow_index's shape; empty sets allowed — they drop out
+    here) so callers that already fingerprinted the batch skip the
+    re-hash; the caller owns its persistence."""
+    if batch_fps is not None:
+        bfps = batch_fps.filter(F.size("fps") > 0)
+    else:
+        bfps = winnow_index(batch, id_col, text_col, k, w, portable)
+        bfps = bfps.localCheckpoint(eager=False)  # reused by probe + verify
     b_ex = bfps.select(F.col("_id").alias("_bid"), F.explode("fps").alias("_f"))
     i_ex = index.select(F.col("_id").alias("_iid"), F.explode("fps").alias("_f"))
     if max_fingerprint_df is not None:

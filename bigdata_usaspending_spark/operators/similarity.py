@@ -642,14 +642,23 @@ def _ivf_probe_cells(cent_rows, qvec, nprobe: int) -> "list[int]":
     (ivf_index_topk) and the many-query serving path (streaming
     ann-search): rank ``(cell, centroid)`` rows by the same left-fold
     cosine and (cosine DESC, cell ASC) tie order as ivf_topk's
-    distributed probe; return the ``nprobe`` nearest cell ids."""
+    distributed probe; return the ``nprobe`` nearest cell ids. Degenerate
+    inputs score -inf instead of raising (the _ivf_pq_probe_tables
+    null-degrade twin): a zero-norm query probes the lowest cells
+    deterministically, a zero-norm centroid is never preferred — one bad
+    streamed query must not kill a whole serving micro-batch."""
     q = np.array(qvec, dtype=np.float64)
     qn = float(np.sqrt(_fold_sum_cols(q[None, :] * q[None, :])[0]))
     ranked = []
     for r in cent_rows:
         c = np.array(list(r["centroid"]), dtype=np.float64)
         cn = float(np.sqrt(_fold_sum_cols(c[None, :] * c[None, :])[0]))
-        cs = float(_fold_dot_mat(q[None, :], c[None, :])[0]) / (qn * cn)
+        den = qn * cn
+        cs = (
+            float(_fold_dot_mat(q[None, :], c[None, :])[0]) / den
+            if den > 0.0
+            else float("-inf")
+        )
         ranked.append((-cs, int(r["cell"])))
     return [cell for _, cell in sorted(ranked)[:nprobe]]
 
@@ -2207,22 +2216,38 @@ def ivf_pq_index_topk(
             .limit(k * rerank_factor)
             .collect()  # k*rerank-bounded
         )
-        if len(shortlist1) >= k * rerank_factor:
-            t = float(shortlist1[-1][0])
-            if not math.isnan(t):
-                lb = {
-                    c: float(sum(np.nanmin(a) for a in cell_tables[c]))
-                    for c in cells[p1n:]
-                }
-                kept = [c for c in cells[p1n:] if lb[c] <= t]
-                pruned = [c for c in cells[p1n:] if lb[c] > t]
-                cells = p1 + kept
-                cell_tables = {c: cell_tables[c] for c in cells}
-                if probe_stats is not None:
-                    probe_stats.update(
-                        cells_scanned=list(cells),
-                        pruned_cells=pruned, threshold=t,
-                    )
+        # soundness guard: the threshold needs k*rerank REAL distances.
+        # A NULL/NaN _ad (a row's code hitting a NaN table slot) sorts
+        # FIRST in ASC and is not a usable bound — skip pruning entirely
+        # when one appears in phase 1 (also prevents float(None)
+        # crashing). NaN slots exist as unreachable PADDING whenever
+        # codebook ids are non-contiguous (arr is sized to the max id);
+        # codes written by the ivf_pq_index_write/add lifecycle always
+        # reference existing entries, so lb's nanmin over the reachable
+        # entries is a true bound there. Caveat: an index whose codes
+        # predate a codebook rebuild (stale codes — already guarded
+        # against by the add-time schema check and the CLI's stale-
+        # codebook clear) can surface NULL-ADC rows from a pruned cell
+        # that the full probe would rank first; adc_prune assumes the
+        # lifecycle's code/codebook consistency.
+        vals = [r[0] for r in shortlist1]
+        if len(shortlist1) >= k * rerank_factor and all(
+            v is not None and not math.isnan(v) for v in vals
+        ):
+            t = float(vals[-1])
+            lb = {
+                c: float(sum(np.nanmin(a) for a in cell_tables[c]))
+                for c in cells[p1n:]
+            }
+            kept = [c for c in cells[p1n:] if lb[c] <= t]
+            pruned = [c for c in cells[p1n:] if lb[c] > t]
+            cells = p1 + kept
+            cell_tables = {c: cell_tables[c] for c in cells}
+            if probe_stats is not None:
+                probe_stats.update(
+                    cells_scanned=list(cells),
+                    pruned_cells=pruned, threshold=t,
+                )
     cands = vectors.filter(F.col("cell").isin(cells))
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"

@@ -112,6 +112,15 @@ def build_corpus(
             "CorpusBuildConfig.langs must name at least one language to "
             "keep (an empty keep set would drop the whole corpus)"
         )
+    if cfg.near_method not in ("minhash", "winnow"):
+        # validate up front regardless of near_threshold: a config typo
+        # must fail instantly, not silently skip the tier (threshold
+        # None) or burn the whole gate->dedup pipeline first (the near
+        # tier's localCheckpoint materializes eagerly)
+        raise ValueError(
+            f"unknown near_method {cfg.near_method!r}; "
+            "expected 'minhash' or 'winnow'"
+        )
     if cfg.block_hosts and "target_uri" not in docs.columns:
         # a blocklist the input can't express would silently gate nothing —
         # same contract as the CLI's --host-profile guard
@@ -171,16 +180,11 @@ def build_corpus(
                 threshold=cfg.near_threshold, portable=cfg.portable,
                 max_fingerprint_df=cfg.near_max_df,
             )
-        elif cfg.near_method == "minhash":
+        else:  # "minhash" — the method set is validated up front
             pairs = minhash_lsh_pairs(
                 kept, "doc_id",
                 n=cfg.shingle_n, threshold=cfg.near_threshold,
                 portable=cfg.portable,
-            )
-        else:
-            raise ValueError(
-                f"unknown near_method {cfg.near_method!r}; "
-                "expected 'minhash' or 'winnow'"
             )
         comps = connected_components(pairs)
         losers = comps.filter(F.col("doc_id") != F.col("component")).select(

@@ -854,7 +854,15 @@ def stream_incremental_rollup(
       committed state intact.
 
     This is the engine's answer to the reference's "freshness by re-running
-    the batch job" (SURVEY.md §1.1): per batch O(batch + |keys|)."""
+    the batch job" (SURVEY.md §1.1): per batch O(batch + |keys|).
+
+    ``checkpoint`` is REQUIRED once state exists (the replay guard keys
+    on Spark's monotone batch_id — a fresh query without a checkpoint
+    restarts it at 0 and silently discards every new batch)."""
+    _require_checkpoint_for_committed_state(
+        events.sparkSession, state_path, checkpoint,
+        "stream_incremental_rollup",
+    )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_rollup_batch(batch_df, state_path, key_col, amount_col, batch_id)
@@ -928,7 +936,14 @@ def stream_scd2(
     stream — the streaming twin of the batch q_scd2 plan and the engine's
     answer to the reference's re-download-and-overwrite dimension refresh.
     foreachBatch + versioned-state commits give exactly-once history
-    evolution under the at-least-once replay contract."""
+    evolution under the at-least-once replay contract.
+
+    ``checkpoint`` is REQUIRED once state exists (see
+    stream_incremental_rollup: a fresh query restarts batch_id at 0 and
+    the replay guard would silently discard new updates)."""
+    _require_checkpoint_for_committed_state(
+        updates.sparkSession, state_path, checkpoint, "stream_scd2"
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         scd2_merge_batch(batch_df, state_path, key, tracked, eff_date_col, batch_id)
@@ -1340,16 +1355,21 @@ def winnow_dedup_append_batch(
     if manifest is not None and batch_id <= manifest["batch_id"]:
         return False
     cur = read_versioned_state(batch_df.sparkSession, state_path)
+    # fingerprint the batch ONCE (the CPU-heavy stage) and materialize:
+    # the frame feeds the in-batch pair tier, the ledger probe, AND the
+    # appended ledger rows via the fps seams — without the seams each
+    # consumer re-normalized and re-hashed the text (review-pass finding)
     bfps = batch_df.select(
-        F.col(id_col),
+        F.col(id_col).alias("_id"),
         winnow_fingerprints(
             text_col, k=k, w=w, portable=portable, alias="fps"
         ),
-    )
+    ).localCheckpoint()
     in_batch = (
         winnow_pairs(
             batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
             portable=portable, max_fingerprint_df=max_fingerprint_df,
+            fps_df=bfps,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
@@ -1361,12 +1381,13 @@ def winnow_dedup_append_batch(
             cur.select(F.col(id_col).alias("_id"), "fps"),
             id_col, text_col, k=k, w=w, threshold=threshold,
             portable=portable, max_fingerprint_df=max_fingerprint_df,
+            batch_fps=bfps,
         ).select(id_col)
         state_hits = batch_df.select(id_col).join(
             survivors_vs_state, on=id_col, how="anti"
         )
         drops = drops.unionByName(state_hits).distinct()
-    flagged = bfps.join(
+    flagged = bfps.select(F.col("_id").alias(id_col), "fps").join(
         drops.withColumn("_dropped", F.lit(True)), on=id_col, how="left"
     ).select(
         id_col, "fps", F.col("_dropped").isNull().alias("survivor")
@@ -1583,12 +1604,18 @@ def ann_search_batch(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     max_queries_per_batch: int = 1024,
+    index_id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
 ) -> None:
     """One idempotent micro-batch of the streaming vector-search serving
     job: probe the PERSISTED IVF / IVF-PQ index (layout autodetected)
-    once per query row and land ``(query_id, rank, vec_id, score)`` hits
-    in a batch_id-keyed partition — the decontaminate_batch idempotency
-    contract (replays overwrite their own partition).
+    once per query row and land ``(query_id, rank, <index_id_col>,
+    score)`` hits in a batch_id-keyed partition — the
+    decontaminate_batch idempotency contract (replays overwrite their
+    own partition). ``index_id_col`` / ``index_vec_col`` name the
+    columns the index was BUILT with (the ann-index CLI's
+    --id-col/--vec-col); the hit-id output column carries the index's
+    own name and type (read from the index layout).
 
     The micro-batch query set collects driver-side, cap-guarded at
     ``max_queries_per_batch`` — a SERVING batch is trigger-bounded by
@@ -1619,16 +1646,22 @@ def ann_search_batch(
         spark, index_path,
         [(r[0], r[1]) for r in rows],
         k=k, nprobe=nprobe, rerank_factor=rerank_factor,
+        id_col=index_id_col, vec_col=index_vec_col,
     )
     from pyspark.sql.types import (
-        DoubleType, IntegerType, LongType, StructField, StructType,
+        DoubleType, IntegerType, StructField, StructType,
     )
 
+    # the hit-id field keeps the INDEX's id name and type (one metadata
+    # read per trigger — string/long/whatever the index was built with)
+    hit_id_field = spark.read.parquet(
+        f"{index_path}/vectors.parquet"
+    ).schema[index_id_col]
     schema = StructType(
         [
             batch_df.schema[query_id_col],
             StructField("rank", IntegerType(), False),
-            StructField("vec_id", LongType(), True),
+            hit_id_field,
             StructField(score_col, DoubleType(), True),
         ]
     )
@@ -1652,6 +1685,8 @@ def stream_ann_search(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     max_queries_per_batch: int = 1024,
+    index_id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
     checkpoint: "str | None" = None,
 ):
     """Streaming vector search over a persisted ANN index — the serving
@@ -1671,6 +1706,7 @@ def stream_ann_search(
             k=k, nprobe=nprobe, rerank_factor=rerank_factor,
             query_id_col=query_id_col, vec_col=vec_col,
             max_queries_per_batch=max_queries_per_batch,
+            index_id_col=index_id_col, index_vec_col=index_vec_col,
         )
 
     writer = queries.writeStream.foreachBatch(probe).trigger(availableNow=True)

@@ -161,3 +161,14 @@ def test_build_corpus_winnow_tier_merges_near_dups(spark):
             _docs(spark, rows),
             cfg=CorpusBuildConfig(near_threshold=0.5, near_method="simhash"),
         )
+
+
+def test_build_corpus_near_method_validated_up_front(spark):
+    """A near_method typo raises instantly — even with the tier disabled
+    (near_threshold=None) and before any pipeline work materializes."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog here", "a")]
+    with pytest.raises(ValueError, match="near_method"):
+        build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(near_threshold=None, near_method="lsh"),
+        )

@@ -1442,6 +1442,34 @@ def test_stateful_stream_requires_checkpoint_once_committed(spark, tmp_path):
         F.col("position").isNotNull()
     ).count() == 1
 
+    # every manifest-guarded stateful job raises, not just the r12 pair
+    events = spark.createDataFrame(
+        [(1, "a", 10.0)], "event_id long, event_type string, value double"
+    )
+    rstate = str(tmp_path / "rollup_state")
+    assert jobs.merge_rollup_batch(events, rstate, "event_type", "value", 0)
+    elanding = str(tmp_path / "elanding")
+    events.write.parquet(elanding)
+    eschema = spark.read.parquet(elanding).schema
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_incremental_rollup(
+            spark.readStream.schema(eschema).parquet(elanding),
+            rstate, "event_type",
+        )
+    upd = spark.createDataFrame(
+        [(1, "x", "2024-01-01")], "k long, attr string, eff_date string"
+    )
+    sstate = str(tmp_path / "scd2_state")
+    assert jobs.scd2_merge_batch(upd, sstate, "k", ["attr"], batch_id=0)
+    ulanding = str(tmp_path / "ulanding")
+    upd.write.parquet(ulanding)
+    uschema = spark.read.parquet(ulanding).schema
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_scd2(
+            spark.readStream.schema(uschema).parquet(ulanding),
+            sstate, "k", ["attr"],
+        )
+
 
 def test_stream_ann_search_matches_batch_probe(spark, sf_small, tmp_path):
     """Streaming vector search over a persisted index: every query's hits
@@ -1604,3 +1632,35 @@ def test_stream_near_dedup_winnow_matches_batch(spark, tmp_path):
         jobs.stream_near_dedup_winnow(
             spark.readStream.schema(schema).parquet(landing), state, **kw
         )
+
+
+def test_ann_search_batch_custom_index_columns(spark, tmp_path):
+    """The serving job plumbs index_id_col/index_vec_col through: an
+    index built with a string id column serves, and the hit column
+    carries the index's own name and type."""
+    from bigdata_usaspending_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(f"d{i}", [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(12)],
+        "doc_key string, emb array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    idx = str(tmp_path / "sidx")
+    similarity.ivf_index_write(vecs, cents, idx, id_col="doc_key", vec_col="emb")
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0])], "qid long, qv array<float>"
+    )
+    sink = str(tmp_path / "hits")
+    jobs.ann_search_batch(
+        queries, idx, sink, 0, k=2, nprobe=1,
+        query_id_col="qid", vec_col="qv",
+        index_id_col="doc_key", index_vec_col="emb",
+    )
+    got = spark.read.parquet(sink).orderBy("rank").collect()
+    assert [type(r.doc_key) for r in got] == [str, str]
+    assert got[0].qid == 7 and got[0].rank == 1
+    assert got[0].doc_key in {"d0", "d3", "d6", "d9"}
