@@ -538,6 +538,98 @@ def winnow_match_spans(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+) -> DataFrame:
+    """Cross-document SPAN scrubbing — the near-dup family's surgical
+    tier: instead of dropping the higher-id member of every verified
+    near-dup pair (the drop tiers' contract), CUT the matched span out
+    of it and keep the rest. The cross-document generalization of the
+    repeated-passage scrub, built on winnow_match_spans' offset
+    evidence; the passage-level dedup a training pipeline wants when
+    documents share boilerplate or quoted blocks but are otherwise
+    distinct.
+
+    Semantics: spans come from winnow_match_spans (same k/w/threshold/
+    cap contract); for every verified pair the HIGHER id's covering span
+    (b_start..b_end, 1-based inclusive on the NORMALIZED text) is
+    scrubbed — first-seen-wins, the min-id side stays intact. A doc
+    scrubbed by several pairs loses the UNION of its spans (per-char
+    coverage — overlaps need no interval merging, and the same union
+    replays in SQL as a per-position anti-join). Output: ``(id,
+    scrubbed, n_cut, n_spans)`` where ``scrubbed`` is the normalized
+    text with covered characters removed (docs with no matched span
+    return their normalized text whole, n_cut = 0), ``n_cut`` the
+    characters removed, ``n_spans`` the contributing pairs.
+
+    100-TB shape: the span tier inherits winnow_match_spans' bounds
+    (anchor join on the robust positioned density, capped); the scrub
+    itself is a per-row HOF over (text length x spans-per-doc) — scan
+    arithmetic, no extra shuffle beyond the span aggregate's."""
+    spans = winnow_match_spans(
+        df, id_col, text_col, k=k, w=w, threshold=threshold,
+        portable=portable, max_fingerprint_df=max_fingerprint_df,
+    )
+    per_doc = spans.groupBy(F.col("id_b").alias("_sid")).agg(
+        F.collect_list(F.struct("b_start", "b_end")).alias("_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    out = (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .join(per_doc, on=F.col(id_col) == F.col("_sid"), how="left")
+        .drop("_sid")
+    )
+
+    def scrub_expr(nrm: Column, sp: Column) -> Column:
+        # keep the characters whose 1-based position no span covers
+        # (per-char coverage: span overlaps need no interval merging)
+        kept = F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.length(nrm)),
+                lambda i: ~F.exists(
+                    sp,
+                    lambda s: (s["b_start"] <= i) & (i <= s["b_end"]),
+                ),
+            ),
+            lambda i: F.substr(nrm, i, F.lit(1)),
+        )
+        return F.array_join(kept, "")
+
+    scrubbed = F.when(
+        F.col("_spans").isNull() | (F.length("_norm") < 1), F.col("_norm")
+    ).otherwise(scrub_expr(F.col("_norm"), F.col("_spans")))
+    # n_cut counts covered positions independently — reusing `scrubbed`
+    # would re-instantiate the whole per-char HOF (the interpreted-HOF
+    # subexpression cost documented on winnow_fingerprints)
+    covered = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.length("_norm")),
+            lambda i: F.exists(
+                F.col("_spans"),
+                lambda s: (s["b_start"] <= i) & (i <= s["b_end"]),
+            ),
+        )
+    )
+    n_cut = F.when(
+        F.col("_spans").isNull() | (F.length("_norm") < 1), F.lit(0)
+    ).otherwise(covered)
+    return out.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_cut.cast("int").alias("n_cut"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+    )
+
+
 def winnow_index(
     df: DataFrame,
     id_col: str,

@@ -451,6 +451,117 @@ def _winnow_match_spans_oracle() -> str:
     """
 
 
+def q_winnow_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document span scrubbing (dedup.winnow_span_scrub) over the
+    match-spans fixture (1-in-7 sample + trailing-token variants): every
+    variant loses the covering span it shares with its lower-id source
+    but KEEPS its distinct tail — the passage-level alternative to
+    dropping the whole near-dup. Full value oracle: the span chain
+    replayed (the q_winnow_match_spans CTEs) then a per-position
+    anti-join rebuilds each scrubbed string character by character."""
+    from ..operators import dedup
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    return dedup.winnow_span_scrub(
+        docs.unionByName(variants), "doc_id",
+        k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
+        portable=True, max_fingerprint_df=_SPAN_MAX_DF,
+    )
+
+
+def _winnow_span_scrub_oracle() -> str:
+    # the q_winnow_match_spans chain (robust fps -> anchors -> verified
+    # spans), then the scrub replay: per-position coverage anti-join,
+    # string_agg in position order, losers keyed by id_b
+    from .corpus_ext import _NORMALIZED
+
+    k = _ROBUST_K
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
+            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ),
+        {_robust_fps_ctes(src="sample")},
+        nf AS (
+            SELECT doc_id, count(DISTINCT fp) AS nf FROM rfp GROUP BY doc_id
+        ),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc
+                FROM (SELECT DISTINCT doc_id, fp FROM rfp) GROUP BY fp
+            ) WHERE dfc > {_SPAN_MAX_DF}
+        ),
+        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
+        anc AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        agg AS (
+            SELECT id_a, id_b,
+                   count(DISTINCT fp) AS n_shared,
+                   min(pos_b) AS b_start,
+                   max(pos_b) + {k - 1} AS b_end
+            FROM anc GROUP BY id_a, id_b
+        ),
+        vs AS (
+            SELECT g.id_b, g.b_start, g.b_end
+            FROM agg g
+            JOIN nf na ON g.id_a = na.doc_id
+            JOIN nf nb ON g.id_b = nb.doc_id
+            WHERE CAST(g.n_shared AS DOUBLE)
+                  / CAST(na.nf + nb.nf - g.n_shared AS DOUBLE)
+                  >= {_SPAN_THRESHOLD}
+        ),
+        nrm AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM sample
+        ),
+        chars AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS pos, substr(s, p, 1) AS ch
+            FROM (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS p
+                  FROM nrm)
+        ),
+        covered AS (
+            SELECT DISTINCT c.doc_id, c.pos
+            FROM chars c JOIN vs d
+              ON c.doc_id = d.id_b
+             AND c.pos BETWEEN d.b_start AND d.b_end
+        ),
+        kept AS (
+            SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.pos) AS scrubbed
+            FROM chars c
+            LEFT JOIN covered v ON c.doc_id = v.doc_id AND c.pos = v.pos
+            WHERE v.pos IS NULL
+            GROUP BY c.doc_id
+        ),
+        ncut AS (
+            SELECT doc_id, count(*) AS n_cut FROM covered GROUP BY doc_id
+        ),
+        nsp AS (
+            SELECT id_b AS doc_id, count(*) AS n_spans FROM vs GROUP BY id_b
+        )
+        SELECT n.doc_id,
+               coalesce(k2.scrubbed, '') AS scrubbed,
+               CAST(coalesce(c.n_cut, 0) AS INTEGER) AS n_cut,
+               CAST(coalesce(p.n_spans, 0) AS INTEGER) AS n_spans
+        FROM nrm n
+        LEFT JOIN kept k2 ON n.doc_id = k2.doc_id
+        LEFT JOIN ncut c ON n.doc_id = c.doc_id
+        LEFT JOIN nsp p ON n.doc_id = p.doc_id
+    """
+
+
 _PRUNE_SHIFT = 40.0
 
 
@@ -597,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_build_winnow": q_corpus_build_winnow,
     "q_ann_ivf_pq_pruned": q_ann_ivf_pq_pruned,
     "q_winnow_match_spans": q_winnow_match_spans,
+    "q_winnow_span_scrub": q_winnow_span_scrub,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -606,4 +718,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_corpus_build_winnow": _corpus_build_winnow_oracle(),
     "q_ann_ivf_pq_pruned": _ann_ivf_pq_pruned_oracle(),
     "q_winnow_match_spans": _winnow_match_spans_oracle(),
+    "q_winnow_span_scrub": _winnow_span_scrub_oracle(),
 }

@@ -759,3 +759,52 @@ def test_winnow_match_spans_matches_bruteforce(spark):
     norm_len = len(re.sub(r"\s+", " ", base.lower()).strip())
     assert a0 >= 1 and a1 <= norm_len and a1 - a0 > norm_len * 0.5
     assert b0 == a0  # identical prefix -> identical first anchor
+
+
+def test_winnow_span_scrub_matches_bruteforce(spark):
+    """Span scrub: the higher-id member of each verified pair loses the
+    UNION of its covering spans (per-char coverage, overlaps merged by
+    construction); min-id members and unmatched docs keep their
+    normalized text whole; counts agree with a Python replay."""
+    import re
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    texts = {
+        1: base,
+        2: base + " again",                   # loses its base-prefix span
+        3: "fully unrelated text about trains and long rails going far",
+        4: base + " tomorrow",                # also a near-dup of 1 (and 2)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    spans = {
+        (r.id_a, r.id_b): (r.b_start, r.b_end)
+        for r in dedup.winnow_match_spans(
+            df, "doc_id", threshold=0.5, portable=True
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in dedup.winnow_span_scrub(
+            df, "doc_id", threshold=0.5, portable=True
+        ).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    for i, t in texts.items():
+        n = norm(t)
+        covered = set()
+        n_sp = 0
+        for (a, b), (s, e) in spans.items():
+            if b == i:
+                covered |= set(range(s, e + 1))
+                n_sp += 1
+        want = "".join(ch for p, ch in enumerate(n, 1) if p not in covered)
+        assert got[i] == (want, len(covered), n_sp), i
+    assert got[1][1] == 0 and got[3][1] == 0      # min-id + unmatched intact
+    assert got[2][1] > 0 and got[4][1] > 0        # both losers scrubbed
+    assert got[2][2] >= 1 and got[4][2] >= 2      # 4 pairs with both 1 and 2
+    # the scrubbed loser keeps its distinct tail
+    assert got[2][0].endswith("again") or "again" in got[2][0]
