@@ -1695,6 +1695,9 @@ def ivf_pq_topk(
     cell_col: str = "cell",
     centroid_vec: str = "centroid",
     dsub: "int | None" = None,
+    adc_prune: bool = False,
+    prune_phase1: int = 1,
+    probe_stats: "dict | None" = None,
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the faiss IndexIVFPQ query path, composed from
     this module's audited pieces:
@@ -1716,7 +1719,11 @@ def ivf_pq_topk(
 
     Returns ``(id_col, l2sq)``. Stale codes (out of table range) raise
     with the pq_topk diagnosis; dropped-cell NaN slots surface NULLs
-    first, same contract."""
+    first, same contract. ``adc_prune=True`` adds the residual-aware
+    cell pruning the persisted probe has (ivf_pq_index_topk's
+    exactness-guaranteed contract via the shared _adc_pruned_tables) —
+    identical output, fewer cells scanned when the geometry separates
+    them."""
     cb_rows = _collect_codebooks(codebooks)
     if dsub is None:
         dsub = len(cb_rows[0][2])
@@ -1726,6 +1733,18 @@ def ivf_pq_topk(
         for r in centroids.collect()
     )
     cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
+    if adc_prune:
+        cell_tables = _adc_pruned_tables(
+            lambda cs: encoded.filter(F.col(cell_col).isin(cs)),
+            cell_tables, cell_col, k, rerank_factor, prune_phase1,
+            probe_stats,
+        )
+    elif probe_stats is not None:
+        cells0 = [int(c) for c in cell_tables]
+        probe_stats.update(
+            cells_ranked=list(cells0), cells_scanned=list(cells0),
+            pruned_cells=[], threshold=None,
+        )
 
     # 3) ADC scan over the probed cells' candidates
     probe_cells = encoded.sparkSession.createDataFrame(
@@ -1827,6 +1846,66 @@ def _adc_kernel(cell_tables: dict):
         return pd.Series(acc)
 
     return _adc
+
+
+def _adc_pruned_tables(
+    cands_for,
+    cell_tables: dict,
+    cell_col: str,
+    k: int,
+    rerank_factor: int,
+    prune_phase1: int,
+    probe_stats: "dict | None" = None,
+) -> dict:
+    """The shared adc_prune phase (residual-aware cell pruning with the
+    exactness guarantee — see ivf_pq_index_topk's contract): scan the
+    ``prune_phase1`` nearest cells via ``cands_for(cells)`` (a frame
+    with ``codes`` + the cell column), take the k*rerank-th ADC distance
+    as threshold, drop the remaining cells whose ADC lower bound
+    (summed per-sub table minima) exceeds it. Returns the (possibly)
+    reduced ``{cell: tables}`` dict, probe order preserved; degrades to
+    the full dict whenever a sound threshold cannot form (fewer than
+    k*rerank phase-1 rows, or a NULL/NaN distance — a code hitting a
+    NaN table slot — among them). Shared by the persisted-index probe,
+    the live ivf_pq_topk, and the many-query serving path."""
+    cells = [int(c) for c in cell_tables]
+    if probe_stats is not None:
+        probe_stats.update(
+            cells_ranked=list(cells), cells_scanned=list(cells),
+            pruned_cells=[], threshold=None,
+        )
+    p1n = max(1, int(prune_phase1))
+    if len(cells) <= p1n:
+        return cell_tables
+    p1 = cells[:p1n]
+    shortlist1 = (
+        cands_for(p1)
+        .select(
+            _adc_kernel({c: cell_tables[c] for c in p1})(
+                F.col("codes"), F.col(cell_col).cast("long")
+            ).alias("_ad")
+        )
+        .orderBy(F.asc("_ad"))
+        .limit(k * rerank_factor)
+        .collect()  # k*rerank-bounded
+    )
+    vals = [r[0] for r in shortlist1]
+    if len(shortlist1) < k * rerank_factor or any(
+        v is None or math.isnan(v) for v in vals
+    ):
+        return cell_tables
+    t = float(vals[-1])
+    lb = {
+        c: float(sum(np.nanmin(a) for a in cell_tables[c]))
+        for c in cells[p1n:]
+    }
+    kept = [c for c in cells[p1n:] if lb[c] <= t]
+    pruned = [c for c in cells[p1n:] if lb[c] > t]
+    if probe_stats is not None:
+        probe_stats.update(
+            cells_scanned=p1 + kept, pruned_cells=pruned, threshold=t
+        )
+    return {c: cell_tables[c] for c in p1 + kept}
 
 
 def _ivf_pq_adc_rerank(
@@ -2196,59 +2275,31 @@ def ivf_pq_index_topk(
     dsub = len(cb_rows[0][2])
     cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
     vectors = spark.read.parquet(f"{path}/vectors.parquet")
-    cells = [int(c) for c in cell_tables]  # centroid-ranked probe order
-    if probe_stats is not None:
+    if adc_prune:
+        # soundness notes live on _adc_pruned_tables: the threshold
+        # needs k*rerank REAL distances (NULL/NaN phase-1 rows skip
+        # pruning — also prevents float(None)); NaN table slots are
+        # unreachable PADDING under the write/add lifecycle (codes
+        # always reference existing codebook entries), so lb's nanmin
+        # is a true bound there. Caveat: stale codes predating a
+        # codebook rebuild (already guarded by the add-time schema
+        # check and the CLI's stale-codebook clear) could surface
+        # NULL-ADC rows from a pruned cell; adc_prune assumes the
+        # lifecycle's code/codebook consistency.
+        cell_tables = _adc_pruned_tables(
+            lambda cs: vectors.filter(F.col("cell").isin(cs)),
+            cell_tables, "cell", k, rerank_factor, prune_phase1,
+            probe_stats,
+        )
+    elif probe_stats is not None:
+        cells0 = [int(c) for c in cell_tables]
         probe_stats.update(
-            cells_ranked=list(cells), cells_scanned=list(cells),
+            cells_ranked=list(cells0), cells_scanned=list(cells0),
             pruned_cells=[], threshold=None,
         )
-    p1n = max(1, int(prune_phase1))
-    if adc_prune and len(cells) > p1n:
-        p1 = cells[:p1n]
-        shortlist1 = (
-            vectors.filter(F.col("cell").isin(p1))
-            .select(
-                _adc_kernel({c: cell_tables[c] for c in p1})(
-                    F.col("codes"), F.col("cell").cast("long")
-                ).alias("_ad")
-            )
-            .orderBy(F.asc("_ad"))
-            .limit(k * rerank_factor)
-            .collect()  # k*rerank-bounded
-        )
-        # soundness guard: the threshold needs k*rerank REAL distances.
-        # A NULL/NaN _ad (a row's code hitting a NaN table slot) sorts
-        # FIRST in ASC and is not a usable bound — skip pruning entirely
-        # when one appears in phase 1 (also prevents float(None)
-        # crashing). NaN slots exist as unreachable PADDING whenever
-        # codebook ids are non-contiguous (arr is sized to the max id);
-        # codes written by the ivf_pq_index_write/add lifecycle always
-        # reference existing entries, so lb's nanmin over the reachable
-        # entries is a true bound there. Caveat: an index whose codes
-        # predate a codebook rebuild (stale codes — already guarded
-        # against by the add-time schema check and the CLI's stale-
-        # codebook clear) can surface NULL-ADC rows from a pruned cell
-        # that the full probe would rank first; adc_prune assumes the
-        # lifecycle's code/codebook consistency.
-        vals = [r[0] for r in shortlist1]
-        if len(shortlist1) >= k * rerank_factor and all(
-            v is not None and not math.isnan(v) for v in vals
-        ):
-            t = float(vals[-1])
-            lb = {
-                c: float(sum(np.nanmin(a) for a in cell_tables[c]))
-                for c in cells[p1n:]
-            }
-            kept = [c for c in cells[p1n:] if lb[c] <= t]
-            pruned = [c for c in cells[p1n:] if lb[c] > t]
-            cells = p1 + kept
-            cell_tables = {c: cell_tables[c] for c in cells}
-            if probe_stats is not None:
-                probe_stats.update(
-                    cells_scanned=list(cells),
-                    pruned_cells=pruned, threshold=t,
-                )
-    cands = vectors.filter(F.col("cell").isin(cells))
+    cands = vectors.filter(
+        F.col("cell").isin([int(c) for c in cell_tables])
+    )
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"
     )
@@ -2264,6 +2315,8 @@ def ann_index_search_many(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cells: int = 65_536,
+    adc_prune: bool = False,
+    prune_phase1: int = 1,
 ):
     """Probe a persisted IVF or IVF-PQ index (layout autodetected by the
     presence of ``codebooks.parquet``, the ann-index CLI contract) for
@@ -2281,7 +2334,11 @@ def ann_index_search_many(
     probe's native score column name (``"l2sq"`` for the PQ layout's
     exact-rerank distance, ``"cosine"`` for plain IVF). Every per-query
     scan is partition-pruned to its nprobe cell directories; the only
-    corpus-independent driver state is the model rows (cap-guarded)."""
+    corpus-independent driver state is the model rows (cap-guarded).
+    ``adc_prune`` (PQ layout only) applies the exactness-guaranteed
+    residual-aware cell pruning per query (ivf_pq_index_topk's
+    contract) — identical hits, fewer cell directories read per
+    query when the geometry separates cells."""
     import os
 
     is_pq = os.path.isdir(os.path.join(path, "codebooks.parquet"))
@@ -2310,6 +2367,11 @@ def ann_index_search_many(
             cell_tables = _ivf_pq_probe_tables(
                 cent_rows, cb_rows, qvec, nprobe, dsub
             )
+            if adc_prune:
+                cell_tables = _adc_pruned_tables(
+                    lambda cs: vectors.filter(F.col("cell").isin(cs)),
+                    cell_tables, "cell", k, rerank_factor, prune_phase1,
+                )
             cands = vectors.filter(
                 F.col("cell").isin([int(c) for c in cell_tables])
             )

@@ -1606,6 +1606,7 @@ def ann_search_batch(
     max_queries_per_batch: int = 1024,
     index_id_col: str = "vec_id",
     index_vec_col: str = "embedding",
+    adc_prune: bool = False,
 ) -> None:
     """One idempotent micro-batch of the streaming vector-search serving
     job: probe the PERSISTED IVF / IVF-PQ index (layout autodetected)
@@ -1647,6 +1648,7 @@ def ann_search_batch(
         [(r[0], r[1]) for r in rows],
         k=k, nprobe=nprobe, rerank_factor=rerank_factor,
         id_col=index_id_col, vec_col=index_vec_col,
+        adc_prune=adc_prune,
     )
     from pyspark.sql.types import (
         DoubleType, IntegerType, StructField, StructType,
@@ -1687,6 +1689,7 @@ def stream_ann_search(
     max_queries_per_batch: int = 1024,
     index_id_col: str = "vec_id",
     index_vec_col: str = "embedding",
+    adc_prune: bool = False,
     checkpoint: "str | None" = None,
 ):
     """Streaming vector search over a persisted ANN index — the serving
@@ -1707,6 +1710,7 @@ def stream_ann_search(
             query_id_col=query_id_col, vec_col=vec_col,
             max_queries_per_batch=max_queries_per_batch,
             index_id_col=index_id_col, index_vec_col=index_vec_col,
+            adc_prune=adc_prune,
         )
 
     writer = queries.writeStream.foreachBatch(probe).trigger(availableNow=True)

@@ -929,3 +929,55 @@ def test_ivf_pq_adc_prune_exact_at_fewer_cells(spark, sf_small, tmp_path):
         spark, ipath, iq, k=10, nprobe=4, rerank_factor=8, adc_prune=True
     ).collect()
     assert [(r.vec_id, r.l2sq) for r in a] == [(r.vec_id, r.l2sq) for r in b]
+
+
+def test_adc_prune_live_and_serving_paths_bit_equal(spark, tmp_path):
+    """The shared pruning phase gives the LIVE ivf_pq_topk and the
+    many-query serving path the same exactness contract as the persisted
+    probe: bit-identical results with cells actually pruned on the
+    clustered geometry."""
+    dim, per = 8, 60
+    centers = [[40.0 * (c == j) for j in range(dim)] for c in range(4)]
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = list(centers[c])
+            v[(i * 3) % dim] += ((i % 7) - 3) * 0.31
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = spark.createDataFrame(
+        [(c, centers[c]) for c in range(4)], "cell int, centroid array<double>"
+    )
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=4, k=8)
+    enc = similarity.ivf_pq_encode(assigned, centroids, cb).localCheckpoint()
+    qvec = list(centers[0])
+    qvec[1] += 0.07
+
+    # live probe: pruned == plain, and pruning bit
+    full = similarity.ivf_pq_topk(
+        enc, centroids, cb, qvec, k=5, nprobe=4, rerank_factor=4
+    ).collect()
+    stats: dict = {}
+    pruned = similarity.ivf_pq_topk(
+        enc, centroids, cb, qvec, k=5, nprobe=4, rerank_factor=4,
+        adc_prune=True, probe_stats=stats,
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in pruned] == [
+        (r.vec_id, r.l2sq) for r in full
+    ]
+    assert stats["pruned_cells"] and len(stats["cells_scanned"]) < 4
+
+    # serving path over the persisted layout: pruned == plain hits
+    path = str(tmp_path / "idx")
+    similarity.ivf_pq_index_write(data, centroids, cb, path)
+    queries = [(1, qvec), (2, list(centers[2]))]
+    plain_hits, sc = similarity.ann_index_search_many(
+        spark, path, queries, k=5, nprobe=4, rerank_factor=4
+    )
+    pruned_hits, sc2 = similarity.ann_index_search_many(
+        spark, path, queries, k=5, nprobe=4, rerank_factor=4,
+        adc_prune=True,
+    )
+    assert sc == sc2 == "l2sq" and pruned_hits == plain_hits
