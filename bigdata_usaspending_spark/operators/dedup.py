@@ -581,6 +581,18 @@ def winnow_span_scrub(
         F.collect_list(F.struct("b_start", "b_end")).alias("_spans"),
         F.count(F.lit(1)).cast("int").alias("n_spans"),
     )
+    return _scrub_covered_spans(df, id_col, text_col, per_doc)
+
+
+def _scrub_covered_spans(
+    df: DataFrame, id_col: str, text_col: str, per_doc: DataFrame
+) -> DataFrame:
+    """The scrub stage of winnow_span_scrub, split out so the incremental
+    and streaming forms can feed their own span evidence: cut the
+    per-char UNION of each doc's covering spans (``per_doc``:
+    ``_sid, _spans array<struct<b_start,b_end>>, n_spans``) out of its
+    normalized text. Docs absent from ``per_doc`` return whole with
+    ``n_cut = 0``. Scan arithmetic per row — no shuffle of its own."""
     c = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     out = (
@@ -742,6 +754,160 @@ def winnow_dedup_against_index(
         .distinct()
     )
     return batch.join(F.broadcast(matched), on=id_col, how="anti")
+
+
+def winnow_pos_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The POSITIONED rolling-hash near-dup index: one row per doc with
+    its robust-winnowing positioned fingerprints (``_id, pfps`` where
+    ``pfps`` is ``array<struct<fp bigint, pos int>>`` —
+    text.winnow_fingerprints(robust=True), the SIGMOD'03 §5 selection).
+    The positional superset of winnow_index: distinct ``fp`` values equal
+    the plain winnowed set (so every winnow_index consumer's semantics
+    are derivable), and the positions enable MATCH-SPAN evidence in the
+    incremental tier (winnow_spans_against_index) — where in each
+    committed doc the overlap with a new batch sits, the MOSS offset-pair
+    use case applied to an append-only corpus. Docs below ``k``
+    normalized characters have no fingerprints and are excluded, as in
+    winnow_index."""
+    from .text import winnow_fingerprints
+
+    return (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        )
+        .select(
+            "_id",
+            winnow_fingerprints(
+                text_col, k=k, w=w, portable=portable, robust=True,
+                alias="pfps",
+            ),
+        )
+        .filter(F.size("pfps") > 0)
+    )
+
+
+def _pos_vals(pfps: Column | str) -> Column:
+    """Distinct fingerprint VALUES of a positioned set — the plain
+    winnowed set (robust selections are window minima, so their distinct
+    values provably equal plain winnowing's; tested)."""
+    c = F.col(pfps) if isinstance(pfps, str) else pfps
+    return F.array_distinct(F.transform(c, lambda s: s["fp"]))
+
+
+def winnow_spans_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    batch_pfps: "DataFrame | None" = None,
+) -> DataFrame:
+    """Incremental match-span localization: for every (committed doc,
+    new batch doc) pair whose fingerprint Jaccard verifies at
+    ``threshold``, WHERE the shared content sits in each side — the
+    winnow_match_spans evidence produced against a persisted
+    ``winnow_pos_index`` instead of re-pairing the corpus. What an
+    append-only overlap/plagiarism report runs per ingest: the corpus is
+    never re-fingerprinted, only scanned.
+
+    Output per pair: ``id_index, id_batch, jaccard, n_shared,
+    n_anchors, i_start, i_end, b_start, b_end`` (1-based inclusive
+    covering spans over each side's NORMALIZED text; index side = the
+    committed/earlier doc, the match_spans ``a`` side).
+
+    Probe inversion (the incremental family's contract): the exploded
+    index positions join broadcast(batch positions) for anchors, the
+    per-pair aggregate is candidate-bounded, and the verify joins the
+    index's positioned sets against broadcast(candidate pairs) +
+    broadcast(batch sets) — the index is only ever scanned.
+
+    Cap semantics follow winnow_dedup_against_index, not
+    winnow_match_spans: ``max_fingerprint_df`` (combined index ∪ batch
+    DOCUMENT frequency) bounds anchor generation, but the verify
+    re-intersects the FULL distinct-value sets, so ``jaccard`` /
+    ``n_shared`` — and therefore which pairs report — are VALUE-EXACT;
+    only ``n_anchors`` and the covering spans are computed over uncapped
+    anchors (capped fingerprints are boilerplate by definition — their
+    spans are the ones you don't want widening the evidence). A pair
+    whose every shared fingerprint is capped generates no candidate and
+    is not reported — the family's documented recall trade-off.
+
+    ``batch_pfps`` (optional): a precomputed positioned frame for the
+    batch (winnow_pos_index's shape) so callers that already
+    fingerprinted it skip the re-hash; the caller owns its persistence."""
+    if batch_pfps is not None:
+        bpf = batch_pfps.filter(F.size("pfps") > 0)
+    else:
+        bpf = winnow_pos_index(batch, id_col, text_col, k, w, portable)
+        bpf = bpf.localCheckpoint(eager=False)  # probe + verify reuse
+    b_ex = bpf.select(
+        F.col("_id").alias("_bid"), F.explode("pfps").alias("_s")
+    ).select("_bid", F.col("_s.fp").alias("_f"), F.col("_s.pos").alias("_pb"))
+    i_ex = index.select(
+        F.col("_id").alias("_iid"), F.explode("pfps").alias("_s")
+    ).select("_iid", F.col("_s.fp").alias("_f"), F.col("_s.pos").alias("_pi"))
+    if max_fingerprint_df is not None:
+        # combined DOCUMENT frequency (positions collapse to one row per
+        # (doc, fp) before counting, unlike the set-valued tiers where
+        # exploded rows are already distinct)
+        heavy = (
+            i_ex.select(F.col("_iid").alias("_d"), "_f")
+            .distinct()
+            .unionByName(b_ex.select(F.col("_bid").alias("_d"), "_f").distinct())
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_df)
+            .select("_f")
+        )
+        i_ex = i_ex.join(heavy, on="_f", how="anti")
+        b_ex = b_ex.join(heavy, on="_f", how="anti")
+    anchors = i_ex.join(F.broadcast(b_ex), on="_f").select(
+        "_iid", "_bid", "_f", "_pi", "_pb"
+    )
+    agg = anchors.groupBy("_iid", "_bid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.min("_pi").alias("i_start"),
+        (F.max("_pi") + F.lit(k - 1)).alias("i_end"),
+        F.min("_pb").alias("b_start"),
+        (F.max("_pb") + F.lit(k - 1)).alias("b_end"),
+    )
+    verified = (
+        index.select(F.col("_id").alias("_iid"), _pos_vals("pfps").alias("_vi"))
+        .join(F.broadcast(agg), "_iid")
+        .join(
+            F.broadcast(
+                bpf.select(
+                    F.col("_id").alias("_bid"), _pos_vals("pfps").alias("_vb")
+                )
+            ),
+            "_bid",
+        )
+    )
+    n_shared = F.size(F.array_intersect("_vi", "_vb"))
+    jac = n_shared.cast("double") / F.size(F.array_union("_vi", "_vb")).cast(
+        "double"
+    )
+    return (
+        verified.select(
+            F.col("_iid").alias("id_index"),
+            F.col("_bid").alias("id_batch"),
+            jac.alias("jaccard"),
+            n_shared.alias("n_shared"),
+            "n_anchors", "i_start", "i_end", "b_start", "b_end",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --------------------------------------------------------------------------

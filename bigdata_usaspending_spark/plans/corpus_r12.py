@@ -562,6 +562,101 @@ def _winnow_span_scrub_oracle() -> str:
     """
 
 
+def q_winnow_spans_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental match-span localization (dedup.winnow_spans_against_
+    index): the trailing-token variants arrive as a NEW batch and are
+    localized against a persisted positioned index (winnow_pos_index) of
+    the committed 1-in-7 sample — the append-only form of
+    q_winnow_match_spans. The corpus side is only scanned (probe
+    inversion: anchors join broadcast(batch positions), the verify joins
+    the index sets against broadcast evidence); jaccard / n_shared are
+    VALUE-EXACT under the stop-gram cap (full distinct-value sets
+    re-intersected at verify) while anchors and covering spans come from
+    uncapped fingerprints — the incremental family's cap contract."""
+    from ..operators import dedup
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    index = dedup.winnow_pos_index(
+        docs, "doc_id", k=_ROBUST_K, w=_ROBUST_W, portable=True
+    )
+    return dedup.winnow_spans_against_index(
+        variants, index, "doc_id",
+        k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
+        portable=True, max_fingerprint_df=_SPAN_MAX_DF,
+    )
+
+
+def _winnow_spans_incremental_oracle() -> str:
+    # the robust positioned chain over sample ∪ variants, restricted to
+    # (index doc, batch doc) pairs: anchors/spans from cap-surviving
+    # fingerprints, jaccard/n_shared from the FULL distinct-value sets
+    # (the value-exact verify), inner-joined so only pairs with >= 1
+    # uncapped anchor report — exactly the operator's contract
+    k = _ROBUST_K
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
+            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ),
+        {_robust_fps_ctes(src="sample")},
+        vals AS (SELECT DISTINCT doc_id, fp FROM rfp),
+        nf AS (SELECT doc_id, count(*) AS nf FROM vals GROUP BY doc_id),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc FROM vals GROUP BY fp
+            ) WHERE dfc > {_SPAN_MAX_DF}
+        ),
+        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
+        anc AS (
+            SELECT a.doc_id AS id_index, b.doc_id AS id_batch,
+                   a.pos AS pos_i, b.pos AS pos_b
+            FROM e a JOIN e b ON a.fp = b.fp
+            WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+        ),
+        agg AS (
+            SELECT id_index, id_batch,
+                   CAST(count(*) AS BIGINT) AS n_anchors,
+                   min(pos_i) AS i_start,
+                   max(pos_i) + {k - 1} AS i_end,
+                   min(pos_b) AS b_start,
+                   max(pos_b) + {k - 1} AS b_end
+            FROM anc GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT i.doc_id AS id_index, b.doc_id AS id_batch,
+                   count(*) AS n_shared
+            FROM vals i JOIN vals b ON i.fp = b.fp
+            WHERE i.doc_id < 1000000 AND b.doc_id >= 1000000
+            GROUP BY 1, 2
+        )
+        SELECT id_index, id_batch, jaccard, n_shared, n_anchors,
+               i_start, i_end, b_start, b_end
+        FROM (
+            SELECT g.id_index, g.id_batch,
+                   CAST(x.n_shared AS DOUBLE)
+                   / CAST(ni.nf + nb.nf - x.n_shared AS DOUBLE) AS jaccard,
+                   CAST(x.n_shared AS INTEGER) AS n_shared,
+                   g.n_anchors, g.i_start, g.i_end, g.b_start, g.b_end
+            FROM agg g
+            JOIN inter x ON g.id_index = x.id_index
+                        AND g.id_batch = x.id_batch
+            JOIN nf ni ON g.id_index = ni.doc_id
+            JOIN nf nb ON g.id_batch = nb.doc_id
+        ) WHERE jaccard >= {_SPAN_THRESHOLD}
+    """
+
+
 _PRUNE_SHIFT = 40.0
 
 
@@ -709,6 +804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_pq_pruned": q_ann_ivf_pq_pruned,
     "q_winnow_match_spans": q_winnow_match_spans,
     "q_winnow_span_scrub": q_winnow_span_scrub,
+    "q_winnow_spans_incremental": q_winnow_spans_incremental,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -719,4 +815,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_pq_pruned": _ann_ivf_pq_pruned_oracle(),
     "q_winnow_match_spans": _winnow_match_spans_oracle(),
     "q_winnow_span_scrub": _winnow_span_scrub_oracle(),
+    "q_winnow_spans_incremental": _winnow_spans_incremental_oracle(),
 }

@@ -808,3 +808,84 @@ def test_winnow_span_scrub_matches_bruteforce(spark):
     assert got[2][2] >= 1 and got[4][2] >= 2      # 4 pairs with both 1 and 2
     # the scrubbed loser keeps its distinct tail
     assert got[2][0].endswith("again") or "again" in got[2][0]
+
+
+def test_winnow_spans_against_index_matches_batch_and_plan(spark):
+    """Incremental span evidence: winnow_spans_against_index over a
+    positioned index equals winnow_match_spans over the union restricted
+    to (index doc, batch doc) pairs (cap=None, exact on both paths); the
+    probe plan broadcasts the batch side (no SortMergeJoin); value-exact
+    verify under a cap while anchors stay capped."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    corpus_texts = {
+        1: base,
+        2: "fully unrelated text about trains and long rails going far",
+    }
+    batch_texts = {
+        10: base + " again",           # near-dup of committed doc 1
+        11: "fresh content with no committed overlap whatsoever here",
+        12: "zz",                      # below k: no fingerprints, no rows
+    }
+    corpus = spark.createDataFrame(
+        list(corpus_texts.items()), "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        list(batch_texts.items()), "doc_id long, text string"
+    )
+    index = dedup.winnow_pos_index(corpus, "doc_id", portable=True)
+    out = dedup.winnow_spans_against_index(
+        batch, index, "doc_id", threshold=0.5, portable=True
+    )
+    got = {
+        (r.id_index, r.id_batch): (
+            r.jaccard, r.n_shared, r.n_anchors,
+            r.i_start, r.i_end, r.b_start, r.b_end,
+        )
+        for r in out.collect()
+    }
+    both = corpus.unionByName(batch)
+    want = {
+        (r.id_a, r.id_b): (
+            r.jaccard, r.n_shared, r.n_anchors,
+            r.a_start, r.a_end, r.b_start, r.b_end,
+        )
+        for r in dedup.winnow_match_spans(
+            both, "doc_id", threshold=0.5, portable=True
+        ).collect()
+        if r.id_a in corpus_texts and r.id_b in batch_texts
+    }
+    assert got == want and (1, 10) in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # under a tiny cap the verify stays VALUE-EXACT (same pairs, same
+    # jaccard/n_shared) while anchor evidence shrinks to uncapped fps
+    capped = {
+        (r.id_index, r.id_batch): (r.jaccard, r.n_shared, r.n_anchors)
+        for r in dedup.winnow_spans_against_index(
+            batch, index, "doc_id", threshold=0.5, portable=True,
+            max_fingerprint_df=1,
+        ).collect()
+    }
+    # every shared fp of the (1, 10) pair appears in BOTH docs -> df 2 >
+    # cap 1 -> no candidate survives: the documented recall trade-off
+    assert capped == {} or all(
+        (pair in got) and v[0] == got[pair][0] and v[1] == got[pair][1]
+        for pair, v in capped.items()
+    )
+
+    # batch_pfps seam: precomputed positions give identical output
+    bpf = dedup.winnow_pos_index(batch, "doc_id", portable=True)
+    via_seam = {
+        (r.id_index, r.id_batch): (
+            r.jaccard, r.n_shared, r.n_anchors,
+            r.i_start, r.i_end, r.b_start, r.b_end,
+        )
+        for r in dedup.winnow_spans_against_index(
+            batch, index, "doc_id", threshold=0.5, portable=True,
+            batch_pfps=bpf,
+        ).collect()
+    }
+    assert via_seam == got
