@@ -440,6 +440,7 @@ def winnow_match_spans(
     threshold: float = 0.5,
     portable: bool = False,
     max_fingerprint_df: "int | None" = None,
+    pfps_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs WITH matched-span localization — the MOSS
     offset-pair use case robust winnowing's positions exist for
@@ -466,37 +467,56 @@ def winnow_match_spans(
     full — the same underestimate semantics, which also bounds the
     anchor cross-products boilerplate would otherwise explode.
 
+    ``pfps_df`` (optional): a precomputed positioned frame
+    (winnow_pos_index's ``(_id, pfps)`` shape) so callers that already
+    fingerprinted the input — the streaming scrub tier runs the in-batch
+    spans AND the index probe per micro-batch — skip the re-hash; the
+    caller owns that frame's persistence, the internal lazy cache is
+    only taken on the self-fingerprinted path.
+
     100-TB shape: the anchor join explodes the ROBUST positioned
     density — at most the plain winnowed density, and collapsed ~w-fold
     on repetitive text (the tie-break's point) — then one aggregate
     keyed on the pair; never all-pairs."""
     from .text import winnow_fingerprints
 
-    pos_fps = (
-        _ensure_parallelism(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if pfps_df is not None:
+        pos_fps = (
+            pfps_df.filter(F.size("pfps") > 0)
+            .select(
+                "_id",
+                F.size(_pos_vals("pfps")).alias("_nf"),
+                F.explode("pfps").alias("_s"),
+            )
+            .select("_id", "_nf", F.col("_s.fp").alias("_f"),
+                    F.col("_s.pos").alias("_p"))
         )
-        .select(
-            "_id",
-            winnow_fingerprints(
-                text_col, k=k, w=w, portable=portable, robust=True,
-                alias="pfps",
-            ),
+    else:
+        pos_fps = (
+            _ensure_parallelism(
+                df.select(F.col(id_col).alias("_id"), F.col(text_col))
+            )
+            .select(
+                "_id",
+                winnow_fingerprints(
+                    text_col, k=k, w=w, portable=portable, robust=True,
+                    alias="pfps",
+                ),
+            )
+            .filter(F.size("pfps") > 0)
+            .select(
+                "_id",
+                # distinct VALUE count — the Jaccard denominator (== the
+                # plain winnowed set size)
+                F.size(
+                    F.array_distinct(F.transform("pfps", lambda s: s["fp"]))
+                ).alias("_nf"),
+                F.explode("pfps").alias("_s"),
+            )
+            .select("_id", "_nf", F.col("_s.fp").alias("_f"),
+                    F.col("_s.pos").alias("_p"))
         )
-        .filter(F.size("pfps") > 0)
-        .select(
-            "_id",
-            # distinct VALUE count — the Jaccard denominator (== the
-            # plain winnowed set size)
-            F.size(
-                F.array_distinct(F.transform("pfps", lambda s: s["fp"]))
-            ).alias("_nf"),
-            F.explode("pfps").alias("_s"),
-        )
-        .select("_id", "_nf", F.col("_s.fp").alias("_f"),
-                F.col("_s.pos").alias("_p"))
-    )
-    pos_fps.cache()  # both sides of the anchor self-join
+        pos_fps.cache()  # both sides of the anchor self-join
     if max_fingerprint_df is not None:
         heavy = (
             pos_fps.select("_id", "_f")

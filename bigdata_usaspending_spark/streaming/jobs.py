@@ -1444,6 +1444,140 @@ def stream_near_dedup_winnow(
     return query
 
 
+def winnow_scrub_append_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """One idempotent micro-batch of streaming cross-document SPAN
+    scrubbing — the surgical member of the streaming dedup family: a
+    batch doc whose fingerprint Jaccard verifies against an earlier doc
+    is not dropped, it loses the UNION of the covering spans it shares
+    (winnow_span_scrub's per-char contract) with every such pair —
+    earlier same-batch docs via the in-batch span tier
+    (winnow_match_spans over the batch's positions) and committed ledger
+    docs via the positioned-index probe (winnow_spans_against_index:
+    batch broadcasts, ledger scan-only).
+
+    State is a versioned positioned ledger ``(doc_id, pfps, scrubbed,
+    n_cut, n_spans)``: the ORIGINAL text's robust positioned
+    fingerprints (pairs are always judged on original content — a
+    scrubbed doc keeps suppressing/evidencing exactly as in the batch
+    twin) plus the doc's emitted scrub output; readers take the
+    ``scrubbed`` column. The batch is fingerprinted ONCE (the positioned
+    seams on winnow_match_spans / winnow_spans_against_index). N
+    id-ordered appends emit outputs bit-equal to one whole-input
+    winnow_span_scrub when ``max_fingerprint_df`` is None (tested); with
+    a cap, per-append document frequencies AND the index probe's
+    value-exact verify (vs the batch tier's capped-count Jaccard) can
+    both diverge from the one-shot run — the family's documented cap
+    trade-offs. Exactly-once: replayed batch_ids skip, a crash before
+    the manifest flip leaves the previous ledger intact."""
+    from ..io import (
+        commit_versioned_state,
+        read_state_manifest,
+        read_versioned_state,
+    )
+    from ..operators.dedup import (
+        _scrub_covered_spans,
+        winnow_match_spans,
+        winnow_spans_against_index,
+    )
+    from ..operators.text import winnow_fingerprints
+
+    manifest = read_state_manifest(state_path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    cur = read_versioned_state(batch_df.sparkSession, state_path)
+    # fingerprint the batch ONCE; empty sets stay (they anchor nothing
+    # but their docs still need ledger + output rows)
+    bpf = batch_df.select(
+        F.col(id_col).alias("_id"),
+        winnow_fingerprints(
+            text_col, k=k, w=w, portable=portable, robust=True, alias="pfps"
+        ),
+    ).localCheckpoint()
+    in_spans = winnow_match_spans(
+        batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
+        portable=portable, max_fingerprint_df=max_fingerprint_df,
+        pfps_df=bpf,
+    ).select(F.col("id_b").alias("_sid"), "b_start", "b_end")
+    spans = in_spans
+    if cur is not None:
+        idx_spans = winnow_spans_against_index(
+            batch_df,
+            cur.select(F.col(id_col).alias("_id"), "pfps"),
+            id_col, text_col, k=k, w=w, threshold=threshold,
+            portable=portable, max_fingerprint_df=max_fingerprint_df,
+            batch_pfps=bpf,
+        ).select(F.col("id_batch").alias("_sid"), "b_start", "b_end")
+        spans = spans.unionByName(idx_spans)
+    per_doc = spans.groupBy("_sid").agg(
+        F.collect_list(F.struct("b_start", "b_end")).alias("_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    scrubbed = _scrub_covered_spans(batch_df, id_col, text_col, per_doc)
+    flagged = bpf.select(F.col("_id").alias(id_col), "pfps").join(
+        scrubbed, on=id_col
+    )
+    out = flagged if cur is None else cur.unionByName(flagged)
+    commit_versioned_state(out, state_path, batch_id)
+    return True
+
+
+def stream_span_scrub_winnow(
+    docs: DataFrame,
+    state_path: str,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: "str | None" = None,
+):
+    """Keep a passage-level (span-scrubbed) document corpus incrementally
+    fresh from a stream — the streaming twin of winnow_span_scrub for
+    shared-boilerplate corpora where dropping whole near-dups is too
+    blunt. foreachBatch + a versioned positioned ledger (see
+    winnow_scrub_append_batch for semantics and the cap caveats); each
+    batch localizes its overlap spans against the committed ledger by
+    probe inversion and within itself, then cuts the per-char union.
+    Feeding batches in id order reproduces one whole-input
+    winnow_span_scrub bit-for-bit when no stop-gram cap is set (tested).
+    Readers take ``(doc_id, scrubbed, n_cut, n_spans)``.
+
+    ``checkpoint`` is REQUIRED once state exists (see
+    stream_build_corpus: a fresh query restarts batch_id at 0 and the
+    replay guard would silently discard new data)."""
+    _require_checkpoint_for_committed_state(
+        docs.sparkSession, state_path, checkpoint, "stream_span_scrub_winnow"
+    )
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        winnow_scrub_append_batch(
+            batch_df, state_path, batch_id,
+            k=k, w=w, threshold=threshold, portable=portable,
+            max_fingerprint_df=max_fingerprint_df,
+            id_col=id_col, text_col=text_col,
+        )
+
+    writer = docs.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def corpus_manifest_from_state(spark, state_path: str) -> DataFrame:
     """The training reader's per-sequence manifest over a streaming
     corpus build's COMMITTED state — the plans/build_corpus.

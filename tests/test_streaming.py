@@ -1634,6 +1634,80 @@ def test_stream_near_dedup_winnow_matches_batch(spark, tmp_path):
         )
 
 
+def test_stream_span_scrub_winnow_matches_batch(spark, tmp_path):
+    """Streaming span scrub: two micro-batch runs (restart between) emit
+    scrub outputs bit-equal to ONE whole-input winnow_span_scrub —
+    including a batch doc spanned by TWO committed docs (index probe
+    union) and one spanned by a committed doc AND a same-batch doc
+    (in-batch + index tiers union); sub-k docs pass through whole;
+    replays no-op; the checkpoint guard fires once state exists."""
+    import pytest
+
+    from bigdata_usaspending_spark.io import read_versioned_state
+    from bigdata_usaspending_spark.operators.dedup import winnow_span_scrub
+
+    A = ("the quick brown fox jumps over the lazy dog near the old "
+         "stone bridge by the river today")
+    T = "fully unrelated text about trains and long rails going far"
+    b1 = spark.createDataFrame(
+        [(1, A), (2, A + " again"), (3, T)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(11, A + " tomorrow"),   # pairs with committed 1 AND 2
+         (12, "zz"),              # sub-k: no spans, passes through whole
+         (13, T + " soon"),       # pairs with committed 3
+         (14, T + " later")],     # pairs with committed 3 AND in-batch 13
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "docs")
+    state = str(tmp_path / "scrub_state")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(threshold=0.5, portable=True)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_span_scrub_winnow(
+        spark.readStream.schema(schema).parquet(landing), state,
+        checkpoint=ckpt, **kw,
+    ).stop()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    jobs.stream_span_scrub_winnow(
+        spark.readStream.schema(schema).parquet(landing), state,
+        checkpoint=ckpt, **kw,
+    ).stop()
+    ledger = read_versioned_state(spark, state)
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans) for r in ledger.collect()
+    }
+    want = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in winnow_span_scrub(
+            b1.unionByName(b2), "doc_id", **kw
+        ).collect()
+    }
+    assert got == want
+    assert got[1][1] == 0 and got[3][1] == 0          # min-id sides intact
+    assert got[12] != () and got[12][1] == 0          # sub-k whole
+    assert got[11][2] == 2                            # spans from 1 AND 2
+    assert got[14][2] == 2                            # committed 3 + in-batch 13
+    assert got[2][1] > 0 and got[13][1] > 0
+
+    # batch-append replay no-op + checkpoint guard
+    state_b = str(tmp_path / "scrub_state_batch")
+    assert jobs.winnow_scrub_append_batch(
+        b1.unionByName(b2), state_b, 0, **kw
+    )
+    assert not jobs.winnow_scrub_append_batch(b1, state_b, 0, **kw)
+    one_shot = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in read_versioned_state(spark, state_b).collect()
+    }
+    assert one_shot == want
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_span_scrub_winnow(
+            spark.readStream.schema(schema).parquet(landing), state, **kw
+        )
+
+
 def test_ann_search_batch_custom_index_columns(spark, tmp_path):
     """The serving job plumbs index_id_col/index_vec_col through: an
     index built with a string id column serves, and the hit column
