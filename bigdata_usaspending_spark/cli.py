@@ -178,6 +178,12 @@ def _parser() -> argparse.ArgumentParser:
         "exceeds the phase-1 shortlist threshold (identical results, "
         "fewer cell directories read)",
     )
+    ai.add_argument(
+        "--adaptive", action="store_true",
+        help="IVF-PQ search: ignore --nprobe and scan cells by the "
+        "Best-Bin-First lower bound until none can hold a shortlist "
+        "row — results bit-identical to probing every cell",
+    )
     ai.add_argument("--output", default=None, help="write search result parquet here")
 
     pr = sub.add_parser(
@@ -439,10 +445,12 @@ def main(argv: list[str] | None = None) -> int:
                 rerank_factor=args.rerank_factor,
                 id_col=args.id_col, vec_col=args.vec_col,
                 adc_prune=args.adc_prune, probe_stats=stats,
+                adaptive_nprobe=args.adaptive,
             )
-            if args.adc_prune and stats.get("pruned_cells"):
+            if (args.adc_prune or args.adaptive) and stats.get("pruned_cells"):
+                mode = "adaptive" if args.adaptive else "adc-prune"
                 print(
-                    f"adc-prune: scanned {len(stats['cells_scanned'])} of "
+                    f"{mode}: scanned {len(stats['cells_scanned'])} of "
                     f"{len(stats['cells_ranked'])} probed cells "
                     f"(pruned {stats['pruned_cells']})"
                 )

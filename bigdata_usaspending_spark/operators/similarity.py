@@ -1698,6 +1698,7 @@ def ivf_pq_topk(
     adc_prune: bool = False,
     prune_phase1: int = 1,
     probe_stats: "dict | None" = None,
+    adaptive_nprobe: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the faiss IndexIVFPQ query path, composed from
     this module's audited pieces:
@@ -1723,7 +1724,13 @@ def ivf_pq_topk(
     cell pruning the persisted probe has (ivf_pq_index_topk's
     exactness-guaranteed contract via the shared _adc_pruned_tables) —
     identical output, fewer cells scanned when the geometry separates
-    them."""
+    them. ``adaptive_nprobe=True`` ignores ``nprobe`` and scans by the
+    Best-Bin-First bound instead (ivf_pq_index_topk's contract:
+    bit-identical to the exhaustive all-cells probe)."""
+    if adaptive_nprobe and adc_prune:
+        raise ValueError(
+            "adaptive_nprobe subsumes adc_prune — pass one or the other"
+        )
     cb_rows = _collect_codebooks(codebooks)
     if dsub is None:
         dsub = len(cb_rows[0][2])
@@ -1732,8 +1739,17 @@ def ivf_pq_topk(
         (r[cell_col], [float(x) for x in r[centroid_vec]])
         for r in centroids.collect()
     )
-    cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
-    if adc_prune:
+    cell_tables = _ivf_pq_probe_tables(
+        cent_rows, cb_rows, qvec,
+        len(cent_rows) if adaptive_nprobe else nprobe, dsub,
+    )
+    if adaptive_nprobe:
+        cell_tables = _adaptive_pruned_tables(
+            lambda cs: encoded.filter(F.col(cell_col).isin(cs)),
+            cell_tables, cell_col, k, rerank_factor, prune_phase1,
+            probe_stats,
+        )
+    elif adc_prune:
         cell_tables = _adc_pruned_tables(
             lambda cs: encoded.filter(F.col(cell_col).isin(cs)),
             cell_tables, cell_col, k, rerank_factor, prune_phase1,
@@ -1906,6 +1922,85 @@ def _adc_pruned_tables(
             cells_scanned=p1 + kept, pruned_cells=pruned, threshold=t
         )
     return {c: cell_tables[c] for c in p1 + kept}
+
+
+def _adaptive_pruned_tables(
+    cands_for,
+    cell_tables: dict,
+    cell_col: str,
+    k: int,
+    rerank_factor: int,
+    chunk0: int,
+    probe_stats: "dict | None" = None,
+) -> dict:
+    """Per-query ADAPTIVE nprobe — the Best-Bin-First analog over IVF-PQ
+    cells (FLANN's priority search / faiss IVF pruning taken to its
+    conclusion): instead of a fixed nprobe, ``cell_tables`` covers ALL
+    cells (centroid-cosine rank order) and cells are scanned in rounds
+    until the ADC LOWER BOUND of every unscanned cell exceeds the
+    current k*rerank_factor-th ADC distance. EXHAUSTIVE-equivalence
+    guarantee: the returned scan set yields output bit-identical to
+    probing every cell (nprobe = ncells), because the running threshold
+    ``t`` only tightens as cells are scanned, so a cell excluded when
+    ``lb > t_i >= t_final`` can never hold a final-shortlist row — no
+    recall knob to tune, the bound does the tuning per query.
+
+    Rounds: the first chunk is the ``chunk0`` centroid-nearest cells
+    (where the true neighbors live — seeds a tight threshold); surviving
+    cells are then visited lowest-lower-bound-first (the BBF priority)
+    in geometrically growing chunks, so the scan finishes in at most
+    O(log ncells) k*rerank-bounded collects. A NULL/NaN ADC value in any
+    round (stale codes — see ivf_pq_index_topk's adc_prune caveat)
+    degrades soundly to scanning every remaining cell. ``probe_stats``
+    receives cells_ranked / cells_scanned / pruned_cells / threshold /
+    rounds / degraded."""
+    cells = [int(c) for c in cell_tables]
+    need = k * rerank_factor
+    lb = {c: float(sum(np.nanmin(a) for a in cell_tables[c])) for c in cells}
+    chunk = max(1, int(chunk0))
+    scanned: "list[int]" = []
+    best: "list[float]" = []
+    pruned: "list[int]" = []
+    remaining = list(cells)
+    rounds = 0
+    threshold = None
+    degraded = False
+    while remaining:
+        take, remaining = remaining[:chunk], remaining[chunk:]
+        rounds += 1
+        rows = (
+            cands_for(take)
+            .select(
+                _adc_kernel({c: cell_tables[c] for c in take})(
+                    F.col("codes"), F.col(cell_col).cast("long")
+                ).alias("_ad")
+            )
+            .orderBy(F.asc("_ad"))
+            .limit(need)
+            .collect()  # k*rerank-bounded per round
+        )
+        vals = [r[0] for r in rows]
+        scanned.extend(take)
+        if any(v is None or math.isnan(v) for v in vals):
+            scanned.extend(remaining)
+            remaining = []
+            degraded = True
+            break
+        # per-chunk top-`need` lists merge to the global top-`need`
+        best = sorted(best + [float(v) for v in vals])[:need]
+        if len(best) >= need:
+            threshold = best[-1]
+            kept = [c for c in remaining if lb[c] <= threshold]
+            pruned.extend(c for c in remaining if lb[c] > threshold)
+            remaining = sorted(kept, key=lambda c: (lb[c], c))
+        chunk *= 2
+    if probe_stats is not None:
+        probe_stats.update(
+            cells_ranked=list(cells), cells_scanned=list(scanned),
+            pruned_cells=pruned, threshold=threshold, rounds=rounds,
+            degraded=degraded,
+        )
+    return {c: cell_tables[c] for c in scanned}
 
 
 def _ivf_pq_adc_rerank(
@@ -2225,6 +2320,7 @@ def ivf_pq_index_topk(
     adc_prune: bool = False,
     prune_phase1: int = 1,
     probe_stats: "dict | None" = None,
+    adaptive_nprobe: bool = False,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: centroids + codebooks load
     driver-side (cap-guarded — index-parameter-bounded model state), the
@@ -2252,7 +2348,21 @@ def ivf_pq_index_topk(
     gracefully to the plain nprobe scan. Costs one extra k*rerank-bounded
     collect over the phase-1 directories. ``probe_stats`` (a dict, if
     given) receives cells_ranked / cells_scanned / pruned_cells /
-    threshold for ops visibility."""
+    threshold for ops visibility.
+
+    ``adaptive_nprobe=True`` goes further (the Best-Bin-First analog,
+    see _adaptive_pruned_tables): ``nprobe`` is ignored, EVERY cell is
+    ranked, and the probe scans cell directories in lower-bound order
+    until no unscanned cell can hold a shortlist row — output
+    bit-identical to ``nprobe = ncells`` (the exhaustive ADC scan) with
+    only as many directories read as the bound requires; no recall knob
+    to mistune. ``prune_phase1`` seeds the first chunk size. Driver
+    table cost grows to O(ncells * m * kc) floats (still
+    model-state-bounded, max_cells-guarded)."""
+    if adaptive_nprobe and adc_prune:
+        raise ValueError(
+            "adaptive_nprobe subsumes adc_prune — pass one or the other"
+        )
     qvec = [float(x) for x in _as_qvec(query)]
     cent_rows = sorted(
         (r["cell"], [float(x) for x in r["centroid"]])
@@ -2273,9 +2383,18 @@ def ivf_pq_index_topk(
             "ivf_pq_index_write"
         )
     dsub = len(cb_rows[0][2])
-    cell_tables = _ivf_pq_probe_tables(cent_rows, cb_rows, qvec, nprobe, dsub)
+    cell_tables = _ivf_pq_probe_tables(
+        cent_rows, cb_rows, qvec,
+        len(cent_rows) if adaptive_nprobe else nprobe, dsub,
+    )
     vectors = spark.read.parquet(f"{path}/vectors.parquet")
-    if adc_prune:
+    if adaptive_nprobe:
+        cell_tables = _adaptive_pruned_tables(
+            lambda cs: vectors.filter(F.col("cell").isin(cs)),
+            cell_tables, "cell", k, rerank_factor, prune_phase1,
+            probe_stats,
+        )
+    elif adc_prune:
         # soundness notes live on _adc_pruned_tables: the threshold
         # needs k*rerank REAL distances (NULL/NaN phase-1 rows skip
         # pruning — also prevents float(None)); NaN table slots are
@@ -2317,6 +2436,7 @@ def ann_index_search_many(
     max_cells: int = 65_536,
     adc_prune: bool = False,
     prune_phase1: int = 1,
+    adaptive_nprobe: bool = False,
 ):
     """Probe a persisted IVF or IVF-PQ index (layout autodetected by the
     presence of ``codebooks.parquet``, the ann-index CLI contract) for
@@ -2338,8 +2458,16 @@ def ann_index_search_many(
     ``adc_prune`` (PQ layout only) applies the exactness-guaranteed
     residual-aware cell pruning per query (ivf_pq_index_topk's
     contract) — identical hits, fewer cell directories read per
-    query when the geometry separates cells."""
+    query when the geometry separates cells. ``adaptive_nprobe`` (PQ
+    layout only) replaces the fixed ``nprobe`` with the Best-Bin-First
+    bound per query (ivf_pq_index_topk's contract: hits bit-identical
+    to the exhaustive all-cells probe)."""
     import os
+
+    if adaptive_nprobe and adc_prune:
+        raise ValueError(
+            "adaptive_nprobe subsumes adc_prune — pass one or the other"
+        )
 
     is_pq = os.path.isdir(os.path.join(path, "codebooks.parquet"))
     cent_raw = _read_bounded_rows(
@@ -2365,9 +2493,15 @@ def ann_index_search_many(
         for qid, vec in queries:
             qvec = [float(x) for x in vec]
             cell_tables = _ivf_pq_probe_tables(
-                cent_rows, cb_rows, qvec, nprobe, dsub
+                cent_rows, cb_rows, qvec,
+                len(cent_rows) if adaptive_nprobe else nprobe, dsub,
             )
-            if adc_prune:
+            if adaptive_nprobe:
+                cell_tables = _adaptive_pruned_tables(
+                    lambda cs: vectors.filter(F.col("cell").isin(cs)),
+                    cell_tables, "cell", k, rerank_factor, prune_phase1,
+                )
+            elif adc_prune:
                 cell_tables = _adc_pruned_tables(
                     lambda cs: vectors.filter(F.col("cell").isin(cs)),
                     cell_tables, "cell", k, rerank_factor, prune_phase1,

@@ -798,6 +798,121 @@ def _ann_ivf_pq_pruned_oracle() -> str:
     """
 
 
+def q_ann_ivf_pq_adaptive(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query ADAPTIVE nprobe (Best-Bin-First, _adaptive_pruned_tables)
+    through the audit contract on the clustered synth: the probe ranks
+    ALL TEN cells and scans by the ADC lower bound until no unscanned
+    cell can hold a shortlist row — no nprobe knob at all. Three pinned
+    booleans the oracle expects TRUE: ``recall_ok`` (adaptive probe hit
+    >= 80% of the exact top-5), ``adaptive_exact`` (bit-equal to the
+    EXHAUSTIVE nprobe=10 probe — the guarantee is equivalence to the
+    all-cells scan, strictly stronger than any fixed nprobe), and
+    ``adaptive_effective`` (>= 1 cell directory was never read AND the
+    scan converged in fewer rounds than cells — the bound actually
+    bit)."""
+    import shutil
+    import tempfile
+
+    from ..operators import similarity
+
+    shifted = _clustered_embeddings(spark, sf)
+    data = shifted.filter(F.col("vec_id") != 0)
+    qrow = shifted.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    qvec[0] += _PRUNE_SHIFT  # move the query into the label-0 cluster
+    centroids = similarity.mean_centroids(
+        data.select(F.col("label").alias("cell"), "embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_adaptive_")
+    try:
+        assigned = similarity.ivf_assign(data, centroids)
+        resid = similarity.ivf_residuals(assigned, centroids)
+        cb = similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=32, k=32,
+        )
+        similarity.ivf_pq_index_write(data, centroids, cb, tmp)
+        exhaustive = similarity.ivf_pq_index_topk(
+            spark, tmp, qvec, k=5, nprobe=10, rerank_factor=16
+        ).collect()  # k-bounded
+        stats: dict = {}
+        adaptive = similarity.ivf_pq_index_topk(
+            spark, tmp, qvec, k=5, rerank_factor=16,
+            adaptive_nprobe=True, prune_phase1=2, probe_stats=stats,
+        ).collect()  # k-bounded
+        adaptive_exact = [(r[0], r[1]) for r in adaptive] == [
+            (r[0], r[1]) for r in exhaustive
+        ]
+        adaptive_effective = bool(stats.get("pruned_cells")) and len(
+            stats.get("cells_scanned", [])
+        ) < len(stats.get("cells_ranked", []))
+        exact = (
+            data.select(
+                "vec_id",
+                similarity.euclidean_to_query_kernel(qvec)(
+                    F.col("embedding")
+                ).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc("vec_id"))
+            .limit(5)
+            .localCheckpoint()
+        )
+        exact_ids = [r.vec_id for r in exact.collect()]  # k-bounded
+        hit = {r[0] for r in adaptive}
+        recall_ok = (
+            len(set(exact_ids) & hit) >= 0.8 * len(exact_ids)
+            if exact_ids
+            else True
+        )
+        return exact.select(
+            "vec_id", "distance",
+            F.lit(bool(recall_ok)).alias("recall_ok"),
+            F.lit(bool(adaptive_exact)).alias("adaptive_exact"),
+            F.lit(bool(adaptive_effective)).alias("adaptive_effective"),
+        ).orderBy(F.asc("distance"), F.asc("vec_id"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_ivf_pq_adaptive_oracle() -> str:
+    # audit-contract oracle: the q_ann_ivf_pq_pruned witness (exact
+    # euclidean top-5 over the clustered synth) with the adaptive probe's
+    # pinned booleans (recall floor, adaptive == exhaustive, bound bit)
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH shifted AS (
+            SELECT vec_id,
+                   list(CAST(x AS DOUBLE)
+                        + CASE WHEN pos = label + 1
+                               THEN {_PRUNE_SHIFT!r} ELSE 0.0 END
+                        ORDER BY pos) AS emb
+            FROM (
+                SELECT vec_id, label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            )
+            GROUP BY vec_id, label
+        ),
+        q AS (
+            SELECT list_transform(
+                       range(1, len(emb) + 1),
+                       i -> emb[i] + CASE WHEN i = 1
+                                          THEN {_PRUNE_SHIFT!r}
+                                          ELSE 0.0 END
+                   ) AS q_emb
+            FROM shifted WHERE vec_id = 0
+        )
+        SELECT s.vec_id, {_euclid_sql('s.emb', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok, TRUE AS adaptive_exact,
+               TRUE AS adaptive_effective
+        FROM shifted s, q
+        WHERE s.vec_id <> 0
+        ORDER BY distance ASC, s.vec_id ASC
+        LIMIT 5
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
@@ -805,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_match_spans": q_winnow_match_spans,
     "q_winnow_span_scrub": q_winnow_span_scrub,
     "q_winnow_spans_incremental": q_winnow_spans_incremental,
+    "q_ann_ivf_pq_adaptive": q_ann_ivf_pq_adaptive,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -816,4 +932,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_winnow_match_spans": _winnow_match_spans_oracle(),
     "q_winnow_span_scrub": _winnow_span_scrub_oracle(),
     "q_winnow_spans_incremental": _winnow_spans_incremental_oracle(),
+    "q_ann_ivf_pq_adaptive": _ann_ivf_pq_adaptive_oracle(),
 }

@@ -1741,6 +1741,7 @@ def ann_search_batch(
     index_id_col: str = "vec_id",
     index_vec_col: str = "embedding",
     adc_prune: bool = False,
+    adaptive_nprobe: bool = False,
 ) -> None:
     """One idempotent micro-batch of the streaming vector-search serving
     job: probe the PERSISTED IVF / IVF-PQ index (layout autodetected)
@@ -1782,7 +1783,7 @@ def ann_search_batch(
         [(r[0], r[1]) for r in rows],
         k=k, nprobe=nprobe, rerank_factor=rerank_factor,
         id_col=index_id_col, vec_col=index_vec_col,
-        adc_prune=adc_prune,
+        adc_prune=adc_prune, adaptive_nprobe=adaptive_nprobe,
     )
     from pyspark.sql.types import (
         DoubleType, IntegerType, StructField, StructType,
@@ -1824,6 +1825,7 @@ def stream_ann_search(
     index_id_col: str = "vec_id",
     index_vec_col: str = "embedding",
     adc_prune: bool = False,
+    adaptive_nprobe: bool = False,
     checkpoint: "str | None" = None,
 ):
     """Streaming vector search over a persisted ANN index — the serving
@@ -1844,7 +1846,7 @@ def stream_ann_search(
             query_id_col=query_id_col, vec_col=vec_col,
             max_queries_per_batch=max_queries_per_batch,
             index_id_col=index_id_col, index_vec_col=index_vec_col,
-            adc_prune=adc_prune,
+            adc_prune=adc_prune, adaptive_nprobe=adaptive_nprobe,
         )
 
     writer = queries.writeStream.foreachBatch(probe).trigger(availableNow=True)

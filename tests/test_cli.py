@@ -307,6 +307,19 @@ def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
         (r.vec_id, r.l2sq) for r in hits
     ]
 
+    # --adaptive: no nprobe knob, hits equal the exhaustive probe
+    out3 = str(tmp_path / "hits_adaptive")
+    found3 = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--rerank-factor", "16",
+        "--adaptive", "--output", out3,
+    )
+    assert found3.returncode == 0, found3.stderr[-2000:]
+    hits3 = spark.read.parquet(out3).orderBy("l2sq").collect()
+    assert [(r.vec_id, r.l2sq) for r in hits3] == [
+        (r.vec_id, r.l2sq) for r in hits
+    ]
+
 
 def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
     """build-corpus --near-method winnow as a real subprocess: the

@@ -981,3 +981,122 @@ def test_adc_prune_live_and_serving_paths_bit_equal(spark, tmp_path):
         adc_prune=True,
     )
     assert sc == sc2 == "l2sq" and pruned_hits == plain_hits
+
+
+def test_adaptive_nprobe_exhaustive_equivalence(spark, sf_small, tmp_path):
+    """Best-Bin-First adaptive nprobe: output bit-identical to the
+    EXHAUSTIVE all-cells probe with strictly fewer directories scanned
+    on clustered geometry; the fixed-nprobe knob is gone (a too-small
+    nprobe can miss recall; adaptive cannot). Isotropic data degrades
+    to scanning everything — still bit-equal. A corpus smaller than
+    k*rerank never forms a threshold and scans all cells soundly."""
+    import pytest
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    dim, per = 8, 60
+    centers = [[40.0 * (c == j) for j in range(dim)] for c in range(4)]
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = list(centers[c])
+            v[(i * 3) % dim] += ((i % 7) - 3) * 0.31
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = spark.createDataFrame(
+        [(c, centers[c]) for c in range(4)], "cell int, centroid array<double>"
+    )
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=4, k=8)
+    path = str(tmp_path / "clustered_idx")
+    similarity.ivf_pq_index_write(data, centroids, cb, path)
+
+    qvec = list(centers[0])
+    qvec[2] += 0.05
+    exhaustive = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=5, nprobe=4, rerank_factor=4
+    ).collect()
+    stats: dict = {}
+    adaptive = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=5, rerank_factor=4,
+        adaptive_nprobe=True, probe_stats=stats,
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in adaptive] == [
+        (r.vec_id, r.l2sq) for r in exhaustive
+    ]
+    assert len(stats["cells_ranked"]) == 4
+    assert len(stats["cells_scanned"]) < 4
+    assert stats["pruned_cells"] and stats["threshold"] is not None
+    assert stats["rounds"] >= 1 and not stats["degraded"]
+    assert set(stats["cells_scanned"]) | set(stats["pruned_cells"]) == set(
+        stats["cells_ranked"]
+    )
+
+    # live probe twin + the one-or-the-other guard
+    enc = similarity.ivf_pq_encode(assigned, centroids, cb).localCheckpoint()
+    live = similarity.ivf_pq_topk(
+        enc, centroids, cb, qvec, k=5, rerank_factor=4, adaptive_nprobe=True
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in live] == [
+        (r.vec_id, r.l2sq) for r in exhaustive
+    ]
+    with pytest.raises(ValueError, match="subsumes"):
+        similarity.ivf_pq_index_topk(
+            spark, path, qvec, k=5, adaptive_nprobe=True, adc_prune=True
+        )
+
+    # serving path: adaptive hits == exhaustive hits for every query
+    queries = [(1, qvec), (2, list(centers[2]))]
+    ex_hits, sc = similarity.ann_index_search_many(
+        spark, path, queries, k=5, nprobe=4, rerank_factor=4
+    )
+    ad_hits, sc2 = similarity.ann_index_search_many(
+        spark, path, queries, k=5, rerank_factor=4, adaptive_nprobe=True
+    )
+    assert sc == sc2 == "l2sq" and ad_hits == ex_hits
+
+    # corpus smaller than k*rerank: threshold never forms, every cell
+    # scans, result equals the exhaustive probe
+    tiny = spark.createDataFrame(
+        rows[::40], "vec_id long, embedding array<float>"
+    )
+    tpath = str(tmp_path / "tiny_idx")
+    similarity.ivf_pq_index_write(tiny, centroids, cb, tpath)
+    t_ex = similarity.ivf_pq_index_topk(
+        spark, tpath, qvec, k=5, nprobe=4, rerank_factor=4
+    ).collect()
+    tstats: dict = {}
+    t_ad = similarity.ivf_pq_index_topk(
+        spark, tpath, qvec, k=5, rerank_factor=4,
+        adaptive_nprobe=True, probe_stats=tstats,
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in t_ad] == [
+        (r.vec_id, r.l2sq) for r in t_ex
+    ]
+    assert len(tstats["cells_scanned"]) == 4 and not tstats["pruned_cells"]
+
+    # isotropic fixture: graceful degrade, bit-equal to exhaustive
+    emb = load(spark, sf_small, "embeddings")
+    idata = emb.filter(F.col("vec_id") != 0)
+    icent = _ivf_centroids(emb)
+    iassigned = similarity.ivf_assign(idata, icent)
+    iresid = similarity.ivf_residuals(iassigned, icent)
+    icb = similarity.pq_train_driver(iresid, vec_col="residual", m=16, k=8)
+    ipath = str(tmp_path / "iso_idx")
+    similarity.ivf_pq_index_write(idata, icent, icb, ipath)
+    iq = _query_vec_list(emb)
+    ncells = icent.count()
+    i_ex = similarity.ivf_pq_index_topk(
+        spark, ipath, iq, k=10, nprobe=ncells, rerank_factor=8
+    ).collect()
+    i_ad = similarity.ivf_pq_index_topk(
+        spark, ipath, iq, k=10, rerank_factor=8, adaptive_nprobe=True
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in i_ad] == [
+        (r.vec_id, r.l2sq) for r in i_ex
+    ]
