@@ -16,9 +16,12 @@ _VERIFY_FIRST = [
     # Round-12 window — steady-state rotation (VERDICT r11 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
     # (robust winnowing, the winnow-tier corpus build, the pruned
-    # IVF-PQ probe audit, MOSS match-span localization, the span scrub):
+    # IVF-PQ probe audit, MOSS match-span localization, the span scrub,
+    # then the late-round depth pair: incremental span localization over
+    # the positioned index and the Best-Bin-First adaptive probe):
     "q_winnow_robust", "q_corpus_build_winnow", "q_ann_ivf_pq_pruned",
     "q_winnow_match_spans", "q_winnow_span_scrub",
+    "q_winnow_spans_incremental", "q_ann_ivf_pq_adaptive",
     # (b) operator path changed THIS round: winnow_fingerprints grew the
     # robust branch (q_dedup_winnow, q_dedup_incremental_winnow share
     # the plain path); ivf_pq_index_topk gained adc_prune and the ADC
@@ -47,8 +50,11 @@ _VERIFY_FIRST = [
     "q_hybrid_rrf", "q_rrf_grouped", "q_rerank_topk", "q_lm_perplexity",
     "q_langid_trained", "q_dsir_weights", "q_dsir_resample",
     "q_curriculum_phases", "q_training_data_pipeline",
-    "q_training_pipeline_v2", "q_agg_by_month", "q_agg_sum_by_key",
-    "q_agg_sum_two_keys",
+    "q_training_pipeline_v2", "q_agg_by_month",
+    # (q_agg_sum_by_key / q_agg_sum_two_keys yielded their window slots
+    # to the two late-round additions — never-checked queries outrank
+    # stale-green rotation by policy; both stay green in the full local
+    # oracle and lead the round-13 rotation debt.)
 ]
 
 
