@@ -429,6 +429,70 @@ def winnow_fingerprints(
     return expr.alias(alias)
 
 
+def chunk_spans(
+    col: Column | str,
+    max_tokens: int,
+    overlap: int = 0,
+    alias: str = "chunks",
+) -> Column:
+    """Sliding-window document chunking with PROVENANCE offsets — the
+    RAG / context-window splitting primitive: whitespace tokens of the
+    lowercased text cut into windows of ``max_tokens`` advancing by
+    ``max_tokens - overlap``, each chunk carrying where it came from.
+    Output ``array<struct<chunk_id int, start_tok int, n_tok int,
+    chunk_text string>>`` (start_tok 0-based; the last chunk may be
+    shorter; every token is covered because the stride never exceeds the
+    window). Chunk count is ``1 + ceil(max(n - max_tokens, 0) /
+    stride)`` — one window when the doc fits, and never a trailing
+    window that adds no new tokens.
+
+    Tokenization matches ``tokens()`` (split on whitespace after
+    trim+lower), including its quirk that an empty/whitespace text
+    yields the single empty token — one empty chunk, kept so every doc
+    chunks to >= 1 row and offsets stay total. 100-TB shape: a pure
+    per-row HOF over the scan — no UDF, no shuffle; explode downstream
+    multiplies rows by ~n/stride, the intended fan-out."""
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"chunk_spans needs 0 <= overlap < max_tokens, got "
+            f"overlap={overlap} max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+
+    def chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
+        nch = F.lit(1) + F.floor(
+            (extra + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (i * stride).cast("int").alias("start_tok"),
+                F.least(F.lit(max_tokens), n - i * stride)
+                .cast("int")
+                .alias("n_tok"),
+                F.array_join(
+                    F.slice(
+                        toks,
+                        (i * stride + 1).cast("int"),
+                        F.least(F.lit(max_tokens), n - i * stride),
+                    ),
+                    " ",
+                ).alias("chunk_text"),
+            ),
+        )
+
+    # let-bind the token array (the winnow_fingerprints HOF contract:
+    # captured expressions re-evaluate per element after projection
+    # collapse — one split per row, not one per chunk)
+    expr = F.element_at(
+        F.transform(F.array(tokens(col)), chunks_of), 1
+    )
+    return expr.alias(alias)
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

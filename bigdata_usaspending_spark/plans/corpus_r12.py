@@ -913,6 +913,67 @@ def _ann_ivf_pq_adaptive_oracle() -> str:
     """
 
 
+_CHUNK_MAX = 64
+_CHUNK_OVERLAP = 16
+
+
+def q_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking with provenance (text.chunk_spans): the
+    RAG / context-window splitter over a 1-in-5 document sample —
+    64-token windows advancing by 48 (16-token overlap; the
+    OVERLAPPING generalization of corpus_llm.q_chunk_documents), each chunk
+    carrying its 0-based start offset and length so a retriever can map
+    hits back into the source doc. Pure per-row HOF + explode: scan
+    arithmetic, the fan-out is the output."""
+    from ..operators.text import chunk_spans
+
+    return (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                chunk_spans("text", _CHUNK_MAX, _CHUNK_OVERLAP)
+            ).alias("c"),
+        )
+        .select(
+            "doc_id", F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_tok").alias("n_tok"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def _chunk_overlap_oracle() -> str:
+    # integer replay: nch = 1 + (max(n - MX, 0) + stride - 1) // stride,
+    # chunk i covers tokens [i*stride, i*stride + least(MX, n - i*stride))
+    from .corpus_ext import _TOKS
+
+    mx, st = _CHUNK_MAX, _CHUNK_MAX - _CHUNK_OVERLAP
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        ),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   1 + (greatest(len(toks) - {mx}, 0) + {st - 1}) // {st}
+                   AS nch
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_id,
+               CAST(i * {st} AS INTEGER) AS start_tok,
+               CAST(least({mx}, n - i * {st}) AS INTEGER) AS n_tok,
+               array_to_string(
+                   list_slice(toks, i * {st} + 1,
+                              i * {st} + least({mx}, n - i * {st})),
+                   ' ') AS chunk_text
+        FROM (SELECT doc_id, toks, n, unnest(range(0, nch)) AS i FROM c)
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
@@ -921,6 +982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_span_scrub": q_winnow_span_scrub,
     "q_winnow_spans_incremental": q_winnow_spans_incremental,
     "q_ann_ivf_pq_adaptive": q_ann_ivf_pq_adaptive,
+    "q_chunk_overlap": q_chunk_overlap,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -933,4 +995,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_winnow_span_scrub": _winnow_span_scrub_oracle(),
     "q_winnow_spans_incremental": _winnow_spans_incremental_oracle(),
     "q_ann_ivf_pq_adaptive": _ann_ivf_pq_adaptive_oracle(),
+    "q_chunk_overlap": _chunk_overlap_oracle(),
 }

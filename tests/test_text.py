@@ -753,3 +753,51 @@ def test_bm25_inverted_plan_semi_joins_vocab_no_cartesian(spark):
     # fold is visible in the optimized logical plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "sort_array" in opt
+
+
+def test_chunk_spans_coverage_and_bruteforce(spark):
+    """chunk_spans: chunks, offsets and texts equal a Python replay;
+    every token is covered; overlapping windows share exactly `overlap`
+    tokens; a doc shorter than the window yields one chunk; empty text
+    yields the single empty-token chunk (the tokens() quirk); invalid
+    overlap raises."""
+    import math
+
+    import pytest
+
+    MX, OV = 5, 2
+    stride = MX - OV
+    texts = {
+        1: "a b c d e f g h i j k l m",   # 13 tokens
+        2: "one two three",               # fits in one window
+        3: "t1 t2 t3 t4 t5",              # exactly max_tokens
+        4: "",                            # empty -> [''] single token
+        5: "x " * 9,                      # trailing whitespace trims
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        F.explode(text.chunk_spans("text", MX, OV)).alias("c"),
+    ).select("doc_id", "c.chunk_id", "c.start_tok", "c.n_tok", "c.chunk_text")
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in out.collect()
+    }
+    for i, t in texts.items():
+        toks = t.lower().strip().split()
+        if not toks:
+            toks = [""]
+        n = len(toks)
+        nch = 1 + max(math.ceil((n - MX) / stride), 0)
+        covered = set()
+        for c in range(nch):
+            s = c * stride
+            ln = min(MX, n - s)
+            assert got[(i, c)] == (s, ln, " ".join(toks[s : s + ln])), (i, c)
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n)), i
+        assert (i, nch) not in got
+    # consecutive windows share exactly `overlap` tokens on the long doc
+    assert got[(1, 0)][2].split()[stride:] == got[(1, 1)][2].split()[:OV]
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_spans("text", 4, 4)
