@@ -930,6 +930,47 @@ def winnow_spans_against_index(
     )
 
 
+def winnow_scrub_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    max_fingerprint_df: "int | None" = None,
+    batch_pfps: "DataFrame | None" = None,
+) -> DataFrame:
+    """Passage-level DECONTAMINATION / incremental span scrub: for every
+    batch doc, cut the per-char union of the covering spans it shares
+    with ANY committed doc in a persisted ``winnow_pos_index`` — the
+    surgical alternative to the drop-tier ``decontaminate`` /
+    ``winnow_dedup_against_index`` when a training doc merely QUOTES a
+    benchmark or boilerplate passage and the rest is worth keeping. The
+    committed side (the benchmark set, or the already-ingested corpus)
+    is never modified and never re-fingerprinted — only scanned, via
+    winnow_spans_against_index's probe inversion.
+
+    Output ``(id, scrubbed, n_cut, n_spans)`` for EVERY batch doc
+    (winnow_span_scrub's contract: unmatched docs return their
+    normalized text whole, ``n_spans`` counts the verified index pairs
+    that contributed spans). Cap semantics inherit from
+    winnow_spans_against_index: the drop/scrub DECISION (jaccard) is
+    value-exact under ``max_fingerprint_df``; the spans themselves come
+    from uncapped anchors."""
+    spans = winnow_spans_against_index(
+        batch, index, id_col, text_col, k=k, w=w, threshold=threshold,
+        portable=portable, max_fingerprint_df=max_fingerprint_df,
+        batch_pfps=batch_pfps,
+    )
+    per_doc = spans.groupBy(F.col("id_batch").alias("_sid")).agg(
+        F.collect_list(F.struct("b_start", "b_end")).alias("_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    return _scrub_covered_spans(batch, id_col, text_col, per_doc)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

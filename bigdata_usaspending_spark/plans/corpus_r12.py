@@ -913,6 +913,130 @@ def _ann_ivf_pq_adaptive_oracle() -> str:
     """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level decontamination (dedup.winnow_scrub_against_index):
+    the trailing-token variants play a training batch that QUOTES
+    committed benchmark docs (the 1-in-7 sample, persisted as a
+    positioned winnow index) — each batch doc loses exactly the covering
+    span it shares with any benchmark doc and keeps its distinct tail,
+    instead of being dropped whole (the q_decontaminate drop tier's
+    surgical sibling). Benchmark side scan-only; decisions value-exact
+    under the stop-gram cap."""
+    from ..operators import dedup
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    index = dedup.winnow_pos_index(
+        docs, "doc_id", k=_ROBUST_K, w=_ROBUST_W, portable=True
+    )
+    return dedup.winnow_scrub_against_index(
+        variants, index, "doc_id",
+        k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
+        portable=True, max_fingerprint_df=_SPAN_MAX_DF,
+    )
+
+
+def _decontaminate_spans_oracle() -> str:
+    # the incremental span chain (robust fps over sample ∪ variants,
+    # capped anchors restricted to index x batch, exact-intersection
+    # verify), then the scrub replay over the BATCH docs only (the
+    # _winnow_span_scrub_oracle per-position anti-join)
+    from .corpus_ext import _NORMALIZED
+
+    k = _ROBUST_K
+    return f"""
+        WITH RECURSIVE sample AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
+            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        ),
+        {_robust_fps_ctes(src="sample")},
+        vals AS (SELECT DISTINCT doc_id, fp FROM rfp),
+        nf AS (SELECT doc_id, count(*) AS nf FROM vals GROUP BY doc_id),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc FROM vals GROUP BY fp
+            ) WHERE dfc > {_SPAN_MAX_DF}
+        ),
+        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
+        anc AS (
+            SELECT a.doc_id AS id_index, b.doc_id AS id_batch,
+                   b.pos AS pos_b
+            FROM e a JOIN e b ON a.fp = b.fp
+            WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+        ),
+        agg AS (
+            SELECT id_index, id_batch,
+                   min(pos_b) AS b_start,
+                   max(pos_b) + {k - 1} AS b_end
+            FROM anc GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT i.doc_id AS id_index, b.doc_id AS id_batch,
+                   count(*) AS n_shared
+            FROM vals i JOIN vals b ON i.fp = b.fp
+            WHERE i.doc_id < 1000000 AND b.doc_id >= 1000000
+            GROUP BY 1, 2
+        ),
+        vs AS (
+            SELECT g.id_batch AS doc_id, g.b_start, g.b_end
+            FROM agg g
+            JOIN inter x ON g.id_index = x.id_index
+                        AND g.id_batch = x.id_batch
+            JOIN nf ni ON g.id_index = ni.doc_id
+            JOIN nf nb ON g.id_batch = nb.doc_id
+            WHERE CAST(x.n_shared AS DOUBLE)
+                  / CAST(ni.nf + nb.nf - x.n_shared AS DOUBLE)
+                  >= {_SPAN_THRESHOLD}
+        ),
+        nrm AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM sample
+            WHERE doc_id >= 1000000
+        ),
+        chars AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS pos, substr(s, p, 1) AS ch
+            FROM (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS p
+                  FROM nrm)
+        ),
+        covered AS (
+            SELECT DISTINCT c.doc_id, c.pos
+            FROM chars c JOIN vs d
+              ON c.doc_id = d.doc_id
+             AND c.pos BETWEEN d.b_start AND d.b_end
+        ),
+        kept AS (
+            SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.pos) AS scrubbed
+            FROM chars c
+            LEFT JOIN covered v ON c.doc_id = v.doc_id AND c.pos = v.pos
+            WHERE v.pos IS NULL
+            GROUP BY c.doc_id
+        ),
+        ncut AS (
+            SELECT doc_id, count(*) AS n_cut FROM covered GROUP BY doc_id
+        ),
+        nsp AS (
+            SELECT doc_id, count(*) AS n_spans FROM vs GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               coalesce(k2.scrubbed, '') AS scrubbed,
+               CAST(coalesce(c.n_cut, 0) AS INTEGER) AS n_cut,
+               CAST(coalesce(p.n_spans, 0) AS INTEGER) AS n_spans
+        FROM nrm n
+        LEFT JOIN kept k2 ON n.doc_id = k2.doc_id
+        LEFT JOIN ncut c ON n.doc_id = c.doc_id
+        LEFT JOIN nsp p ON n.doc_id = p.doc_id
+    """
+
+
 _CHUNK_MAX = 64
 _CHUNK_OVERLAP = 16
 
@@ -983,6 +1107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_spans_incremental": q_winnow_spans_incremental,
     "q_ann_ivf_pq_adaptive": q_ann_ivf_pq_adaptive,
     "q_chunk_overlap": q_chunk_overlap,
+    "q_decontaminate_spans": q_decontaminate_spans,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -996,4 +1121,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_winnow_spans_incremental": _winnow_spans_incremental_oracle(),
     "q_ann_ivf_pq_adaptive": _ann_ivf_pq_adaptive_oracle(),
     "q_chunk_overlap": _chunk_overlap_oracle(),
+    "q_decontaminate_spans": _decontaminate_spans_oracle(),
 }

@@ -889,3 +889,56 @@ def test_winnow_spans_against_index_matches_batch_and_plan(spark):
         ).collect()
     }
     assert via_seam == got
+
+
+def test_winnow_scrub_against_index_semantics(spark):
+    """Passage-level decontamination: every batch doc loses the per-char
+    UNION of its committed-overlap spans and keeps the rest; unmatched
+    and sub-k docs pass through whole; the index side is never in the
+    output; counts replay from the span evidence."""
+    import re
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "fully unrelated committed text about trains and "
+                        "long rails going far")],
+        "doc_id long, text string",
+    )
+    batch_texts = {
+        10: base + " again",      # overlaps committed 1 -> span scrubbed
+        11: "fresh content with no committed overlap whatsoever here",
+        12: "zz",                 # sub-k: passes through whole
+    }
+    batch = spark.createDataFrame(
+        list(batch_texts.items()), "doc_id long, text string"
+    )
+    index = dedup.winnow_pos_index(corpus, "doc_id", portable=True)
+    spans = {
+        r.id_batch: (r.b_start, r.b_end)
+        for r in dedup.winnow_spans_against_index(
+            batch, index, "doc_id", threshold=0.5, portable=True
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in dedup.winnow_scrub_against_index(
+            batch, index, "doc_id", threshold=0.5, portable=True
+        ).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    assert set(got) == set(batch_texts)  # batch docs only, all of them
+    for i, t in batch_texts.items():
+        n = norm(t)
+        if i in spans:
+            s, e = spans[i]
+            want = "".join(
+                ch for p, ch in enumerate(n, 1) if not (s <= p <= e)
+            )
+            assert got[i] == (want, e - s + 1, 1), i
+        else:
+            assert got[i] == (n, 0, 0), i
+    assert got[10][1] > 0 and got[10][0].endswith("again")
