@@ -584,9 +584,13 @@ def q_winnow_spans_incremental(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" the")).alias("text"),
     )
+    # materialize the index (production reads it from parquet): the live
+    # robust-fold lineage would otherwise re-execute per consumer AND
+    # evaluate inside the probe's staged Generate — the interpreted-HOF
+    # explode trap documented on q_winnow_robust (14 -> ~3 s at sf0.1)
     index = dedup.winnow_pos_index(
         docs, "doc_id", k=_ROBUST_K, w=_ROBUST_W, portable=True
-    )
+    ).localCheckpoint()
     return dedup.winnow_spans_against_index(
         variants, index, "doc_id",
         k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
@@ -1149,9 +1153,11 @@ def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" the")).alias("text"),
     )
+    # materialized like q_winnow_spans_incremental's (the persisted-index
+    # production contract; avoids the live-lineage Generate trap)
     index = dedup.winnow_pos_index(
         docs, "doc_id", k=_ROBUST_K, w=_ROBUST_W, portable=True
-    )
+    ).localCheckpoint()
     return dedup.winnow_scrub_against_index(
         variants, index, "doc_id",
         k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
