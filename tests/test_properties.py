@@ -652,3 +652,44 @@ def test_rrf_grouped_tagged_matches_python_reference(
         )[:k]
         want.extend((g, d, rrf, n) for d, rrf, n in grp)
     assert got == want
+
+
+@given(
+    doc=st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=40), max_size=3
+    ).map(" ".join),
+    mx=st.integers(1, 7),
+    ov=st.integers(0, 6),
+)
+@SLOW
+def test_chunk_spans_reconstructs_and_covers(spark, doc, mx, ov):
+    """chunk_spans invariants on arbitrary text/window/overlap: chunk
+    texts are exactly the token slices at their offsets, consecutive
+    starts advance by the stride, every token is covered, and dropping
+    each chunk's first `overlap` tokens (after the first chunk)
+    reconstructs the full token stream."""
+    from bigdata_usaspending_spark.operators.text import chunk_spans
+
+    if ov >= mx:
+        ov = mx - 1
+    stride = mx - ov
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = sorted(
+        (
+            (r.c.chunk_id, r.c.start_tok, r.c.n_tok, r.c.chunk_text)
+            for r in df.select(
+                F.explode(chunk_spans("text", mx, ov)).alias("c")
+            ).select("c").collect()
+        )
+    )
+    toks = doc.lower().strip().split() or [""]
+    n = len(toks)
+    assert rows[0][:2] == (0, 0) and len(rows) >= 1
+    recon = []
+    for cid, start, ln, text in rows:
+        assert start == cid * stride and ln == min(mx, n - start) and ln >= 1
+        assert text == " ".join(toks[start : start + ln])
+        recon.extend(toks[start:start + ln][ov if cid else 0:] if cid else toks[:ln])
+    # the last chunk ends at the last token; reconstruction is exact
+    assert rows[-1][1] + rows[-1][2] == n
+    assert recon == toks
