@@ -193,6 +193,39 @@ def _parser() -> argparse.ArgumentParser:
     )
     ai.add_argument("--output", default=None, help="write search result parquet here")
 
+    wi = sub.add_parser(
+        "winnow-index",
+        help="persisted positioned rolling-hash near-dup index: build / "
+        "add / spans / scrub / dedup (the ann-index lifecycle applied "
+        "to text overlap)",
+    )
+    wi.add_argument("action", choices=["build", "add", "spans", "scrub", "dedup"])
+    wi.add_argument("--index", required=True, help="index root directory")
+    wi.add_argument(
+        "--documents", required=True, help="parquet of (id, text) rows"
+    )
+    wi.add_argument("--id-col", default="doc_id")
+    wi.add_argument("--text-col", default="text")
+    wi.add_argument(
+        "--k", type=int, default=8,
+        help="character gram size (build only — probes and adds load "
+        "the index's saved parameters)",
+    )
+    wi.add_argument("--w", type=int, default=4, help="window size (build only)")
+    wi.add_argument(
+        "--portable", action="store_true",
+        help="md5-derived 60-bit hash instead of xxhash64 (build only)",
+    )
+    wi.add_argument(
+        "--threshold", type=float, default=0.5,
+        help="fingerprint-Jaccard verify threshold (spans/scrub/dedup)",
+    )
+    wi.add_argument(
+        "--max-df", type=int, default=None,
+        help="stop-gram cap over combined index+batch document frequency",
+    )
+    wi.add_argument("--output", default=None, help="write result parquet here")
+
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
     )
@@ -473,6 +506,49 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote top-{args.k} to {args.output}")
         else:
             for row in out.collect():  # k-bounded
+                print(tuple(row))
+        return 0
+
+    if args.job == "winnow-index":
+        from .operators import dedup as dd
+        from .session import apply_runtime_confs
+
+        apply_runtime_confs(spark)
+        df = spark.read.parquet(args.documents)
+        if args.action == "build":
+            dd.winnow_pos_index_write(
+                df, args.index, id_col=args.id_col, text_col=args.text_col,
+                k=args.k, w=args.w, portable=args.portable,
+            )
+            n = spark.read.parquet(f"{args.index}/fps.parquet").count()
+            print(
+                f"built winnow index over {n} fingerprinted docs "
+                f"({args.index})"
+            )
+            return 0
+        if args.action == "add":
+            dd.winnow_pos_index_add(
+                spark, args.index, df,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            n = spark.read.parquet(f"{args.index}/fps.parquet").count()
+            print(f"index now holds {n} fingerprinted docs ({args.index})")
+            return 0
+        fn = {
+            "spans": dd.winnow_index_spans,
+            "scrub": dd.winnow_index_scrub,
+            "dedup": dd.winnow_index_dedup,
+        }[args.action]
+        out = fn(
+            spark, args.index, df,
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold, max_fingerprint_df=args.max_df,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote winnow-index {args.action} result to {args.output}")
+        else:
+            for row in out.limit(20).collect():  # preview-bounded
                 print(tuple(row))
         return 0
 

@@ -971,6 +971,151 @@ def winnow_scrub_against_index(
     return _scrub_covered_spans(batch, id_col, text_col, per_doc)
 
 
+def winnow_pos_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+) -> None:
+    """Persist a positioned winnow index — the text-side analog of
+    ``ivf_pq_index_write``'s build-once / add-batches / probe-forever
+    lifecycle. Layout:
+
+    - ``{path}/meta.json`` — the fingerprint parameters (k, w, portable,
+      id column name/type). Probes and adds MUST reuse them (a probe
+      hashed with different k/w shares no fingerprints with the index
+      and silently matches nothing), so they are stored once at build
+      and loaded everywhere else — the faiss saved-model contract
+      applied to text hashing.
+    - ``{path}/fps.parquet`` — one row per doc: ``(_id, pfps)`` robust
+      positioned fingerprints (winnow_pos_index's shape; empty-set docs
+      excluded there)."""
+    import json
+    import os
+
+    pfps = winnow_pos_index(df, id_col, text_col, k=k, w=w, portable=portable)
+    pfps.write.mode("overwrite").parquet(f"{path}/fps.parquet")
+    meta = {
+        "k": int(k), "w": int(w), "portable": bool(portable),
+        "id_col": id_col,
+        "id_type": dict(df.dtypes)[id_col],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _winnow_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no winnow index meta at {meta_path!r} — the directory was "
+            "not written by winnow_pos_index_write"
+        )
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def winnow_pos_index_add(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally ADD documents to a persisted positioned winnow
+    index: new docs are fingerprinted with the SAVED parameters (never
+    the caller's — a silent k/w mismatch would make every future probe
+    miss) and appended to the same layout. Mirrors ``ivf_pq_index_add``,
+    including the id-type guard (appending a second id type writes a
+    mixed-schema parquet that later probes surface as nulls)."""
+    meta = _winnow_index_meta(path)
+    id_type = dict(df.dtypes)[id_col]
+    if id_type != meta["id_type"]:
+        raise ValueError(
+            f"batch id column {id_col!r} has type {id_type} but the "
+            f"index was built with {meta['id_type']}; cast the batch ids"
+        )
+    pfps = winnow_pos_index(
+        df, id_col, text_col,
+        k=meta["k"], w=meta["w"], portable=meta["portable"],
+    )
+    pfps.write.mode("append").parquet(f"{path}/fps.parquet")
+
+
+def winnow_index_spans(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+) -> DataFrame:
+    """Localize a new batch's overlap spans against a persisted
+    positioned winnow index (winnow_spans_against_index over the saved
+    layout, fingerprint parameters loaded from the index meta). The
+    index parquet is scan-only; the batch broadcasts."""
+    meta = _winnow_index_meta(path)
+    index = spark.read.parquet(f"{path}/fps.parquet")
+    return winnow_spans_against_index(
+        batch, index, id_col, text_col,
+        k=meta["k"], w=meta["w"], threshold=threshold,
+        portable=meta["portable"], max_fingerprint_df=max_fingerprint_df,
+    )
+
+
+def winnow_index_scrub(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+) -> DataFrame:
+    """Passage-level decontamination against a persisted positioned
+    winnow index (winnow_scrub_against_index over the saved layout)."""
+    meta = _winnow_index_meta(path)
+    index = spark.read.parquet(f"{path}/fps.parquet")
+    return winnow_scrub_against_index(
+        batch, index, id_col, text_col,
+        k=meta["k"], w=meta["w"], threshold=threshold,
+        portable=meta["portable"], max_fingerprint_df=max_fingerprint_df,
+    )
+
+
+def winnow_index_dedup(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+) -> DataFrame:
+    """Incremental near DEDUP against a persisted positioned winnow
+    index: the positioned sets reduce losslessly to the value sets
+    (distinct fp — provably the plain winnowed set), so the drop tier
+    (winnow_dedup_against_index) runs over the same index the span
+    tiers probe — one persisted artifact serves all three actions."""
+    meta = _winnow_index_meta(path)
+    index = spark.read.parquet(f"{path}/fps.parquet").select(
+        "_id", _pos_vals("pfps").alias("fps")
+    )
+    return winnow_dedup_against_index(
+        batch, index, id_col, text_col,
+        k=meta["k"], w=meta["w"], threshold=threshold,
+        portable=meta["portable"], max_fingerprint_df=max_fingerprint_df,
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -321,6 +321,74 @@ def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
     ]
 
 
+def test_winnow_index_cli_lifecycle(spark, tmp_path):
+    """winnow-index build -> add -> spans / scrub / dedup as real
+    subprocesses: the persisted positioned index localizes a later
+    batch's overlap spans against docs from BOTH generations with the
+    SAVED fingerprint parameters, the scrub cuts the span, the dedup
+    drops the near-dup, and a fresh doc survives everything."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    other = "fully unrelated committed text about trains and long rails"
+    first = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    second = spark.createDataFrame(
+        [(2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " again"),          # near-dup of generation-1 doc 1
+         (11, other + " soon"),          # near-dup of generation-2 doc 2
+         (12, "fresh content with no committed overlap whatsoever")],
+        "doc_id long, text string",
+    )
+    p1, p2, pb = (str(tmp_path / n) for n in ("g1", "g2", "batch"))
+    first.write.parquet(p1)
+    second.write.parquet(p2)
+    batch.write.parquet(pb)
+    index = str(tmp_path / "widx")
+
+    built = _run(
+        "winnow-index", "build", "--documents", p1, "--index", index,
+        "--portable",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    assert "built winnow index over 1" in built.stdout
+    added = _run("winnow-index", "add", "--documents", p2, "--index", index)
+    assert added.returncode == 0, added.stderr[-2000:]
+    assert "index now holds 2" in added.stdout
+
+    sout = str(tmp_path / "spans_out")
+    spans = _run(
+        "winnow-index", "spans", "--documents", pb, "--index", index,
+        "--threshold", "0.5", "--output", sout,
+    )
+    assert spans.returncode == 0, spans.stderr[-2000:]
+    got = {
+        (r.id_index, r.id_batch) for r in spark.read.parquet(sout).collect()
+    }
+    assert got == {(1, 10), (2, 11)}  # both generations probed
+
+    scout = str(tmp_path / "scrub_out")
+    scrub = _run(
+        "winnow-index", "scrub", "--documents", pb, "--index", index,
+        "--threshold", "0.5", "--output", scout,
+    )
+    assert scrub.returncode == 0, scrub.stderr[-2000:]
+    rows = {r.doc_id: r for r in spark.read.parquet(scout).collect()}
+    assert rows[10].n_cut > 0 and rows[10].scrubbed.endswith("again")
+    assert rows[11].n_cut > 0 and rows[11].scrubbed.endswith("soon")
+    assert rows[12].n_cut == 0
+
+    dout = str(tmp_path / "dedup_out")
+    dedup_run = _run(
+        "winnow-index", "dedup", "--documents", pb, "--index", index,
+        "--threshold", "0.5", "--output", dout,
+    )
+    assert dedup_run.returncode == 0, dedup_run.stderr[-2000:]
+    assert {r.doc_id for r in spark.read.parquet(dout).collect()} == {12}
+
+
 def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
     """build-corpus --near-method winnow as a real subprocess: the
     rolling-hash tier merges a trailing-token near-dup (min-id original

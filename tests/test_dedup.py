@@ -942,3 +942,46 @@ def test_winnow_scrub_against_index_semantics(spark):
         else:
             assert got[i] == (n, 0, 0), i
     assert got[10][1] > 0 and got[10][0].endswith("again")
+
+
+def test_winnow_pos_index_lifecycle_guards(spark, tmp_path):
+    """Persisted-index guards: probes of a directory without meta raise;
+    adds with a mismatched id type raise; adds fingerprint with the
+    SAVED parameters (a doc matching under the build-time portable hash
+    still matches after an add — the silent-k/w-mismatch hazard the
+    meta exists to prevent)."""
+    import pytest
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    path = str(tmp_path / "widx")
+    dedup.winnow_pos_index_write(docs, path, k=5, w=3, portable=True)
+
+    with pytest.raises(ValueError, match="meta"):
+        dedup.winnow_index_spans(
+            spark, str(tmp_path / "nope"),
+            docs, threshold=0.5,
+        )
+    with pytest.raises(ValueError, match="id column"):
+        dedup.winnow_pos_index_add(
+            spark, path,
+            spark.createDataFrame(
+                [("2", "x y z")], "doc_id string, text string"
+            ),
+        )
+    # add uses the SAVED (k=5, w=3, portable) parameters: the added
+    # doc's variant still verifies against it through the probe
+    dedup.winnow_pos_index_add(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "an entirely different committed text about trains")],
+            "doc_id long, text string",
+        ),
+    )
+    batch = spark.createDataFrame(
+        [(10, "an entirely different committed text about trains today")],
+        "doc_id long, text string",
+    )
+    hits = dedup.winnow_index_spans(spark, path, batch, threshold=0.5)
+    assert {(r.id_index, r.id_batch) for r in hits.collect()} == {(2, 10)}
