@@ -1743,11 +1743,12 @@ def ivf_pq_topk(
         cent_rows, cb_rows, qvec,
         len(cent_rows) if adaptive_nprobe else nprobe, dsub,
     )
+    short_ids = None
     if adaptive_nprobe:
-        cell_tables = _adaptive_pruned_tables(
+        cell_tables, short_ids = _adaptive_pruned_tables(
             lambda cs: encoded.filter(F.col(cell_col).isin(cs)),
             cell_tables, cell_col, k, rerank_factor, prune_phase1,
-            probe_stats,
+            probe_stats, id_col=id_col,
         )
     elif adc_prune:
         cell_tables = _adc_pruned_tables(
@@ -1767,6 +1768,9 @@ def ivf_pq_topk(
         [(int(c),) for c in cell_tables], f"{cell_col} int"
     )
     cands = encoded.join(F.broadcast(probe_cells), on=cell_col, how="semi")
+    if short_ids is not None:
+        # the adaptive rounds already produced the exact ADC shortlist
+        return _ivf_pq_exact_rerank(cands, short_ids, qvec, k, id_col, vec_col)
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, cell_col
     )
@@ -1932,7 +1936,8 @@ def _adaptive_pruned_tables(
     rerank_factor: int,
     chunk0: int,
     probe_stats: "dict | None" = None,
-) -> dict:
+    id_col: str = "vec_id",
+):
     """Per-query ADAPTIVE nprobe — the Best-Bin-First analog over IVF-PQ
     cells (FLANN's priority search / faiss IVF pruning taken to its
     conclusion): instead of a fixed nprobe, ``cell_tables`` covers ALL
@@ -1953,13 +1958,24 @@ def _adaptive_pruned_tables(
     round (stale codes — see ivf_pq_index_topk's adc_prune caveat)
     degrades soundly to scanning every remaining cell. ``probe_stats``
     receives cells_ranked / cells_scanned / pruned_cells / threshold /
-    rounds / degraded."""
+    rounds / degraded.
+
+    Returns ``(scanned_tables, shortlist_ids)``. The rounds collect
+    ``(id, adc)`` pairs, and merging the per-round top-``need`` lists
+    under the (adc, id) total order IS the global ADC shortlist over
+    every scanned cell (a row in the global top-need always ranks
+    within its own round's top-need under the same order), so the
+    caller's closing pass is an id-semi-joined EXACT rerank only — the
+    full second ADC scan the two-phase adc_prune form pays was already
+    done by the rounds. ``shortlist_ids`` is None on the NaN degrade
+    (no sound merge; fall back to the classic ADC+rerank over the
+    scanned tables)."""
     cells = [int(c) for c in cell_tables]
     need = k * rerank_factor
     lb = {c: float(sum(np.nanmin(a) for a in cell_tables[c])) for c in cells}
     chunk = max(1, int(chunk0))
     scanned: "list[int]" = []
-    best: "list[float]" = []
+    best: "list[tuple]" = []  # (adc, id) — the merged global top-`need`
     pruned: "list[int]" = []
     remaining = list(cells)
     rounds = 0
@@ -1971,25 +1987,27 @@ def _adaptive_pruned_tables(
         rows = (
             cands_for(take)
             .select(
+                F.col(id_col),
                 _adc_kernel({c: cell_tables[c] for c in take})(
                     F.col("codes"), F.col(cell_col).cast("long")
-                ).alias("_ad")
+                ).alias("_ad"),
             )
-            .orderBy(F.asc("_ad"))
+            .orderBy(F.asc("_ad"), F.asc(id_col))
             .limit(need)
             .collect()  # k*rerank-bounded per round
         )
-        vals = [r[0] for r in rows]
         scanned.extend(take)
-        if any(v is None or math.isnan(v) for v in vals):
+        if any(r[1] is None or math.isnan(r[1]) for r in rows):
             scanned.extend(remaining)
             remaining = []
             degraded = True
             break
         # per-chunk top-`need` lists merge to the global top-`need`
-        best = sorted(best + [float(v) for v in vals])[:need]
+        # under the same (adc, id) order the classic shortlist sort
+        # uses, so boundary ties resolve identically
+        best = sorted(best + [(float(r[1]), r[0]) for r in rows])[:need]
         if len(best) >= need:
-            threshold = best[-1]
+            threshold = best[-1][0]
             kept = [c for c in remaining if lb[c] <= threshold]
             pruned.extend(c for c in remaining if lb[c] > threshold)
             remaining = sorted(kept, key=lambda c: (lb[c], c))
@@ -2000,7 +2018,46 @@ def _adaptive_pruned_tables(
             pruned_cells=pruned, threshold=threshold, rounds=rounds,
             degraded=degraded,
         )
-    return {c: cell_tables[c] for c in scanned}
+    tables = {c: cell_tables[c] for c in scanned}
+    if degraded:
+        return tables, None
+    return tables, [i for _, i in best]
+
+
+def _ivf_pq_exact_rerank(
+    cands: DataFrame,
+    shortlist_ids: list,
+    qvec: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The closing pass of the adaptive probe when the rounds already
+    produced the exact ADC shortlist: semi-join the candidate frame down
+    to the shortlist ids (k*rerank-bounded broadcast) and exact-rerank —
+    no second ADC scan. Output ordering/limit identical to
+    _ivf_pq_adc_rerank's final stage."""
+    spark = cands.sparkSession
+    ids_df = spark.createDataFrame(
+        [(i,) for i in shortlist_ids], cands.select(id_col).schema
+    )
+    shortlist = cands.join(F.broadcast(ids_df), on=id_col, how="semi")
+
+    q64 = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _l2sq_exact(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=np.float64)
+        x = np.array(v.tolist(), dtype=np.float64)
+        diff = x - q64[None, :]
+        return pd.Series(_fold_sum_cols(diff * diff))
+
+    return (
+        shortlist.select(F.col(id_col), _l2sq_exact(F.col(vec_col)).alias("l2sq"))
+        .orderBy(F.asc("l2sq"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def _ivf_pq_adc_rerank(
@@ -2388,11 +2445,12 @@ def ivf_pq_index_topk(
         len(cent_rows) if adaptive_nprobe else nprobe, dsub,
     )
     vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    short_ids = None
     if adaptive_nprobe:
-        cell_tables = _adaptive_pruned_tables(
+        cell_tables, short_ids = _adaptive_pruned_tables(
             lambda cs: vectors.filter(F.col("cell").isin(cs)),
             cell_tables, "cell", k, rerank_factor, prune_phase1,
-            probe_stats,
+            probe_stats, id_col=id_col,
         )
     elif adc_prune:
         # soundness notes live on _adc_pruned_tables: the threshold
@@ -2419,6 +2477,9 @@ def ivf_pq_index_topk(
     cands = vectors.filter(
         F.col("cell").isin([int(c) for c in cell_tables])
     )
+    if short_ids is not None:
+        # the adaptive rounds already produced the exact ADC shortlist
+        return _ivf_pq_exact_rerank(cands, short_ids, qvec, k, id_col, vec_col)
     return _ivf_pq_adc_rerank(
         cands, cell_tables, qvec, k, rerank_factor, id_col, vec_col, "cell"
     )
@@ -2496,10 +2557,12 @@ def ann_index_search_many(
                 cent_rows, cb_rows, qvec,
                 len(cent_rows) if adaptive_nprobe else nprobe, dsub,
             )
+            short_ids = None
             if adaptive_nprobe:
-                cell_tables = _adaptive_pruned_tables(
+                cell_tables, short_ids = _adaptive_pruned_tables(
                     lambda cs: vectors.filter(F.col("cell").isin(cs)),
                     cell_tables, "cell", k, rerank_factor, prune_phase1,
+                    id_col=id_col,
                 )
             elif adc_prune:
                 cell_tables = _adc_pruned_tables(
@@ -2509,10 +2572,15 @@ def ann_index_search_many(
             cands = vectors.filter(
                 F.col("cell").isin([int(c) for c in cell_tables])
             )
-            hits = _ivf_pq_adc_rerank(
-                cands, cell_tables, qvec, k, rerank_factor,
-                id_col, vec_col, "cell",
-            ).collect()  # k-bounded
+            if short_ids is not None:
+                hits = _ivf_pq_exact_rerank(
+                    cands, short_ids, qvec, k, id_col, vec_col
+                ).collect()  # k-bounded
+            else:
+                hits = _ivf_pq_adc_rerank(
+                    cands, cell_tables, qvec, k, rerank_factor,
+                    id_col, vec_col, "cell",
+                ).collect()  # k-bounded
             out.extend(
                 (qid, rank, h[0], float(h[1]))
                 for rank, h in enumerate(hits, start=1)
