@@ -1857,6 +1857,75 @@ def stream_ann_search(
     return query
 
 
+def decontaminate_spans_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One idempotent micro-batch of streaming passage-level
+    decontamination: scrub each incoming doc's benchmark-overlap spans
+    against a FROZEN persisted winnow-pos index (the winnow-index CLI's
+    layout; fingerprint parameters load from its meta) and land
+    ``(id, scrubbed, n_cut, n_spans)`` in a batch_id-keyed partition —
+    the ann_search_batch idempotency contract (replays overwrite their
+    own partition). The benchmark index is static by design: it is the
+    contamination DEFINITION, not state — refreshes are a restart,
+    exactly like stream_ann_search's index and stream_bm25_score's
+    frozen stats. Docs never suppress each other across batches here
+    (that is the ledger-stateful stream_span_scrub_winnow); this job is
+    the scan-side privacy/contamination pass."""
+    from ..operators.dedup import winnow_index_scrub
+
+    out = winnow_index_scrub(
+        batch_df.sparkSession, index_path, batch_df,
+        id_col=id_col, text_col=text_col, threshold=threshold,
+        max_fingerprint_df=max_fingerprint_df,
+    )
+    (
+        out.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(sink_path)
+    )
+
+
+def stream_decontaminate_spans(
+    docs: DataFrame,
+    index_path: str,
+    sink_path: str,
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: "str | None" = None,
+):
+    """Streaming passage-level decontamination — incoming documents lose
+    the covering spans they share with a frozen benchmark's persisted
+    positioned winnow index and flow on scrubbed (decontaminate_spans_
+    batch per trigger; stateless, no watermark). Emits rows bit-identical
+    to the batch winnow_index_scrub over the same input (tested)."""
+
+    def scrub(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_spans_batch(
+            batch_df, index_path, sink_path, batch_id,
+            threshold=threshold, max_fingerprint_df=max_fingerprint_df,
+            id_col=id_col, text_col=text_col,
+        )
+
+    writer = docs.writeStream.foreachBatch(scrub).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def stream_bm25_score(
     docs: DataFrame,
     queries: "dict[str, list[str]]",

@@ -1708,6 +1708,52 @@ def test_stream_span_scrub_winnow_matches_batch(spark, tmp_path):
         )
 
 
+def test_stream_decontaminate_spans_matches_batch(spark, tmp_path):
+    """Streaming passage-level decontamination: docs streamed against a
+    frozen benchmark winnow-pos index emit scrub rows bit-identical to
+    the batch winnow_index_scrub over the same input; the overlapping
+    doc keeps its distinct tail, clean docs pass whole."""
+    from bigdata_usaspending_spark.operators.dedup import (
+        winnow_index_scrub,
+        winnow_pos_index_write,
+    )
+
+    bench_text = ("what is the capital of france answer in one word and "
+                  "explain your reasoning step by step please")
+    benchmark = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "bench_idx")
+    winnow_pos_index_write(benchmark, index, portable=True)
+
+    docs = spark.createDataFrame(
+        [(1, bench_text + " unrelated training tail keeps going here"),
+         (2, "a perfectly clean training document about rivers and stone")],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "docs")
+    sink = str(tmp_path / "scrubbed")
+    docs.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_decontaminate_spans(
+        spark.readStream.schema(schema).parquet(landing), index, sink,
+        threshold=0.3, checkpoint=str(tmp_path / "ckpt"),
+    ).stop()
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in winnow_index_scrub(
+            spark, index, docs, threshold=0.3
+        ).collect()
+    }
+    assert got == want
+    assert got[1][1] > 0 and "unrelated training tail" in got[1][0]
+    assert got[2][1] == 0
+
+
 def test_ann_search_batch_custom_index_columns(spark, tmp_path):
     """The serving job plumbs index_id_col/index_vec_col through: an
     index built with a string id column serves, and the hit column
