@@ -2100,6 +2100,248 @@ def _ivf_pq_adc_rerank(
     )
 
 
+def opq_train_driver(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    lloyd_iters: int = 2,
+    cap: int = 1_000_000,
+):
+    """OPQ — Optimized Product Quantization (Ge/He/Ke/Sun, CVPR 2013;
+    the faiss ``OPQMatrix`` pre-transform): learn an ORTHOGONAL rotation
+    ``R`` jointly with the PQ codebooks so the rotated space distributes
+    variance across subspaces and quantization error drops versus plain
+    PQ on the same sample. Deterministic, RNG-free alternation from the
+    identity rotation:
+
+    1. codebooks: equal-width bins of the deterministic fold projection
+       per subspace (pq_train_driver's init), then warm-started Lloyd —
+       each later iteration REFINES the previous centroids instead of
+       re-initializing, which is what makes the alternation monotone;
+    2. rotation: orthogonal Procrustes — R = U Vᵀ from SVD(Xᵀ Ŷ) where
+       Ŷ is the decoded reconstruction, the closed-form minimizer of
+       ‖X R − Ŷ‖_F over orthogonal matrices;
+    3. re-assign + re-fit on X R and repeat.
+
+    Every step is non-increasing in the shared objective, so the final
+    training MSE is ≤ plain PQ's (identity rotation, same init) — the
+    guarantee q_ann_opq pins. Training is driver-side numpy over a
+    ``cap``-guarded sample (the faiss bounded-train practice;
+    float64 means here — OPQ's audit contract pins booleans, not
+    cross-engine value hashes, so the Decimal bridge isn't needed).
+
+    Returns ``(rotation, codebooks, audit)``: the dim x dim rotation as
+    nested lists, a local ``(sub, cell, centroid)`` codebook relation
+    over the ROTATED space (pq_encode/pq_topk-compatible), and
+    ``audit = {"mse_pq": float, "mse_opq": float}`` over the training
+    sample."""
+    rows = df.select(vec_col).collect()
+    if len(rows) > cap:
+        raise ValueError(f"opq_train_driver: {len(rows)} rows exceeds cap {cap}")
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    direction = np.array([rp_weight(PQ_PROJ_TABLE, d) for d in range(dsub)])
+
+    def init_cents(y):
+        # equal-width bins of the deterministic projection, means of the
+        # non-empty bins (pq_train_driver's init shape, float64 means)
+        per_sub = []
+        for s in range(m):
+            ys = y[:, s * dsub : (s + 1) * dsub]
+            p = ys @ direction
+            lo, hi = float(p.min()), float(p.max())
+            if hi > lo:
+                a = np.minimum(
+                    k - 1, np.floor((p - lo) / ((hi - lo) / k)).astype(np.int64)
+                )
+            else:
+                a = np.zeros(n, dtype=np.int64)
+            cells = np.array(sorted(set(a.tolist())), dtype=np.int64)
+            cents = np.stack([ys[a == c].mean(axis=0) for c in cells])
+            per_sub.append((cells, cents))
+        return per_sub
+
+    def assign(y, per_sub):
+        # first-minimum argmin (ties -> lowest cell), per subspace;
+        # returns positional indices into each sub's centroid matrix
+        idx = np.empty((n, m), dtype=np.int64)
+        for s, (cells, cents) in enumerate(per_sub):
+            ys = y[:, s * dsub : (s + 1) * dsub]
+            diff = ys[:, None, :] - cents[None, :, :]
+            idx[:, s] = np.argmin(_fold_sum_cols(diff * diff), axis=1)
+        return idx
+
+    def decode(idx, per_sub):
+        out = np.empty_like(x)
+        for s, (cells, cents) in enumerate(per_sub):
+            out[:, s * dsub : (s + 1) * dsub] = cents[idx[:, s]]
+        return out
+
+    def refit(y, idx, per_sub, rounds):
+        # warm-started Lloyd: means of current members (empty cells keep
+        # their previous centroid — unchanged is still non-increasing),
+        # then re-assign; `rounds` alternations
+        for _ in range(rounds):
+            new = []
+            for s, (cells, cents) in enumerate(per_sub):
+                ys = y[:, s * dsub : (s + 1) * dsub]
+                c2 = cents.copy()
+                for j in range(len(cells)):
+                    members = ys[idx[:, s] == j]
+                    if len(members):
+                        c2[j] = members.mean(axis=0)
+                new.append((cells, c2))
+            per_sub = new
+            idx = assign(y, per_sub)
+        return per_sub, idx
+
+    def mse(y, yhat):
+        d = y - yhat
+        return float(_fold_sum_cols(d * d).mean())
+
+    rot = np.eye(dim)
+    per_sub = init_cents(x)
+    idx = assign(x, per_sub)
+    per_sub, idx = refit(x, idx, per_sub, lloyd_iters)
+    mse_pq = mse(x, decode(idx, per_sub))
+    y = x
+    for _ in range(max(0, int(iters))):
+        yhat = decode(idx, per_sub)
+        u, _sv, vt = np.linalg.svd(x.T @ yhat)
+        rot = u @ vt
+        y = x @ rot
+        idx = assign(y, per_sub)
+        per_sub, idx = refit(y, idx, per_sub, lloyd_iters)
+    mse_opq = mse(y, decode(idx, per_sub))
+    cb_rows = [
+        (s, int(cells[j]), [float(v) for v in cents[j]])
+        for s, (cells, cents) in enumerate(per_sub)
+        for j in range(len(cells))
+    ]
+    codebooks = df.sparkSession.createDataFrame(
+        cb_rows, schema="sub int, cell int, centroid array<double>"
+    )
+    return (
+        [[float(v) for v in row] for row in rot],
+        codebooks,
+        {"mse_pq": mse_pq, "mse_opq": mse_opq},
+    )
+
+
+def opq_rotate(
+    df: DataFrame,
+    rotation: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Apply the learned OPQ rotation scan-side: an Arrow-vectorized
+    matmul per batch (the rotation is model state, dim x dim, closed
+    over). Orthogonality preserves L2, so exact rerank over rotated
+    vectors ranks identically to the originals — the encoded frame can
+    carry ONLY the rotated vectors. Replaces ``vec_col`` in place unless
+    ``out_col`` names a new column."""
+    r64 = np.array(rotation, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        xv = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list(xv @ r64))
+
+    return df.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
+
+
+def opq_topk(
+    encoded_rot: DataFrame,
+    codebooks: DataFrame,
+    rotation: "list[list[float]]",
+    query,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: "int | None" = None,
+) -> DataFrame:
+    """OPQ ANN top-k: rotate the query driver-side and run the standard
+    ADC + exact-rerank probe (pq_topk) over the ROTATED encoded frame.
+    The rerank's squared L2 over rotated vectors equals the original
+    distance (orthogonal R), so ``(id, l2sq)`` matches the un-rotated
+    geometry up to float rounding of the rotation itself."""
+    qvec = np.array([float(v) for v in _as_qvec(query)], dtype=np.float64)
+    qrot = [float(v) for v in qvec @ np.array(rotation, dtype=np.float64)]
+    return pq_topk(
+        encoded_rot, codebooks, qrot, k=k, rerank_factor=rerank_factor,
+        id_col=id_col, vec_col=vec_col, dsub=dsub,
+    )
+
+
+def opq_recall_audit(
+    df: DataFrame,
+    query_vec: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    floor: float = 0.8,
+    m: int = 16,
+    kc: int = 16,
+    iters: int = 3,
+    rerank_factor: int = 8,
+    train_cap: int = 65_536,
+) -> DataFrame:
+    """OPQ through the audit contract (the ivf_pq_recall_audit pattern):
+    train the rotation + codebooks on a bounded sample, rotate + encode
+    the corpus, probe, and emit the EXACT euclidean top-k witness over
+    the ORIGINAL vectors plus two pinned booleans — ``recall_ok``
+    (>= ``floor`` of the exact set hit) and ``opq_mse_le_pq`` (training
+    MSE after the learned rotation <= plain PQ's on the same sample and
+    init — the alternation's monotonicity guarantee, with a 1e-9
+    relative tolerance for float accumulation). The approximate result
+    never leaves the plan; the guarantees do."""
+    rotation, cb, audit = opq_train_driver(
+        _bounded_train_frame(df, id_col, train_cap),
+        vec_col=vec_col, m=m, k=kc, iters=iters,
+    )
+    rotated = opq_rotate(df, rotation, vec_col=vec_col)
+    dsub = len(rotation) // m
+    enc = pq_encode(rotated, cb, vec_col=vec_col, dsub=dsub)
+    approx_ids = {
+        r[id_col]
+        for r in opq_topk(
+            enc, cb, rotation, query_vec, k=k,
+            rerank_factor=rerank_factor, id_col=id_col, vec_col=vec_col,
+            dsub=dsub,
+        ).collect()  # k-bounded
+    }
+    exact = (
+        df.select(
+            id_col,
+            euclidean_to_query_kernel(query_vec)(F.col(vec_col)).alias(
+                "distance"
+            ),
+        )
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )
+    exact_ids = [r[id_col] for r in exact.collect()]  # k-bounded
+    recall_ok = (
+        len(set(exact_ids) & approx_ids) >= floor * len(exact_ids)
+        if exact_ids
+        else True
+    )
+    mse_le = audit["mse_opq"] <= audit["mse_pq"] * (1 + 1e-9) + 1e-12
+    return exact.select(
+        id_col, "distance",
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+        F.lit(bool(mse_le)).alias("opq_mse_le_pq"),
+    ).orderBy(F.asc("distance"), F.asc(id_col))
+
+
 def semantic_dedup_against_index(
     spark,
     path: str,

@@ -1320,6 +1320,52 @@ def _chunk_overlap_oracle() -> str:
     """
 
 
+def q_ann_opq(spark: SparkSession, sf: str) -> DataFrame:
+    """OPQ — Optimized Product Quantization (Ge et al., CVPR 2013; the
+    faiss OPQMatrix pre-transform) through the audit contract
+    (similarity.opq_recall_audit): a deterministic RNG-free alternation
+    learns an orthogonal rotation jointly with the PQ codebooks
+    (Procrustes step + warm-started Lloyd — provably non-increasing in
+    the shared quantization objective), the corpus is rotated scan-side
+    and probed by the standard ADC + exact rerank. Output: the exact
+    euclidean top-5 witness over the ORIGINAL vectors plus two pinned
+    booleans the oracle expects TRUE — ``recall_ok`` (>= 80% of the
+    exact set hit) and ``opq_mse_le_pq`` (training MSE after the learned
+    rotation <= plain PQ's on the same sample and init, the
+    monotonicity guarantee)."""
+    from ..operators import similarity
+    from .corpus_ext import _query_vec_list
+
+    emb = load(_prep(spark), sf, "embeddings")
+    return similarity.opq_recall_audit(
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb),
+        k=5, m=16, kc=16, iters=2, rerank_factor=16,
+    )
+
+
+def _ann_opq_oracle() -> str:
+    # audit-contract oracle: exact euclidean top-5 witness over the raw
+    # fixture embeddings plus the two pinned booleans
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH data AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT d.vec_id, {_euclid_sql('d.emb', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok, TRUE AS opq_mse_le_pq
+        FROM data d, q
+        ORDER BY distance ASC, d.vec_id ASC
+        LIMIT 5
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
@@ -1331,6 +1377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_overlap": q_chunk_overlap,
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_corpus_build_scrub": q_corpus_build_scrub,
+    "q_ann_opq": q_ann_opq,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -1346,4 +1393,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_chunk_overlap": _chunk_overlap_oracle(),
     "q_decontaminate_spans": _decontaminate_spans_oracle(),
     "q_corpus_build_scrub": _corpus_build_scrub_oracle(),
+    "q_ann_opq": _ann_opq_oracle(),
 }

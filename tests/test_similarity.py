@@ -1100,3 +1100,59 @@ def test_adaptive_nprobe_exhaustive_equivalence(spark, sf_small, tmp_path):
     assert [(r.vec_id, r.l2sq) for r in i_ad] == [
         (r.vec_id, r.l2sq) for r in i_ex
     ]
+
+
+def test_opq_monotone_and_audit(spark, sf_small):
+    """OPQ: the learned rotation never trains to a WORSE quantization
+    error than plain PQ on the same sample/init (the warm-started
+    alternation's monotonicity); on anisotropic data with cross-subspace
+    correlation the error strictly drops; training is deterministic; and
+    the audit query shape pins recall against the exact witness."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import _query_vec_list
+
+    # anisotropic synth: dimension d carries the SAME base signal as
+    # dimension (d+8)%16 plus jitter -> strong cross-subspace correlation
+    # that a plain subspace split quantizes badly and a rotation fixes
+    rows = []
+    for i in range(400):
+        base = [((i * (d + 3)) % 17 - 8) * (2.0 if d < 4 else 0.1)
+                for d in range(8)]
+        v = base + [b * 0.9 + ((i + d) % 5 - 2) * 0.01
+                    for d, b in enumerate(base)]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    rot1, cb1, audit1 = similarity.opq_train_driver(df, m=4, k=8, iters=3)
+    rot2, cb2, audit2 = similarity.opq_train_driver(df, m=4, k=8, iters=3)
+    assert rot1 == rot2 and audit1 == audit2  # deterministic
+    assert audit1["mse_opq"] <= audit1["mse_pq"] * (1 + 1e-9)
+    assert audit1["mse_opq"] < audit1["mse_pq"] * 0.9  # strictly helps here
+    # R orthogonal: R Rᵀ = I
+    import numpy as np
+
+    r = np.array(rot1)
+    assert np.allclose(r @ r.T, np.eye(16), atol=1e-9)
+
+    # probe: rotated-frame ADC + rerank finds the planted neighbor
+    rotated = similarity.opq_rotate(df, rot1)
+    enc = similarity.pq_encode(rotated, cb1, dsub=4)
+    q = [float(x) for x in rows[7][1]]
+    hits = similarity.opq_topk(
+        enc, cb1, rot1, q, k=3, rerank_factor=16
+    ).collect()
+    assert hits[0].vec_id == 7 and hits[0].l2sq < 1e-9
+
+    # audit contract over the fixture embeddings: both booleans pinned
+    emb = load(spark, sf_small, "embeddings")
+    out = similarity.opq_recall_audit(
+        emb.filter(F.col("vec_id") != 0), _query_vec_list(emb),
+        k=5, m=16, kc=8, iters=2, rerank_factor=16,
+    ).collect()
+    assert len(out) == 5
+    assert all(r.recall_ok and r.opq_mse_le_pq for r in out)
+
+    # iters=0 degrades to plain PQ (identity rotation, equal MSE)
+    rot0, _cb0, audit0 = similarity.opq_train_driver(df, m=4, k=8, iters=0)
+    assert np.allclose(np.array(rot0), np.eye(16))
+    assert audit0["mse_opq"] == audit0["mse_pq"]
