@@ -168,6 +168,17 @@ def _parser() -> argparse.ArgumentParser:
         help="codebook training sample bound (build --pq)",
     )
     ai.add_argument(
+        "--opq", action="store_true",
+        help="build --pq only: learn an orthogonal OPQ rotation "
+        "(Procrustes + warm-started Lloyd, deterministic) and build the "
+        "index in the rotated space; adds and searches apply it "
+        "automatically",
+    )
+    ai.add_argument(
+        "--opq-iters", type=int, default=3,
+        help="OPQ alternation iterations (build --opq)",
+    )
+    ai.add_argument(
         "--query", default=None,
         help="comma-separated query vector (search); use the "
         "--query=-0.1,0.2,... form when the first component is negative "
@@ -397,6 +408,31 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"ann-index {args.action} needs --vectors")
         if args.action == "build":
             df = spark.read.parquet(args.vectors)
+            rotation = None
+            if args.opq:
+                if not args.pq:
+                    raise SystemExit(
+                        "--opq needs --pq (the rotation exists to help "
+                        "product quantization; plain IVF cosine is "
+                        "rotation-invariant)"
+                    )
+                # faiss IndexPreTransform: learn the orthogonal rotation
+                # on a bounded sample, then build the WHOLE index in the
+                # rotated space; the matrix persists alongside so adds
+                # and probes map raw inputs into it automatically
+                rotation, _cb0, audit = similarity.opq_train_driver(
+                    similarity._bounded_train_frame(
+                        df.select(args.id_col, args.vec_col),
+                        args.id_col, args.train_cap,
+                    ),
+                    vec_col=args.vec_col, m=args.m, k=args.kc,
+                    iters=args.opq_iters,
+                )
+                print(
+                    f"opq: train mse {audit['mse_pq']:.6g} -> "
+                    f"{audit['mse_opq']:.6g}"
+                )
+                df = similarity.opq_rotate(df, rotation, vec_col=args.vec_col)
             # deterministic init (portable-hash buckets -> decimal means),
             # then Lloyd refinement — k-means without RNG, so rebuilds of
             # the same vectors produce the same index
@@ -438,6 +474,10 @@ def main(argv: list[str] | None = None) -> int:
                 similarity._ivf_pq_index_write_encoded(
                     encoded, cents, cb, args.index
                 )
+                if rotation is not None:
+                    similarity._write_index_rotation(
+                        spark, rotation, args.index
+                    )
             else:
                 # a rebuild over a former IVF-PQ directory must not leave
                 # stale codebooks behind — add/search autodetect PQ from
@@ -452,8 +492,20 @@ def main(argv: list[str] | None = None) -> int:
                     df, cents, args.index,
                     id_col=args.id_col, vec_col=args.vec_col,
                 )
+            if rotation is None:
+                # a rebuild without --opq over a former OPQ directory
+                # must not leave a stale rotation behind — probes apply
+                # it automatically when the file exists
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(args.index, "rotation.parquet"),
+                    ignore_errors=True,
+                )
             n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
-            kind = "IVF-PQ" if args.pq else "IVF"
+            kind = "OPQ-IVF-PQ" if args.opq else (
+                "IVF-PQ" if args.pq else "IVF"
+            )
             print(
                 f"built {kind} index: {n} vectors / {cents.count()} cells "
                 f"-> {args.index}"

@@ -2507,6 +2507,41 @@ def _localized_model(spark, path: str, what: str, max_cells: int) -> DataFrame:
     return spark.createDataFrame(rows, df.schema)
 
 
+def _write_index_rotation(spark, rotation, path: str) -> None:
+    """Persist an OPQ rotation alongside an index layout — one row per
+    matrix row, ``(i, vals)``. The rotation is model state (dim x dim),
+    loaded bounded like centroids/codebooks."""
+    spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(rotation)],
+        schema="i int, vals array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/rotation.parquet")
+
+
+def _read_index_rotation(spark, path: str, max_dim: int = 8192):
+    """Load a persisted OPQ rotation if the index has one (None
+    otherwise) — the probe/add-side half of the faiss IndexPreTransform
+    contract: raw inputs are mapped into the index's rotated space
+    before any other math."""
+    import os
+
+    if not os.path.isdir(os.path.join(path, "rotation.parquet")):
+        return None
+    rows = sorted(
+        (r["i"], list(r["vals"]))
+        for r in _read_bounded_rows(
+            spark, f"{path}/rotation.parquet", "rotation row", max_dim
+        )
+    )
+    return [vals for _, vals in rows]
+
+
+def _rotate_qvec(qvec, rotation):
+    if rotation is None:
+        return qvec
+    q = np.array(qvec, dtype=np.float64)
+    return [float(v) for v in q @ np.array(rotation, dtype=np.float64)]
+
+
 def ivf_pq_index_write(
     df: DataFrame,
     centroids: DataFrame,
@@ -2515,6 +2550,7 @@ def ivf_pq_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dsub: "int | None" = None,
+    rotation: "list[list[float]] | None" = None,
 ) -> None:
     """Persist an IVF-PQ index — the faiss ``write_index(IndexIVFPQ)``
     analog, mirroring ``ivf_index_write``'s contract so the hybrid gets
@@ -2530,7 +2566,14 @@ def ivf_pq_index_write(
     faiss IndexRefineFlat pairing — plain IndexIVFPQ drops them and
     skips reranking). Both model frames are collected ONCE and localized
     before use, so expensive training lineage (ivf_refine /
-    pq_train re-scan the corpus) never executes twice."""
+    pq_train re-scan the corpus) never executes twice.
+
+    ``rotation`` (optional, the faiss OPQ IndexPreTransform pairing):
+    ``df``, ``centroids`` and ``codebooks`` are expected ALREADY in the
+    rotated space (build them over ``opq_rotate(df, rotation)``); the
+    matrix is persisted so probes rotate queries and adds rotate new
+    batches into the index's space automatically. Orthogonal rotations
+    preserve cosine AND L2, so every probe contract is unchanged."""
     spark = df.sparkSession
     local_cents = spark.createDataFrame(centroids.collect(), centroids.schema)
     local_cb = spark.createDataFrame(codebooks.collect(), codebooks.schema)
@@ -2539,6 +2582,8 @@ def ivf_pq_index_write(
         assigned, local_cents, local_cb, vec_col=vec_col, dsub=dsub
     )
     _ivf_pq_index_write_encoded(encoded, local_cents, local_cb, path)
+    if rotation is not None:
+        _write_index_rotation(spark, rotation, path)
 
 
 def _ivf_pq_index_write_encoded(
@@ -2583,6 +2628,11 @@ def ivf_pq_index_add(
     local_cb = _localized_model(
         spark, f"{path}/codebooks.parquet", "codebook", max_cells
     )
+    rotation = _read_index_rotation(spark, path)
+    if rotation is not None:
+        # OPQ pre-transform: the saved centroids/codebooks live in the
+        # rotated space — map the raw batch into it first
+        df = opq_rotate(df, rotation, vec_col=vec_col)
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     encoded = ivf_pq_encode(assigned, local_cents, local_cb, vec_col=vec_col)
     # fail fast on a mismatched add: appending a different column set or
@@ -2662,7 +2712,9 @@ def ivf_pq_index_topk(
         raise ValueError(
             "adaptive_nprobe subsumes adc_prune — pass one or the other"
         )
-    qvec = [float(x) for x in _as_qvec(query)]
+    qvec = _rotate_qvec(
+        [float(x) for x in _as_qvec(query)], _read_index_rotation(spark, path)
+    )
     cent_rows = sorted(
         (r["cell"], [float(x) for x in r["centroid"]])
         for r in _read_bounded_rows(
@@ -2777,6 +2829,7 @@ def ann_index_search_many(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
     vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    rotation = _read_index_rotation(spark, path)
     out = []
     if is_pq:
         cent_rows = sorted(
@@ -2794,7 +2847,7 @@ def ann_index_search_many(
             )
         dsub = len(cb_rows[0][2])
         for qid, vec in queries:
-            qvec = [float(x) for x in vec]
+            qvec = _rotate_qvec([float(x) for x in vec], rotation)
             cell_tables = _ivf_pq_probe_tables(
                 cent_rows, cb_rows, qvec,
                 len(cent_rows) if adaptive_nprobe else nprobe, dsub,
@@ -2829,7 +2882,7 @@ def ann_index_search_many(
             )
         return out, "l2sq"
     for qid, vec in queries:
-        qvec = [float(x) for x in vec]
+        qvec = _rotate_qvec([float(x) for x in vec], rotation)
         cells = _ivf_probe_cells(cent_raw, qvec, nprobe)
         cands = vectors.filter(F.col("cell").isin(cells))
         hits = brute_force_topk(

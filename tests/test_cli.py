@@ -321,6 +321,75 @@ def test_ann_index_cli_lifecycle(spark, sf_small, tmp_path):
     ]
 
 
+def test_ann_index_cli_opq(spark, sf_small, tmp_path):
+    """ann-index build --pq --opq as a real subprocess: the rotation
+    trains and persists, search applies it to the RAW query (the
+    query's own vector still comes back first at ~0 distance), add
+    rotates the new batch in, and a rebuild WITHOUT --opq clears the
+    stale rotation so a plain index never rotates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, sf_small, "embeddings")
+    initial = str(tmp_path / "vecs")
+    emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 400)).select(
+        "vec_id", "embedding"
+    ).write.parquet(initial)
+    qrow = emb.filter(F.col("vec_id") == 2).select("embedding").first()
+    qvec = ",".join(str(float(x)) for x in qrow[0])
+    index = str(tmp_path / "idx")
+
+    built = _run(
+        "ann-index", "build", "--vectors", initial, "--index", index,
+        "--cells", "4", "--refine-iters", "1", "--pq", "--m", "16",
+        "--kc", "8", "--opq", "--opq-iters", "2",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    assert "built OPQ-IVF-PQ index" in built.stdout
+    assert "opq: train mse" in built.stdout
+    assert os.path.isdir(os.path.join(index, "rotation.parquet"))
+
+    out = str(tmp_path / "hits")
+    found = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--nprobe", "4", "--rerank-factor", "16",
+        "--output", out,
+    )
+    assert found.returncode == 0, found.stderr[-2000:]
+    hits = spark.read.parquet(out).orderBy("l2sq").collect()
+    assert hits[0].vec_id == 2 and hits[0].l2sq < 1e-9
+
+    # add a RAW batch: rotated on the way in; its copy of vec 2 now ties
+    batch = str(tmp_path / "batch")
+    emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).write.parquet(batch)
+    added = _run("ann-index", "add", "--vectors", batch, "--index", index)
+    assert added.returncode == 0, added.stderr[-2000:]
+    out2 = str(tmp_path / "hits2")
+    found2 = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "2", "--nprobe", "4", "--rerank-factor", "16",
+        "--output", out2,
+    )
+    assert found2.returncode == 0, found2.stderr[-2000:]
+    hits2 = spark.read.parquet(out2).orderBy("l2sq", "vec_id").collect()
+    assert {r.vec_id for r in hits2} == {2, 1_000_002}
+    assert all(r.l2sq < 1e-9 for r in hits2)
+
+    # rebuild without --opq: the stale rotation must go
+    rebuilt = _run(
+        "ann-index", "build", "--vectors", initial, "--index", index,
+        "--cells", "4", "--refine-iters", "1", "--pq", "--m", "16",
+        "--kc", "8",
+    )
+    assert rebuilt.returncode == 0, rebuilt.stderr[-2000:]
+    assert not os.path.isdir(os.path.join(index, "rotation.parquet"))
+
+
 def test_winnow_index_cli_lifecycle(spark, tmp_path):
     """winnow-index build -> add -> spans / scrub / dedup as real
     subprocesses: the persisted positioned index localizes a later

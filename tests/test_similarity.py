@@ -1156,3 +1156,86 @@ def test_opq_monotone_and_audit(spark, sf_small):
     rot0, _cb0, audit0 = similarity.opq_train_driver(df, m=4, k=8, iters=0)
     assert np.allclose(np.array(rot0), np.eye(16))
     assert audit0["mse_opq"] == audit0["mse_pq"]
+
+
+def test_opq_rotated_index_lifecycle(spark, sf_small, tmp_path):
+    """The persisted OPQ-IVF-PQ index (faiss IndexPreTransform pairing):
+    write a rotated-space index with its rotation, probe with the RAW
+    query (rotation applied automatically) — equal to the live rotated
+    composition; add a RAW batch — rotated on the way in, probes span
+    both generations; the serving path rotates per trigger; a plain
+    index (no rotation file) is untouched by the new path."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    qvec = _query_vec_list(emb)
+    rot, _cb, _audit = similarity.opq_train_driver(data, m=16, k=8, iters=2)
+    rotated = similarity.opq_rotate(data, rot).localCheckpoint()
+    centroids = spark.createDataFrame(
+        _ivf_centroids(rotated).collect(), "cell int, centroid array<double>"
+    )
+    assigned = similarity.ivf_assign(rotated, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=16, k=8)
+
+    path = str(tmp_path / "opq_idx")
+    similarity.ivf_pq_index_write(rotated, centroids, cb, path, rotation=rot)
+    got = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    import numpy as np
+
+    q_rot = [float(v) for v in np.array(qvec) @ np.array(rot)]
+    live_enc = similarity.ivf_pq_encode(assigned, centroids, cb)
+    want = similarity.ivf_pq_topk(
+        live_enc, centroids, cb, q_rot, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in got] == [
+        (r.vec_id, r.l2sq) for r in want
+    ]
+
+    # RAW batch add: rotated on the way in with the saved matrix
+    batch = data.filter(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_pq_index_add(spark, path, batch)
+    merged = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    union_enc = live_enc.unionByName(
+        similarity.ivf_pq_encode(
+            similarity.ivf_assign(
+                similarity.opq_rotate(batch, rot), centroids
+            ),
+            centroids, cb,
+        )
+    )
+    expect = similarity.ivf_pq_topk(
+        union_enc, centroids, cb, q_rot, k=10, nprobe=4, rerank_factor=8
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in merged] == [
+        (r.vec_id, r.l2sq) for r in expect
+    ]
+
+    # serving path rotates per trigger; adaptive mode composes too
+    hits, sc = similarity.ann_index_search_many(
+        spark, path, [(1, qvec)], k=10, nprobe=4, rerank_factor=8
+    )
+    assert sc == "l2sq"
+    assert [(h[2], h[3]) for h in hits] == [
+        (r.vec_id, r.l2sq) for r in merged
+    ]
+    ad = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, rerank_factor=8, adaptive_nprobe=True
+    ).collect()
+    exhaustive = similarity.ivf_pq_index_topk(
+        spark, path, qvec, k=10, nprobe=centroids.count(), rerank_factor=8
+    ).collect()
+    assert [(r.vec_id, r.l2sq) for r in ad] == [
+        (r.vec_id, r.l2sq) for r in exhaustive
+    ]
