@@ -403,7 +403,9 @@ def main(argv: list[str] | None = None) -> int:
         from .session import apply_runtime_confs
 
         apply_runtime_confs(spark)
-        is_pq = os.path.isdir(os.path.join(args.index, "codebooks.parquet"))
+        # Hadoop-FS existence check: layout autodetection must work on
+        # whatever filesystem the index lives on (similarity._index_has)
+        is_pq = similarity._index_has(spark, args.index, "codebooks.parquet")
         if args.action in ("build", "add") and not args.vectors:
             raise SystemExit(f"ann-index {args.action} needs --vectors")
         if args.action == "build":
@@ -548,6 +550,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"(pruned {stats['pruned_cells']})"
                 )
         else:
+            if args.adaptive:
+                raise SystemExit(
+                    "--adaptive needs an IVF-PQ index (the Best-Bin-First "
+                    "bound comes from the ADC tables; this index has no "
+                    "codes) — rebuild with --pq or drop the flag"
+                )
             out = similarity.ivf_index_topk(
                 spark, args.index, qvec,
                 k=args.k, nprobe=args.nprobe,

@@ -478,44 +478,22 @@ def winnow_match_spans(
     density — at most the plain winnowed density, and collapsed ~w-fold
     on repetitive text (the tie-break's point) — then one aggregate
     keyed on the pair; never all-pairs."""
-    from .text import winnow_fingerprints
-
-    if pfps_df is not None:
-        pos_fps = (
-            pfps_df.filter(F.size("pfps") > 0)
-            .select(
-                "_id",
-                F.size(_pos_vals("pfps")).alias("_nf"),
-                F.explode("pfps").alias("_s"),
-            )
-            .select("_id", "_nf", F.col("_s.fp").alias("_f"),
-                    F.col("_s.pos").alias("_p"))
+    own_fps = pfps_df is None
+    if own_fps:
+        pfps_df = winnow_pos_index(df, id_col, text_col, k, w, portable)
+    pos_fps = (
+        pfps_df.filter(F.size("pfps") > 0)
+        .select(
+            "_id",
+            # distinct VALUE count — the Jaccard denominator (== the
+            # plain winnowed set size)
+            F.size(_pos_vals("pfps")).alias("_nf"),
+            F.explode("pfps").alias("_s"),
         )
-    else:
-        pos_fps = (
-            _ensure_parallelism(
-                df.select(F.col(id_col).alias("_id"), F.col(text_col))
-            )
-            .select(
-                "_id",
-                winnow_fingerprints(
-                    text_col, k=k, w=w, portable=portable, robust=True,
-                    alias="pfps",
-                ),
-            )
-            .filter(F.size("pfps") > 0)
-            .select(
-                "_id",
-                # distinct VALUE count — the Jaccard denominator (== the
-                # plain winnowed set size)
-                F.size(
-                    F.array_distinct(F.transform("pfps", lambda s: s["fp"]))
-                ).alias("_nf"),
-                F.explode("pfps").alias("_s"),
-            )
-            .select("_id", "_nf", F.col("_s.fp").alias("_f"),
-                    F.col("_s.pos").alias("_p"))
-        )
+        .select("_id", "_nf", F.col("_s.fp").alias("_f"),
+                F.col("_s.pos").alias("_p"))
+    )
+    if own_fps:
         pos_fps.cache()  # both sides of the anchor self-join
     if max_fingerprint_df is not None:
         heavy = (

@@ -1955,8 +1955,13 @@ def _adaptive_pruned_tables(
     cells are then visited lowest-lower-bound-first (the BBF priority)
     in geometrically growing chunks, so the scan finishes in at most
     O(log ncells) k*rerank-bounded collects. A NULL/NaN ADC value in any
-    round (stale codes — see ivf_pq_index_topk's adc_prune caveat)
-    degrades soundly to scanning every remaining cell. ``probe_stats``
+    SCANNED round degrades soundly to scanning every remaining cell;
+    like adc_prune, the bound itself assumes the lifecycle's
+    code/codebook consistency — a stale-code row hiding in a cell that
+    was pruned before being scanned is never seen (its lb skips NaN
+    padding slots), so the exhaustive-equivalence guarantee, exactly as
+    documented for adc_prune, holds under the write/add lifecycle and
+    not across a codebook rebuild without re-encoding. ``probe_stats``
     receives cells_ranked / cells_scanned / pruned_cells / threshold /
     rounds / degraded.
 
@@ -2137,9 +2142,12 @@ def opq_train_driver(
     over the ROTATED space (pq_encode/pq_topk-compatible), and
     ``audit = {"mse_pq": float, "mse_opq": float}`` over the training
     sample."""
-    rows = df.select(vec_col).collect()
+    rows = df.select(vec_col).limit(cap + 1).collect()
     if len(rows) > cap:
-        raise ValueError(f"opq_train_driver: {len(rows)} rows exceeds cap {cap}")
+        raise ValueError(
+            f"opq_train_driver: more than cap={cap} rows — bound the "
+            "training sample first (_bounded_train_frame / hash_sample)"
+        )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     n, dim = x.shape
     if dim % m:
@@ -2517,14 +2525,34 @@ def _write_index_rotation(spark, rotation, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/rotation.parquet")
 
 
+def _index_has(spark, path: str, name: str) -> bool:
+    """Existence check for an index-layout component through the Hadoop
+    FileSystem API, so layout autodetection works on ANY filesystem the
+    index was written to (s3a/hdfs/local alike) — a driver-local
+    os.path probe would silently miss components on object stores,
+    which for the rotation means silently WRONG probes, not an error."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _delete_index_component(spark, path: str, name: str) -> None:
+    """Remove an index-layout component if present (Hadoop FS — works on
+    any filesystem the index lives on)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _read_index_rotation(spark, path: str, max_dim: int = 8192):
     """Load a persisted OPQ rotation if the index has one (None
     otherwise) — the probe/add-side half of the faiss IndexPreTransform
     contract: raw inputs are mapped into the index's rotated space
     before any other math."""
-    import os
-
-    if not os.path.isdir(os.path.join(path, "rotation.parquet")):
+    if not _index_has(spark, path, "rotation.parquet"):
         return None
     rows = sorted(
         (r["i"], list(r["vals"]))
@@ -2600,6 +2628,11 @@ def _ivf_pq_index_write_encoded(
         .partitionBy("cell")
         .parquet(f"{path}/vectors.parquet")
     )
+    # a rebuild over a former OPQ directory must not leave a stale
+    # rotation behind — probes apply it automatically when present, so
+    # a leftover matrix over an un-rotated layout means silently wrong
+    # neighbors (callers that DO pass a rotation re-write it after this)
+    _delete_index_component(encoded.sparkSession, path, "rotation.parquet")
 
 
 def ivf_pq_index_add(
@@ -2817,14 +2850,19 @@ def ann_index_search_many(
     layout only) replaces the fixed ``nprobe`` with the Best-Bin-First
     bound per query (ivf_pq_index_topk's contract: hits bit-identical
     to the exhaustive all-cells probe)."""
-    import os
-
     if adaptive_nprobe and adc_prune:
         raise ValueError(
             "adaptive_nprobe subsumes adc_prune — pass one or the other"
         )
 
-    is_pq = os.path.isdir(os.path.join(path, "codebooks.parquet"))
+    is_pq = _index_has(spark, path, "codebooks.parquet")
+    if adaptive_nprobe and not is_pq:
+        raise ValueError(
+            "adaptive_nprobe needs the IVF-PQ layout — the Best-Bin-First "
+            "bound comes from the ADC tables; a plain IVF index has no "
+            "codes (a silent fixed-nprobe fallback could miss neighbors "
+            "the caller believes the bound covered)"
+        )
     cent_raw = _read_bounded_rows(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
