@@ -23,7 +23,7 @@ _VERIFY_FIRST = [
     "q_winnow_match_spans", "q_winnow_span_scrub",
     "q_winnow_spans_incremental", "q_ann_ivf_pq_adaptive",
     "q_chunk_overlap", "q_decontaminate_spans", "q_corpus_build_scrub",
-    "q_ann_opq",
+    "q_ann_opq", "q_ann_opq_index",
     # (b) operator path changed THIS round: winnow_fingerprints grew the
     # robust branch (q_dedup_winnow, q_dedup_incremental_winnow share
     # the plain path); ivf_pq_index_topk gained adc_prune and the ADC
@@ -50,12 +50,12 @@ _VERIFY_FIRST = [
     # then the verdict-named trained/DSIR/curriculum rows, then the
     # alphabetically-first of the rest:
     "q_hybrid_rrf", "q_rrf_grouped", "q_rerank_topk", "q_lm_perplexity",
-    "q_langid_trained", "q_dsir_weights", "q_dsir_resample",
-    # (q_curriculum_phases / q_training_data_pipeline /
-    # q_training_pipeline_v2 / q_agg_by_month / q_agg_sum_by_key /
-    # q_agg_sum_two_keys yielded their window slots to the six
+    "q_langid_trained", "q_dsir_weights",
+    # (q_dsir_resample / q_curriculum_phases / q_training_data_pipeline
+    # / q_training_pipeline_v2 / q_agg_by_month / q_agg_sum_by_key /
+    # q_agg_sum_two_keys yielded their window slots to the seven
     # late-round additions — never-checked queries outrank stale-green
-    # rotation by policy; all six stay green in the full local oracle
+    # rotation by policy; all seven stay green in the full local oracle
     # and lead the round-13 rotation debt.)
 ]
 

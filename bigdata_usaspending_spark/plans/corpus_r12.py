@@ -1366,6 +1366,109 @@ def _ann_opq_oracle() -> str:
     """
 
 
+def q_ann_opq_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The OPQ-rotated PERSISTED index lifecycle through the audit
+    contract (faiss IndexPreTransform + write_index/add): train the
+    rotation + residual codebooks on the initial corpus, build the whole
+    IVF-PQ index in the rotated space with the rotation persisted
+    alongside, ivf_pq_index_add a RAW later batch (rotated on the way in
+    with the saved matrix), probe with the RAW query (rotated
+    automatically), and emit the exact euclidean top-5 witness over
+    initial ∪ batch in the ORIGINAL space plus two pinned booleans:
+    ``recall_ok`` (>= 80% of the exact set hit through the rotated
+    lifecycle) and ``rotation_persisted`` (the probe actually loaded a
+    rotation — the pre-transform ran, the guarantee isn't vacuous)."""
+    import shutil
+    import tempfile
+
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids, _query_vec_list
+
+    emb = load(_prep(spark), sf, "embeddings")
+    data = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 0))
+    batch = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 0))
+    qvec = _query_vec_list(emb)
+    tmp = tempfile.mkdtemp(prefix="opq_idx_")
+    try:
+        rot, _cb0, _audit = similarity.opq_train_driver(
+            similarity._bounded_train_frame(data, "vec_id", 65_536),
+            m=32, k=16, iters=2,
+        )
+        rotated = similarity.opq_rotate(data, rot).localCheckpoint()
+        centroids = spark.createDataFrame(
+            _ivf_centroids(rotated).collect(),
+            "cell int, centroid array<double>",
+        )
+        assigned = similarity.ivf_assign(rotated, centroids)
+        resid = similarity.ivf_residuals(assigned, centroids)
+        cb = similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=32, k=16,
+        )
+        similarity.ivf_pq_index_write(
+            rotated, centroids, cb, tmp, rotation=rot
+        )
+        similarity.ivf_pq_index_add(spark, tmp, batch)  # RAW batch
+        hit = {
+            r.vec_id
+            for r in similarity.ivf_pq_index_topk(
+                spark, tmp, qvec, k=5, nprobe=10, rerank_factor=64
+            ).collect()  # k-bounded, RAW query
+        }
+        rotation_persisted = (
+            similarity._read_index_rotation(spark, tmp) is not None
+        )
+        exact = (
+            data.unionByName(batch)
+            .select(
+                "vec_id",
+                similarity.euclidean_to_query_kernel(qvec)(
+                    F.col("embedding")
+                ).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc("vec_id"))
+            .limit(5)
+            .localCheckpoint()
+        )
+        exact_ids = [r.vec_id for r in exact.collect()]  # k-bounded
+        recall_ok = (
+            len(set(exact_ids) & hit) >= 0.8 * len(exact_ids)
+            if exact_ids
+            else True
+        )
+        return exact.select(
+            "vec_id", "distance",
+            F.lit(bool(recall_ok)).alias("recall_ok"),
+            F.lit(bool(rotation_persisted)).alias("rotation_persisted"),
+        ).orderBy(F.asc("distance"), F.asc("vec_id"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_opq_index_oracle() -> str:
+    # audit-contract oracle: exact euclidean top-5 witness over the raw
+    # embeddings (the initial/batch split unions back to vec_id <> 0)
+    # plus the two pinned booleans
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH data AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT d.vec_id, {_euclid_sql('d.emb', 'q.q_emb')} AS distance,
+               TRUE AS recall_ok, TRUE AS rotation_persisted
+        FROM data d, q
+        ORDER BY distance ASC, d.vec_id ASC
+        LIMIT 5
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_robust": q_winnow_robust,
     "q_corpus_build_winnow": q_corpus_build_winnow,
@@ -1378,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_corpus_build_scrub": q_corpus_build_scrub,
     "q_ann_opq": q_ann_opq,
+    "q_ann_opq_index": q_ann_opq_index,
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
@@ -1394,4 +1498,5 @@ ORACLE_SQL: dict[str, str] = {
     "q_decontaminate_spans": _decontaminate_spans_oracle(),
     "q_corpus_build_scrub": _corpus_build_scrub_oracle(),
     "q_ann_opq": _ann_opq_oracle(),
+    "q_ann_opq_index": _ann_opq_index_oracle(),
 }
