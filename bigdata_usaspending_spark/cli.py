@@ -137,7 +137,7 @@ def _parser() -> argparse.ArgumentParser:
         help="build / incrementally add to / search a persisted ANN index "
         "(IVF or IVF-PQ vector index; operators/similarity)",
     )
-    ai.add_argument("action", choices=["build", "add", "search"])
+    ai.add_argument("action", choices=["build", "add", "search", "compact"])
     ai.add_argument("--index", required=True, help="index root directory")
     ai.add_argument(
         "--vectors", default=None,
@@ -210,10 +210,14 @@ def _parser() -> argparse.ArgumentParser:
         "add / spans / scrub / dedup (the ann-index lifecycle applied "
         "to text overlap)",
     )
-    wi.add_argument("action", choices=["build", "add", "spans", "scrub", "dedup"])
+    wi.add_argument(
+        "action",
+        choices=["build", "add", "spans", "scrub", "dedup", "compact"],
+    )
     wi.add_argument("--index", required=True, help="index root directory")
     wi.add_argument(
-        "--documents", required=True, help="parquet of (id, text) rows"
+        "--documents", default=None,
+        help="parquet of (id, text) rows (all actions except compact)",
     )
     wi.add_argument("--id-col", default="doc_id")
     wi.add_argument("--text-col", default="text")
@@ -408,6 +412,13 @@ def main(argv: list[str] | None = None) -> int:
         is_pq = similarity._index_has(spark, args.index, "codebooks.parquet")
         if args.action in ("build", "add") and not args.vectors:
             raise SystemExit(f"ann-index {args.action} needs --vectors")
+        if args.action == "compact":
+            stats = similarity.ann_index_compact(spark, args.index)
+            print(
+                f"compacted {args.index}: {stats['files_before']} -> "
+                f"{stats['files_after']} files ({stats['rows']} vectors)"
+            )
+            return 0
         if args.action == "build":
             df = spark.read.parquet(args.vectors)
             rotation = None
@@ -483,12 +494,11 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 # a rebuild over a former IVF-PQ directory must not leave
                 # stale codebooks behind — add/search autodetect PQ from
-                # that file and would probe a codes-less vectors layout
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(args.index, "codebooks.parquet"),
-                    ignore_errors=True,
+                # that file and would probe a codes-less vectors layout.
+                # Hadoop FS, not a local rmtree: a local os-path delete
+                # silently no-ops on s3a/hdfs and the stale file survives.
+                similarity._delete_index_component(
+                    spark, args.index, "codebooks.parquet"
                 )
                 similarity.ivf_index_write(
                     df, cents, args.index,
@@ -497,12 +507,13 @@ def main(argv: list[str] | None = None) -> int:
             if rotation is None:
                 # a rebuild without --opq over a former OPQ directory
                 # must not leave a stale rotation behind — probes apply
-                # it automatically when the file exists
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(args.index, "rotation.parquet"),
-                    ignore_errors=True,
+                # it automatically when the file exists.  Same Hadoop-FS
+                # contract as the codebooks clear above: on an object
+                # store a driver-local rmtree silently no-ops and every
+                # subsequent probe would rotate queries against
+                # un-rotated vectors.
+                similarity._delete_index_component(
+                    spark, args.index, "rotation.parquet"
                 )
             n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
             kind = "OPQ-IVF-PQ" if args.opq else (
@@ -574,6 +585,15 @@ def main(argv: list[str] | None = None) -> int:
         from .session import apply_runtime_confs
 
         apply_runtime_confs(spark)
+        if args.action == "compact":
+            stats = dd.winnow_index_compact(spark, args.index)
+            print(
+                f"compacted {args.index}: {stats['files_before']} -> "
+                f"{stats['files_after']} files ({stats['rows']} docs)"
+            )
+            return 0
+        if not args.documents:
+            raise SystemExit(f"winnow-index {args.action} needs --documents")
         df = spark.read.parquet(args.documents)
         if args.action == "build":
             dd.winnow_pos_index_write(

@@ -148,6 +148,85 @@ def compact_versions(spark: SparkSession, path: str, key: str) -> None:
 
 _MANIFEST = "_MANIFEST.json"
 
+# filesystems whose rename is NOT atomic (object stores) — the swap
+# below would have an unbounded corruption window there; a real table
+# format (Delta/Iceberg snapshot commits) is the answer on those
+_NO_ATOMIC_RENAME = (
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift",
+)
+
+
+def require_atomic_rename(path: str, op: str) -> None:
+    """Refuse object-store schemes for swap-based rewrites (no atomic
+    rename — an interrupted swap there has an unbounded corruption
+    window). Callers check this FIRST, before any FS round-trip."""
+    scheme, sep, _ = path.partition("://")
+    if sep and scheme.lower() in _NO_ATOMIC_RENAME:
+        raise ValueError(
+            f"{op} requires an atomic-rename filesystem; got scheme "
+            f"'{scheme}://'. Use a table format with snapshot commits "
+            "(Delta/Iceberg) for object-store indexes."
+        )
+
+
+def hadoop_data_file_stats(spark: SparkSession, path: str) -> "tuple[int, int]":
+    """``(n_files, n_bytes)`` of the DATA files under a parquet directory
+    (recursively, through the Hadoop FS API so it works on any
+    filesystem), skipping markers (_SUCCESS) and hidden files — the
+    fragmentation metric the index compactors report and size their
+    rewrites from."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0, 0
+    it = fs.listFiles(hpath, True)
+    n = b = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+            b += int(f.getLen())
+    return n, b
+
+
+def hadoop_data_file_count(spark: SparkSession, path: str) -> int:
+    return hadoop_data_file_stats(spark, path)[0]
+
+
+def hadoop_swap_rewrite(spark: SparkSession, target: str, write_tmp, op: str) -> None:
+    """Crash-bounded in-place rewrite of one parquet component: stage the
+    rewritten copy aside, rename the live directory aside, rename the
+    copy in, THEN delete the old — compact_versions' swap order carried
+    onto the Hadoop FileSystem API so it serves hdfs:// as well as
+    file:// (both have atomic directory rename). At no point is the data
+    unrecoverable: a crash between the two renames leaves the full old
+    component at ``{target}__old_*``. Object-store schemes are refused
+    up front (no atomic rename — use a snapshot-commit table format
+    there), matching the versioned-state contract above.
+
+    ``write_tmp(tmp_path)`` writes the rewritten component (the caller
+    owns the plan — the swap only sequences the renames)."""
+    require_atomic_rename(target, op)
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{target}__compact_{token}"
+    old = f"{target}__old_{token}"
+    write_tmp(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    t_path = jvm.org.apache.hadoop.fs.Path(target)
+    fs = t_path.getFileSystem(conf)
+    if not fs.rename(t_path, jvm.org.apache.hadoop.fs.Path(old)):
+        raise IOError(f"{op}: rename {target} -> {old} failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), t_path):
+        raise IOError(
+            f"{op}: rename {tmp} -> {target} failed; previous component "
+            f"preserved at {old}"
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
 
 def read_state_manifest(path: str) -> dict | None:
     try:

@@ -971,9 +971,6 @@ def winnow_pos_index_write(
     - ``{path}/fps.parquet`` — one row per doc: ``(_id, pfps)`` robust
       positioned fingerprints (winnow_pos_index's shape; empty-set docs
       excluded there)."""
-    import json
-    import os
-
     pfps = winnow_pos_index(df, id_col, text_col, k=k, w=w, portable=portable)
     pfps.write.mode("overwrite").parquet(f"{path}/fps.parquet")
     meta = {
@@ -981,23 +978,48 @@ def winnow_pos_index_write(
         "id_col": id_col,
         "id_type": dict(df.dtypes)[id_col],
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _winnow_meta_write(df.sparkSession, path, meta)
 
 
-def _winnow_index_meta(path: str) -> dict:
+def _winnow_meta_path(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/meta.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _winnow_meta_write(spark, path: str, meta: dict) -> None:
+    """Write the index meta through the Hadoop FileSystem API — the same
+    any-filesystem contract as the parquet components and the ann-index
+    layout helpers (similarity._index_has).  A driver-local open() would
+    land the meta in a bogus local directory when the index path is
+    s3a/hdfs, after which every probe/add from another driver fails with
+    'no winnow index meta' while fps.parquet sits correctly remote."""
     import json
-    import os
 
-    meta_path = os.path.join(path, "meta.json")
-    if not os.path.exists(meta_path):
+    fs, hpath = _winnow_meta_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _winnow_index_meta(spark, path: str) -> dict:
+    import json
+
+    fs, hpath = _winnow_meta_path(spark, path)
+    if not fs.exists(hpath):
         raise ValueError(
-            f"no winnow index meta at {meta_path!r} — the directory was "
-            "not written by winnow_pos_index_write"
+            f"no winnow index meta at {path!r}/meta.json — the directory "
+            "was not written by winnow_pos_index_write"
         )
-    with open(meta_path) as fh:
-        return json.load(fh)
+    stream = fs.open(hpath)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
 
 
 def winnow_pos_index_add(
@@ -1013,7 +1035,7 @@ def winnow_pos_index_add(
     miss) and appended to the same layout. Mirrors ``ivf_pq_index_add``,
     including the id-type guard (appending a second id type writes a
     mixed-schema parquet that later probes surface as nulls)."""
-    meta = _winnow_index_meta(path)
+    meta = _winnow_index_meta(spark, path)
     id_type = dict(df.dtypes)[id_col]
     if id_type != meta["id_type"]:
         raise ValueError(
@@ -1025,6 +1047,53 @@ def winnow_pos_index_add(
         k=meta["k"], w=meta["w"], portable=meta["portable"],
     )
     pfps.write.mode("append").parquet(f"{path}/fps.parquet")
+
+
+def winnow_index_compact(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Compact a persisted positioned winnow index — the text-side twin
+    of similarity.ann_index_compact (VERDICT r12 #6): each
+    ``winnow_pos_index_add`` appends its own files to ``fps.parquet``,
+    so after N small adds every probe's scan schedules ~N tiny tasks.
+    Rewrites the layout into ``ceil(bytes / target_file_bytes)``
+    size-bounded files (fps.parquet is unpartitioned — probes scan all
+    of it by design, so file COUNT is the only knob); ``meta.json`` is
+    untouched. Probe results are bit-identical before and after (the
+    span/dedup probes aggregate over the whole index — row order never
+    reaches the output; tested). Crash-bounded swap + row-count verify
+    via io.hadoop_swap_rewrite, same filesystem contract.
+
+    Returns ``{"files_before", "files_after", "rows"}``."""
+    from ..io import (
+        hadoop_data_file_stats,
+        hadoop_swap_rewrite,
+        require_atomic_rename,
+    )
+
+    require_atomic_rename(path, "winnow_index_compact")
+    target = f"{path}/fps.parquet"
+    files_before, n_bytes = hadoop_data_file_stats(spark, target)
+    n_files = max(1, -(-n_bytes // max(1, int(target_file_bytes))))
+    n_rows = spark.read.parquet(target).count()
+
+    def write_tmp(tmp: str) -> None:
+        spark.read.parquet(target).repartition(n_files).write.parquet(tmp)
+        staged = spark.read.parquet(tmp).count()
+        if staged != n_rows:
+            raise IOError(
+                f"winnow_index_compact: staged rewrite holds {staged} "
+                f"rows, expected {n_rows}; aborting before touching the "
+                "live layout"
+            )
+
+    hadoop_swap_rewrite(spark, target, write_tmp, "winnow_index_compact")
+    files_after, _ = hadoop_data_file_stats(spark, target)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": n_rows,
+    }
 
 
 def winnow_index_spans(
@@ -1040,7 +1109,7 @@ def winnow_index_spans(
     positioned winnow index (winnow_spans_against_index over the saved
     layout, fingerprint parameters loaded from the index meta). The
     index parquet is scan-only; the batch broadcasts."""
-    meta = _winnow_index_meta(path)
+    meta = _winnow_index_meta(spark, path)
     index = spark.read.parquet(f"{path}/fps.parquet")
     return winnow_spans_against_index(
         batch, index, id_col, text_col,
@@ -1060,7 +1129,7 @@ def winnow_index_scrub(
 ) -> DataFrame:
     """Passage-level decontamination against a persisted positioned
     winnow index (winnow_scrub_against_index over the saved layout)."""
-    meta = _winnow_index_meta(path)
+    meta = _winnow_index_meta(spark, path)
     index = spark.read.parquet(f"{path}/fps.parquet")
     return winnow_scrub_against_index(
         batch, index, id_col, text_col,
@@ -1083,7 +1152,7 @@ def winnow_index_dedup(
     (distinct fp — provably the plain winnowed set), so the drop tier
     (winnow_dedup_against_index) runs over the same index the span
     tiers probe — one persisted artifact serves all three actions."""
-    meta = _winnow_index_meta(path)
+    meta = _winnow_index_meta(spark, path)
     index = spark.read.parquet(f"{path}/fps.parquet").select(
         "_id", _pos_vals("pfps").alias("fps")
     )

@@ -616,7 +616,20 @@ def ivf_index_topk(
     and the vectors scan carries a ``cell IN (...)`` predicate on the
     PARTITION column — Catalyst prunes to nprobe directories before a
     single row is read (plan-pinned in tests). Result is identical to
-    running ivf_topk over the index's source frame."""
+    running ivf_topk over the index's source frame.
+
+    Refuses a layout carrying ``rotation.parquet``: a rotation is only
+    valid paired with PQ codebooks (the OPQ IndexPreTransform), and a
+    plain-IVF probe has no rotated space to map the query into — a
+    stale matrix over un-rotated vectors must fail loudly, not probe
+    wrong (the ann_index_search_many guard, kept in agreement so both
+    probe surfaces of one index behave identically)."""
+    if _index_has(spark, path, "rotation.parquet"):
+        raise ValueError(
+            f"index at {path!r} has rotation.parquet but is probed as "
+            "plain IVF — a rotation is only valid on the IVF-PQ layout; "
+            "rebuild the index"
+        )
     qvec = _as_qvec(query)
     # one scan: limit(cap+1) bounds driver memory AND detects overflow in
     # the same job (count()+collect() would read the table twice per probe)
@@ -1056,9 +1069,17 @@ def pq_train_driver(
     sets too large to collect."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    rows = df.select(vec_col).collect()
+    # limit(cap+1) BEFORE collecting (opq_train_driver's pattern): the
+    # guard must bound driver memory, not report the overflow after a
+    # full unbounded collect already paid for it.  cap+1 rows detects
+    # the overflow in the same single job.
+    rows = df.select(vec_col).limit(cap + 1).collect()
     if len(rows) > cap:
-        raise ValueError(f"pq_train_driver: {len(rows)} rows exceeds cap {cap}")
+        raise ValueError(
+            f"pq_train_driver: training frame holds more than cap={cap} "
+            "rows; bound the sample (e.g. _bounded_train_frame / "
+            "sampling.hash_sample) before training"
+        )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
@@ -1919,8 +1940,14 @@ def _adc_pruned_tables(
         c: float(sum(np.nanmin(a) for a in cell_tables[c]))
         for c in cells[p1n:]
     }
-    kept = [c for c in cells[p1n:] if lb[c] <= t]
-    pruned = [c for c in cells[p1n:] if lb[c] > t]
+    # a NaN lower bound (all-NaN table slot, degenerate codebook) is
+    # UNPRUNABLE, not invisible: both `nan <= t` and `nan > t` are
+    # false, so without the isnan arm the cell would fall out of kept
+    # AND pruned — never scanned, never reported — silently breaking
+    # the bit-identity guarantee.  Forcing the scan instead routes the
+    # NaN through the documented NULL/NaN rerank degrade path.
+    kept = [c for c in cells[p1n:] if math.isnan(lb[c]) or lb[c] <= t]
+    pruned = [c for c in cells[p1n:] if not math.isnan(lb[c]) and lb[c] > t]
     if probe_stats is not None:
         probe_stats.update(
             cells_scanned=p1 + kept, pruned_cells=pruned, threshold=t
@@ -2013,9 +2040,27 @@ def _adaptive_pruned_tables(
         best = sorted(best + [(float(r[1]), r[0]) for r in rows])[:need]
         if len(best) >= need:
             threshold = best[-1][0]
-            kept = [c for c in remaining if lb[c] <= threshold]
-            pruned.extend(c for c in remaining if lb[c] > threshold)
-            remaining = sorted(kept, key=lambda c: (lb[c], c))
+            # NaN lower bound => unprunable (see _adc_pruned_tables):
+            # keep the cell so its scan triggers the sound NaN degrade
+            # instead of silently vanishing from kept AND pruned.
+            kept = [
+                c for c in remaining
+                if math.isnan(lb[c]) or lb[c] <= threshold
+            ]
+            pruned.extend(
+                c for c in remaining
+                if not math.isnan(lb[c]) and lb[c] > threshold
+            )
+            # NaN keys would make the BBF priority sort order undefined
+            # (every comparison false) — pin them deterministically last
+            remaining = sorted(
+                kept,
+                key=lambda c: (
+                    math.isnan(lb[c]),
+                    0.0 if math.isnan(lb[c]) else lb[c],
+                    c,
+                ),
+            )
         chunk *= 2
     if probe_stats is not None:
         probe_stats.update(
@@ -2689,6 +2734,65 @@ def ivf_pq_index_add(
     )
 
 
+def ann_index_compact(spark, path: str) -> dict:
+    """Compact a persisted IVF / IVF-PQ index's vector layout — the
+    merge side of the add-forever lifecycle (VERDICT r12 #6, the rollup
+    sink's merge-on-read + compaction applied to the ANN index):
+    ``ivf_index_add`` / ``ivf_pq_index_add`` append one file per cell
+    PER BATCH, so after N adds every probe opens ~N fragments per probed
+    cell directory and the scan's task count grows with history, not
+    data. Compaction rewrites ``vectors.parquet`` with one shuffle
+    partitioned ON the cell column, so each cell directory collapses to
+    ONE file (a cell lives in exactly one task of the partitionBy
+    write); model state (centroids/codebooks/rotation) is untouched, so
+    every probe — fixed-nprobe, adc_prune, adaptive — returns
+    BIT-IDENTICAL results before and after (probe orderings are total
+    on (score, id); file order is immaterial; tested).
+
+    Crash-bounded swap via io.hadoop_swap_rewrite (stage aside → rename
+    live aside → rename in → delete), with a row-count verification of
+    the staged copy BEFORE the live layout is touched. Works on any
+    atomic-rename filesystem (file://, hdfs://); object stores are
+    refused (snapshot-commit table formats are the answer there).
+
+    Returns ``{"files_before", "files_after", "rows"}``. 100-TB shape:
+    one shuffle sized by the cell count — run it periodically (every ~N
+    adds), exactly like the rollup sink's compact_versions cadence."""
+    from ..io import (
+        hadoop_data_file_stats,
+        hadoop_swap_rewrite,
+        require_atomic_rename,
+    )
+
+    require_atomic_rename(path, "ann_index_compact")
+    target = f"{path}/vectors.parquet"
+    files_before, _ = hadoop_data_file_stats(spark, target)
+    n_rows = spark.read.parquet(target).count()
+
+    def write_tmp(tmp: str) -> None:
+        (
+            spark.read.parquet(target)
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp).count()
+        if staged != n_rows:
+            raise IOError(
+                f"ann_index_compact: staged rewrite holds {staged} rows, "
+                f"expected {n_rows}; aborting before touching the live "
+                "layout"
+            )
+
+    hadoop_swap_rewrite(spark, target, write_tmp, "ann_index_compact")
+    files_after, _ = hadoop_data_file_stats(spark, target)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": n_rows,
+    }
+
+
 def ivf_pq_index_topk(
     spark,
     path: str,
@@ -2868,6 +2972,21 @@ def ann_index_search_many(
     )
     vectors = spark.read.parquet(f"{path}/vectors.parquet")
     rotation = _read_index_rotation(spark, path)
+    if rotation is not None and not is_pq:
+        # a rotation can only legitimately exist on an IVF-PQ layout
+        # (OPQ pairs with PQ codebooks; the CLI enforces --opq needs
+        # --pq, and every index writer clears the file on plain
+        # rebuilds).  Applying it here would rotate queries against
+        # UN-rotated vectors — and ivf_index_topk never reads the file,
+        # so the two probe surfaces of the same index would silently
+        # diverge.  A present rotation over plain IVF is a corrupt or
+        # stale layout: refuse loudly on both surfaces.
+        raise ValueError(
+            f"index at {path!r} has rotation.parquet but no "
+            "codebooks.parquet — a rotation is only valid on the IVF-PQ "
+            "layout; rebuild the index (stale rotation over plain IVF "
+            "would silently return wrong neighbors)"
+        )
     out = []
     if is_pq:
         cent_rows = sorted(

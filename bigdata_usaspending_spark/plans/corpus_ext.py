@@ -331,7 +331,15 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # codebook subtree re-ran per consumer, 13 s at sf0.1). dsub threaded
     # explicitly so no metadata .first() probes fire.
     dsub = 64 // PQ_M
-    cb = similarity.pq_train_driver(data, m=PQ_M, k=PQ_K, refine_iterations=1)
+    # _bounded_train_frame caps the driver-side training collect at the
+    # faiss-style sample size (identity at parity SFs, so oracle hashes
+    # are unchanged; over the cap it switches to the deterministic
+    # hash_sample instead of collecting the corpus) — the plan shape
+    # that survives a 100x scale-up.
+    cb = similarity.pq_train_driver(
+        similarity._bounded_train_frame(data, "vec_id", 65_536),
+        m=PQ_M, k=PQ_K, refine_iterations=1,
+    )
     enc = similarity.pq_encode(data, cb, dsub=dsub)
     return similarity.pq_topk(
         enc, cb, _query_vec_list(emb), k=10, rerank_factor=PQ_RERANK, dsub=dsub

@@ -1320,6 +1320,7 @@ def winnow_dedup_append_batch(
     max_fingerprint_df: "int | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    evidence: bool = False,
 ) -> bool:
     """One idempotent micro-batch of streaming rolling-hash near dedup —
     the winnowing member of the streaming dedup family (exact / simhash
@@ -1342,7 +1343,26 @@ def winnow_dedup_append_batch(
     recall can differ from the one-shot run — the family's documented
     cap trade-off, now with a split-dependence caveat. Exactly-once:
     replayed batch_ids skip, a crash before the manifest flip leaves
-    the previous ledger intact."""
+    the previous ledger intact.
+
+    ``evidence=True`` (VERDICT r12 #3) switches the ledger to the
+    POSITIONED form ``(doc_id, pfps, survivor, drop_evidence)``: drops
+    additionally record WHY — one struct ``(other_id, jaccard,
+    n_shared, n_anchors, start, end)`` per justifying pair, where
+    ``start..end`` is the covering span of the shared content in the
+    DROPPED doc's normalized text (winnow_match_spans' offset contract;
+    the batch side already produced these for the scrub tier) and
+    ``other_id`` the earlier doc, sorted by other_id; survivors carry
+    NULL. Decisions derive from the SAME span pair frames
+    (winnow_match_spans in-batch, winnow_spans_against_index vs the
+    ledger), whose verified pair sets provably equal the value-set
+    tiers' at cap=None — N id-ordered appends emit drop-evidence rows
+    bit-equal to a one-shot winnow_match_spans report over the whole
+    input (tested). With a cap, decisions follow the span tiers'
+    value-exact semantics while anchors/spans stay capped — the
+    family's documented trade-off. The two ledger forms don't mix:
+    appending evidence=True onto a plain-fps ledger (or vice versa)
+    raises."""
     from ..io import (
         commit_versioned_state,
         read_state_manifest,
@@ -1355,6 +1375,20 @@ def winnow_dedup_append_batch(
     if manifest is not None and batch_id <= manifest["batch_id"]:
         return False
     cur = read_versioned_state(batch_df.sparkSession, state_path)
+    if cur is not None and ("pfps" in cur.columns) != evidence:
+        have = "positioned (evidence)" if "pfps" in cur.columns else "plain"
+        raise ValueError(
+            f"winnow dedup ledger at {state_path!r} is the {have} form; "
+            f"evidence={evidence} appends would mix ledger schemas — "
+            "use one form per state path"
+        )
+    if evidence:
+        return _winnow_dedup_append_evidence(
+            batch_df, state_path, batch_id, cur,
+            k=k, w=w, threshold=threshold, portable=portable,
+            max_fingerprint_df=max_fingerprint_df,
+            id_col=id_col, text_col=text_col,
+        )
     # fingerprint the batch ONCE (the CPU-heavy stage) and materialize:
     # the frame feeds the in-batch pair tier, the ledger probe, AND the
     # appended ledger rows via the fps seams — without the seams each
@@ -1397,6 +1431,101 @@ def winnow_dedup_append_batch(
     return True
 
 
+def _winnow_dedup_append_evidence(
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    cur: "DataFrame | None",
+    k: int,
+    w: int,
+    threshold: float,
+    portable: bool,
+    max_fingerprint_df: "int | None",
+    id_col: str,
+    text_col: str,
+) -> bool:
+    """The evidence=True body of winnow_dedup_append_batch (see its
+    docstring for the contract): positioned ledger, drops justified by
+    recorded covering spans + anchor counts. The batch is fingerprinted
+    ONCE (robust positioned — the value sets the decisions need reduce
+    losslessly via _pos_vals); the in-batch tier and the ledger probe
+    both ride the precomputed-pfps seams."""
+    from ..io import commit_versioned_state
+    from ..operators.dedup import (
+        winnow_match_spans,
+        winnow_spans_against_index,
+    )
+    from ..operators.text import winnow_fingerprints
+
+    bpf = batch_df.select(
+        F.col(id_col).alias("_id"),
+        winnow_fingerprints(
+            text_col, k=k, w=w, portable=portable, robust=True, alias="pfps"
+        ),
+    ).localCheckpoint()
+    # evidence columns harmonized across the two tiers (match_spans
+    # counts n_shared via count_distinct -> long; the index probe via
+    # array_intersect size -> int)
+    in_ev = winnow_match_spans(
+        batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
+        portable=portable, max_fingerprint_df=max_fingerprint_df,
+        pfps_df=bpf,
+    ).select(
+        F.col("id_b").alias("_did"),
+        F.col("id_a").alias("other_id"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("b_start").cast("int").alias("start"),
+        F.col("b_end").cast("int").alias("end"),
+    )
+    ev = in_ev
+    if cur is not None:
+        # the FULL ledger probes (dropped rows keep suppressing — the
+        # transitive-chain rationale); evidence then names the actual
+        # earlier doc, survivor or not
+        ev = ev.unionByName(
+            winnow_spans_against_index(
+                batch_df,
+                cur.select(F.col(id_col).alias("_id"), "pfps"),
+                id_col, text_col, k=k, w=w, threshold=threshold,
+                portable=portable, max_fingerprint_df=max_fingerprint_df,
+                batch_pfps=bpf,
+            ).select(
+                F.col("id_batch").alias("_did"),
+                F.col("id_index").alias("other_id"),
+                F.col("jaccard").cast("double").alias("jaccard"),
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.col("n_anchors").cast("long").alias("n_anchors"),
+                F.col("b_start").cast("int").alias("start"),
+                F.col("b_end").cast("int").alias("end"),
+            )
+        )
+    per_doc = ev.groupBy("_did").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "other_id", "jaccard", "n_shared", "n_anchors",
+                    "start", "end",
+                )
+            )
+        ).alias("drop_evidence")
+    )
+    flagged = (
+        bpf.select(F.col("_id").alias(id_col), "pfps")
+        .join(per_doc, on=F.col(id_col) == F.col("_did"), how="left")
+        .drop("_did")
+        .select(
+            id_col, "pfps",
+            F.col("drop_evidence").isNull().alias("survivor"),
+            "drop_evidence",
+        )
+    )
+    out = flagged if cur is None else cur.unionByName(flagged)
+    commit_versioned_state(out, state_path, batch_id)
+    return True
+
+
 def stream_near_dedup_winnow(
     docs: DataFrame,
     state_path: str,
@@ -1408,6 +1537,7 @@ def stream_near_dedup_winnow(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint: "str | None" = None,
+    evidence: bool = False,
 ):
     """Keep a rolling-hash near-deduplicated document set incrementally
     fresh from a stream — the streaming twin of the incremental winnow
@@ -1421,6 +1551,12 @@ def stream_near_dedup_winnow(
     bit-for-bit (tested, including a transitive A~B~C chain). Readers
     take ``survivor = true`` rows.
 
+    ``evidence=True`` switches to the positioned ledger whose dropped
+    rows carry the justifying covering spans / anchor counts
+    (winnow_dedup_append_batch's evidence contract) — the audit record
+    a compliance reviewer asks for when a streamed doc silently
+    disappears from the corpus.
+
     ``checkpoint`` is REQUIRED once state exists (see
     stream_build_corpus: a fresh query restarts batch_id at 0 and the
     replay guard would silently discard new data)."""
@@ -1433,7 +1569,7 @@ def stream_near_dedup_winnow(
             batch_df, state_path, batch_id,
             k=k, w=w, threshold=threshold, portable=portable,
             max_fingerprint_df=max_fingerprint_df,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, evidence=evidence,
         )
 
     writer = docs.writeStream.foreachBatch(append).trigger(availableNow=True)

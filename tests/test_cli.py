@@ -380,6 +380,22 @@ def test_ann_index_cli_opq(spark, sf_small, tmp_path):
     assert {r.vec_id for r in hits2} == {2, 1_000_002}
     assert all(r.l2sq < 1e-9 for r in hits2)
 
+    # compact the fragmented cell directories; the probe is unchanged
+    compacted = _run("ann-index", "compact", "--index", index)
+    assert compacted.returncode == 0, compacted.stderr[-2000:]
+    assert "compacted" in compacted.stdout
+    out3 = str(tmp_path / "hits3")
+    found3 = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "2", "--nprobe", "4", "--rerank-factor", "16",
+        "--output", out3,
+    )
+    assert found3.returncode == 0, found3.stderr[-2000:]
+    hits3 = spark.read.parquet(out3).orderBy("l2sq", "vec_id").collect()
+    assert [(r.vec_id, r.l2sq) for r in hits3] == [
+        (r.vec_id, r.l2sq) for r in hits2
+    ]
+
     # rebuild without --opq: the stale rotation must go
     rebuilt = _run(
         "ann-index", "build", "--vectors", initial, "--index", index,
@@ -456,6 +472,20 @@ def test_winnow_index_cli_lifecycle(spark, tmp_path):
     )
     assert dedup_run.returncode == 0, dedup_run.stderr[-2000:]
     assert {r.doc_id for r in spark.read.parquet(dout).collect()} == {12}
+
+    # compact: merge the build+add fragments; probes unchanged
+    compacted = _run("winnow-index", "compact", "--index", index)
+    assert compacted.returncode == 0, compacted.stderr[-2000:]
+    assert "compacted" in compacted.stdout
+    sout2 = str(tmp_path / "spans_out2")
+    spans2 = _run(
+        "winnow-index", "spans", "--documents", pb, "--index", index,
+        "--threshold", "0.5", "--output", sout2,
+    )
+    assert spans2.returncode == 0, spans2.stderr[-2000:]
+    assert {
+        (r.id_index, r.id_batch) for r in spark.read.parquet(sout2).collect()
+    } == got
 
 
 def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):

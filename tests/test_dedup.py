@@ -985,3 +985,58 @@ def test_winnow_pos_index_lifecycle_guards(spark, tmp_path):
     )
     hits = dedup.winnow_index_spans(spark, path, batch, threshold=0.5)
     assert {(r.id_index, r.id_batch) for r in hits.collect()} == {(2, 10)}
+
+
+def test_winnow_index_compact_bit_identical_probes(spark, tmp_path):
+    """winnow_index_compact (VERDICT r12 #6): N small adds fragment
+    fps.parquet one file-set per add; compact collapses it to the
+    size-targeted file count with every probe surface (spans / dedup)
+    bit-identical and meta.json untouched."""
+    from bigdata_usaspending_spark import operators
+    from bigdata_usaspending_spark.io import hadoop_data_file_count
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog near the bridge"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail {i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(
+        docs.filter("doc_id <= 2"), path, portable=True
+    )
+    for i in (3, 4, 5, 6):
+        dd.winnow_pos_index_add(
+            spark, path, docs.filter(F.col("doc_id") == i)
+        )
+    fps = f"{path}/fps.parquet"
+    frag = hadoop_data_file_count(spark, fps)
+    assert frag >= 5  # build + 4 adds each left files
+
+    batch = docs.filter("doc_id >= 7")
+    b_spans = sorted(
+        map(tuple, dd.winnow_index_spans(spark, path, batch).collect())
+    )
+    b_dedup = sorted(
+        map(tuple, dd.winnow_index_dedup(spark, path, batch).collect())
+    )
+    meta_before = dd._winnow_index_meta(spark, path)
+
+    stats = dd.winnow_index_compact(spark, path)
+    assert stats["files_before"] == frag
+    assert stats["files_after"] == 1  # tiny index, one target file
+    assert hadoop_data_file_count(spark, fps) == 1
+
+    assert sorted(
+        map(tuple, dd.winnow_index_spans(spark, path, batch).collect())
+    ) == b_spans
+    assert sorted(
+        map(tuple, dd.winnow_index_dedup(spark, path, batch).collect())
+    ) == b_dedup
+    assert dd._winnow_index_meta(spark, path) == meta_before
+
+    # object-store scheme refused up front (no atomic rename)
+    import pytest
+
+    with pytest.raises(ValueError, match="atomic-rename"):
+        dd.winnow_index_compact(spark, "s3a://bucket/widx")

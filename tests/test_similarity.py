@@ -1239,3 +1239,197 @@ def test_opq_rotated_index_lifecycle(spark, sf_small, tmp_path):
     assert [(r.vec_id, r.l2sq) for r in ad] == [
         (r.vec_id, r.l2sq) for r in exhaustive
     ]
+
+
+def test_pq_train_driver_cap_probe_is_bounded(spark, monkeypatch):
+    """The over-cap guard must bound the collect itself, not report the
+    overflow after an unbounded collect already paid for it: the trainer
+    probes limit(cap+1) BEFORE collecting (opq_train_driver's pattern),
+    so the error fires from cap+1 rows and the message says 'more than
+    cap' instead of a limit-truncated exact count (VERDICT r12 #2)."""
+    data0 = spark.range(1).select(F.col("id"))
+    cls = type(data0)  # the CONCRETE DataFrame class (classic overrides limit)
+    limits = []
+    orig_limit = cls.limit
+
+    def spy(self, n):
+        limits.append(n)
+        return orig_limit(self, n)
+
+    monkeypatch.setattr(cls, "limit", spy)
+    data = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="more than cap"):
+        similarity.pq_train_driver(data, m=2, k=2, cap=10)
+    assert 11 in limits, (
+        "pq_train_driver must probe limit(cap+1) before collecting"
+    )
+
+
+def test_stale_rotation_on_plain_ivf_raises_both_surfaces(
+    spark, sf_small, tmp_path
+):
+    """A rotation.parquet over a plain-IVF layout is a corrupt/stale
+    index (rotations pair with PQ codebooks only — the OPQ
+    IndexPreTransform); both probe surfaces must refuse it identically
+    instead of one silently rotating queries against un-rotated vectors
+    while the other ignores the file (round-12 ADVICE)."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    qvec = _query_vec_list(emb)
+    path = str(tmp_path / "stale_rot_idx")
+    similarity.ivf_index_write(data, centroids, path)
+    # sanity: a clean plain-IVF probe works
+    assert similarity.ivf_index_topk(spark, path, qvec, k=3).count() == 3
+    # simulate the stale layout an interrupted / pre-fix rebuild leaves
+    dim = len(qvec)
+    ident = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    similarity._write_index_rotation(spark, ident, path)
+    with pytest.raises(ValueError, match="rotation"):
+        similarity.ivf_index_topk(spark, path, qvec, k=3)
+    with pytest.raises(ValueError, match="rotation"):
+        similarity.ann_index_search_many(spark, path, [(1, qvec)], k=3)
+
+
+def test_adc_prune_nan_lower_bound_is_unprunable():
+    """A cell whose ADC lower bound evaluates to NaN (all-NaN table
+    slot, degenerate codebook) must be KEPT for scanning — `nan <= t`
+    and `nan > t` are both false, so without the isnan arm the cell
+    would silently vanish from kept AND pruned, breaking the
+    bit-identity guarantee instead of degrading soundly (round-12
+    ADVICE). The forced scan then hits the documented NaN degrade."""
+    import numpy as np
+
+    k, rerank = 1, 2
+    good = [np.array([0.0, 1.0]), np.array([0.0, 1.0])]
+    far = [np.array([100.0, 101.0]), np.array([100.0, 101.0])]
+    nan_tab = [
+        np.array([float("nan"), float("nan")]),
+        np.array([float("nan"), float("nan")]),
+    ]
+    cell_tables = {0: good, 1: far, 2: nan_tab}
+
+    calls = []
+
+    class _FakeCands:
+        """Phase-1 shortlist stub: k*rerank rows of real distances so a
+        sound threshold forms; the pruning decision under test is pure
+        driver math over the lower bounds."""
+
+        def __init__(self, cells):
+            calls.append(list(cells))
+
+        def select(self, *_a, **_k):
+            return self
+
+        def orderBy(self, *_a, **_k):
+            return self
+
+        def limit(self, _n):
+            return self
+
+        def collect(self):
+            return [(0.0,), (0.5,)]
+
+    stats: dict = {}
+    kept = similarity._adc_pruned_tables(
+        _FakeCands, cell_tables, "cell", k, rerank, 1, probe_stats=stats
+    )
+    # threshold t=0.5: far cell (lb=200) pruned, NaN cell kept for scan
+    assert set(kept) == {0, 2}
+    assert stats["pruned_cells"] == [1]
+    assert 2 in stats["cells_scanned"]
+
+
+def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
+    """Compaction (VERDICT r12 #6): after N fragmented adds, compact
+    must collapse each cell directory to ONE file and leave every probe
+    surface — fixed-nprobe, adc_prune, adaptive, and the many-query
+    serving path — BIT-IDENTICAL; model state untouched; a second
+    compact is a no-op in file count."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.io import hadoop_data_file_count
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    qvec = _query_vec_list(emb)
+    assigned = similarity.ivf_assign(data, centroids)
+    resid = similarity.ivf_residuals(assigned, centroids)
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=16, k=8)
+    path = str(tmp_path / "frag_idx")
+    similarity.ivf_pq_index_write(data, centroids, cb, path)
+    # 4 small adds fragment every touched cell directory
+    for i in range(4):
+        batch = data.filter(F.col("vec_id") % 4 == i).select(
+            (F.col("vec_id") + 1_000_000 * (i + 1)).alias("vec_id"),
+            "embedding",
+        )
+        similarity.ivf_pq_index_add(spark, path, batch)
+
+    vecs = f"{path}/vectors.parquet"
+    before = [
+        (r.vec_id, r.l2sq)
+        for r in similarity.ivf_pq_index_topk(
+            spark, path, qvec, k=10, nprobe=3, rerank_factor=4
+        ).collect()
+    ]
+    before_adp = [
+        (r.vec_id, r.l2sq)
+        for r in similarity.ivf_pq_index_topk(
+            spark, path, qvec, k=10, rerank_factor=4, adaptive_nprobe=True
+        ).collect()
+    ]
+    before_many, _sc = similarity.ann_index_search_many(
+        spark, path, [(1, qvec)], k=10, nprobe=3, rerank_factor=4
+    )
+    frag_files = hadoop_data_file_count(spark, vecs)
+    n_cells = spark.read.parquet(f"{path}/centroids.parquet").count()
+    assert frag_files > n_cells, (frag_files, n_cells)
+
+    stats = similarity.ann_index_compact(spark, path)
+    assert stats["files_before"] == frag_files
+    # one file per cell directory that holds rows
+    touched = (
+        spark.read.parquet(vecs).select("cell").distinct().count()
+    )
+    assert stats["files_after"] == touched <= n_cells
+    assert hadoop_data_file_count(spark, vecs) == stats["files_after"]
+
+    after = [
+        (r.vec_id, r.l2sq)
+        for r in similarity.ivf_pq_index_topk(
+            spark, path, qvec, k=10, nprobe=3, rerank_factor=4
+        ).collect()
+    ]
+    after_adp = [
+        (r.vec_id, r.l2sq)
+        for r in similarity.ivf_pq_index_topk(
+            spark, path, qvec, k=10, rerank_factor=4, adaptive_nprobe=True
+        ).collect()
+    ]
+    after_many, _sc2 = similarity.ann_index_search_many(
+        spark, path, [(1, qvec)], k=10, nprobe=3, rerank_factor=4
+    )
+    assert after == before
+    assert after_adp == before_adp
+    assert after_many == before_many
+
+    stats2 = similarity.ann_index_compact(spark, path)
+    assert stats2["files_after"] == stats["files_after"]
+    assert stats2["rows"] == stats["rows"]

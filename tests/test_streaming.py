@@ -1784,3 +1784,77 @@ def test_ann_search_batch_custom_index_columns(spark, tmp_path):
     assert [type(r.doc_key) for r in got] == [str, str]
     assert got[0].qid == 7 and got[0].rank == 1
     assert got[0].doc_key in {"d0", "d3", "d6", "d9"}
+
+
+def test_stream_winnow_drop_evidence_matches_batch_spans(spark, tmp_path):
+    """The evidence ledger (VERDICT r12 #3): two micro-batch appends with
+    evidence=True must (a) make the SAME drop decisions as the plain
+    ledger, and (b) record, per dropped doc, drop-evidence structs
+    BIT-EQUAL to a one-shot winnow_match_spans report over the whole
+    input — (other_id, jaccard, n_shared, n_anchors, covering span in
+    the dropped doc), sorted by other_id. Also: survivors carry NULL
+    evidence, and mixing ledger forms on one state path raises."""
+    import pytest
+
+    from bigdata_usaspending_spark.io import read_versioned_state
+    from bigdata_usaspending_spark.operators.dedup import winnow_match_spans
+
+    A = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    B = A + " by the wide river today"
+    C = B + " while birds sing in the quiet green forest all morning long"
+    b1 = spark.createDataFrame(
+        [(1, A), (2, B), (3, "an entirely different text about trains "
+                             "and long rails going far away tonight")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(11, C),      # drops only via the dropped 2 (transitive chain)
+         (12, "zz"),   # sub-k: survives, NULL evidence
+         (13, "an entirely different text about trains and long rails "
+              "going far away tonight")],  # dup of committed 3: drops
+        "doc_id long, text string",
+    )
+    full = b1.unionByName(b2)
+    kw = dict(threshold=0.5, portable=True)
+
+    state = str(tmp_path / "ev_state")
+    assert jobs.winnow_dedup_append_batch(b1, state, 0, evidence=True, **kw)
+    assert jobs.winnow_dedup_append_batch(b2, state, 1, evidence=True, **kw)
+    ledger = read_versioned_state(spark, state)
+    got = {
+        r.doc_id: (
+            r.survivor,
+            None if r.drop_evidence is None else [
+                (e.other_id, e.jaccard, e.n_shared, e.n_anchors,
+                 e.start, e.end)
+                for e in r.drop_evidence
+            ],
+        )
+        for r in ledger.collect()
+    }
+    assert {d: s for d, (s, _) in got.items()} == {
+        1: True, 2: False, 3: True, 11: False, 12: True, 13: False,
+    }
+    for d, (s, ev) in got.items():
+        assert (ev is None) == s, (d, s, ev)
+
+    # the one-shot batch report: every verified pair of the WHOLE input,
+    # grouped per dropped (higher-id) doc, spans on the dropped side
+    want: dict = {}
+    for r in winnow_match_spans(full, "doc_id", **kw).collect():
+        want.setdefault(r.id_b, []).append(
+            (r.id_a, r.jaccard, int(r.n_shared), int(r.n_anchors),
+             int(r.b_start), int(r.b_end))
+        )
+    want = {d: sorted(rows) for d, rows in want.items()}
+    dropped_ev = {d: ev for d, (s, ev) in got.items() if not s}
+    assert dropped_ev == want
+
+    # ledger-form mix guard: a plain append onto the evidence ledger
+    # (and vice versa) must refuse, not silently union mixed schemas
+    with pytest.raises(ValueError, match="ledger"):
+        jobs.winnow_dedup_append_batch(b1, state, 2, evidence=False, **kw)
+    state_p = str(tmp_path / "plain_state")
+    assert jobs.winnow_dedup_append_batch(b1, state_p, 0, **kw)
+    with pytest.raises(ValueError, match="ledger"):
+        jobs.winnow_dedup_append_batch(b2, state_p, 1, evidence=True, **kw)
