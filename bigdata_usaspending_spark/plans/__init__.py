@@ -13,50 +13,39 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-12 window — steady-state rotation (VERDICT r11 #1).
+    # Round-13 window — steady-state rotation (VERDICT r12 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (robust winnowing, the winnow-tier corpus build, the pruned
-    # IVF-PQ probe audit, MOSS match-span localization, the span scrub,
-    # then the late-round depth pair: incremental span localization over
-    # the positioned index and the Best-Bin-First adaptive probe):
-    "q_winnow_robust", "q_corpus_build_winnow", "q_ann_ivf_pq_pruned",
-    "q_winnow_match_spans", "q_winnow_span_scrub",
-    "q_winnow_spans_incremental", "q_ann_ivf_pq_adaptive",
-    "q_chunk_overlap", "q_decontaminate_spans", "q_corpus_build_scrub",
+    # (the persisted-index compaction lifecycle audit and the
+    # OPQ-rotated capstone composition):
+    "q_ann_index_compact", "q_corpus_semantic_opq",
+    # (b) operator path changed THIS round: pq_train_driver's collect is
+    # now limit(cap+1)-bounded and q_ann_pq_topk threads
+    # _bounded_train_frame (the r12 weak mark); the static and adaptive
+    # ADC pruners gained the NaN-lower-bound-unprunable arm:
+    "q_ann_pq_topk", "q_ann_ivf_pq_pruned", "q_ann_ivf_pq_adaptive",
+    # (c) the five r9 rows displaced by the round-12 late additions
+    # (named by VERDICT r12 #1 as the rotation debt's head):
+    "q_training_data_pipeline", "q_training_pipeline_v2",
+    "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys",
+    # (d) the remaining r9-stale rows (last external green r9),
+    # alphabetical — after this window no registry row's last external
+    # green is older than r10:
+    "q_ann_lsh", "q_approx_median", "q_case_when_label",
+    "q_cast_to_date", "q_cms_token_counts", "q_corr",
+    "q_count_distinct", "q_curriculum_phases", "q_decontaminate",
+    "q_dedup_embedding", "q_dedup_exact", "q_dedup_incremental_bloom",
+    "q_dedup_incremental_minhash", "q_dedup_ngram_jaccard",
+    "q_dedup_semantic", "q_describe_stats", "q_dsir_resample",
+    "q_embedding_cosine_topk", "q_join_dim_fact", "q_langid_scorer",
+    "q_maxsim_topk", "q_median_approx_scale", "q_month_derive",
+    "q_pack_sequences", "q_rollup_two_level", "q_sample_k_per_group",
+    "q_skew_profile", "q_table_profile", "q_table_profile_hll",
+    "q_tdigest_quantiles", "q_text_langid", "q_text_quality",
+    "q_text_tokens", "q_topk", "q_topn_frequency", "q_tpch_q12_shape",
+    "q_tpch_q21_shape", "q_value_counts",
+    # (e) adjacent-path margin: the OPQ lifecycle pair the new capstone
+    # composes (fresh r12 greens, re-measured on the round-13 HEAD):
     "q_ann_opq", "q_ann_opq_index",
-    # (b) operator path changed THIS round: winnow_fingerprints grew the
-    # robust branch (q_dedup_winnow, q_dedup_incremental_winnow share
-    # the plain path); ivf_pq_index_topk gained adc_prune and the ADC
-    # kernel was factored out (q_ann_ivf_pq_incremental, q_ann_ivf_pq
-    # exercise the shared rerank); build_corpus's near tier became a
-    # method dispatch (q_corpus_build_near, q_corpus_build_mini):
-    "q_dedup_winnow", "q_dedup_incremental_winnow",
-    "q_ann_ivf_pq_incremental", "q_ann_ivf_pq", "q_corpus_build_near",
-    "q_corpus_build_mini",
-    # (c) the entire remaining r8 wave — the oldest external rows, 4
-    # rounds stale (named by VERDICT r11 #1), alphabetical:
-    "q_multimodal_bytes", "q_orders_open_by_month", "q_passage_scrub",
-    "q_pii_scrub", "q_quantile_summary", "q_repeated_passages",
-    "q_scd2_customer_segment", "q_session_window", "q_sessionize",
-    "q_string_agg_per_nation", "q_temperature_mix", "q_tpch_q10_shape",
-    "q_tpch_q11_shape", "q_tpch_q13_shape", "q_tpch_q14_shape",
-    "q_tpch_q15_shape", "q_tpch_q16_shape", "q_tpch_q17_shape",
-    "q_tpch_q19_shape", "q_tpch_q20_shape", "q_tpch_q22_shape",
-    "q_tpch_q2_shape", "q_tpch_q6_shape", "q_tpch_q9_shape",
-    "q_window_rank_family", "q_zscore_outliers",
-    # (d) 14 of the oldest r9 rows, the retrieval family first (they are
-    # also this round's isolated-session re-measure targets — a fresh
-    # external row closes the q_rerank_topk weak mark from both sides),
-    # then the verdict-named trained/DSIR/curriculum rows, then the
-    # alphabetically-first of the rest:
-    "q_hybrid_rrf", "q_rrf_grouped", "q_rerank_topk", "q_lm_perplexity",
-    "q_langid_trained", "q_dsir_weights",
-    # (q_dsir_resample / q_curriculum_phases / q_training_data_pipeline
-    # / q_training_pipeline_v2 / q_agg_by_month / q_agg_sum_by_key /
-    # q_agg_sum_two_keys yielded their window slots to the seven
-    # late-round additions — never-checked queries outrank stale-green
-    # rotation by policy; all seven stay green in the full local oracle
-    # and lead the round-13 rotation debt.)
 ]
 
 
@@ -67,7 +56,7 @@ def all_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -83,6 +72,7 @@ def all_queries():
     merged.update(corpus_r10.QUERIES)
     merged.update(corpus_r11.QUERIES)
     merged.update(corpus_r12.QUERIES)
+    merged.update(corpus_r13.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -94,7 +84,7 @@ def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -110,6 +100,7 @@ def all_oracles():
     merged.update(corpus_r10.ORACLE_SQL)
     merged.update(corpus_r11.ORACLE_SQL)
     merged.update(corpus_r12.ORACLE_SQL)
+    merged.update(corpus_r13.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -119,7 +110,7 @@ def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     return (
@@ -136,6 +127,7 @@ def rows_only_queries():
         | set(corpus_r10.ROWS_ONLY_QUERIES)
         | set(corpus_r11.ROWS_ONLY_QUERIES)
         | set(corpus_r12.ROWS_ONLY_QUERIES)
+        | set(corpus_r13.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

@@ -1,0 +1,333 @@
+"""Corpus wave 13: the persisted-index compaction lifecycle and the
+OPQ-rotated capstone composition.
+
+- ``q_ann_index_compact`` — the add-forever lifecycle's MERGE side
+  (VERDICT r12 #6): build an IVF-PQ index, fragment it with three
+  incremental adds (one file per touched cell PER add), probe, COMPACT
+  (similarity.ann_index_compact — one shuffle partitioned on the cell
+  column, crash-bounded Hadoop-FS swap), probe again. The audit pins
+  ``compact_exact`` (post-compact hits bit-identical), ``files_reduced``
+  (cell directories collapsed), ``rows_ok`` (no row lost) and
+  ``recall_ok`` alongside the exact euclidean witness — the rollup
+  sink's merge-on-read + compaction contract carried onto the ANN
+  index.
+
+- ``q_corpus_semantic_opq`` — the capstone composition through the
+  round-12 OPQ surface (VERDICT r12 #7): curate documents (language +
+  token gates, fully replayed), join survivors to their embeddings,
+  build the dedup/decontamination ANN index WITH the rotated codebooks
+  (opq_train_driver -> rotated ivf_pq_index_write with the rotation
+  persisted -> RAW ivf_pq_index_add of the held-out half), then
+  semantically DECONTAMINATE: the query vector's exact euclidean top-k
+  over the survivor corpus is removed, the persisted rotated probe
+  audits that the full lifecycle (rotate-on-add, rotate-on-probe) finds
+  >= 80% of that exact set. The approximate result never leaves the
+  plan; the decisions the output depends on are the exact
+  (SQL-replayable) set — the audit-contract pattern every ANN family
+  query in this corpus uses.
+
+Reference parity note: the reference engine (app/data_processing.py)
+has no index-maintenance or embedding surface; these extend SURVEY
+§7.4's training-data pipeline plan with the faiss-style lifecycle
+(merge/compact; IndexPreTransform) re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..session import apply_runtime_confs
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return apply_runtime_confs(spark)
+
+
+_COMPACT_K = 5
+_OPQ_CAP_K = 5
+_OPQ_MIN_TOKENS = 8
+
+
+def q_ann_index_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction lifecycle audit: initial build (vec_id % 4 != 0), THREE
+    fragmented adds (the % 4 == 0 remainder split 3 ways), probe, compact,
+    probe. Emits the exact euclidean top-5 witness over the whole corpus
+    plus four pinned booleans:
+
+    - ``compact_exact`` — the post-compact probe returned bit-identical
+      (vec_id, l2sq) rows (file order is immaterial: probe orderings are
+      total on (score, id));
+    - ``files_reduced`` — the rewrite collapsed the add fragments
+      (files_before > files_after);
+    - ``rows_ok`` — the compacted layout holds exactly the corpus row
+      count (the staged-copy verification that runs BEFORE the swap);
+    - ``recall_ok`` — the probed index (either side of the compact) hit
+      >= 80% of the exact set.
+
+    100-TB shape: the compact is ONE shuffle keyed on the partition
+    column — cost proportional to the index, run at add-cadence; probes
+    before and after read nprobe cell directories, the after-side at one
+    file per directory (the point)."""
+    from ..io import hadoop_data_file_count
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids, _query_vec_list
+
+    emb = load(_prep(spark), sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    initial = data.filter(F.col("vec_id") % 4 != 0)
+    qvec = _query_vec_list(emb)
+    tmp = tempfile.mkdtemp(prefix="compact_idx_")
+    try:
+        centroids = spark.createDataFrame(
+            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        )
+        assigned = similarity.ivf_assign(initial, centroids)
+        resid = similarity.ivf_residuals(assigned, centroids)
+        cb = similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=32, k=16,
+        )
+        similarity.ivf_pq_index_write(initial, centroids, cb, tmp)
+        for i in range(3):
+            similarity.ivf_pq_index_add(
+                spark, tmp,
+                data.filter(
+                    (F.col("vec_id") % 4 == 0)
+                    & ((F.col("vec_id") / 4).cast("long") % 3 == i)
+                ),
+            )
+        files_before = hadoop_data_file_count(spark, f"{tmp}/vectors.parquet")
+
+        def probe():
+            return [
+                (r.vec_id, r.l2sq)
+                for r in similarity.ivf_pq_index_topk(
+                    spark, tmp, qvec,
+                    k=_COMPACT_K, nprobe=10, rerank_factor=64,
+                ).collect()  # k-bounded
+            ]
+
+        before = probe()
+        stats = similarity.ann_index_compact(spark, tmp)
+        after = probe()
+        n_rows = data.count()
+        compact_exact = after == before
+        files_reduced = (
+            stats["files_before"] == files_before
+            and stats["files_after"] < files_before
+        )
+        rows_ok = stats["rows"] == n_rows
+        exact = (
+            data.select(
+                "vec_id",
+                similarity.euclidean_to_query_kernel(qvec)(
+                    F.col("embedding")
+                ).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc("vec_id"))
+            .limit(_COMPACT_K)
+            .localCheckpoint()
+        )
+        exact_ids = [r.vec_id for r in exact.collect()]  # k-bounded
+        hit = {v for v, _ in after}
+        recall_ok = (
+            len(set(exact_ids) & hit) >= 0.8 * len(exact_ids)
+            if exact_ids
+            else True
+        )
+        return exact.select(
+            "vec_id", "distance",
+            F.lit(bool(compact_exact)).alias("compact_exact"),
+            F.lit(bool(files_reduced)).alias("files_reduced"),
+            F.lit(bool(rows_ok)).alias("rows_ok"),
+            F.lit(bool(recall_ok)).alias("recall_ok"),
+        ).orderBy(F.asc("distance"), F.asc("vec_id"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_index_compact_oracle() -> str:
+    # audit-contract oracle: the exact euclidean top-5 witness plus the
+    # four pinned booleans (the lifecycle guarantees, not the lifecycle)
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH data AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT d.vec_id, {_euclid_sql('d.emb', 'q.q_emb')} AS distance,
+               TRUE AS compact_exact, TRUE AS files_reduced,
+               TRUE AS rows_ok, TRUE AS recall_ok
+        FROM data d, q
+        ORDER BY distance ASC, d.vec_id ASC
+        LIMIT {_COMPACT_K}
+    """
+
+
+def q_corpus_semantic_opq(spark: SparkSession, sf: str) -> DataFrame:
+    """Capstone composition through the OPQ surface: curation gates ->
+    survivor embeddings -> OPQ-rotated persisted IVF-PQ dedup index ->
+    semantic decontamination.
+
+    1. GATE (replayed): keep English documents with >= 8 whitespace
+       tokens (the corpus-build language/length gates).
+    2. JOIN (replayed): survivors pick up their embedding rows
+       (vec_id = doc_id; the fixture's 1:1 contract).
+    3. INDEX (audited): the survivor corpus splits % 5; the larger side
+       trains the OPQ rotation + residual codebooks
+       (similarity.opq_train_driver, deterministic alternation) and
+       becomes an ivf_pq_index_write layout built in the ROTATED space
+       with the rotation persisted; the % 5 == 0 side is added RAW —
+       rotated on the way in by the saved matrix (the faiss
+       IndexPreTransform pairing). This is the index a production
+       pipeline would keep for ongoing semantic dedup of new batches.
+    4. DECONTAMINATE (replayed decisions, audited probe): the exact
+       euclidean top-5 survivors nearest the query vector (vec_id 0) are
+       the contamination set — removed from the corpus; the persisted
+       ROTATED probe (RAW query in) must find >= 80% of that exact set
+       (``recall_ok``), and ``rotation_persisted`` pins that the
+       pre-transform actually loaded — the guarantee isn't vacuous.
+
+    Output: the contamination witness rows (doc_id, distance) with
+    ``n_clean`` (surviving corpus size after removal) and the two
+    booleans. Every value the output carries replays exactly in SQL;
+    the rotated lifecycle contributes the audited guarantee."""
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids, _query_vec_list
+
+    spark = _prep(spark)
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    survivors = (
+        docs.filter(
+            (F.col("lang") == "en")
+            & (
+                F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                >= _OPQ_MIN_TOKENS
+            )
+            & (F.col("doc_id") != 0)
+        )
+        .select("doc_id")
+        .join(emb, on=F.col("doc_id") == F.col("vec_id"), how="inner")
+        .select("vec_id", "embedding", "label")
+        .localCheckpoint()  # three consumers: split, exact witness, count
+    )
+    initial = survivors.filter(F.col("vec_id") % 5 != 0)
+    batch = survivors.filter(F.col("vec_id") % 5 == 0)
+    qvec = _query_vec_list(emb)
+    tmp = tempfile.mkdtemp(prefix="sem_opq_idx_")
+    try:
+        rot, _cb0, _audit = similarity.opq_train_driver(
+            similarity._bounded_train_frame(initial, "vec_id", 65_536),
+            m=32, k=16, iters=2,
+        )
+        rotated = similarity.opq_rotate(initial, rot).localCheckpoint()
+        centroids = spark.createDataFrame(
+            _ivf_centroids(rotated).collect(),
+            "cell int, centroid array<double>",
+        )
+        assigned = similarity.ivf_assign(rotated, centroids)
+        resid = similarity.ivf_residuals(assigned, centroids)
+        cb = similarity.pq_train_driver(
+            similarity._bounded_train_frame(resid, "vec_id", 65_536),
+            vec_col="residual", m=32, k=16,
+        )
+        similarity.ivf_pq_index_write(rotated, centroids, cb, tmp, rotation=rot)
+        similarity.ivf_pq_index_add(spark, tmp, batch)  # RAW batch
+        hit = {
+            r.vec_id
+            for r in similarity.ivf_pq_index_topk(
+                spark, tmp, qvec, k=_OPQ_CAP_K, nprobe=10, rerank_factor=64
+            ).collect()  # k-bounded, RAW query
+        }
+        rotation_persisted = (
+            similarity._read_index_rotation(spark, tmp) is not None
+        )
+        exact = (
+            survivors.select(
+                "vec_id",
+                similarity.euclidean_to_query_kernel(qvec)(
+                    F.col("embedding")
+                ).alias("distance"),
+            )
+            .orderBy(F.asc("distance"), F.asc("vec_id"))
+            .limit(_OPQ_CAP_K)
+            .localCheckpoint()
+        )
+        exact_ids = [r.vec_id for r in exact.collect()]  # k-bounded
+        recall_ok = (
+            len(set(exact_ids) & hit) >= 0.8 * len(exact_ids)
+            if exact_ids
+            else True
+        )
+        n_clean = survivors.count() - len(exact_ids)
+        return exact.select(
+            F.col("vec_id").alias("doc_id"), "distance",
+            F.lit(int(n_clean)).cast("long").alias("n_clean"),
+            F.lit(bool(recall_ok)).alias("recall_ok"),
+            F.lit(bool(rotation_persisted)).alias("rotation_persisted"),
+        ).orderBy(F.asc("distance"), F.asc("doc_id"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _corpus_semantic_opq_oracle() -> str:
+    # stage replay: the gates, the embedding join, the exact
+    # decontamination witness and the clean-count all reproduce; the
+    # rotated-lifecycle guarantees arrive as pinned booleans
+    from .corpus_ext import _euclid_sql
+
+    return f"""
+        WITH surv AS (
+            SELECT e.vec_id,
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.lang = 'en'
+              AND len(string_split_regex(trim(lower(d.text)), '\\s+'))
+                  >= {_OPQ_MIN_TOKENS}
+              AND d.doc_id <> 0
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+            FROM embeddings WHERE vec_id = 0
+        ),
+        witness AS (
+            SELECT s.vec_id AS doc_id,
+                   {_euclid_sql('s.emb', 'q.q_emb')} AS distance
+            FROM surv s, q
+            ORDER BY distance ASC, doc_id ASC
+            LIMIT {_OPQ_CAP_K}
+        )
+        SELECT w.doc_id, w.distance,
+               (SELECT count(*) FROM surv) - (SELECT count(*) FROM witness)
+                   AS n_clean,
+               TRUE AS recall_ok, TRUE AS rotation_persisted
+        FROM witness w
+        ORDER BY w.distance ASC, w.doc_id ASC
+    """
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ann_index_compact": q_ann_index_compact,
+    "q_corpus_semantic_opq": q_corpus_semantic_opq,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q_ann_index_compact": _ann_index_compact_oracle(),
+    "q_corpus_semantic_opq": _corpus_semantic_opq_oracle(),
+}
+
+ROWS_ONLY_QUERIES: set[str] = set()
