@@ -80,6 +80,20 @@ def main() -> int:
     contention_ratio = float(
         os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_RATIO", "1.5")
     )
+    # sub-second queries jitter past any ratio on a busy box (a 0.05 s vs
+    # 0.12 s pair is scheduler noise, not contention worth a tie-break
+    # run or a label) — require the SLOW sample to clear an absolute
+    # floor before the ratio counts
+    contention_floor = float(
+        os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_FLOOR_SEC", "1.0")
+    )
+
+    def _contended(samples: "list[float]") -> bool:
+        return (
+            len(samples) >= 2
+            and max(samples) > contention_floor
+            and max(samples) > contention_ratio * min(samples)
+        )
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     flaky: list[str] = []
@@ -91,11 +105,7 @@ def main() -> int:
         for i in range(runs + 1):
             if i == runs:
                 # tie-break run: only when the regular runs disagree
-                if (
-                    failed
-                    or len(samples) < 2
-                    or max(samples) <= contention_ratio * min(samples)
-                ):
+                if failed or not _contended(samples):
                     break
             start = time.perf_counter()
             try:
@@ -122,7 +132,7 @@ def main() -> int:
             samples.append(t)
             best = t if best is None else min(best, t)
         timings[name] = best if best is not None else -1.0
-        if len(samples) >= 2 and max(samples) > contention_ratio * min(samples):
+        if _contended(samples):
             # spread survived the tie-break run: label it
             contended[name] = samples
 
@@ -138,6 +148,7 @@ def main() -> int:
         "flaky_queries": flaky,
         "contended_queries": contended,
         "contention_ratio": contention_ratio,
+        "contention_floor_sec": contention_floor,
         "runs_per_query": runs,
         "harness_wall_sec": round(time.perf_counter() - wall_start, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

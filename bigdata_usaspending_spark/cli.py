@@ -137,7 +137,9 @@ def _parser() -> argparse.ArgumentParser:
         help="build / incrementally add to / search a persisted ANN index "
         "(IVF or IVF-PQ vector index; operators/similarity)",
     )
-    ai.add_argument("action", choices=["build", "add", "search", "compact"])
+    ai.add_argument(
+        "action", choices=["build", "add", "search", "compact", "stats"]
+    )
     ai.add_argument("--index", required=True, help="index root directory")
     ai.add_argument(
         "--vectors", default=None,
@@ -418,6 +420,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {args.index}: {stats['files_before']} -> "
                 f"{stats['files_after']} files ({stats['rows']} vectors)"
             )
+            return 0
+        if args.action == "stats":
+            import json as _json
+
+            print(_json.dumps(similarity.ann_index_stats(spark, args.index)))
             return 0
         if args.action == "build":
             df = spark.read.parquet(args.vectors)

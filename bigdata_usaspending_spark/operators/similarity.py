@@ -567,33 +567,9 @@ def ivf_index_add(
     Standard IVF caveat (faiss semantics): adds do not move centroids;
     if the data distribution drifts far from the training set, rebuild
     with fresh centroids rather than adding forever."""
-    cdf = spark.read.parquet(f"{path}/centroids.parquet")
-    cent_rows = cdf.limit(max_cells + 1).collect()
-    if len(cent_rows) > max_cells:
-        raise ValueError(
-            f"index has {len(cent_rows)} cells > max_cells={max_cells}; "
-            "a driver-side centroid load needs bounded model state"
-        )
-    local_cents = spark.createDataFrame(cent_rows, cdf.schema)
-    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
-    # fail fast on a mismatched add: appending a different column set or
-    # vector type writes a SECOND schema into the partitioned layout,
-    # which later probes surface as null ids/vectors executor-side
-    saved = {
-        f.name: f.dataType.simpleString()
-        for f in spark.read.parquet(f"{path}/vectors.parquet").schema.fields
-    }
-    adding = {
-        f.name: f.dataType.simpleString() for f in assigned.schema.fields
-    }
-    if saved != adding:
-        raise ValueError(
-            f"batch schema {sorted(adding.items())} does not match the "
-            f"index's vector schema {sorted(saved.items())}; pass the "
-            "id_col/vec_col the index was built with"
-        )
     (
-        assigned.write.mode("append")
+        _prepare_add_frame(spark, path, df, id_col, vec_col, max_cells)
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/vectors.parquet")
     )
@@ -2700,38 +2676,172 @@ def ivf_pq_index_add(
     centroids nor codebooks; if the data distribution drifts far from
     the training set, quantization error grows — rebuild rather than
     adding forever."""
+    (
+        _prepare_add_frame(spark, path, df, id_col, vec_col, max_cells)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors.parquet")
+    )
+
+
+def _prepare_add_frame(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """The shared head of every index ADD (batch and streaming): map a
+    new batch into the index's saved space — layout autodetected, so an
+    IVF layout gets the centroid assignment and an IVF-PQ layout
+    additionally gets the OPQ pre-transform (when a rotation is
+    persisted) plus the residual encode — and fail fast on a schema
+    mismatch: appending a different column set or vector type writes a
+    SECOND schema into the partitioned layout, which later probes
+    surface as null ids/codes executor-side."""
     local_cents = _localized_model(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
-    local_cb = _localized_model(
-        spark, f"{path}/codebooks.parquet", "codebook", max_cells
-    )
-    rotation = _read_index_rotation(spark, path)
-    if rotation is not None:
-        # OPQ pre-transform: the saved centroids/codebooks live in the
-        # rotated space — map the raw batch into it first
-        df = opq_rotate(df, rotation, vec_col=vec_col)
-    assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
-    encoded = ivf_pq_encode(assigned, local_cents, local_cb, vec_col=vec_col)
-    # fail fast on a mismatched add: appending a different column set or
-    # vector type writes a SECOND schema into the partitioned layout,
-    # which later probes surface as null ids/codes executor-side
+    if _index_has(spark, path, "codebooks.parquet"):
+        local_cb = _localized_model(
+            spark, f"{path}/codebooks.parquet", "codebook", max_cells
+        )
+        rotation = _read_index_rotation(spark, path)
+        if rotation is not None:
+            # OPQ pre-transform: the saved centroids/codebooks live in
+            # the rotated space — map the raw batch into it first
+            df = opq_rotate(df, rotation, vec_col=vec_col)
+        assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
+        out = ivf_pq_encode(assigned, local_cents, local_cb, vec_col=vec_col)
+    else:
+        out = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     saved = {
         f.name: f.dataType.simpleString()
         for f in spark.read.parquet(f"{path}/vectors.parquet").schema.fields
     }
-    adding = {f.name: f.dataType.simpleString() for f in encoded.schema.fields}
+    adding = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     if saved != adding:
         raise ValueError(
             f"batch schema {sorted(adding.items())} does not match the "
             f"index's vector schema {sorted(saved.items())}; pass the "
             "id_col/vec_col the index was built with"
         )
-    (
-        encoded.write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors.parquet")
+    return out
+
+
+_ADD_MANIFEST = "_ADD_MANIFEST.json"
+
+
+def _index_fs(spark, p: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _read_add_manifest(spark, path: str) -> "dict | None":
+    import json
+
+    fs, hpath, _ = _index_fs(spark, f"{path}/{_ADD_MANIFEST}")
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
+def _write_add_manifest(spark, path: str, batch_id: int) -> None:
+    import json
+
+    fs, hpath, _ = _index_fs(spark, f"{path}/{_ADD_MANIFEST}")
+    out = fs.create(hpath, True)
+    try:
+        out.write(
+            bytearray(json.dumps({"batch_id": int(batch_id)}).encode("utf-8"))
+        )
+    finally:
+        out.close()
+
+
+def ann_index_add_batch(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> bool:
+    """One IDEMPOTENT micro-batch ADD to a persisted IVF / IVF-PQ index —
+    the write-side twin of ann_search_batch, and the exactly-once form
+    of ``*_index_add`` (which is plain at-least-once: a replayed
+    foreachBatch append would duplicate its vectors).
+
+    Mechanism (no table format needed): the batch's encoded rows are
+    staged under ``.staging-b{batch_id}``, every staged data file is
+    RENAMED into its live cell directory under a ``b{batch_id}-`` name
+    prefix, and only then does ``_ADD_MANIFEST.json`` advance. Replays
+    of a committed batch_id skip; a replay after a crash anywhere in the
+    middle first DELETES every live file carrying this batch's prefix
+    (the partial leftovers) and redoes the whole move — append
+    idempotence from file naming alone. ``ann_index_compact`` drops the
+    prefixes, which is safe: committed batches are never replayed.
+
+    Returns True if the batch was applied, False if skipped as a replay.
+    100-TB shape: one bounded model read + broadcast assign/encode + one
+    partitioned write per trigger; the moves are O(files in the batch)
+    namenode RPCs, no data copy."""
+    manifest = _read_add_manifest(spark, path)
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    prefix = f"b{batch_id}-"
+    vectors = f"{path}/vectors.parquet"
+    fs, vpath, jvm = _index_fs(spark, vectors)
+    if fs.exists(vpath):
+        # clean partial leftovers of a crashed earlier attempt
+        stale = []
+        it = fs.listFiles(vpath, True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(prefix):
+                stale.append(f)
+        for f in stale:
+            fs.delete(f, False)
+    staging = f"{path}/.staging-b{batch_id}"
+    frame = _prepare_add_frame(
+        spark, path, batch_df, id_col, vec_col, max_cells
     )
+    frame.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    sfs, spath, _ = _index_fs(spark, staging)
+    moves = []
+    it = sfs.listFiles(spath, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        name = f.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        cell_dir = f.getParent().getName()
+        if not cell_dir.startswith("cell="):
+            continue
+        moves.append((f, cell_dir, name))
+    for f, cell_dir, name in moves:
+        dest_dir = jvm.org.apache.hadoop.fs.Path(f"{vectors}/{cell_dir}")
+        fs.mkdirs(dest_dir)
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{vectors}/{cell_dir}/{prefix}{name}"
+        )
+        if not fs.rename(f, dest):
+            raise IOError(
+                f"ann_index_add_batch: rename {f} -> {dest} failed; "
+                "replaying this batch cleans its prefix files and redoes "
+                "the move"
+            )
+    sfs.delete(spath, True)
+    _write_add_manifest(spark, path, batch_id)
+    return True
 
 
 def ann_index_compact(spark, path: str) -> dict:
@@ -2790,6 +2900,37 @@ def ann_index_compact(spark, path: str) -> dict:
         "files_before": files_before,
         "files_after": files_after,
         "rows": n_rows,
+    }
+
+
+def ann_index_stats(spark, path: str) -> dict:
+    """Layout report for a persisted IVF / IVF-PQ index: component
+    presence, cell/vector counts, data-file count and bytes, and files
+    per populated cell directory — the fragmentation signal an operator
+    reads to schedule ``ann_index_compact`` (a freshly built or
+    compacted index sits at ~1 file per cell; every ``*_index_add``
+    raises the ratio by one). All reads are metadata/model-bounded
+    except the two counts (parquet count() is rowgroup-stats only)."""
+    from ..io import hadoop_data_file_stats
+
+    vectors = f"{path}/vectors.parquet"
+    vec = spark.read.parquet(vectors)
+    n_files, n_bytes = hadoop_data_file_stats(spark, vectors)
+    n_cell_dirs = vec.select("cell").distinct().count()
+    return {
+        "layout": (
+            "ivf-pq" if _index_has(spark, path, "codebooks.parquet")
+            else "ivf"
+        ),
+        "rotation": _index_has(spark, path, "rotation.parquet"),
+        "cells": spark.read.parquet(f"{path}/centroids.parquet").count(),
+        "populated_cells": n_cell_dirs,
+        "vectors": vec.count(),
+        "data_files": n_files,
+        "data_bytes": n_bytes,
+        "files_per_populated_cell": round(
+            n_files / max(1, n_cell_dirs), 2
+        ),
     }
 
 

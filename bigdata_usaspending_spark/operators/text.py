@@ -214,6 +214,92 @@ def repetition_metrics(
     )
 
 
+def ngram_char_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    top_max: float = 0.20,
+    dup_max: float = 0.15,
+) -> DataFrame:
+    """MassiveText / Gopher repetition filters in their CHARACTER-fraction
+    form (Rae et al. 2021, arXiv:2112.11446 Table A1 — the thresholds the
+    paper actually gates on; ``repetition_metrics`` carries the
+    occurrence-fraction variants):
+
+    - ``top_ngram_char_frac`` — characters covered by the single most
+      frequent word ``top_n``-gram (count x gram length, ties to the
+      lexicographically smallest gram) over the normalized text length;
+    - ``dup_ngram_char_frac`` — characters covered by ALL word
+      ``dup_n``-grams occurring more than once (sum of count x length
+      over duplicated grams) over the normalized text length. Overlapping
+      occurrences each count — the fraction can exceed 1 on degenerate
+      loops, exactly the signal the gate wants;
+    - ``keep`` — the Gopher gate: top <= ``top_max`` AND dup <=
+      ``dup_max`` (paper defaults 0.20 / 0.15).
+
+    Normalized text = lowercase, whitespace collapsed to single spaces,
+    trimmed — the denominator is its length. Documents with fewer than
+    ``n`` tokens have no n-grams: fraction 0, keep (nothing to gate on).
+
+    100-TB shape: one lookahead-regex n-gram extraction per row (linear,
+    no shuffle), then two hash aggregations keyed (doc, gram) -> doc per
+    n — both absorb map-side; the join back is id-keyed. All fractions
+    are raw IEEE divisions of exact ints — engine-reproducible."""
+    c = F.col(text_col)
+    norm_len = F.length(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col),
+        norm_len.alias("_chars"),
+        token_count(text_col, alias="_nt"),
+        ngram_occurrences(text_col, top_n).alias("_gt"),
+        ngram_occurrences(text_col, dup_n).alias("_gd"),
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_g"))
+    top = (
+        base.select(id_col, F.explode("_gt").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col, (F.col("_c") * F.length("_g")).alias("_top_chars")
+        )
+    )
+    dup = (
+        base.select(id_col, F.explode("_gd").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"), F.length("_g").alias("_l"))
+        .filter(F.col("_c") > 1)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c") * F.col("_l")).alias("_dup_chars"))
+    )
+    frac = lambda chars: F.when(  # noqa: E731
+        F.col("_chars") > 0,
+        F.coalesce(chars, F.lit(0)).cast("double")
+        / F.col("_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select(id_col, "_chars", F.col("_nt").alias("n_tokens"))
+        .join(top, on=id_col, how="left")
+        .join(dup, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            frac(F.col("_top_chars")).alias("top_ngram_char_frac"),
+            frac(F.col("_dup_chars")).alias("dup_ngram_char_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_ngram_char_frac") <= F.lit(float(top_max)))
+            & (F.col("dup_ngram_char_frac") <= F.lit(float(dup_max))),
+        )
+    )
+
+
 def remove_high_df_tokens(
     df: DataFrame,
     id_col: str = "doc_id",

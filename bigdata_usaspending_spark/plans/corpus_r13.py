@@ -320,14 +320,102 @@ def _corpus_semantic_opq_oracle() -> str:
     """
 
 
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """MassiveText/Gopher repetition gate in its CHARACTER-fraction form
+    (text.ngram_char_fractions; Rae et al. 2021 Table A1): per document
+    the top-2-gram char fraction, the duplicate-5-gram char fraction and
+    the keep flag at the paper's 0.20 / 0.15 thresholds — the repetition
+    filter the occurrence-fraction q_repeated_passages family doesn't
+    cover. Every value replays exactly: normalized-length denominators,
+    count x gram-length numerators, deterministic (count DESC, gram ASC)
+    top tie-break, raw IEEE divisions."""
+    from ..operators import text
+
+    docs = load(_prep(spark), sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return text.ngram_char_fractions(docs).orderBy("doc_id")
+
+
+def _gopher_repetition_oracle() -> str:
+    return """
+        WITH b AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS norm
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+            SELECT doc_id, norm, length(norm) AS chars,
+                   string_split(norm, ' ') AS toks
+            FROM b
+        ),
+        g2 AS (
+            SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+            FROM t, UNNEST(CASE WHEN len(toks) >= 2
+                                THEN range(1, len(toks))
+                                ELSE [] END) AS u(i)
+        ),
+        c2 AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM g2 GROUP BY doc_id, g
+        ),
+        top2 AS (
+            SELECT doc_id, c * length(g) AS top_chars
+            FROM (
+                SELECT doc_id, g, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g ASC) AS rn
+                FROM c2
+            ) WHERE rn = 1
+        ),
+        g5 AS (
+            SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+            FROM t, UNNEST(CASE WHEN len(toks) >= 5
+                                THEN range(1, len(toks) - 3)
+                                ELSE [] END) AS u(i)
+        ),
+        c5 AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM g5 GROUP BY doc_id, g
+        ),
+        dup5 AS (
+            SELECT doc_id, SUM(c * length(g)) AS dup_chars
+            FROM c5 WHERE c > 1 GROUP BY doc_id
+        ),
+        frac AS (
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS INTEGER) AS n_tokens,
+                   CASE WHEN t.chars > 0
+                        THEN CAST(COALESCE(top2.top_chars, 0) AS DOUBLE)
+                             / CAST(t.chars AS DOUBLE)
+                        ELSE 0.0 END AS top_ngram_char_frac,
+                   CASE WHEN t.chars > 0
+                        THEN CAST(COALESCE(dup5.dup_chars, 0) AS DOUBLE)
+                             / CAST(t.chars AS DOUBLE)
+                        ELSE 0.0 END AS dup_ngram_char_frac
+            FROM t
+            LEFT JOIN top2 ON t.doc_id = top2.doc_id
+            LEFT JOIN dup5 ON t.doc_id = dup5.doc_id
+        )
+        SELECT doc_id, n_tokens, top_ngram_char_frac, dup_ngram_char_frac,
+               (top_ngram_char_frac <= 0.20 AND dup_ngram_char_frac <= 0.15)
+                   AS keep
+        FROM frac
+        ORDER BY doc_id
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_compact": q_ann_index_compact,
     "q_corpus_semantic_opq": q_corpus_semantic_opq,
+    "q_gopher_repetition": q_gopher_repetition,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "q_ann_index_compact": _ann_index_compact_oracle(),
     "q_corpus_semantic_opq": _corpus_semantic_opq_oracle(),
+    "q_gopher_repetition": _gopher_repetition_oracle(),
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()

@@ -1993,6 +1993,72 @@ def stream_ann_search(
     return query
 
 
+def stream_ann_index_add(
+    vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: "str | None" = None,
+    compact_every: "int | None" = None,
+):
+    """Streaming INGESTION into a persisted ANN index — the write-side
+    twin of stream_ann_search, completing the index's streaming
+    lifecycle (search serves, this ingests, compaction maintains):
+    embedding rows flow in, each micro-batch is assigned/encoded with
+    the SAVED model state and appended EXACTLY-ONCE via
+    ``similarity.ann_index_add_batch`` (batch-stamped file renames +
+    the add manifest — replays skip, crashed batches self-clean their
+    partial files on redo). Probes over the index see each committed
+    batch atomically at the file level.
+
+    ``compact_every=N`` folds maintenance into the stream: after every
+    Nth applied batch the index is compacted (crash-bounded swap, probes
+    bit-identical), so steady-state fragmentation stays bounded at N
+    add-batches instead of growing with stream lifetime — the rollup
+    sink's compaction cadence applied to the ANN layout.
+
+    ``checkpoint`` is REQUIRED once the add manifest exists (the
+    stream_build_corpus rationale: a fresh query restarts batch_id at 0
+    and the replay guard would silently discard every new batch)."""
+    from ..operators import similarity
+
+    if not checkpoint:
+        manifest = similarity._read_add_manifest(
+            vectors.sparkSession, index_path
+        )
+        if manifest is not None:
+            raise ValueError(
+                f"stream_ann_index_add: index at {index_path!r} already "
+                f"has a committed add manifest "
+                f"(batch_id={manifest['batch_id']}) but no "
+                "checkpointLocation was given — a fresh query restarts "
+                "batch_id at 0 and the exactly-once replay guard would "
+                "silently discard every new batch. Pass the original "
+                "checkpoint to resume."
+            )
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        applied = similarity.ann_index_add_batch(
+            batch_df.sparkSession, index_path, batch_df, batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if (
+            applied
+            and compact_every
+            and (batch_id + 1) % int(compact_every) == 0
+        ):
+            similarity.ann_index_compact(batch_df.sparkSession, index_path)
+
+    writer = vectors.writeStream.foreachBatch(append).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def decontaminate_spans_batch(
     batch_df: DataFrame,
     index_path: str,

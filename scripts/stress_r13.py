@@ -133,12 +133,42 @@ def workloads(spark, sf_dir: str, tag: str) -> dict[str, float]:
     )
     vidx = tempfile.mkdtemp(prefix="stress_r13_vidx_")
     try:
+        # fragmented build: initial write + 7 incremental adds — the
+        # add-forever lifecycle's file layout (one file per touched cell
+        # PER add) that VERDICT r12 #6's compaction exists to repair
         t0 = time.perf_counter()
-        similarity.ivf_pq_index_write(data, local_c, cb, vidx)
+        similarity.ivf_pq_index_write(
+            data.filter(F.col("vec_id") % 8 == 1), local_c, cb, vidx
+        )
+        for i in [0, 2, 3, 4, 5, 6, 7]:
+            similarity.ivf_pq_index_add(
+                spark, vidx, data.filter(F.col("vec_id") % 8 == i)
+            )
+        from bigdata_usaspending_spark.io import hadoop_data_file_count
+
+        n_frag = hadoop_data_file_count(spark, f"{vidx}/vectors.parquet")
         print(
-            f"  [{tag}] (ivf-pq index build, excluded): "
-            f"{round(time.perf_counter() - t0, 2)} s",
+            f"  [{tag}] (fragmented build: 1 write + 7 adds, excluded): "
+            f"{round(time.perf_counter() - t0, 2)} s, {n_frag} files",
             flush=True,
+        )
+        out["ivfpq_probe_fragmented"], _ = timed(
+            "ivfpq_probe_fragmented",
+            lambda: similarity.ivf_pq_index_topk(
+                spark, vidx, qvec, k=10, nprobe=8, rerank_factor=8
+            ),
+        )
+        cstats = similarity.ann_index_compact(spark, vidx)
+        print(
+            f"  [{tag}] compact: {cstats['files_before']} -> "
+            f"{cstats['files_after']} files",
+            flush=True,
+        )
+        out["ivfpq_probe_compacted"], _ = timed(
+            "ivfpq_probe_compacted",
+            lambda: similarity.ivf_pq_index_topk(
+                spark, vidx, qvec, k=10, nprobe=8, rerank_factor=8
+            ),
         )
         stats: dict = {}
         out["ivfpq_probe_adaptive"], _ = timed(

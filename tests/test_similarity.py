@@ -1433,3 +1433,11 @@ def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
     stats2 = similarity.ann_index_compact(spark, path)
     assert stats2["files_after"] == stats["files_after"]
     assert stats2["rows"] == stats["rows"]
+
+    # the stats report an operator schedules compaction from
+    rep = similarity.ann_index_stats(spark, path)
+    assert rep["layout"] == "ivf-pq" and not rep["rotation"]
+    assert rep["data_files"] == stats["files_after"]
+    assert rep["populated_cells"] == touched and rep["cells"] == n_cells
+    assert rep["files_per_populated_cell"] == 1.0
+    assert rep["vectors"] == stats["rows"] and rep["data_bytes"] > 0

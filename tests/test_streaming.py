@@ -1858,3 +1858,125 @@ def test_stream_winnow_drop_evidence_matches_batch_spans(spark, tmp_path):
     assert jobs.winnow_dedup_append_batch(b1, state_p, 0, **kw)
     with pytest.raises(ValueError, match="ledger"):
         jobs.winnow_dedup_append_batch(b2, state_p, 1, evidence=True, **kw)
+
+
+def test_stream_ann_index_add_exactly_once_and_compact(spark, tmp_path):
+    """Streaming ANN ingestion: two micro-batch runs (restart between)
+    leave an index whose probe is BIT-IDENTICAL to batch ivf_pq_index_add
+    of the same vectors; replayed batch_ids skip; a crashed batch's
+    partial prefix files self-clean on redo (no duplicate vectors);
+    compact_every bounds fragmentation with the probe unchanged; the
+    checkpoint guard fires once the add manifest exists."""
+    import pytest
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.io import hadoop_data_file_count
+    from bigdata_usaspending_spark.operators import similarity
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    initial = data.filter(F.col("vec_id") % 3 == 0)
+    b1 = data.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    b2 = data.filter(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+    qvec = _query_vec_list(emb)
+    centroids = spark.createDataFrame(
+        _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+    )
+    resid = similarity.ivf_residuals(
+        similarity.ivf_assign(initial, centroids), centroids
+    )
+    cb = similarity.pq_train_driver(resid, vec_col="residual", m=16, k=8)
+
+    streamed = str(tmp_path / "stream_idx")
+    batched = str(tmp_path / "batch_idx")
+    for p in (streamed, batched):
+        similarity.ivf_pq_index_write(
+            initial.select("vec_id", "embedding"), centroids, cb, p
+        )
+
+    landing = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_ann_index_add(
+        spark.readStream.schema(schema).parquet(landing), streamed,
+        checkpoint=ckpt,
+    ).stop()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    jobs.stream_ann_index_add(
+        spark.readStream.schema(schema).parquet(landing), streamed,
+        checkpoint=ckpt,
+    ).stop()
+
+    similarity.ivf_pq_index_add(spark, batched, b1)
+    similarity.ivf_pq_index_add(spark, batched, b2)
+
+    def probe(p):
+        return [
+            (r.vec_id, r.l2sq)
+            for r in similarity.ivf_pq_index_topk(
+                spark, p, qvec, k=10, nprobe=10, rerank_factor=8
+            ).collect()
+        ]
+
+    want = probe(batched)
+    assert probe(streamed) == want
+    n_rows = spark.read.parquet(f"{streamed}/vectors.parquet").count()
+    assert n_rows == data.count()
+
+    # replay no-op: batch_id 1 is committed
+    assert not similarity.ann_index_add_batch(spark, streamed, b2, 1)
+    assert spark.read.parquet(f"{streamed}/vectors.parquet").count() == n_rows
+
+    # crashed-batch self-clean: plant a fake partial file carrying the
+    # NEXT batch's prefix, then apply that batch — the redo must remove
+    # the leftover, not double-count
+    import os
+
+    cells = os.listdir(f"{streamed}/vectors.parquet")
+    cell_dir = next(c for c in cells if c.startswith("cell="))
+    donor = next(
+        f for f in os.listdir(f"{streamed}/vectors.parquet/{cell_dir}")
+        if f.endswith(".parquet")
+    )
+    leftover = f"{streamed}/vectors.parquet/{cell_dir}/b2-crashed.parquet"
+    import shutil as _sh
+
+    _sh.copy(
+        f"{streamed}/vectors.parquet/{cell_dir}/{donor}", leftover
+    )
+    b3 = b2.select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+    assert similarity.ann_index_add_batch(spark, streamed, b3, 2)
+    assert not os.path.exists(leftover)
+    assert (
+        spark.read.parquet(f"{streamed}/vectors.parquet").count()
+        == n_rows + b3.count()
+    )
+
+    # compact_every: a fresh stream with compaction folded in — probe
+    # unchanged, fragmentation collapsed to ~1 file per populated cell
+    compacted = str(tmp_path / "compact_idx")
+    similarity.ivf_pq_index_write(
+        initial.select("vec_id", "embedding"), centroids, cb, compacted
+    )
+    landing2 = str(tmp_path / "vecs2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    b1.coalesce(1).write.mode("append").parquet(landing2)
+    b2.coalesce(1).write.mode("append").parquet(landing2)
+    jobs.stream_ann_index_add(
+        spark.readStream.schema(schema).parquet(landing2), compacted,
+        checkpoint=ckpt2, compact_every=1,
+    ).stop()
+    assert probe(compacted) == want
+    rep = similarity.ann_index_stats(spark, compacted)
+    assert rep["files_per_populated_cell"] == 1.0
+
+    # checkpoint guard once the manifest exists
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_ann_index_add(
+            spark.readStream.schema(schema).parquet(landing), streamed
+        )

@@ -801,3 +801,61 @@ def test_chunk_spans_coverage_and_bruteforce(spark):
     assert got[(1, 0)][2].split()[stride:] == got[(1, 1)][2].split()[:OV]
     with pytest.raises(ValueError, match="overlap"):
         text.chunk_spans("text", 4, 4)
+
+
+def test_ngram_char_fractions_brute_force(spark):
+    """ngram_char_fractions vs a literal python replay of the documented
+    semantics (normalized-length denominator, count x gram-length
+    numerators, (count DESC, gram ASC) top tie-break, <n-token docs at
+    0/keep)."""
+    import re
+
+    from bigdata_usaspending_spark.operators import text as T
+
+    docs = [
+        (1, "a b a b a b"),                  # dominant bigram
+        (2, "x  y\tz   w v"),                # messy whitespace, all-distinct
+        (3, "hello"),                        # < 2 tokens: no grams at all
+        (4, "p q r s t " * 3),               # repeated 5-gram block
+        (5, ""),                             # empty: chars 0 -> 0.0, keep
+        (6, "loop loop loop loop loop loop loop loop"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.top_ngram_char_frac, r.dup_ngram_char_frac, r.keep
+        )
+        for r in T.ngram_char_fractions(df).collect()
+    }
+
+    def replay(s, top_n=2, dup_n=5):
+        norm = re.sub(r"\s+", " ", s.lower()).strip()
+        toks = norm.split(" ")
+        chars = len(norm)
+        def grams(n):
+            return [
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+        def counts(n):
+            out = {}
+            for g in grams(n):
+                out[g] = out.get(g, 0) + 1
+            return out
+        ct = counts(top_n)
+        top_chars = 0
+        if ct:
+            g = sorted(ct, key=lambda g: (-ct[g], g))[0]
+            top_chars = ct[g] * len(g)
+        dup_chars = sum(
+            c * len(g) for g, c in counts(dup_n).items() if c > 1
+        )
+        tf = top_chars / chars if chars else 0.0
+        dfr = dup_chars / chars if chars else 0.0
+        return len(toks), tf, dfr, tf <= 0.20 and dfr <= 0.15
+
+    for doc_id, s in docs:
+        assert got[doc_id] == replay(s), (doc_id, got[doc_id], replay(s))
+    # sanity on the extremes the gate exists for
+    assert not got[1][3] and not got[6][3]
+    assert got[3][3] and got[5][3]
