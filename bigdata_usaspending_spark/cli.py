@@ -214,7 +214,7 @@ def _parser() -> argparse.ArgumentParser:
     )
     wi.add_argument(
         "action",
-        choices=["build", "add", "spans", "scrub", "dedup", "compact"],
+        choices=["build", "add", "spans", "scrub", "dedup", "compact", "stats"],
     )
     wi.add_argument("--index", required=True, help="index root directory")
     wi.add_argument(
@@ -598,6 +598,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {args.index}: {stats['files_before']} -> "
                 f"{stats['files_after']} files ({stats['rows']} docs)"
             )
+            return 0
+        if args.action == "stats":
+            import json as _json
+
+            print(_json.dumps(dd.winnow_index_stats(spark, args.index)))
             return 0
         if not args.documents:
             raise SystemExit(f"winnow-index {args.action} needs --documents")

@@ -196,6 +196,100 @@ def hadoop_data_file_count(spark: SparkSession, path: str) -> int:
     return hadoop_data_file_stats(spark, path)[0]
 
 
+def hadoop_read_json(spark: SparkSession, path: str) -> "dict | None":
+    """Read a small JSON sidecar through the Hadoop FS API (None if
+    absent) — manifests and metas must live on the SAME filesystem as
+    the data they describe (the winnow-meta lesson: a driver-local read
+    of a remote index fails from every other driver)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
+def hadoop_write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_delete_prefixed(spark: SparkSession, target: str, prefix: str) -> None:
+    """Delete every data file under ``target`` (recursively) whose name
+    starts with ``prefix`` — the self-clean step of the idempotent
+    batch-append: a crashed attempt's partial moves are identified by
+    the batch's name prefix alone."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(target)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    stale = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        if f.getName().startswith(prefix):
+            stale.append(f)
+    for f in stale:
+        fs.delete(f, False)
+
+
+def hadoop_staged_append(
+    spark: SparkSession, staging: str, target: str, prefix: str
+) -> None:
+    """Move every data file under ``staging`` into ``target`` — same
+    relative subdirectory (so a partitionBy layout's ``cell=N`` dirs
+    land in place and a flat layout's files land at the root) — renamed
+    with the batch's ``prefix``; then drop the staging dir. The move
+    step of the exactly-once append: the caller cleans prefix files
+    first (hadoop_delete_prefixed), writes the staging dir, calls this,
+    and advances its manifest LAST."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    sfs = spath.getFileSystem(conf)
+    tpath = jvm.org.apache.hadoop.fs.Path(target)
+    tfs = tpath.getFileSystem(conf)
+    s_uri = str(sfs.makeQualified(spath).toUri().getPath())
+    moves = []
+    it = sfs.listFiles(spath, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        name = f.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        parent = str(f.getParent().toUri().getPath())
+        rel = parent[len(s_uri):].strip("/")
+        moves.append((f, rel, name))
+    for f, rel, name in moves:
+        dest_dir = jvm.org.apache.hadoop.fs.Path(
+            f"{target}/{rel}" if rel else target
+        )
+        tfs.mkdirs(dest_dir)
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{target}/{rel}/{prefix}{name}"
+            if rel
+            else f"{target}/{prefix}{name}"
+        )
+        if not tfs.rename(f, dest):
+            raise IOError(
+                f"staged append: rename {f} -> {dest} failed; replaying "
+                "the batch cleans its prefix files and redoes the move"
+            )
+    sfs.delete(spath, True)
+
+
 def hadoop_swap_rewrite(spark: SparkSession, target: str, write_tmp, op: str) -> None:
     """Crash-bounded in-place rewrite of one parquet component: stage the
     rewritten copy aside, rename the live directory aside, rename the

@@ -1096,6 +1096,88 @@ def winnow_index_compact(
     }
 
 
+def winnow_index_add_batch(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pfps_df: "DataFrame | None" = None,
+) -> bool:
+    """One IDEMPOTENT micro-batch ADD to a persisted positioned winnow
+    index — the exactly-once form of ``winnow_pos_index_add`` (which is
+    plain at-least-once: a replayed foreachBatch append would duplicate
+    its fingerprint rows, double-counting every future probe's document
+    frequencies). Same mechanism as similarity.ann_index_add_batch:
+    stage the batch's pfps, rename the staged files into ``fps.parquet``
+    under a ``b{batch_id}-`` prefix, advance ``_ADD_MANIFEST.json``
+    LAST; replays of committed batches skip, crashed batches self-clean
+    their prefix files on redo. Fingerprints use the SAVED parameters,
+    with the id-type guard.
+
+    ``pfps_df`` (optional): a precomputed positioned frame (the
+    ``(_id, pfps)`` shape) so a caller that already fingerprinted the
+    batch — the streaming dedup job needs the same frame for its
+    decision tiers — skips the re-hash. MUST have been computed with the
+    index's saved parameters (callers read them from the same meta);
+    empty-set rows are filtered here either way."""
+    from ..io import (
+        hadoop_delete_prefixed,
+        hadoop_read_json,
+        hadoop_staged_append,
+        hadoop_write_json,
+    )
+
+    manifest = hadoop_read_json(spark, f"{path}/_ADD_MANIFEST.json")
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    meta = _winnow_index_meta(spark, path)
+    id_type = dict(batch_df.dtypes)[id_col]
+    if id_type != meta["id_type"]:
+        raise ValueError(
+            f"batch id column {id_col!r} has type {id_type} but the "
+            f"index was built with {meta['id_type']}; cast the batch ids"
+        )
+    prefix = f"b{batch_id}-"
+    target = f"{path}/fps.parquet"
+    hadoop_delete_prefixed(spark, target, prefix)
+    staging = f"{path}/.staging-b{batch_id}"
+    pfps = (
+        pfps_df.filter(F.size("pfps") > 0)
+        if pfps_df is not None
+        else winnow_pos_index(
+            batch_df, id_col, text_col,
+            k=meta["k"], w=meta["w"], portable=meta["portable"],
+        )
+    )
+    pfps.write.mode("overwrite").parquet(staging)
+    hadoop_staged_append(spark, staging, target, prefix)
+    hadoop_write_json(
+        spark, f"{path}/_ADD_MANIFEST.json", {"batch_id": int(batch_id)}
+    )
+    return True
+
+
+def winnow_index_stats(spark, path: str) -> dict:
+    """Layout report for a persisted positioned winnow index — the
+    ann_index_stats twin: meta parameters, fingerprinted docs, data
+    files/bytes (the fragmentation signal that schedules
+    winnow_index_compact)."""
+    from ..io import hadoop_data_file_stats
+
+    meta = _winnow_index_meta(spark, path)
+    target = f"{path}/fps.parquet"
+    n_files, n_bytes = hadoop_data_file_stats(spark, target)
+    return {
+        "k": meta["k"], "w": meta["w"], "portable": meta["portable"],
+        "id_type": meta["id_type"],
+        "docs": spark.read.parquet(target).count(),
+        "data_files": n_files,
+        "data_bytes": n_bytes,
+    }
+
+
 def winnow_index_spans(
     spark,
     path: str,

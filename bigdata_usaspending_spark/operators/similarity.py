@@ -2740,30 +2740,17 @@ def _index_fs(spark, p: str):
 
 
 def _read_add_manifest(spark, path: str) -> "dict | None":
-    import json
+    from ..io import hadoop_read_json
 
-    fs, hpath, _ = _index_fs(spark, f"{path}/{_ADD_MANIFEST}")
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    return hadoop_read_json(spark, f"{path}/{_ADD_MANIFEST}")
 
 
 def _write_add_manifest(spark, path: str, batch_id: int) -> None:
-    import json
+    from ..io import hadoop_write_json
 
-    fs, hpath, _ = _index_fs(spark, f"{path}/{_ADD_MANIFEST}")
-    out = fs.create(hpath, True)
-    try:
-        out.write(
-            bytearray(json.dumps({"batch_id": int(batch_id)}).encode("utf-8"))
-        )
-    finally:
-        out.close()
+    hadoop_write_json(spark, f"{path}/{_ADD_MANIFEST}", {
+        "batch_id": int(batch_id),
+    })
 
 
 def ann_index_add_batch(
@@ -2794,52 +2781,20 @@ def ann_index_add_batch(
     100-TB shape: one bounded model read + broadcast assign/encode + one
     partitioned write per trigger; the moves are O(files in the batch)
     namenode RPCs, no data copy."""
+    from ..io import hadoop_delete_prefixed, hadoop_staged_append
+
     manifest = _read_add_manifest(spark, path)
     if manifest is not None and batch_id <= manifest["batch_id"]:
         return False
     prefix = f"b{batch_id}-"
     vectors = f"{path}/vectors.parquet"
-    fs, vpath, jvm = _index_fs(spark, vectors)
-    if fs.exists(vpath):
-        # clean partial leftovers of a crashed earlier attempt
-        stale = []
-        it = fs.listFiles(vpath, True)
-        while it.hasNext():
-            f = it.next().getPath()
-            if f.getName().startswith(prefix):
-                stale.append(f)
-        for f in stale:
-            fs.delete(f, False)
+    hadoop_delete_prefixed(spark, vectors, prefix)
     staging = f"{path}/.staging-b{batch_id}"
     frame = _prepare_add_frame(
         spark, path, batch_df, id_col, vec_col, max_cells
     )
     frame.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    sfs, spath, _ = _index_fs(spark, staging)
-    moves = []
-    it = sfs.listFiles(spath, True)
-    while it.hasNext():
-        f = it.next().getPath()
-        name = f.getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        cell_dir = f.getParent().getName()
-        if not cell_dir.startswith("cell="):
-            continue
-        moves.append((f, cell_dir, name))
-    for f, cell_dir, name in moves:
-        dest_dir = jvm.org.apache.hadoop.fs.Path(f"{vectors}/{cell_dir}")
-        fs.mkdirs(dest_dir)
-        dest = jvm.org.apache.hadoop.fs.Path(
-            f"{vectors}/{cell_dir}/{prefix}{name}"
-        )
-        if not fs.rename(f, dest):
-            raise IOError(
-                f"ann_index_add_batch: rename {f} -> {dest} failed; "
-                "replaying this batch cleans its prefix files and redoes "
-                "the move"
-            )
-    sfs.delete(spath, True)
+    hadoop_staged_append(spark, staging, vectors, prefix)
     _write_add_manifest(spark, path, batch_id)
     return True
 

@@ -2059,6 +2059,159 @@ def stream_ann_index_add(
     return query
 
 
+def winnow_index_dedup_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """One idempotent micro-batch of APPEND-ONLY streaming winnow dedup:
+    the scale form of winnow_dedup_append_batch. The versioned-ledger
+    job REWRITES its whole state every trigger (O(corpus) per batch —
+    correct, but the rewrite grows with stream lifetime); this form
+    keeps the state in a persisted ``winnow_pos_index`` and each trigger
+    only APPENDS the batch's fingerprints (O(batch)), with survivor
+    flags landing in a batch_id-keyed sink partition instead of ledger
+    rows.
+
+    Decisions are the same two tiers (in-batch pairwise min-id via
+    winnow_pairs; any committed index doc suppresses a batch doc via
+    winnow_dedup_against_index — dropped docs' fingerprints are appended
+    too, so they keep suppressing: the transitive-chain contract), and
+    the batch is fingerprinted ONCE (robust positioned — the value sets
+    the decisions need reduce losslessly) with the index's SAVED
+    parameters. Exactly-once across the sink AND the index: the sink
+    partition overwrites idempotently, the index append is the
+    prefix-rename form (winnow_index_add_batch), and the add manifest —
+    checked here — advances only after both; a crash between them
+    replays into identical decisions (the index is unchanged until the
+    append) and overwrites its own partition."""
+    from ..io import hadoop_read_json
+    from ..operators import dedup as dd
+    from ..operators.text import winnow_fingerprints
+
+    spark = batch_df.sparkSession
+    manifest = hadoop_read_json(spark, f"{index_path}/_ADD_MANIFEST.json")
+    if manifest is not None and batch_id <= manifest["batch_id"]:
+        return False
+    meta = dd._winnow_index_meta(spark, index_path)
+    bpf = batch_df.select(
+        F.col(id_col).alias("_id"),
+        winnow_fingerprints(
+            text_col, k=meta["k"], w=meta["w"], portable=meta["portable"],
+            robust=True, alias="pfps",
+        ),
+    ).localCheckpoint()
+    bfps = bpf.select("_id", dd._pos_vals("pfps").alias("fps"))
+    in_drops = (
+        dd.winnow_pairs(
+            batch_df, id_col, text_col,
+            k=meta["k"], w=meta["w"], threshold=threshold,
+            portable=meta["portable"],
+            max_fingerprint_df=max_fingerprint_df, fps_df=bfps,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    index = spark.read.parquet(f"{index_path}/fps.parquet").select(
+        "_id", dd._pos_vals("pfps").alias("fps")
+    )
+    survivors_vs_state = dd.winnow_dedup_against_index(
+        batch_df, index, id_col, text_col,
+        k=meta["k"], w=meta["w"], threshold=threshold,
+        portable=meta["portable"], max_fingerprint_df=max_fingerprint_df,
+        batch_fps=bfps,
+    ).select(id_col)
+    state_hits = batch_df.select(id_col).join(
+        survivors_vs_state, on=id_col, how="anti"
+    )
+    drops = in_drops.unionByName(state_hits).distinct()
+    flagged = (
+        batch_df.select(id_col)
+        .join(drops.withColumn("_dropped", F.lit(True)), on=id_col, how="left")
+        .select(id_col, F.col("_dropped").isNull().alias("survivor"))
+    )
+    (
+        flagged.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(sink_path)
+    )
+    dd.winnow_index_add_batch(
+        spark, index_path, batch_df, batch_id,
+        id_col=id_col, text_col=text_col, pfps_df=bpf,
+    )
+    return True
+
+
+def stream_winnow_index_dedup(
+    docs: DataFrame,
+    index_path: str,
+    sink_path: str,
+    threshold: float = 0.5,
+    max_fingerprint_df: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: "str | None" = None,
+    compact_every: "int | None" = None,
+):
+    """APPEND-ONLY streaming winnow near-dedup over a persisted
+    positioned index — the scale twin of stream_near_dedup_winnow (see
+    winnow_index_dedup_batch for the per-trigger contract): state grows
+    by O(batch) appends instead of O(corpus) ledger rewrites, survivor
+    flags land in batch_id-keyed sink partitions, and ``compact_every``
+    folds winnow_index_compact in at a cadence so steady-state
+    fragmentation stays bounded. Feeding batches in id order makes the
+    union of sink partitions match the versioned-ledger job's
+    (doc, survivor) outcome bit-for-bit when the stop-gram cap is None
+    (tested).
+
+    ``checkpoint`` is REQUIRED once the index's add manifest exists (the
+    stream_build_corpus rationale)."""
+    from ..io import hadoop_read_json
+    from ..operators import dedup as dd
+
+    if not checkpoint:
+        manifest = hadoop_read_json(
+            docs.sparkSession, f"{index_path}/_ADD_MANIFEST.json"
+        )
+        if manifest is not None:
+            raise ValueError(
+                f"stream_winnow_index_dedup: index at {index_path!r} "
+                f"already has a committed add manifest "
+                f"(batch_id={manifest['batch_id']}) but no "
+                "checkpointLocation was given — a fresh query restarts "
+                "batch_id at 0 and the exactly-once replay guard would "
+                "silently discard every new batch. Pass the original "
+                "checkpoint to resume."
+            )
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        applied = winnow_index_dedup_batch(
+            batch_df, index_path, sink_path, batch_id,
+            threshold=threshold, max_fingerprint_df=max_fingerprint_df,
+            id_col=id_col, text_col=text_col,
+        )
+        if (
+            applied
+            and compact_every
+            and (batch_id + 1) % int(compact_every) == 0
+        ):
+            dd.winnow_index_compact(batch_df.sparkSession, index_path)
+
+    writer = docs.writeStream.foreachBatch(append).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def decontaminate_spans_batch(
     batch_df: DataFrame,
     index_path: str,

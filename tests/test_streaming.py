@@ -1980,3 +1980,100 @@ def test_stream_ann_index_add_exactly_once_and_compact(spark, tmp_path):
         jobs.stream_ann_index_add(
             spark.readStream.schema(schema).parquet(landing), streamed
         )
+
+
+def test_stream_winnow_index_dedup_matches_ledger_job(spark, tmp_path):
+    """APPEND-ONLY streaming winnow dedup: two micro-batch runs over a
+    persisted positioned index (built from an initial corpus) must make
+    the SAME (doc, survivor) decisions as the versioned-ledger job fed
+    the same docs — including a cross-batch transitive chain — while the
+    index grows by appends (add manifest advancing, fragmentation
+    bounded by compact_every); replays skip; the checkpoint guard
+    fires."""
+    import pytest
+
+    from bigdata_usaspending_spark.io import (
+        hadoop_data_file_count,
+        hadoop_read_json,
+        read_versioned_state,
+    )
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    A = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    B = A + " by the wide river today"
+    C = B + " while birds sing in the quiet green forest all morning long"
+    initial = spark.createDataFrame(
+        [(1, A), (2, B), (3, "an entirely different text about trains "
+                             "and long rails going far away tonight")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(11, C),
+         (13, "an entirely different text about trains and long rails "
+              "going far away tonight")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(21, C + " and on"),   # near-dup of streamed (dropped) 11
+         (22, "completely fresh content with no overlap whatsoever here")],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.5, portable=True)
+
+    index = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(initial, index, portable=True)
+
+    landing = str(tmp_path / "docs")
+    sink = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_winnow_index_dedup(
+        spark.readStream.schema(schema).parquet(landing), index, sink,
+        checkpoint=ckpt, compact_every=1, threshold=0.5,
+    ).stop()
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    jobs.stream_winnow_index_dedup(
+        spark.readStream.schema(schema).parquet(landing), index, sink,
+        checkpoint=ckpt, compact_every=1, threshold=0.5,
+    ).stop()
+
+    got = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink).select("doc_id", "survivor").collect()
+    }
+
+    # ledger twin over the same feed (initial as its batch 0)
+    state = str(tmp_path / "ledger")
+    assert jobs.winnow_dedup_append_batch(initial, state, 0, **kw)
+    assert jobs.winnow_dedup_append_batch(b1, state, 1, **kw)
+    assert jobs.winnow_dedup_append_batch(b2, state, 2, **kw)
+    want = {
+        (r.doc_id, r.survivor)
+        for r in read_versioned_state(spark, state)
+        .filter(F.col("doc_id") >= 10)
+        .collect()
+    }
+    assert got == want
+    # the transitive chain crossed batches: 11 dropped via committed B,
+    # 21 dropped via the DROPPED 11 (its fingerprints were appended)
+    assert (11, False) in got and (21, False) in got and (22, True) in got
+
+    # index state: all streamed docs appended, manifest at batch 1,
+    # compact_every kept fragmentation at one file
+    rep = dd.winnow_index_stats(spark, index)
+    assert rep["docs"] == 3 + 4
+    assert hadoop_read_json(spark, f"{index}/_ADD_MANIFEST.json") == {
+        "batch_id": 1
+    }
+    assert hadoop_data_file_count(spark, f"{index}/fps.parquet") == 1
+
+    # replay no-op
+    assert not jobs.winnow_index_dedup_batch(b2, index, sink, 1)
+    assert dd.winnow_index_stats(spark, index)["docs"] == 7
+
+    # checkpoint guard once the add manifest exists
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        jobs.stream_winnow_index_dedup(
+            spark.readStream.schema(schema).parquet(landing), index, sink
+        )
