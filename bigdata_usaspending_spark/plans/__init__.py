@@ -18,7 +18,7 @@ _VERIFY_FIRST = [
     # (the persisted-index compaction lifecycle audit and the
     # OPQ-rotated capstone composition):
     "q_ann_index_compact", "q_corpus_semantic_opq",
-    "q_gopher_repetition",
+    "q_gopher_repetition", "q_winnow_index_lifecycle",
     # (b) operator path changed THIS round: pq_train_driver's collect is
     # now limit(cap+1)-bounded and q_ann_pq_topk threads
     # _bounded_train_frame (the r12 weak mark); the static and adaptive
@@ -44,9 +44,6 @@ _VERIFY_FIRST = [
     "q_tdigest_quantiles", "q_text_langid", "q_text_quality",
     "q_text_tokens", "q_topk", "q_topn_frequency", "q_tpch_q12_shape",
     "q_tpch_q21_shape", "q_value_counts",
-    # (e) adjacent-path margin: the OPQ persisted lifecycle the new
-    # capstone composes (fresh r12 green, re-measured on the r13 HEAD):
-    "q_ann_opq_index",
 ]
 
 

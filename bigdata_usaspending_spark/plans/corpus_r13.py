@@ -406,16 +406,89 @@ def _gopher_repetition_oracle() -> str:
     """
 
 
+def q_winnow_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted winnow-pos-index LIFECYCLE through the value gate
+    (the q_ann_opq_index pattern applied to the text index): BUILD the
+    index over the even half of the 1-in-7 committed sample
+    (winnow_pos_index_write — saved k/w/portable meta), ADD the odd half
+    with the EXACTLY-ONCE batch form (winnow_index_add_batch, batch_id
+    0 — prefix-renamed files + the add manifest), then probe the
+    persisted two-generation layout with the trailing-token variants
+    (winnow_index_spans, parameters loaded from the meta). The span
+    evidence itself is VALUE-EXACT (the q_winnow_spans_incremental
+    oracle — the index content is the same committed sample, however it
+    got there), and three lifecycle booleans pin what pytest alone used
+    to carry: ``add_committed`` (the manifest advanced),
+    ``replay_skipped`` (re-applying batch 0 is a no-op), and
+    ``saved_params_ok`` (the probe ran with the index's saved
+    fingerprint parameters)."""
+    from ..io import hadoop_read_json
+    from ..operators import dedup
+    from .corpus_r12 import _ROBUST_K, _ROBUST_W, _SPAN_MAX_DF, _SPAN_THRESHOLD
+
+    docs = (
+        load(_prep(spark), sf, "documents")
+        .filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    gen1 = docs.filter(F.col("doc_id") % 14 == 0)
+    gen2 = docs.filter(F.col("doc_id") % 14 != 0)
+    tmp = tempfile.mkdtemp(prefix="widx_lifecycle_")
+    try:
+        dedup.winnow_pos_index_write(
+            gen1, tmp, k=_ROBUST_K, w=_ROBUST_W, portable=True
+        )
+        applied = dedup.winnow_index_add_batch(spark, tmp, gen2, 0)
+        replay_skipped = not dedup.winnow_index_add_batch(spark, tmp, gen2, 0)
+        spans = dedup.winnow_index_spans(
+            spark, tmp, variants,
+            threshold=_SPAN_THRESHOLD, max_fingerprint_df=_SPAN_MAX_DF,
+        )
+        meta = dedup._winnow_index_meta(spark, tmp)
+        manifest = hadoop_read_json(spark, f"{tmp}/_ADD_MANIFEST.json")
+        add_committed = bool(applied) and manifest == {"batch_id": 0}
+        saved_params_ok = (
+            meta["k"], meta["w"], meta["portable"],
+        ) == (_ROBUST_K, _ROBUST_W, True)
+        return spans.select(
+            "*",
+            F.lit(bool(add_committed)).alias("add_committed"),
+            F.lit(bool(replay_skipped)).alias("replay_skipped"),
+            F.lit(bool(saved_params_ok)).alias("saved_params_ok"),
+        ).localCheckpoint()  # before the temp layout is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _winnow_index_lifecycle_oracle() -> str:
+    # the q_winnow_spans_incremental value oracle (the persisted index
+    # holds exactly the committed 1-in-7 sample) + the three pinned
+    # lifecycle booleans
+    from .corpus_r12 import _winnow_spans_incremental_oracle
+
+    return f"""
+        SELECT s.*, TRUE AS add_committed, TRUE AS replay_skipped,
+               TRUE AS saved_params_ok
+        FROM ({_winnow_spans_incremental_oracle()}) s
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_compact": q_ann_index_compact,
     "q_corpus_semantic_opq": q_corpus_semantic_opq,
     "q_gopher_repetition": q_gopher_repetition,
+    "q_winnow_index_lifecycle": q_winnow_index_lifecycle,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "q_ann_index_compact": _ann_index_compact_oracle(),
     "q_corpus_semantic_opq": _corpus_semantic_opq_oracle(),
     "q_gopher_repetition": _gopher_repetition_oracle(),
+    "q_winnow_index_lifecycle": _winnow_index_lifecycle_oracle(),
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
