@@ -1431,6 +1431,77 @@ def winnow_dedup_append_batch(
     return True
 
 
+def _winnow_evidence_per_doc(
+    batch_df: DataFrame,
+    bpf: DataFrame,
+    index_pfps: "DataFrame | None",
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    threshold: float,
+    portable: bool,
+    max_fingerprint_df: "int | None",
+) -> DataFrame:
+    """The drop-evidence assembly shared by the versioned-ledger and the
+    append-only streaming dedup forms: verified span pairs from the
+    in-batch tier (winnow_match_spans over the precomputed positioned
+    frame) plus, when ``index_pfps`` is given, the committed-side probe
+    (winnow_spans_against_index — scan-only, batch broadcasts), columns
+    harmonized across the two tiers (match_spans counts n_shared via
+    count_distinct -> long; the index probe via array_intersect size ->
+    int), grouped per dropped doc into the sorted ``drop_evidence``
+    struct array. Docs absent from the result are survivors."""
+    from ..operators.dedup import (
+        winnow_match_spans,
+        winnow_spans_against_index,
+    )
+
+    ev = winnow_match_spans(
+        batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
+        portable=portable, max_fingerprint_df=max_fingerprint_df,
+        pfps_df=bpf,
+    ).select(
+        F.col("id_b").alias("_did"),
+        F.col("id_a").alias("other_id"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("b_start").cast("int").alias("start"),
+        F.col("b_end").cast("int").alias("end"),
+    )
+    if index_pfps is not None:
+        # the FULL committed side probes (dropped rows keep suppressing —
+        # the transitive-chain rationale); evidence then names the
+        # actual earlier doc, survivor or not
+        ev = ev.unionByName(
+            winnow_spans_against_index(
+                batch_df, index_pfps,
+                id_col, text_col, k=k, w=w, threshold=threshold,
+                portable=portable, max_fingerprint_df=max_fingerprint_df,
+                batch_pfps=bpf,
+            ).select(
+                F.col("id_batch").alias("_did"),
+                F.col("id_index").alias("other_id"),
+                F.col("jaccard").cast("double").alias("jaccard"),
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.col("n_anchors").cast("long").alias("n_anchors"),
+                F.col("b_start").cast("int").alias("start"),
+                F.col("b_end").cast("int").alias("end"),
+            )
+        )
+    return ev.groupBy("_did").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "other_id", "jaccard", "n_shared", "n_anchors",
+                    "start", "end",
+                )
+            )
+        ).alias("drop_evidence")
+    )
+
+
 def _winnow_dedup_append_evidence(
     batch_df: DataFrame,
     state_path: str,
@@ -1451,10 +1522,6 @@ def _winnow_dedup_append_evidence(
     losslessly via _pos_vals); the in-batch tier and the ledger probe
     both ride the precomputed-pfps seams."""
     from ..io import commit_versioned_state
-    from ..operators.dedup import (
-        winnow_match_spans,
-        winnow_spans_against_index,
-    )
     from ..operators.text import winnow_fingerprints
 
     bpf = batch_df.select(
@@ -1463,53 +1530,12 @@ def _winnow_dedup_append_evidence(
             text_col, k=k, w=w, portable=portable, robust=True, alias="pfps"
         ),
     ).localCheckpoint()
-    # evidence columns harmonized across the two tiers (match_spans
-    # counts n_shared via count_distinct -> long; the index probe via
-    # array_intersect size -> int)
-    in_ev = winnow_match_spans(
-        batch_df, id_col, text_col, k=k, w=w, threshold=threshold,
-        portable=portable, max_fingerprint_df=max_fingerprint_df,
-        pfps_df=bpf,
-    ).select(
-        F.col("id_b").alias("_did"),
-        F.col("id_a").alias("other_id"),
-        F.col("jaccard").cast("double").alias("jaccard"),
-        F.col("n_shared").cast("long").alias("n_shared"),
-        F.col("n_anchors").cast("long").alias("n_anchors"),
-        F.col("b_start").cast("int").alias("start"),
-        F.col("b_end").cast("int").alias("end"),
-    )
-    ev = in_ev
-    if cur is not None:
-        # the FULL ledger probes (dropped rows keep suppressing — the
-        # transitive-chain rationale); evidence then names the actual
-        # earlier doc, survivor or not
-        ev = ev.unionByName(
-            winnow_spans_against_index(
-                batch_df,
-                cur.select(F.col(id_col).alias("_id"), "pfps"),
-                id_col, text_col, k=k, w=w, threshold=threshold,
-                portable=portable, max_fingerprint_df=max_fingerprint_df,
-                batch_pfps=bpf,
-            ).select(
-                F.col("id_batch").alias("_did"),
-                F.col("id_index").alias("other_id"),
-                F.col("jaccard").cast("double").alias("jaccard"),
-                F.col("n_shared").cast("long").alias("n_shared"),
-                F.col("n_anchors").cast("long").alias("n_anchors"),
-                F.col("b_start").cast("int").alias("start"),
-                F.col("b_end").cast("int").alias("end"),
-            )
-        )
-    per_doc = ev.groupBy("_did").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    "other_id", "jaccard", "n_shared", "n_anchors",
-                    "start", "end",
-                )
-            )
-        ).alias("drop_evidence")
+    per_doc = _winnow_evidence_per_doc(
+        batch_df, bpf,
+        cur.select(F.col(id_col).alias("_id"), "pfps")
+        if cur is not None
+        else None,
+        id_col, text_col, k, w, threshold, portable, max_fingerprint_df,
     )
     flagged = (
         bpf.select(F.col("_id").alias(id_col), "pfps")
@@ -2068,6 +2094,7 @@ def winnow_index_dedup_batch(
     max_fingerprint_df: "int | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    evidence: bool = False,
 ) -> bool:
     """One idempotent micro-batch of APPEND-ONLY streaming winnow dedup:
     the scale form of winnow_dedup_append_batch. The versioned-ledger
@@ -2089,7 +2116,16 @@ def winnow_index_dedup_batch(
     prefix-rename form (winnow_index_add_batch), and the add manifest —
     checked here — advances only after both; a crash between them
     replays into identical decisions (the index is unchanged until the
-    append) and overwrites its own partition."""
+    append) and overwrites its own partition.
+
+    ``evidence=True`` applies the drop-evidence contract
+    (winnow_dedup_append_batch's evidence form) to the SINK rows: each
+    dropped row carries the sorted ``(other_id, jaccard, n_shared,
+    n_anchors, start, end)`` structs justifying it — the persisted
+    positioned index already holds exactly what the committed-side probe
+    needs, so the append side is unchanged; decisions then derive from
+    the span pair frames (equal to the value tiers' at cap=None;
+    tested bit-equal to the evidence ledger over the same feed)."""
     from ..io import hadoop_read_json
     from ..operators import dedup as dd
     from ..operators.text import winnow_fingerprints
@@ -2106,35 +2142,57 @@ def winnow_index_dedup_batch(
             robust=True, alias="pfps",
         ),
     ).localCheckpoint()
-    bfps = bpf.select("_id", dd._pos_vals("pfps").alias("fps"))
-    in_drops = (
-        dd.winnow_pairs(
-            batch_df, id_col, text_col,
+    if evidence:
+        per_doc = _winnow_evidence_per_doc(
+            batch_df, bpf,
+            spark.read.parquet(f"{index_path}/fps.parquet"),
+            id_col, text_col, meta["k"], meta["w"], threshold,
+            meta["portable"], max_fingerprint_df,
+        )
+        flagged = (
+            batch_df.select(id_col)
+            .join(per_doc, on=F.col(id_col) == F.col("_did"), how="left")
+            .drop("_did")
+            .select(
+                id_col,
+                F.col("drop_evidence").isNull().alias("survivor"),
+                "drop_evidence",
+            )
+        )
+    else:
+        bfps = bpf.select("_id", dd._pos_vals("pfps").alias("fps"))
+        in_drops = (
+            dd.winnow_pairs(
+                batch_df, id_col, text_col,
+                k=meta["k"], w=meta["w"], threshold=threshold,
+                portable=meta["portable"],
+                max_fingerprint_df=max_fingerprint_df, fps_df=bfps,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        index = spark.read.parquet(f"{index_path}/fps.parquet").select(
+            "_id", dd._pos_vals("pfps").alias("fps")
+        )
+        survivors_vs_state = dd.winnow_dedup_against_index(
+            batch_df, index, id_col, text_col,
             k=meta["k"], w=meta["w"], threshold=threshold,
             portable=meta["portable"],
-            max_fingerprint_df=max_fingerprint_df, fps_df=bfps,
+            max_fingerprint_df=max_fingerprint_df,
+            batch_fps=bfps,
+        ).select(id_col)
+        state_hits = batch_df.select(id_col).join(
+            survivors_vs_state, on=id_col, how="anti"
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    index = spark.read.parquet(f"{index_path}/fps.parquet").select(
-        "_id", dd._pos_vals("pfps").alias("fps")
-    )
-    survivors_vs_state = dd.winnow_dedup_against_index(
-        batch_df, index, id_col, text_col,
-        k=meta["k"], w=meta["w"], threshold=threshold,
-        portable=meta["portable"], max_fingerprint_df=max_fingerprint_df,
-        batch_fps=bfps,
-    ).select(id_col)
-    state_hits = batch_df.select(id_col).join(
-        survivors_vs_state, on=id_col, how="anti"
-    )
-    drops = in_drops.unionByName(state_hits).distinct()
-    flagged = (
-        batch_df.select(id_col)
-        .join(drops.withColumn("_dropped", F.lit(True)), on=id_col, how="left")
-        .select(id_col, F.col("_dropped").isNull().alias("survivor"))
-    )
+        drops = in_drops.unionByName(state_hits).distinct()
+        flagged = (
+            batch_df.select(id_col)
+            .join(
+                drops.withColumn("_dropped", F.lit(True)),
+                on=id_col, how="left",
+            )
+            .select(id_col, F.col("_dropped").isNull().alias("survivor"))
+        )
     (
         flagged.withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -2159,6 +2217,7 @@ def stream_winnow_index_dedup(
     text_col: str = "text",
     checkpoint: "str | None" = None,
     compact_every: "int | None" = None,
+    evidence: bool = False,
 ):
     """APPEND-ONLY streaming winnow near-dedup over a persisted
     positioned index — the scale twin of stream_near_dedup_winnow (see
@@ -2169,7 +2228,8 @@ def stream_winnow_index_dedup(
     fragmentation stays bounded. Feeding batches in id order makes the
     union of sink partitions match the versioned-ledger job's
     (doc, survivor) outcome bit-for-bit when the stop-gram cap is None
-    (tested).
+    (tested). ``evidence=True`` adds the drop-evidence structs to the
+    sink rows (winnow_index_dedup_batch's evidence contract).
 
     ``checkpoint`` is REQUIRED once the index's add manifest exists (the
     stream_build_corpus rationale)."""
@@ -2195,7 +2255,7 @@ def stream_winnow_index_dedup(
         applied = winnow_index_dedup_batch(
             batch_df, index_path, sink_path, batch_id,
             threshold=threshold, max_fingerprint_df=max_fingerprint_df,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, evidence=evidence,
         )
         if (
             applied

@@ -2077,3 +2077,73 @@ def test_stream_winnow_index_dedup_matches_ledger_job(spark, tmp_path):
         jobs.stream_winnow_index_dedup(
             spark.readStream.schema(schema).parquet(landing), index, sink
         )
+
+
+def test_stream_winnow_index_dedup_evidence_matches_ledger(spark, tmp_path):
+    """evidence=True on the APPEND-ONLY form: sink drop-evidence rows
+    must be bit-equal to the evidence LEDGER job's over the same feed —
+    the two streaming dedup forms agree on decisions AND on the spans /
+    anchor counts justifying them."""
+    from bigdata_usaspending_spark.io import read_versioned_state
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    A = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    B = A + " by the wide river today"
+    C = B + " while birds sing in the quiet green forest all morning long"
+    initial = spark.createDataFrame(
+        [(1, A), (2, B)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(11, C), (12, "totally unrelated words about distant sailing "
+                       "ships crossing wide oceans tonight")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(21, C + " and on")], "doc_id long, text string",
+    )
+
+    index = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(initial, index, portable=True)
+    sink = str(tmp_path / "flags")
+    assert jobs.winnow_index_dedup_batch(
+        b1, index, sink, 0, threshold=0.5, evidence=True
+    )
+    assert jobs.winnow_index_dedup_batch(
+        b2, index, sink, 1, threshold=0.5, evidence=True
+    )
+
+    def ev_tuple(rows):
+        return {
+            r.doc_id: (
+                r.survivor,
+                None if r.drop_evidence is None else [
+                    (e.other_id, e.jaccard, e.n_shared, e.n_anchors,
+                     e.start, e.end)
+                    for e in r.drop_evidence
+                ],
+            )
+            for r in rows
+        }
+
+    got = ev_tuple(
+        spark.read.parquet(sink)
+        .select("doc_id", "survivor", "drop_evidence")
+        .collect()
+    )
+
+    state = str(tmp_path / "ledger")
+    kw = dict(threshold=0.5, portable=True, evidence=True)
+    assert jobs.winnow_dedup_append_batch(initial, state, 0, **kw)
+    assert jobs.winnow_dedup_append_batch(b1, state, 1, **kw)
+    assert jobs.winnow_dedup_append_batch(b2, state, 2, **kw)
+    want = ev_tuple(
+        read_versioned_state(spark, state)
+        .filter(F.col("doc_id") >= 10)
+        .select("doc_id", "survivor", "drop_evidence")
+        .collect()
+    )
+    assert got == want
+    # the cross-batch transitive drop carries evidence naming the
+    # DROPPED streamed doc 11 (its fingerprints were appended)
+    assert not got[21][0]
+    assert 11 in {e[0] for e in got[21][1]}
