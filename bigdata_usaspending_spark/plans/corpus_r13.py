@@ -91,7 +91,7 @@ def q_ann_index_compact(spark: SparkSession, sf: str) -> DataFrame:
         resid = similarity.ivf_residuals(assigned, centroids)
         cb = similarity.pq_train_driver(
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
-            vec_col="residual", m=32, k=16,
+            vec_col="residual", m=16, k=16,
         )
         similarity.ivf_pq_index_write(initial, centroids, cb, tmp)
         for i in range(3):
