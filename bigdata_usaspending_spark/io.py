@@ -92,6 +92,29 @@ def append_versions(df: DataFrame, path: str, version: int) -> None:
     df.withColumn(VERSION_COL, F.lit(version).cast("long")).write.mode("append").parquet(path)
 
 
+def upsert_versions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    version: int,
+    key: str,
+    compact_every: "int | None" = None,
+) -> None:
+    """Append + cadence-scheduled compaction: the merge-on-read PK-upsert
+    sink with its maintenance folded in (the ``compact_every`` contract
+    the streaming index jobs use, applied here — round-13 closing the
+    loop: compact_versions existed but nothing scheduled it). After the
+    append, when the live table holds MORE than ``compact_every``
+    distinct versions, it is rewritten to one (newest row per key) —
+    bounding read_latest's merge-on-read window cost at a constant
+    instead of letting it grow with ingest history."""
+    append_versions(df, path, version)
+    if compact_every:
+        n = spark.read.parquet(path).select(VERSION_COL).distinct().count()
+        if n > int(compact_every):
+            compact_versions(spark, path, key)
+
+
 def read_latest(spark: SparkSession, path: str, key: str) -> DataFrame:
     """Last-write-wins view: newest version per key (merge-on-read)."""
     from pyspark.sql import Window

@@ -200,3 +200,36 @@ def test_atomic_parquet_arrow_writer_parity_with_row_writer(spark, tmp_path):
         "append"
     ).save()
     assert read_committed(spark, arrow_out).count() == 4
+
+
+def test_upsert_versions_compaction_cadence(spark, tmp_path):
+    """upsert_versions folds maintenance into the upsert: appends below
+    the cadence stay merge-on-read; crossing it triggers
+    compact_versions (newest-per-key rewrite) with read_latest
+    unchanged — the compact_every contract on the PK-upsert sink."""
+    path = str(tmp_path / "cadence")
+    rows = [
+        (1, [("a", 1.0), ("b", 2.0)]),
+        (2, [("b", 3.0)]),
+        (3, [("c", 4.0), ("a", 5.0)]),
+    ]
+    for version, data in rows:
+        io.upsert_versions(
+            spark,
+            spark.createDataFrame(
+                data, "award_id string, award_amount double"
+            ),
+            path, version, "award_id", compact_every=2,
+        )
+        n_versions = (
+            spark.read.parquet(path).select(io.VERSION_COL).distinct().count()
+        )
+        # versions 1-2 accumulate; version 3 crosses the cadence and
+        # compacts the table back to one
+        assert n_versions == (version if version <= 2 else 1)
+    latest = {
+        r.award_id: r.award_amount
+        for r in io.read_latest(spark, path, "award_id").collect()
+    }
+    assert latest == {"a": 5.0, "b": 3.0, "c": 4.0}
+    assert spark.read.parquet(path).count() == 3

@@ -1434,6 +1434,21 @@ def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
     assert stats2["files_after"] == stats["files_after"]
     assert stats2["rows"] == stats["rows"]
 
+    # partition pruning survives the rewrite: the compacted layout is
+    # still partitionBy(cell), so the probe's cell IN (...) predicate
+    # lands in PartitionFilters (the file layout IS the index)
+    import re
+
+    plan = (
+        spark.read.parquet(vecs)
+        .filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
     # the stats report an operator schedules compaction from
     rep = similarity.ann_index_stats(spark, path)
     assert rep["layout"] == "ivf-pq" and not rep["rotation"]
