@@ -384,6 +384,13 @@ def test_ann_index_cli_opq(spark, sf_small, tmp_path):
     compacted = _run("ann-index", "compact", "--index", index)
     assert compacted.returncode == 0, compacted.stderr[-2000:]
     assert "compacted" in compacted.stdout
+    import json as _json
+
+    stats_run = _run("ann-index", "stats", "--index", index)
+    assert stats_run.returncode == 0, stats_run.stderr[-2000:]
+    rep = _json.loads(stats_run.stdout.strip().splitlines()[-1])
+    assert rep["layout"] == "ivf-pq" and rep["rotation"]
+    assert rep["files_per_populated_cell"] == 1.0
     out3 = str(tmp_path / "hits3")
     found3 = _run(
         "ann-index", "search", "--index", index, f"--query={qvec}",
@@ -477,6 +484,12 @@ def test_winnow_index_cli_lifecycle(spark, tmp_path):
     compacted = _run("winnow-index", "compact", "--index", index)
     assert compacted.returncode == 0, compacted.stderr[-2000:]
     assert "compacted" in compacted.stdout
+    import json as _json
+
+    stats_run = _run("winnow-index", "stats", "--index", index)
+    assert stats_run.returncode == 0, stats_run.stderr[-2000:]
+    rep = _json.loads(stats_run.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == 2 and rep["portable"] and rep["data_files"] == 1
     sout2 = str(tmp_path / "spans_out2")
     spans2 = _run(
         "winnow-index", "spans", "--documents", pb, "--index", index,
