@@ -138,7 +138,10 @@ def _parser() -> argparse.ArgumentParser:
         "(IVF or IVF-PQ vector index; operators/similarity)",
     )
     ai.add_argument(
-        "action", choices=["build", "add", "search", "compact", "stats"]
+        "action",
+        choices=[
+            "build", "add", "search", "compact", "stats", "stream-add",
+        ],
     )
     ai.add_argument("--index", required=True, help="index root directory")
     ai.add_argument(
@@ -205,6 +208,22 @@ def _parser() -> argparse.ArgumentParser:
         "row — results bit-identical to probing every cell",
     )
     ai.add_argument("--output", default=None, help="write search result parquet here")
+    ai.add_argument(
+        "--batch-id", type=int, default=None,
+        help="add only: apply the batch EXACTLY-ONCE under this id "
+        "(prefix-renamed files + the add manifest; replays skip, "
+        "crashed batches self-clean on redo)",
+    )
+    ai.add_argument(
+        "--checkpoint", default=None,
+        help="stream-add: streaming checkpoint location (REQUIRED once "
+        "the add manifest exists)",
+    )
+    ai.add_argument(
+        "--compact-every", type=int, default=None,
+        help="stream-add: compact the index after every Nth applied "
+        "batch (bounds steady-state fragmentation)",
+    )
 
     wi = sub.add_parser(
         "winnow-index",
@@ -412,8 +431,21 @@ def main(argv: list[str] | None = None) -> int:
         # Hadoop-FS existence check: layout autodetection must work on
         # whatever filesystem the index lives on (similarity._index_has)
         is_pq = similarity._index_has(spark, args.index, "codebooks.parquet")
-        if args.action in ("build", "add") and not args.vectors:
+        if args.action in ("build", "add", "stream-add") and not args.vectors:
             raise SystemExit(f"ann-index {args.action} needs --vectors")
+        if args.action == "stream-add":
+            from .streaming import jobs as stream_jobs
+
+            schema = spark.read.parquet(args.vectors).schema
+            stream_jobs.stream_ann_index_add(
+                spark.readStream.schema(schema).parquet(args.vectors),
+                args.index, id_col=args.id_col, vec_col=args.vec_col,
+                checkpoint=args.checkpoint,
+                compact_every=args.compact_every,
+            ).stop()
+            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            print(f"index now holds {n} vectors ({args.index})")
+            return 0
         if args.action == "compact":
             stats = similarity.ann_index_compact(spark, args.index)
             print(
@@ -533,6 +565,20 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.action == "add":
             df = spark.read.parquet(args.vectors)
+            if args.batch_id is not None:
+                applied = similarity.ann_index_add_batch(
+                    spark, args.index, df, args.batch_id,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+                n = spark.read.parquet(
+                    f"{args.index}/vectors.parquet"
+                ).count()
+                verb = "applied" if applied else "skipped (replay)"
+                print(
+                    f"batch {args.batch_id} {verb}; index now holds {n} "
+                    f"vectors ({args.index})"
+                )
+                return 0
             if is_pq:
                 similarity.ivf_pq_index_add(
                     spark, args.index, df,

@@ -2778,6 +2778,12 @@ def ann_index_add_batch(
     prefixes, which is safe: committed batches are never replayed.
 
     Returns True if the batch was applied, False if skipped as a replay.
+    The manifest tracks ONE monotone batch_id sequence per index:
+    manual batch-ids (the CLI's ``add --batch-id``) and a stream's
+    foreachBatch ids share it, so a manual add must use ids AFTER the
+    stream's last, and a fresh stream over an index with committed
+    manual ids would silently skip its early batches (the same
+    restart-at-0 hazard the streaming checkpoint guard exists for).
     100-TB shape: one bounded model read + broadcast assign/encode + one
     partitioned write per trigger; the moves are O(files in the batch)
     namenode RPCs, no data copy."""

@@ -550,3 +550,74 @@ def test_build_corpus_cli_winnow_near_tier(spark, tmp_path):
     assert sorted(rows2) == [1, 2]
     assert rows2[2].text.endswith(tail.strip())
     assert rows2[2].n_tokens < len((shared + tail).split())
+
+
+def test_ann_index_exactly_once_and_stream_add_cli(spark, sf_small, tmp_path):
+    """The operational legs of the exactly-once ingestion surface:
+    `ann-index add --batch-id N` applies once and skips its replay;
+    `ann-index stream-add` drains a parquet stream directory through
+    stream_ann_index_add with compaction folded in."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    initial = str(tmp_path / "init")
+    data.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding"
+    ).write.parquet(initial)
+    index = str(tmp_path / "eidx")
+    built = _run(
+        "ann-index", "build", "--vectors", initial, "--index", index,
+        "--cells", "4", "--refine-iters", "1",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    n0 = spark.read.parquet(f"{index}/vectors.parquet").count()
+
+    # stream-add FIRST: a fresh stream owns the manifest sequence from
+    # batch 0 (manual --batch-id adds share the SAME manifest — they
+    # must use ids after the stream's, exactly like a resumed stream)
+    stream_dir = str(tmp_path / "stream")
+    data.filter(F.col("vec_id") % 3 == 2).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.parquet(stream_dir)
+    ckpt = str(tmp_path / "ckpt")
+    streamed = _run(
+        "ann-index", "stream-add", "--vectors", stream_dir,
+        "--index", index, "--checkpoint", ckpt, "--compact-every", "1",
+    )
+    assert streamed.returncode == 0, streamed.stderr[-2000:]
+    n1 = spark.read.parquet(f"{index}/vectors.parquet").count()
+    assert n1 > n0
+    # compact_every=1 ran after the applied stream batch
+    stats_run = _run("ann-index", "stats", "--index", index)
+    rep = _json.loads(stats_run.stdout.strip().splitlines()[-1])
+    assert rep["files_per_populated_cell"] == 1.0
+    assert os.path.exists(f"{index}/_ADD_MANIFEST.json")
+
+    b1 = str(tmp_path / "b1")
+    data.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding"
+    ).write.parquet(b1)
+    once = _run(
+        "ann-index", "add", "--vectors", b1, "--index", index,
+        "--batch-id", "1",
+    )
+    assert once.returncode == 0, once.stderr[-2000:]
+    assert "batch 1 applied" in once.stdout
+    assert spark.read.parquet(f"{index}/vectors.parquet").count() == (
+        data.count()
+    )
+    replay = _run(
+        "ann-index", "add", "--vectors", b1, "--index", index,
+        "--batch-id", "1",
+    )
+    assert replay.returncode == 0, replay.stderr[-2000:]
+    assert "skipped (replay)" in replay.stdout
+    assert spark.read.parquet(f"{index}/vectors.parquet").count() == (
+        data.count()
+    )
