@@ -116,6 +116,14 @@ def _parser() -> argparse.ArgumentParser:
         "(the blocked-domains gate; WARC input only)",
     )
     b.add_argument(
+        "--dedup-index", default=None,
+        help="path of a persisted winnow-pos index of an already-"
+        "committed corpus: batch docs that near-dup ANY committed doc "
+        "(fingerprint Jaccard >= --near-threshold, parameters from the "
+        "index meta) drop after exact dedup — the batch build as "
+        "incremental ingestion",
+    )
+    b.add_argument(
         "--datasheet", default=None,
         help="also write the per-source datasheet of the INPUT corpus "
         "here (doc/token counts, dup rate, token quartiles — profiled "
@@ -376,7 +384,9 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             scrub_pii=not args.no_pii_scrub,
         )
-        out = build_corpus(docs, benchmark=bench, cfg=cfg)
+        out = build_corpus(
+            docs, benchmark=bench, cfg=cfg, dedup_index=args.dedup_index
+        )
         write_corpus(out, args.output)
         written = spark.read.parquet(args.output)
         if args.datasheet:

@@ -19,11 +19,16 @@ _VERIFY_FIRST = [
     # OPQ-rotated capstone composition):
     "q_ann_index_compact", "q_corpus_semantic_opq",
     "q_gopher_repetition", "q_winnow_index_lifecycle",
+    "q_corpus_build_incremental",
     # (b) operator path changed THIS round: pq_train_driver's collect is
     # now limit(cap+1)-bounded and q_ann_pq_topk threads
     # _bounded_train_frame (the r12 weak mark); the static and adaptive
-    # ADC pruners gained the NaN-lower-bound-unprunable arm:
-    "q_ann_pq_topk", "q_ann_ivf_pq_pruned", "q_ann_ivf_pq_adaptive",
+    # ADC pruners gained the NaN-lower-bound-unprunable arm
+    # (q_ann_ivf_pq_pruned shares that changed path but yields its slot
+    # to the fifth round-13 addition — fresh r12 green, both pruners'
+    # NaN arms unit-tested, the adaptive row still re-measures the
+    # shared kernel):
+    "q_ann_pq_topk", "q_ann_ivf_pq_adaptive",
     # (c) the five r9 rows displaced by the round-12 late additions
     # (named by VERDICT r12 #1 as the rotation debt's head):
     "q_training_data_pipeline", "q_training_pipeline_v2",

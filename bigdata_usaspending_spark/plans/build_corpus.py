@@ -106,6 +106,7 @@ def build_corpus(
     docs: DataFrame,
     benchmark: "DataFrame | None" = None,
     cfg: "CorpusBuildConfig | None" = None,
+    dedup_index: "str | None" = None,
 ) -> DataFrame:
     """Run the full curation pipeline over a documents-shaped frame
     (``doc_id, text, source[, target_uri]``) and return packed training
@@ -114,8 +115,25 @@ def build_corpus(
     epoch permutation, ``seq_id/seq_offset`` where its first token lands
     when the shuffled token stream is cut into ``block_size``-token
     training sequences. ``benchmark`` (any frame with a ``text`` column)
-    enables the decontamination tier."""
+    enables the decontamination tier.
+
+    ``dedup_index`` (optional): path of a persisted positioned winnow
+    index (``winnow_pos_index_write``) of an ALREADY-COMMITTED corpus —
+    the batch-build form of incremental ingestion: after exact dedup,
+    docs whose fingerprint Jaccard verifies >= ``cfg.near_threshold``
+    against ANY committed doc are dropped (probe inversion — the
+    committed side is only scanned, never re-fingerprinted), BEFORE the
+    in-batch near tier spends work on them. Fingerprint parameters come
+    from the index's saved meta (the saved-model contract), so the
+    index must have been built with the cfg's winnow parameters;
+    ``cfg.near_max_df`` caps the probe's candidate generation while the
+    verify stays value-exact (winnow_dedup_against_index's contract)."""
     cfg = cfg or CorpusBuildConfig()
+    if dedup_index is not None and cfg.near_threshold is None:
+        raise ValueError(
+            "dedup_index needs cfg.near_threshold — it is the "
+            "against-index verify threshold"
+        )
     if not cfg.langs:
         raise ValueError(
             "CorpusBuildConfig.langs must name at least one language to "
@@ -185,6 +203,18 @@ def build_corpus(
             gated, benchmark, "doc_id", n=cfg.shingle_n, portable=cfg.portable
         )
     kept = exact_dedup(gated, "doc_id")
+    if dedup_index is not None:
+        from ..operators.dedup import winnow_index_dedup
+
+        # localCheckpoint: the against-index tier consumes `kept` twice
+        # (the batch fingerprint build and the anti-join's left side);
+        # the in-batch near tier below re-checkpoints its own input
+        kept = winnow_index_dedup(
+            kept.sparkSession, dedup_index, kept.localCheckpoint(),
+            "doc_id", "text",
+            threshold=cfg.near_threshold,
+            max_fingerprint_df=cfg.near_max_df,
+        )
     if cfg.near_threshold is not None:
         # localCheckpoint: the near tier consumes `kept` twice (the
         # signature/fingerprint build and the anti-join's left side) on

@@ -477,11 +477,254 @@ def _winnow_index_lifecycle_oracle() -> str:
     """
 
 
+def _winnow_fps_ctes(k: int, w: int, src: str, prefix: str) -> str:
+    """Plain winnowed fingerprint SETS as a prefixed, reusable CTE chain
+    ending in ``{prefix}fps (doc_id, fps)`` — the wt/wg/wf steps of
+    corpus_r12._winnow_pairs_ctes with the names parameterized so TWO
+    sides (committed index, new batch) can coexist in one statement."""
+    from .corpus_ext import _NORMALIZED, _basehash_sql
+
+    gram_hash = _basehash_sql(f"substr(s, i, {k})")
+    p = prefix
+    return f"""{p}t AS (
+            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
+            WHERE text IS NOT NULL
+        ),
+        {p}g AS (
+            SELECT doc_id,
+                   CASE WHEN length(s) >= {k}
+                        THEN list_transform(
+                                 range(1, length(s) - {k} + 2),
+                                 i -> {gram_hash})
+                        ELSE CAST([] AS BIGINT[]) END AS grams
+            FROM {p}t
+        ),
+        {p}fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+                       j -> list_min(list_slice(grams, j, j + {w} - 1))
+                   )) AS fps
+            FROM {p}g WHERE len(grams) >= 1
+        )"""
+
+
+def q_corpus_build_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus build as INCREMENTAL INGESTION: a committed corpus
+    (the 1-in-5 ``doc_id % 5 == 4`` slice) persists as a positioned
+    winnow index, and the batch build runs with ``dedup_index`` pointed
+    at it — after exact dedup, batch docs that near-dup ANY committed
+    doc drop by probe inversion (committed side scan-only, never
+    re-fingerprinted) BEFORE the in-batch winnow tier spends work on
+    them. The batch input is the q_corpus_build_winnow corpus (documents
+    ∪ trailing-token variants), so every committed doc's batch twin is
+    an exact-text hit against the index (Jaccard 1.0) and the committed
+    docs' variants hit it too — the tier does 1-in-5-scale real work at
+    every SF. Full stage replay: gate -> exact dedup -> AGAINST-INDEX
+    drop (capped candidates, value-exact verify) -> winnow pairs ->
+    components -> drop non-roots -> quota -> shuffle -> pack."""
+    from ..operators import dedup
+    from .build_corpus import CorpusBuildConfig, build_corpus
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+    from .corpus_r11 import _near_docs
+    from .corpus_r12 import (
+        _ROBUST_K,
+        _ROBUST_W,
+        _WINNOW_BUILD_MAX_DF,
+        _WINNOW_BUILD_THRESHOLD,
+    )
+
+    spark = _prep(spark)
+    committed = (
+        load(spark, sf, "documents")
+        .filter((F.col("doc_id") % 5 == 4) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="corpus_incr_idx_")
+    try:
+        dedup.winnow_pos_index_write(
+            committed, tmp, k=_ROBUST_K, w=_ROBUST_W, portable=True
+        )
+        cfg = CorpusBuildConfig(
+            langs=("en",),
+            min_tokens=_MINI_MIN_TOKENS,
+            max_punct_ratio=_MINI_MAX_PUNCT,
+            near_threshold=_WINNOW_BUILD_THRESHOLD,
+            near_method="winnow",
+            winnow_k=_ROBUST_K,
+            winnow_w=_ROBUST_W,
+            near_max_df=_WINNOW_BUILD_MAX_DF,
+            quota_per_source=_MINI_QUOTA,
+            block_size=_MINI_BLOCK,
+            seed=_MINI_SEED,
+            scrub_pii=False,
+            portable=True,
+        )
+        return (
+            build_corpus(_near_docs(spark, sf), cfg=cfg, dedup_index=tmp)
+            .select(
+                "doc_id", "source", "n_tokens", "position", "seq_id",
+                "seq_offset",
+            )
+            .localCheckpoint()  # before the temp index is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _corpus_build_incremental_oracle() -> str:
+    # the _corpus_build_winnow_oracle chain with the AGAINST-INDEX stage
+    # spliced between exact dedup and the in-batch pair tier: committed
+    # fps + batch fps (the prefixed plain-winnow chains), candidates
+    # share >= 1 fingerprint below the COMBINED document-frequency cap,
+    # the verify re-intersects the FULL sets (value-exact — the
+    # winnow_dedup_against_index contract)
+    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+    from .corpus_r12 import (
+        _ROBUST_K,
+        _ROBUST_W,
+        _WINNOW_BUILD_MAX_DF,
+        _WINNOW_BUILD_THRESHOLD,
+        _winnow_pairs_ctes,
+    )
+
+    return f"""
+        WITH RECURSIVE input AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text, source
+            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+        ),
+        committed AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 = 4 AND text IS NOT NULL
+        ),
+        gated AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM input
+            WHERE text IS NOT NULL
+              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
+              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
+              AND {_LANGID_CASE} = 'en'
+        ),
+        uniq AS (
+            SELECT doc_id, source, text, n_tokens FROM (
+                SELECT doc_id, source, text, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORMALIZED})
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        {_winnow_fps_ctes(_ROBUST_K, _ROBUST_W, "committed", "c")},
+        {_winnow_fps_ctes(_ROBUST_K, _ROBUST_W, "uniq", "b")},
+        iheavy AS (
+            SELECT f FROM (
+                SELECT doc_id, unnest(fps) AS f FROM cfps
+                UNION ALL
+                SELECT doc_id, unnest(fps) AS f FROM bfps
+            ) GROUP BY f HAVING count(*) > {_WINNOW_BUILD_MAX_DF}
+        ),
+        icand AS (
+            SELECT DISTINCT b.id AS bid, c.id AS cid
+            FROM (SELECT doc_id AS id, unnest(fps) AS f FROM bfps) b
+            JOIN (SELECT doc_id AS id, unnest(fps) AS f FROM cfps) c
+              ON b.f = c.f
+            WHERE b.f NOT IN (SELECT f FROM iheavy)
+        ),
+        idx_hits AS (
+            SELECT DISTINCT bid AS doc_id FROM (
+                SELECT x.bid,
+                       CAST(len(list_intersect(bf.fps, cf.fps)) AS DOUBLE)
+                       / CAST(len(list_distinct(
+                             list_concat(bf.fps, cf.fps))) AS DOUBLE)
+                           AS jac
+                FROM icand x
+                JOIN bfps bf ON bf.doc_id = x.bid
+                JOIN cfps cf ON cf.doc_id = x.cid
+            ) WHERE jac >= {_WINNOW_BUILD_THRESHOLD}
+        ),
+        uniq2 AS (
+            SELECT doc_id, source, text, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT doc_id FROM idx_hits)
+        ),
+        {_winnow_pairs_ctes(_ROBUST_K, _ROBUST_W, _WINNOW_BUILD_THRESHOLD,
+                            _WINNOW_BUILD_MAX_DF, src="uniq2")},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM win_pairs
+            UNION
+            SELECT id_b, id_a FROM win_pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id
+        ),
+        losers AS (
+            SELECT id FROM (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            ) WHERE id <> component
+        ),
+        kept AS (
+            SELECT doc_id, source, n_tokens FROM uniq2
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+        ),
+        quota AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(
+                                        CAST(doc_id AS VARCHAR)
+                                        || '|{_MINI_SEED}'
+                                    ), 1, 15)) AS BIGINT) ASC,
+                                    doc_id ASC
+                       ) AS _rk
+                FROM kept
+            ) WHERE _rk <= {_MINI_QUOTA}
+        ),
+        pos AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM (
+                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
+                               || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS h
+                FROM quota
+            )
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tokens, position,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+            FROM pos
+        )
+        SELECT doc_id, source, n_tokens, position,
+               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
+               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_compact": q_ann_index_compact,
     "q_corpus_semantic_opq": q_corpus_semantic_opq,
     "q_gopher_repetition": q_gopher_repetition,
     "q_winnow_index_lifecycle": q_winnow_index_lifecycle,
+    "q_corpus_build_incremental": q_corpus_build_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -489,6 +732,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_corpus_semantic_opq": _corpus_semantic_opq_oracle(),
     "q_gopher_repetition": _gopher_repetition_oracle(),
     "q_winnow_index_lifecycle": _winnow_index_lifecycle_oracle(),
+    "q_corpus_build_incremental": _corpus_build_incremental_oracle(),
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()

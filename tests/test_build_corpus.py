@@ -223,3 +223,46 @@ def test_build_corpus_scrub_tier_cuts_spans_instead_of_dropping(spark):
             _docs(spark, rows),
             cfg=CorpusBuildConfig(near_threshold=0.5, near_action="shred"),
         )
+
+
+def test_build_corpus_dedup_index_tier(spark, tmp_path):
+    """dedup_index: the batch build as incremental ingestion — a batch
+    doc that near-dups a COMMITTED doc (persisted winnow index) drops
+    after exact dedup, fresh content flows through every later stage,
+    and the tier refuses a config with no verify threshold."""
+    import pytest
+
+    from bigdata_usaspending_spark.operators import dedup as dd
+    from bigdata_usaspending_spark.plans.build_corpus import (
+        CorpusBuildConfig,
+        build_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today in the morning sun")
+    committed = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "cidx")
+    dd.winnow_pos_index_write(committed, index, portable=True)
+
+    batch = spark.createDataFrame(
+        [(10, base + " again", "web"),     # near-dup of committed 1
+         (11, "entirely fresh words about trains and long rails going "
+              "far away into the night tonight", "web")],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusBuildConfig(
+        near_threshold=0.5, near_method="winnow", portable=True,
+        scrub_pii=False, min_tokens=4, block_size=16,
+    )
+    out = build_corpus(batch, cfg=cfg, dedup_index=index)
+    assert [r.doc_id for r in out.collect()] == [11]
+
+    # no threshold -> the tier cannot verify: refuse up front
+    with pytest.raises(ValueError, match="near_threshold"):
+        build_corpus(
+            batch,
+            cfg=CorpusBuildConfig(near_threshold=None, portable=True),
+            dedup_index=index,
+        )
