@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -139,17 +140,32 @@ def main() -> int:
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # cross-run drift self-labeling: compare against the PREVIOUS
-    # committed artifact so >2x movers on common queries are named in
-    # the artifact itself (with the same 1 s floor — sub-second movers
-    # are scheduler noise) instead of being rediscovered by the judge
+    # cross-run drift self-labeling: compare against the last COMMITTED
+    # artifact (git show HEAD:bench_queries.json — not whatever a prior
+    # local run left on disk, which would make a second run measure
+    # run-over-run noise instead of movement vs the committed baseline;
+    # the on-disk file is only the fallback outside a git checkout) so
+    # >2x movers on common queries are named in the artifact itself
+    # (with the same 1 s floor — sub-second movers are scheduler noise)
+    # instead of being rediscovered by the judge
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
     drift: dict = {}
+    prev_raw = None
     try:
-        with open(out_path) as fh:
-            prev = json.load(fh).get("queries", {})
+        prev_raw = subprocess.run(
+            ["git", "show", "HEAD:bench_queries.json"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=30,
+        ).stdout or None
+    except (OSError, subprocess.SubprocessError):
+        prev_raw = None
+    try:
+        if prev_raw is None:
+            with open(out_path) as fh:
+                prev_raw = fh.read()
+        prev = json.loads(prev_raw).get("queries", {})
         for name, t in ok.items():
             p = prev.get(name, -1.0)
             if p > 0 and t > max(1.0, contention_floor) and t > 2.0 * p:

@@ -324,17 +324,50 @@ def hadoop_swap_rewrite(spark: SparkSession, target: str, write_tmp, op: str) ->
     up front (no atomic rename — use a snapshot-commit table format
     there), matching the versioned-state contract above.
 
+    Entry self-heals that crash window: if ``target`` is missing but a
+    ``{target}__old_*`` leftover exists, the leftover is renamed back
+    into place before the rewrite starts — a stream that folds
+    compaction into foreachBatch (compact_every) recovers on its next
+    trigger instead of failing every subsequent batch on a missing
+    component. Orphaned ``__compact_*`` staging dirs are swept either
+    way (they are pre-swap copies, never the only copy).
+
     ``write_tmp(tmp_path)`` writes the rewritten component (the caller
     owns the plan — the swap only sequences the renames)."""
     require_atomic_rename(target, op)
     token = uuid.uuid4().hex[:8]
     tmp = f"{target}__compact_{token}"
     old = f"{target}__old_{token}"
-    write_tmp(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     t_path = jvm.org.apache.hadoop.fs.Path(target)
     fs = t_path.getFileSystem(conf)
+    parent = t_path.getParent()
+    base = t_path.getName()
+    if fs.exists(parent):
+        leftovers = [
+            st
+            for st in fs.listStatus(parent)
+            if st.getPath().getName().startswith(f"{base}__old_")
+        ]
+        if leftovers and not fs.exists(t_path):
+            # Crash landed between rename-aside and rename-in: the
+            # newest __old_* IS the live component — restore it.
+            newest = max(leftovers, key=lambda st: st.getModificationTime())
+            keep = newest.getPath()
+            if not fs.rename(keep, t_path):
+                raise IOError(
+                    f"{op}: auto-restore {keep} -> {target} failed; "
+                    f"restore it manually (hdfs dfs -mv) and re-run"
+                )
+            leftovers.remove(newest)
+        if fs.exists(t_path):
+            for st in leftovers:
+                fs.delete(st.getPath(), True)
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(f"{base}__compact_"):
+                fs.delete(st.getPath(), True)
+    write_tmp(tmp)
     if not fs.rename(t_path, jvm.org.apache.hadoop.fs.Path(old)):
         raise IOError(f"{op}: rename {target} -> {old} failed")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), t_path):

@@ -2699,7 +2699,20 @@ def _prepare_add_frame(
     persisted) plus the residual encode — and fail fast on a schema
     mismatch: appending a different column set or vector type writes a
     SECOND schema into the partitioned layout, which later probes
-    surface as null ids/codes executor-side."""
+    surface as null ids/codes executor-side. Mirrors the probe surfaces'
+    stale-rotation guard: a plain-IVF layout carrying rotation.parquet
+    is refused HERE too, so the corrupt layout fails at the write
+    surface instead of silently appending raw un-rotated vectors that
+    only blow up at probe time."""
+    if _index_has(spark, path, "rotation.parquet") and not _index_has(
+        spark, path, "codebooks.parquet"
+    ):
+        raise ValueError(
+            f"index at {path!r} has rotation.parquet but no "
+            "codebooks.parquet — a rotation is only valid on the IVF-PQ "
+            "layout; refusing to append into the corrupt layout "
+            "(rebuild the index, or delete the stale rotation.parquet)"
+        )
     local_cents = _localized_model(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )

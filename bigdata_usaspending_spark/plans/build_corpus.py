@@ -124,8 +124,11 @@ def build_corpus(
     against ANY committed doc are dropped (probe inversion — the
     committed side is only scanned, never re-fingerprinted), BEFORE the
     in-batch near tier spends work on them. Fingerprint parameters come
-    from the index's saved meta (the saved-model contract), so the
-    index must have been built with the cfg's winnow parameters;
+    from the index's saved meta (the saved-model contract), and the
+    meta is VALIDATED against the cfg's winnow parameters up front — a
+    (k, w, portable) mismatch would run the against-index tier in a
+    different fingerprint space than the in-batch near tier and produce
+    quietly inconsistent dedup decisions, so it raises instead;
     ``cfg.near_max_df`` caps the probe's candidate generation while the
     verify stays value-exact (winnow_dedup_against_index's contract)."""
     cfg = cfg or CorpusBuildConfig()
@@ -134,6 +137,20 @@ def build_corpus(
             "dedup_index needs cfg.near_threshold — it is the "
             "against-index verify threshold"
         )
+    if dedup_index is not None:
+        from ..operators.dedup import _winnow_index_meta
+
+        meta = _winnow_index_meta(docs.sparkSession, dedup_index)
+        want = (cfg.winnow_k, cfg.winnow_w, cfg.portable)
+        have = (meta["k"], meta["w"], meta["portable"])
+        if have != want:
+            raise ValueError(
+                f"dedup_index at {dedup_index!r} was built with winnow "
+                f"parameters (k, w, portable)={have} but the cfg says "
+                f"{want} — the against-index tier would run in a "
+                "different fingerprint space than the in-batch near "
+                "tier; rebuild the index or align the cfg"
+            )
     if not cfg.langs:
         raise ValueError(
             "CorpusBuildConfig.langs must name at least one language to "

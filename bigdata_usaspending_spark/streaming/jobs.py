@@ -2116,7 +2116,14 @@ def winnow_index_dedup_batch(
     prefix-rename form (winnow_index_add_batch), and the add manifest —
     checked here — advances only after both; a crash between them
     replays into identical decisions (the index is unchanged until the
-    append) and overwrites its own partition.
+    append) and overwrites its own partition. A crash INSIDE the append
+    (after a staged-file rename, before the manifest) is the sharp edge:
+    the replay's decision tiers would read the batch's own
+    partially-committed ``b{batch_id}-`` fingerprint files and every
+    such doc would self-match at Jaccard 1.0 — so the replay self-cleans
+    the batch's prefix from ``fps.parquet`` FIRST, before anything reads
+    it (the add would do the same clean, but the decisions are lazily
+    evaluated at the sink write, which runs before the add).
 
     ``evidence=True`` applies the drop-evidence contract
     (winnow_dedup_append_batch's evidence form) to the SINK rows: each
@@ -2126,7 +2133,7 @@ def winnow_index_dedup_batch(
     needs, so the append side is unchanged; decisions then derive from
     the span pair frames (equal to the value tiers' at cap=None;
     tested bit-equal to the evidence ledger over the same feed)."""
-    from ..io import hadoop_read_json
+    from ..io import hadoop_delete_prefixed, hadoop_read_json
     from ..operators import dedup as dd
     from ..operators.text import winnow_fingerprints
 
@@ -2134,6 +2141,9 @@ def winnow_index_dedup_batch(
     manifest = hadoop_read_json(spark, f"{index_path}/_ADD_MANIFEST.json")
     if manifest is not None and batch_id <= manifest["batch_id"]:
         return False
+    hadoop_delete_prefixed(
+        spark, f"{index_path}/fps.parquet", f"b{batch_id}-"
+    )
     meta = dd._winnow_index_meta(spark, index_path)
     bpf = batch_df.select(
         F.col(id_col).alias("_id"),

@@ -266,3 +266,23 @@ def test_build_corpus_dedup_index_tier(spark, tmp_path):
             cfg=CorpusBuildConfig(near_threshold=None, portable=True),
             dedup_index=index,
         )
+
+    # fingerprint-space mismatch (round-13 ADVICE): a cfg whose winnow
+    # parameters differ from the index's saved meta would run the
+    # against-index tier in a DIFFERENT fingerprint space than the
+    # in-batch near tier — refuse up front instead of quietly
+    # inconsistent dedup decisions
+    for bad in (
+        dict(winnow_k=9),
+        dict(winnow_w=5),
+        dict(portable=False),
+    ):
+        kwargs = {
+            "near_threshold": 0.5, "near_method": "winnow",
+            "portable": True, "scrub_pii": False, "min_tokens": 4,
+            **bad,
+        }
+        with pytest.raises(ValueError, match="fingerprint space"):
+            build_corpus(
+                batch, cfg=CorpusBuildConfig(**kwargs), dedup_index=index
+            )

@@ -233,3 +233,38 @@ def test_upsert_versions_compaction_cadence(spark, tmp_path):
     }
     assert latest == {"a": 5.0, "b": 3.0, "c": 4.0}
     assert spark.read.parquet(path).count() == 3
+
+
+def test_hadoop_swap_rewrite_auto_restores_crash_leftover(spark, tmp_path):
+    """A crash between hadoop_swap_rewrite's two renames leaves the live
+    component missing with the full old copy at {target}__old_*; the
+    next entry must rename the leftover BACK before rewriting (round-13
+    ADVICE) — otherwise a stream folding compaction into foreachBatch
+    fails on every subsequent batch with a missing-component read error
+    and recovery is a manual hdfs -mv."""
+    target = str(tmp_path / "comp.parquet")
+    spark.range(10).write.parquet(target)
+
+    # simulate the crash window: live renamed aside, replacement never
+    # renamed in; plus an orphaned pre-swap staging copy
+    os.rename(target, f"{target}__old_deadbeef")
+    spark.range(3).write.parquet(f"{target}__compact_feedface")
+    assert not os.path.exists(target)
+
+    def write_tmp(tmp: str) -> None:
+        spark.read.parquet(target).write.parquet(tmp)
+
+    io.hadoop_swap_rewrite(spark, target, write_tmp, "test_op")
+    assert spark.read.parquet(target).count() == 10
+    leftovers = [
+        n for n in os.listdir(str(tmp_path))
+        if "__old_" in n or "__compact_" in n
+    ]
+    assert leftovers == [], leftovers
+
+    # completed-swap stale leftovers (crash after rename-in, before the
+    # delete) are swept without touching the live component
+    spark.range(5).write.parquet(f"{target}__old_cafe0000")
+    io.hadoop_swap_rewrite(spark, target, write_tmp, "test_op")
+    assert spark.read.parquet(target).count() == 10
+    assert not os.path.exists(f"{target}__old_cafe0000")

@@ -1300,6 +1300,17 @@ def test_stale_rotation_on_plain_ivf_raises_both_surfaces(
         similarity.ivf_index_topk(spark, path, qvec, k=3)
     with pytest.raises(ValueError, match="rotation"):
         similarity.ann_index_search_many(spark, path, [(1, qvec)], k=3)
+    # …and the WRITE surfaces refuse the same layout (round-13 ADVICE):
+    # without the guard, ivf_index_add / ann_index_add_batch silently
+    # append raw un-rotated vectors and the failure only surfaces at
+    # probe time
+    fresh = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="rotation"):
+        similarity.ivf_index_add(spark, path, fresh)
+    with pytest.raises(ValueError, match="rotation"):
+        similarity.ann_index_add_batch(spark, path, fresh, 0)
+    n_before = spark.read.parquet(f"{path}/vectors.parquet").count()
+    assert n_before == data.count(), "refused adds must not append rows"
 
 
 def test_adc_prune_nan_lower_bound_is_unprunable():

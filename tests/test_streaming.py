@@ -2147,3 +2147,100 @@ def test_stream_winnow_index_dedup_evidence_matches_ledger(spark, tmp_path):
     # DROPPED streamed doc 11 (its fingerprints were appended)
     assert not got[21][0]
     assert 11 in {e[0] for e in got[21][1]}
+
+
+def test_winnow_index_dedup_batch_crash_replay_decisions(spark, tmp_path):
+    """Replay after a crash INSIDE the index append must make the SAME
+    decisions as a clean run (round-13 ADVICE, high): the crashed
+    attempt left the batch's own partially-committed ``b{batch_id}-``
+    fingerprint files inside fps.parquet, and the decision tiers have no
+    same-id exclusion — without the pre-read self-clean every batch doc
+    self-matches at Jaccard 1.0 and the whole batch is silently marked
+    dropped in the sink."""
+    import os
+    import shutil
+
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    A = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    initial = spark.createDataFrame(
+        [(1, A)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(11, A + " by the wide river today"),   # near-dup of committed 1
+         (12, "completely fresh content with no overlap whatsoever in "
+              "this sentence about mountain weather patterns")],
+        "doc_id long, text string",
+    )
+
+    # clean run → the reference decisions
+    clean_idx = str(tmp_path / "widx_clean")
+    dd.winnow_pos_index_write(initial, clean_idx, portable=True)
+    clean_sink = str(tmp_path / "flags_clean")
+    assert jobs.winnow_index_dedup_batch(
+        batch, clean_idx, clean_sink, 0, threshold=0.5
+    )
+    want = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(clean_sink)
+        .select("doc_id", "survivor")
+        .collect()
+    }
+    assert (12, True) in want, "sanity: the fresh doc survives cleanly"
+
+    # crashed run: plant the batch's OWN fingerprints as a partial
+    # b0- prefixed file inside fps.parquet (what a crash between the
+    # first staged rename and the manifest write leaves behind)
+    idx = str(tmp_path / "widx_crash")
+    dd.winnow_pos_index_write(initial, idx, portable=True)
+    partial_dir = str(tmp_path / "partial")
+    dd.winnow_pos_index(batch, "doc_id", "text", portable=True).coalesce(
+        1
+    ).write.parquet(partial_dir)
+    donor = next(
+        f for f in os.listdir(partial_dir) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(partial_dir, donor),
+        os.path.join(idx, "fps.parquet", "b0-crashed.parquet"),
+    )
+
+    sink = str(tmp_path / "flags_crash")
+    assert jobs.winnow_index_dedup_batch(batch, idx, sink, 0, threshold=0.5)
+    got = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink)
+        .select("doc_id", "survivor")
+        .collect()
+    }
+    assert got == want, (
+        "crash replay must self-clean the partial prefix before the "
+        "decision tiers read the index"
+    )
+    # the leftover is gone and the committed index matches the clean one
+    files = os.listdir(os.path.join(idx, "fps.parquet"))
+    assert not any(f == "b0-crashed.parquet" for f in files)
+    assert (
+        dd.winnow_index_stats(spark, idx)["docs"]
+        == dd.winnow_index_stats(spark, clean_idx)["docs"]
+    )
+
+    # same contract on the evidence form (it reads fps.parquet through
+    # a different path — _winnow_evidence_per_doc)
+    idx2 = str(tmp_path / "widx_crash_ev")
+    dd.winnow_pos_index_write(initial, idx2, portable=True)
+    shutil.copy(
+        os.path.join(partial_dir, donor),
+        os.path.join(idx2, "fps.parquet", "b0-crashed.parquet"),
+    )
+    sink2 = str(tmp_path / "flags_crash_ev")
+    assert jobs.winnow_index_dedup_batch(
+        batch, idx2, sink2, 0, threshold=0.5, evidence=True
+    )
+    got_ev = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink2)
+        .select("doc_id", "survivor")
+        .collect()
+    }
+    assert got_ev == want
