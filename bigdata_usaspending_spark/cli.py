@@ -142,13 +142,15 @@ def _parser() -> argparse.ArgumentParser:
 
     ai = sub.add_parser(
         "ann-index",
-        help="build / incrementally add to / search a persisted ANN index "
-        "(IVF or IVF-PQ vector index; operators/similarity)",
+        help="build / incrementally add to / search / remove from a "
+        "persisted ANN index (IVF or IVF-PQ vector index; "
+        "operators/similarity)",
     )
     ai.add_argument(
         "action",
         choices=[
             "build", "add", "search", "compact", "stats", "stream-add",
+            "remove",
         ],
     )
     ai.add_argument("--index", required=True, help="index root directory")
@@ -232,16 +234,59 @@ def _parser() -> argparse.ArgumentParser:
         help="stream-add: compact the index after every Nth applied "
         "batch (bounds steady-state fragmentation)",
     )
+    ai.add_argument(
+        "--ids", default=None,
+        help="remove: comma-separated id values to tombstone (typed via "
+        "the index's id column type)",
+    )
+    ai.add_argument(
+        "--ids-parquet", default=None,
+        help="remove: parquet of ids to tombstone (carries --id-col; "
+        "the scale path)",
+    )
 
     wi = sub.add_parser(
         "winnow-index",
         help="persisted positioned rolling-hash near-dup index: build / "
-        "add / spans / scrub / dedup (the ann-index lifecycle applied "
-        "to text overlap)",
+        "add / spans / scrub / dedup / remove / stream-dedup (the "
+        "ann-index lifecycle applied to text overlap)",
     )
     wi.add_argument(
         "action",
-        choices=["build", "add", "spans", "scrub", "dedup", "compact", "stats"],
+        choices=[
+            "build", "add", "spans", "scrub", "dedup", "compact", "stats",
+            "remove", "stream-dedup",
+        ],
+    )
+    wi.add_argument(
+        "--sink", default=None,
+        help="stream-dedup: survivor-flag sink root (batch_id-keyed "
+        "partitions)",
+    )
+    wi.add_argument(
+        "--checkpoint", default=None,
+        help="stream-dedup: streaming checkpoint location (REQUIRED "
+        "once the add manifest exists)",
+    )
+    wi.add_argument(
+        "--compact-every", type=int, default=None,
+        help="stream-dedup: compact the index after every Nth applied "
+        "batch (bounds steady-state fragmentation)",
+    )
+    wi.add_argument(
+        "--evidence", action="store_true",
+        help="stream-dedup: dropped sink rows carry the positioned "
+        "drop-evidence structs",
+    )
+    wi.add_argument(
+        "--ids", default=None,
+        help="remove: comma-separated doc ids to tombstone (typed via "
+        "the index meta's id type)",
+    )
+    wi.add_argument(
+        "--ids-parquet", default=None,
+        help="remove: parquet of doc ids to tombstone (carries --id-col; "
+        "the scale path)",
     )
     wi.add_argument("--index", required=True, help="index root directory")
     wi.add_argument(
@@ -281,6 +326,25 @@ def _parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--output", default=None, help="write result parquet here")
     return p
+
+
+def _cli_remove_ids(spark, args, id_type: str):
+    """Shared head of the two index ``remove`` verbs: resolve the
+    tombstone ids from exactly one of --ids (comma-separated literals,
+    coerced to the index's saved id type) or --ids-parquet (a frame
+    carrying --id-col — the scale path)."""
+    if bool(args.ids) == bool(args.ids_parquet):
+        raise SystemExit(
+            f"{args.job} remove needs exactly one of --ids / --ids-parquet"
+        )
+    if args.ids_parquet:
+        return spark.read.parquet(args.ids_parquet)
+    vals = [v.strip() for v in args.ids.split(",") if v.strip()]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        return [int(v) for v in vals]
+    if id_type in ("float", "double"):
+        return [float(v) for v in vals]
+    return vals
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -453,20 +517,36 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint=args.checkpoint,
                 compact_every=args.compact_every,
             ).stop()
-            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            n = similarity._read_index_vectors(spark, args.index).count()
             print(f"index now holds {n} vectors ({args.index})")
             return 0
         if args.action == "compact":
             stats = similarity.ann_index_compact(spark, args.index)
             print(
                 f"compacted {args.index}: {stats['files_before']} -> "
-                f"{stats['files_after']} files ({stats['rows']} vectors)"
+                f"{stats['files_after']} files ({stats['rows']} vectors, "
+                f"{stats['removed_rows']} tombstoned rows dropped)"
             )
             return 0
         if args.action == "stats":
             import json as _json
 
             print(_json.dumps(similarity.ann_index_stats(spark, args.index)))
+            return 0
+        if args.action == "remove":
+            ids = _cli_remove_ids(
+                spark, args,
+                spark.read.parquet(f"{args.index}/vectors.parquet")
+                .schema[args.id_col].dataType.simpleString(),
+            )
+            rep = similarity.ann_index_remove(
+                spark, args.index, ids, id_col=args.id_col
+            )
+            print(
+                f"tombstoned {rep['matched_live']} of {rep['requested']} "
+                f"requested ids ({rep['tombstoned_total']} pending — "
+                f"compact to drop physically)"
+            )
             return 0
         if args.action == "build":
             df = spark.read.parquet(args.vectors)
@@ -564,7 +644,7 @@ def main(argv: list[str] | None = None) -> int:
                 similarity._delete_index_component(
                     spark, args.index, "rotation.parquet"
                 )
-            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            n = similarity._read_index_vectors(spark, args.index).count()
             kind = "OPQ-IVF-PQ" if args.opq else (
                 "IVF-PQ" if args.pq else "IVF"
             )
@@ -580,8 +660,8 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.index, df, args.batch_id,
                     id_col=args.id_col, vec_col=args.vec_col,
                 )
-                n = spark.read.parquet(
-                    f"{args.index}/vectors.parquet"
+                n = similarity._read_index_vectors(
+                    spark, args.index
                 ).count()
                 verb = "applied" if applied else "skipped (replay)"
                 print(
@@ -599,7 +679,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.index, df,
                     id_col=args.id_col, vec_col=args.vec_col,
                 )
-            n = spark.read.parquet(f"{args.index}/vectors.parquet").count()
+            n = similarity._read_index_vectors(spark, args.index).count()
             print(f"index now holds {n} vectors ({args.index})")
             return 0
         # search
@@ -660,6 +740,45 @@ def main(argv: list[str] | None = None) -> int:
 
             print(_json.dumps(dd.winnow_index_stats(spark, args.index)))
             return 0
+        if args.action == "remove":
+            meta = dd._winnow_index_meta(spark, args.index)
+            ids = _cli_remove_ids(spark, args, meta["id_type"])
+            rep = dd.winnow_index_remove(
+                spark, args.index, ids, id_col=args.id_col
+            )
+            print(
+                f"tombstoned {rep['matched_live']} of {rep['requested']} "
+                f"requested ids ({rep['tombstoned_total']} pending — "
+                f"compact to drop physically)"
+            )
+            return 0
+        if args.action == "stream-dedup":
+            from .streaming import jobs as stream_jobs
+
+            if not args.documents or not args.sink:
+                raise SystemExit(
+                    "winnow-index stream-dedup needs --documents (the "
+                    "streamed landing directory) and --sink"
+                )
+            schema = spark.read.parquet(args.documents).schema
+            stream_jobs.stream_winnow_index_dedup(
+                spark.readStream.schema(schema).parquet(args.documents),
+                args.index, args.sink,
+                threshold=args.threshold,
+                max_fingerprint_df=args.max_df,
+                id_col=args.id_col, text_col=args.text_col,
+                checkpoint=args.checkpoint,
+                compact_every=args.compact_every,
+                evidence=args.evidence,
+            ).stop()
+            rep = dd.winnow_index_stats(spark, args.index)
+            n_flags = spark.read.parquet(args.sink).count()
+            print(
+                f"streamed dedup: index holds {rep['docs']} docs in "
+                f"{rep['data_files']} files; {n_flags} survivor flags "
+                f"({args.sink})"
+            )
+            return 0
         if not args.documents:
             raise SystemExit(f"winnow-index {args.action} needs --documents")
         df = spark.read.parquet(args.documents)
@@ -668,7 +787,7 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.index, id_col=args.id_col, text_col=args.text_col,
                 k=args.k, w=args.w, portable=args.portable,
             )
-            n = spark.read.parquet(f"{args.index}/fps.parquet").count()
+            n = dd._read_index_fps(spark, args.index).count()
             print(
                 f"built winnow index over {n} fingerprinted docs "
                 f"({args.index})"
@@ -679,7 +798,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, df,
                 id_col=args.id_col, text_col=args.text_col,
             )
-            n = spark.read.parquet(f"{args.index}/fps.parquet").count()
+            n = dd._read_index_fps(spark, args.index).count()
             print(f"index now holds {n} fingerprinted docs ({args.index})")
             return 0
         fn = {

@@ -979,6 +979,10 @@ def winnow_pos_index_write(
         "id_type": dict(df.dtypes)[id_col],
     }
     _winnow_meta_write(df.sparkSession, path, meta)
+    # a rebuild over a former index directory must not inherit its
+    # pending deletes (a stale tombstone set would silently hide any
+    # rebuilt doc sharing a removed id)
+    _winnow_delete_component(df.sparkSession, path, _WINNOW_TOMBSTONES)
 
 
 def _winnow_meta_path(spark, path: str):
@@ -1042,6 +1046,7 @@ def winnow_pos_index_add(
             f"batch id column {id_col!r} has type {id_type} but the "
             f"index was built with {meta['id_type']}; cast the batch ids"
         )
+    _winnow_refuse_tombstoned(spark, path, df, id_col)
     pfps = winnow_pos_index(
         df, id_col, text_col,
         k=meta["k"], w=meta["w"], portable=meta["portable"],
@@ -1075,10 +1080,15 @@ def winnow_index_compact(
     target = f"{path}/fps.parquet"
     files_before, n_bytes = hadoop_data_file_stats(spark, target)
     n_files = max(1, -(-n_bytes // max(1, int(target_file_bytes))))
-    n_rows = spark.read.parquet(target).count()
+    # compaction doubles as the PHYSICAL delete for tombstoned docs
+    # (winnow_index_remove): the rewrite reads the LIVE set, removed
+    # rows leave the disk here, and the tombstone file clears after the
+    # swap
+    n_physical = spark.read.parquet(target).count()
+    n_rows = _read_index_fps(spark, path).count()
 
     def write_tmp(tmp: str) -> None:
-        spark.read.parquet(target).repartition(n_files).write.parquet(tmp)
+        _read_index_fps(spark, path).repartition(n_files).write.parquet(tmp)
         staged = spark.read.parquet(tmp).count()
         if staged != n_rows:
             raise IOError(
@@ -1088,11 +1098,13 @@ def winnow_index_compact(
             )
 
     hadoop_swap_rewrite(spark, target, write_tmp, "winnow_index_compact")
+    _winnow_delete_component(spark, path, _WINNOW_TOMBSTONES)
     files_after, _ = hadoop_data_file_stats(spark, target)
     return {
         "files_before": files_before,
         "files_after": files_after,
         "rows": n_rows,
+        "removed_rows": n_physical - n_rows,
     }
 
 
@@ -1139,6 +1151,7 @@ def winnow_index_add_batch(
             f"batch id column {id_col!r} has type {id_type} but the "
             f"index was built with {meta['id_type']}; cast the batch ids"
         )
+    _winnow_refuse_tombstoned(spark, path, batch_df, id_col)
     prefix = f"b{batch_id}-"
     target = f"{path}/fps.parquet"
     hadoop_delete_prefixed(spark, target, prefix)
@@ -1159,9 +1172,123 @@ def winnow_index_add_batch(
     return True
 
 
+_WINNOW_TOMBSTONES = "tombstones.parquet"
+
+
+def _winnow_index_has(spark, path: str, name: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _winnow_delete_component(spark, path: str, name: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _read_index_fps(spark, path: str) -> DataFrame:
+    """The LIVE fingerprint set of a persisted positioned winnow index:
+    ``fps.parquet`` minus any tombstoned doc ids (winnow_index_remove).
+    Every probe surface (spans/scrub/dedup, the streaming dedup job, the
+    stats verb) reads through here, so a removed doc stops matching —
+    and stops SUPPRESSING near-dups — immediately, before the physical
+    delete that the next winnow_index_compact performs. No tombstones →
+    the plain scan, zero overhead."""
+    fps = spark.read.parquet(f"{path}/fps.parquet")
+    if not _winnow_index_has(spark, path, _WINNOW_TOMBSTONES):
+        return fps
+    tomb = (
+        spark.read.parquet(f"{path}/{_WINNOW_TOMBSTONES}")
+        .select("_id")
+        .distinct()
+    )
+    return fps.join(tomb, on="_id", how="left_anti")
+
+
+def _winnow_refuse_tombstoned(spark, path: str, df: DataFrame, id_col: str) -> None:
+    """Shared add-surface guard: a tombstoned doc id cannot be re-added
+    until compaction physically drops it — the live-read anti-join would
+    suppress the NEW row too, silently losing the re-add."""
+    if not _winnow_index_has(spark, path, _WINNOW_TOMBSTONES):
+        return
+    tomb = (
+        spark.read.parquet(f"{path}/{_WINNOW_TOMBSTONES}")
+        .select("_id")
+        .distinct()
+    )
+    n_hit = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(tomb, on="_id", how="semi")
+        .count()
+    )
+    if n_hit:
+        raise ValueError(
+            f"{n_hit} id(s) in the batch are tombstoned in the index at "
+            f"{path!r} — run winnow_index_compact first (it physically "
+            "drops removed rows and clears the tombstone set), then "
+            "re-add"
+        )
+
+
+def winnow_index_remove(spark, path: str, ids, id_col: "str | None" = None) -> dict:
+    """Remove documents from a persisted positioned winnow index — the
+    text-side twin of similarity.ann_index_remove (the takedown leg):
+    logical O(removed) tombstone append now, physical delete folded into
+    the next winnow_index_compact. A removed doc immediately stops
+    matching in every probe AND stops suppressing near-dups in the
+    incremental dedup tiers — exactly what honoring a takedown requires
+    (its content is no longer in the corpus, so it must not veto a
+    re-crawl). Idempotent: duplicate tombstones are ignored by the
+    distinct anti-join. Until the next compact a tombstoned id cannot be
+    re-added (the add surfaces refuse — the anti-join would suppress the
+    new row too).
+
+    ``ids``: a DataFrame carrying the index's id column (``id_col``
+    defaults to the saved meta's), or a plain iterable of id values.
+
+    Returns ``{"requested", "matched_live", "tombstoned_total"}``."""
+    meta = _winnow_index_meta(spark, path)
+    id_col = id_col or meta.get("id_col", "doc_id")
+    if isinstance(ids, DataFrame):
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"winnow_index_remove: ids frame has no {id_col!r} column"
+            )
+        got = dict(ids.dtypes)[id_col]
+        if got != meta["id_type"]:
+            raise ValueError(
+                f"winnow_index_remove: ids column {id_col!r} has type "
+                f"{got} but the index stores {meta['id_type']}; cast"
+            )
+        ids_df = ids.select(F.col(id_col).alias("_id"))
+        requested = ids_df.count()
+    else:
+        rows = [(i,) for i in ids]
+        requested = len(rows)
+        ids_df = spark.createDataFrame(rows, f"_id {meta['id_type']}")
+    matched_live = (
+        _read_index_fps(spark, path)
+        .join(ids_df.distinct(), on="_id", how="semi")
+        .count()
+    )
+    tomb_path = f"{path}/{_WINNOW_TOMBSTONES}"
+    ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
+    total = spark.read.parquet(tomb_path).distinct().count()
+    return {
+        "requested": int(requested),
+        "matched_live": int(matched_live),
+        "tombstoned_total": int(total),
+    }
+
+
 def winnow_index_stats(spark, path: str) -> dict:
     """Layout report for a persisted positioned winnow index — the
-    ann_index_stats twin: meta parameters, fingerprinted docs, data
+    ann_index_stats twin: meta parameters, fingerprinted docs (LIVE —
+    tombstoned ids excluded, what probes see), pending tombstones, data
     files/bytes (the fragmentation signal that schedules
     winnow_index_compact)."""
     from ..io import hadoop_data_file_stats
@@ -1169,10 +1296,18 @@ def winnow_index_stats(spark, path: str) -> dict:
     meta = _winnow_index_meta(spark, path)
     target = f"{path}/fps.parquet"
     n_files, n_bytes = hadoop_data_file_stats(spark, target)
+    n_tomb = (
+        spark.read.parquet(f"{path}/{_WINNOW_TOMBSTONES}")
+        .distinct()
+        .count()
+        if _winnow_index_has(spark, path, _WINNOW_TOMBSTONES)
+        else 0
+    )
     return {
         "k": meta["k"], "w": meta["w"], "portable": meta["portable"],
         "id_type": meta["id_type"],
-        "docs": spark.read.parquet(target).count(),
+        "docs": _read_index_fps(spark, path).count(),
+        "tombstones": n_tomb,
         "data_files": n_files,
         "data_bytes": n_bytes,
     }
@@ -1192,7 +1327,7 @@ def winnow_index_spans(
     layout, fingerprint parameters loaded from the index meta). The
     index parquet is scan-only; the batch broadcasts."""
     meta = _winnow_index_meta(spark, path)
-    index = spark.read.parquet(f"{path}/fps.parquet")
+    index = _read_index_fps(spark, path)
     return winnow_spans_against_index(
         batch, index, id_col, text_col,
         k=meta["k"], w=meta["w"], threshold=threshold,
@@ -1212,7 +1347,7 @@ def winnow_index_scrub(
     """Passage-level decontamination against a persisted positioned
     winnow index (winnow_scrub_against_index over the saved layout)."""
     meta = _winnow_index_meta(spark, path)
-    index = spark.read.parquet(f"{path}/fps.parquet")
+    index = _read_index_fps(spark, path)
     return winnow_scrub_against_index(
         batch, index, id_col, text_col,
         k=meta["k"], w=meta["w"], threshold=threshold,
@@ -1235,7 +1370,7 @@ def winnow_index_dedup(
     (winnow_dedup_against_index) runs over the same index the span
     tiers probe — one persisted artifact serves all three actions."""
     meta = _winnow_index_meta(spark, path)
-    index = spark.read.parquet(f"{path}/fps.parquet").select(
+    index = _read_index_fps(spark, path).select(
         "_id", _pos_vals("pfps").alias("fps")
     )
     return winnow_dedup_against_index(

@@ -546,6 +546,11 @@ def ivf_index_write(
         .partitionBy("cell")
         .parquet(f"{path}/vectors.parquet")
     )
+    # a rebuild over a former index directory must not inherit its
+    # pending deletes: a stale tombstone set would silently hide any
+    # rebuilt vector sharing a removed id (the stale-rotation hazard's
+    # twin on the delete path)
+    _delete_index_component(df.sparkSession, path, _TOMBSTONES)
 
 
 def ivf_index_add(
@@ -620,9 +625,7 @@ def ivf_index_topk(
             "a driver-side cell ranking needs bounded model state"
         )
     cells = _ivf_probe_cells(cent_rows, qvec, nprobe)
-    cand = spark.read.parquet(f"{path}/vectors.parquet").filter(
-        F.col("cell").isin(cells)
-    )
+    cand = _read_index_vectors(spark, path).filter(F.col("cell").isin(cells))
     return brute_force_topk(cand, qvec, id_col=id_col, vec_col=vec_col, k=k)
 
 
@@ -2411,7 +2414,7 @@ def semantic_dedup_against_index(
     a = assigned.select(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec"), "cell"
     )
-    idx = spark.read.parquet(f"{path}/vectors.parquet").filter(
+    idx = _read_index_vectors(spark, path).filter(
         F.col("cell").isin(batch_cells)
     )
     index_hits = (
@@ -2568,6 +2571,99 @@ def _delete_index_component(spark, path: str, name: str) -> None:
         fs.delete(hpath, True)
 
 
+_TOMBSTONES = "tombstones.parquet"
+
+
+def _read_index_vectors(spark, path: str) -> DataFrame:
+    """The LIVE vector set of a persisted index: ``vectors.parquet``
+    minus any tombstoned ids (``ann_index_remove``). Every probe/stat
+    surface reads through here so a removed vector disappears from
+    results immediately, before the physical delete that the next
+    ``ann_index_compact`` performs. When no tombstones exist this is the
+    plain scan — zero overhead on the steady-state path; with tombstones
+    the anti-join is AQE-sized (the set is bounded by the compaction
+    cadence, so it plans as a broadcast in practice) and Catalyst still
+    pushes the callers' ``cell IN (...)`` partition predicate below the
+    join to the scan."""
+    vec = spark.read.parquet(f"{path}/vectors.parquet")
+    if not _index_has(spark, path, _TOMBSTONES):
+        return vec
+    tomb = spark.read.parquet(f"{path}/{_TOMBSTONES}")
+    tcol = tomb.columns[0]
+    return vec.join(tomb.select(tcol).distinct(), on=tcol, how="left_anti")
+
+
+def ann_index_remove(spark, path: str, ids, id_col: str = "vec_id") -> dict:
+    """Remove vectors from a persisted IVF / IVF-PQ index — the faiss
+    ``remove_ids`` analog, the takedown leg a training-data pipeline
+    must honor. Deletion is LOGICAL and O(removed ids): the ids append
+    to ``{path}/tombstones.parquet`` and every probe surface anti-joins
+    them out (``_read_index_vectors``); the next ``ann_index_compact``
+    physically drops the rows and clears the tombstone set — the
+    merge-on-read delete-vector pattern (Iceberg/Delta deletion vectors)
+    without a table format. Idempotent by construction: re-removing an
+    id appends a duplicate tombstone that the distinct anti-join
+    ignores, so replays are harmless.
+
+    ``ids``: a DataFrame carrying ``id_col`` (the scale path) or a
+    plain iterable of id values. The id column must exist in the vector
+    layout with the same type (loud mismatch — a silently
+    never-matching tombstone would be a takedown that didn't happen).
+
+    Until the next compact, a tombstoned id CANNOT be re-added (the add
+    surfaces refuse it): the anti-join would suppress the new row too,
+    silently losing the re-add. Compact first, then add.
+
+    Returns ``{"requested", "matched_live", "tombstoned_total"}`` —
+    ``matched_live`` is the exact witness count of ids that were
+    actually present (and visible) in the index at remove time."""
+    vec_schema = spark.read.parquet(f"{path}/vectors.parquet").schema
+    if id_col not in vec_schema.names:
+        raise ValueError(
+            f"ann_index_remove: id column {id_col!r} is not in the "
+            f"index's vector layout {vec_schema.names}; pass the id_col "
+            "the index was built with"
+        )
+    id_type = vec_schema[id_col].dataType.simpleString()
+    if isinstance(ids, DataFrame):
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"ann_index_remove: ids frame has no {id_col!r} column"
+            )
+        got = dict(ids.dtypes)[id_col]
+        if got != id_type:
+            raise ValueError(
+                f"ann_index_remove: ids column {id_col!r} has type "
+                f"{got} but the index stores {id_type}; cast the ids"
+            )
+        ids_df = ids.select(id_col)
+        requested = ids_df.count()
+    else:
+        rows = [(i,) for i in ids]
+        requested = len(rows)
+        ids_df = spark.createDataFrame(rows, f"{id_col} {id_type}")
+    tomb_path = f"{path}/{_TOMBSTONES}"
+    if _index_has(spark, path, _TOMBSTONES):
+        existing_col = spark.read.parquet(tomb_path).columns[0]
+        if existing_col != id_col:
+            raise ValueError(
+                f"ann_index_remove: existing tombstones use id column "
+                f"{existing_col!r}, not {id_col!r}"
+            )
+    matched_live = (
+        _read_index_vectors(spark, path)
+        .join(ids_df.distinct(), on=id_col, how="semi")
+        .count()
+    )
+    ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
+    total = spark.read.parquet(tomb_path).distinct().count()
+    return {
+        "requested": int(requested),
+        "matched_live": int(matched_live),
+        "tombstoned_total": int(total),
+    }
+
+
 def _read_index_rotation(spark, path: str, max_dim: int = 8192):
     """Load a persisted OPQ rotation if the index has one (None
     otherwise) — the probe/add-side half of the faiss IndexPreTransform
@@ -2654,6 +2750,9 @@ def _ivf_pq_index_write_encoded(
     # a leftover matrix over an un-rotated layout means silently wrong
     # neighbors (callers that DO pass a rotation re-write it after this)
     _delete_index_component(encoded.sparkSession, path, "rotation.parquet")
+    # …nor a stale tombstone set (it would silently hide rebuilt
+    # vectors that share a removed id)
+    _delete_index_component(encoded.sparkSession, path, _TOMBSTONES)
 
 
 def ivf_pq_index_add(
@@ -2713,6 +2812,24 @@ def _prepare_add_frame(
             "layout; refusing to append into the corrupt layout "
             "(rebuild the index, or delete the stale rotation.parquet)"
         )
+    if _index_has(spark, path, _TOMBSTONES):
+        # a tombstoned id cannot be re-added until compaction physically
+        # drops it: the probe-side anti-join would suppress the NEW row
+        # too, silently losing the re-add (ann_index_remove's contract)
+        tomb = spark.read.parquet(f"{path}/{_TOMBSTONES}")
+        tcol = tomb.columns[0]
+        n_hit = (
+            df.select(F.col(id_col).alias(tcol))
+            .join(tomb.select(tcol).distinct(), on=tcol, how="semi")
+            .count()
+        )
+        if n_hit:
+            raise ValueError(
+                f"{n_hit} id(s) in the batch are tombstoned in the index "
+                f"at {path!r} — run ann_index_compact first (it "
+                "physically drops removed rows and clears the tombstone "
+                "set), then re-add"
+            )
     local_cents = _localized_model(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
@@ -2851,11 +2968,16 @@ def ann_index_compact(spark, path: str) -> dict:
     require_atomic_rename(path, "ann_index_compact")
     target = f"{path}/vectors.parquet"
     files_before, _ = hadoop_data_file_stats(spark, target)
-    n_rows = spark.read.parquet(target).count()
+    # compaction is also the PHYSICAL delete for tombstoned ids
+    # (ann_index_remove): the rewrite reads the LIVE set (anti-joined),
+    # so removed rows vanish from disk here and the tombstone file
+    # clears after the swap — the merge-on-read delete's merge step
+    n_physical = spark.read.parquet(target).count()
+    n_rows = _read_index_vectors(spark, path).count()
 
     def write_tmp(tmp: str) -> None:
         (
-            spark.read.parquet(target)
+            _read_index_vectors(spark, path)
             .repartition("cell")
             .write.partitionBy("cell")
             .parquet(tmp)
@@ -2869,11 +2991,13 @@ def ann_index_compact(spark, path: str) -> dict:
             )
 
     hadoop_swap_rewrite(spark, target, write_tmp, "ann_index_compact")
+    _delete_index_component(spark, path, _TOMBSTONES)
     files_after, _ = hadoop_data_file_stats(spark, target)
     return {
         "files_before": files_before,
         "files_after": files_after,
         "rows": n_rows,
+        "removed_rows": n_physical - n_rows,
     }
 
 
@@ -2883,14 +3007,22 @@ def ann_index_stats(spark, path: str) -> dict:
     per populated cell directory — the fragmentation signal an operator
     reads to schedule ``ann_index_compact`` (a freshly built or
     compacted index sits at ~1 file per cell; every ``*_index_add``
-    raises the ratio by one). All reads are metadata/model-bounded
-    except the two counts (parquet count() is rowgroup-stats only)."""
+    raises the ratio by one). ``vectors`` is the LIVE count (tombstoned
+    ids excluded — what probes see); ``tombstones`` is the pending
+    logical-delete backlog the next compact will physically drop. All
+    reads are metadata/model-bounded except the counts (parquet count()
+    is rowgroup-stats only)."""
     from ..io import hadoop_data_file_stats
 
     vectors = f"{path}/vectors.parquet"
-    vec = spark.read.parquet(vectors)
+    vec = _read_index_vectors(spark, path)
     n_files, n_bytes = hadoop_data_file_stats(spark, vectors)
     n_cell_dirs = vec.select("cell").distinct().count()
+    n_tomb = (
+        spark.read.parquet(f"{path}/{_TOMBSTONES}").distinct().count()
+        if _index_has(spark, path, _TOMBSTONES)
+        else 0
+    )
     return {
         "layout": (
             "ivf-pq" if _index_has(spark, path, "codebooks.parquet")
@@ -2900,6 +3032,7 @@ def ann_index_stats(spark, path: str) -> dict:
         "cells": spark.read.parquet(f"{path}/centroids.parquet").count(),
         "populated_cells": n_cell_dirs,
         "vectors": vec.count(),
+        "tombstones": n_tomb,
         "data_files": n_files,
         "data_bytes": n_bytes,
         "files_per_populated_cell": round(
@@ -2990,7 +3123,7 @@ def ivf_pq_index_topk(
         cent_rows, cb_rows, qvec,
         len(cent_rows) if adaptive_nprobe else nprobe, dsub,
     )
-    vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    vectors = _read_index_vectors(spark, path)
     short_ids = None
     if adaptive_nprobe:
         cell_tables, short_ids = _adaptive_pruned_tables(
@@ -3085,7 +3218,7 @@ def ann_index_search_many(
     cent_raw = _read_bounded_rows(
         spark, f"{path}/centroids.parquet", "cell", max_cells
     )
-    vectors = spark.read.parquet(f"{path}/vectors.parquet")
+    vectors = _read_index_vectors(spark, path)
     rotation = _read_index_rotation(spark, path)
     if rotation is not None and not is_pq:
         # a rotation can only legitimately exist on an IVF-PQ layout

@@ -13,42 +13,36 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-13 window — steady-state rotation (VERDICT r12 #1).
+    # Round-14 window — steady-state rotation (VERDICT r13 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (the persisted-index compaction lifecycle audit and the
-    # OPQ-rotated capstone composition):
-    "q_ann_index_compact", "q_corpus_semantic_opq",
-    "q_gopher_repetition", "q_winnow_index_lifecycle",
-    "q_corpus_build_incremental",
-    # (b) operator path changed THIS round: pq_train_driver's collect is
-    # now limit(cap+1)-bounded and q_ann_pq_topk threads
-    # _bounded_train_frame (the r12 weak mark); the static and adaptive
-    # ADC pruners gained the NaN-lower-bound-unprunable arm
-    # (q_ann_ivf_pq_pruned shares that changed path but yields its slot
-    # to the fifth round-13 addition — fresh r12 green, both pruners'
-    # NaN arms unit-tested, the adaptive row still re-measures the
-    # shared kernel):
-    "q_ann_pq_topk", "q_ann_ivf_pq_adaptive",
-    # (c) the five r9 rows displaced by the round-12 late additions
-    # (named by VERDICT r12 #1 as the rotation debt's head):
-    "q_training_data_pipeline", "q_training_pipeline_v2",
-    "q_agg_by_month", "q_agg_sum_by_key", "q_agg_sum_two_keys",
-    # (d) the remaining r9-stale rows (last external green r9),
-    # alphabetical — after this window no registry row's last external
-    # green is older than r10:
-    "q_ann_lsh", "q_approx_median", "q_case_when_label",
-    "q_cast_to_date", "q_cms_token_counts", "q_corr",
-    "q_count_distinct", "q_curriculum_phases", "q_decontaminate",
-    "q_dedup_embedding", "q_dedup_exact", "q_dedup_incremental_bloom",
-    "q_dedup_incremental_minhash", "q_dedup_ngram_jaccard",
-    "q_dedup_semantic", "q_describe_stats", "q_dsir_resample",
-    "q_embedding_cosine_topk", "q_join_dim_fact", "q_langid_scorer",
-    "q_maxsim_topk", "q_median_approx_scale", "q_month_derive",
-    "q_pack_sequences", "q_rollup_two_level", "q_sample_k_per_group",
-    "q_skew_profile", "q_table_profile", "q_table_profile_hll",
-    "q_tdigest_quantiles", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_topk", "q_topn_frequency", "q_tpch_q12_shape",
-    "q_tpch_q21_shape", "q_value_counts",
+    # (the tombstone-remove lifecycle audits on both index families):
+    "q_ann_index_remove", "q_winnow_index_remove",
+    # (b) operator path changed THIS round: every ANN/winnow probe and
+    # compact surface now reads the LIVE set through
+    # _read_index_vectors/_read_index_fps (the tombstone anti-join) and
+    # ann_index_compact doubles as the physical delete —
+    # q_ann_index_compact re-measures that changed kernel externally
+    # (the other index-lifecycle rows share the path and keep their
+    # fresh r13 greens):
+    "q_ann_index_compact",
+    # (c) ALL 47 r10-stale rows (last external green r10), alphabetical
+    # — after this window no registry row's last external green is
+    # older than r11:
+    "q_agg_salted", "q_ann_ivf_refined", "q_ann_ivf_topk",
+    "q_ann_quantized", "q_asof_attribution", "q_bm25_topk",
+    "q_commonness_scorer", "q_contamination_report",
+    "q_contamination_report_ngram", "q_corpus_datasheet",
+    "q_cube_two_keys", "q_dashboard_sankey", "q_decontaminate_semantic",
+    "q_dedup_clusters", "q_dedup_survivors", "q_deep_join_chain",
+    "q_doc_fingerprint", "q_drift_psi", "q_dropna", "q_filter_positive",
+    "q_first_row", "q_flagship_etl", "q_fuzzy_name_pairs_k3",
+    "q_grouped_median", "q_grouping_sets", "q_hash_sample", "q_having",
+    "q_join_anti", "q_join_full", "q_join_left", "q_join_salted",
+    "q_join_semi", "q_ml_prepare", "q_orderby_asc", "q_orderby_desc",
+    "q_pivot_priority_by_month", "q_pricing_summary", "q_quota_mix",
+    "q_range_join_tiers", "q_rerank_trained", "q_scan_project",
+    "q_sequence_manifest", "q_training_pipeline_v3", "q_union_branches",
+    "q_weighted_sample", "q_window_topk_per_group", "q_window_tumbling",
 ]
 
 
@@ -59,7 +53,7 @@ def all_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -76,6 +70,7 @@ def all_queries():
     merged.update(corpus_r11.QUERIES)
     merged.update(corpus_r12.QUERIES)
     merged.update(corpus_r13.QUERIES)
+    merged.update(corpus_r14.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -87,7 +82,7 @@ def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -104,6 +99,7 @@ def all_oracles():
     merged.update(corpus_r11.ORACLE_SQL)
     merged.update(corpus_r12.ORACLE_SQL)
     merged.update(corpus_r13.ORACLE_SQL)
+    merged.update(corpus_r14.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -113,7 +109,7 @@ def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
     )
 
     return (
@@ -131,6 +127,7 @@ def rows_only_queries():
         | set(corpus_r11.ROWS_ONLY_QUERIES)
         | set(corpus_r12.ROWS_ONLY_QUERIES)
         | set(corpus_r13.ROWS_ONLY_QUERIES)
+        | set(corpus_r14.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )

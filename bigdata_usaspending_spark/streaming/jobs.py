@@ -2155,7 +2155,7 @@ def winnow_index_dedup_batch(
     if evidence:
         per_doc = _winnow_evidence_per_doc(
             batch_df, bpf,
-            spark.read.parquet(f"{index_path}/fps.parquet"),
+            dd._read_index_fps(spark, index_path),
             id_col, text_col, meta["k"], meta["w"], threshold,
             meta["portable"], max_fingerprint_df,
         )
@@ -2181,7 +2181,7 @@ def winnow_index_dedup_batch(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-        index = spark.read.parquet(f"{index_path}/fps.parquet").select(
+        index = dd._read_index_fps(spark, index_path).select(
             "_id", dd._pos_vals("pfps").alias("fps")
         )
         survivors_vs_state = dd.winnow_dedup_against_index(

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Full-suite runner (VERDICT r13 #7): the 26 test files split into two
+# parallel pytest halves so the whole suite reproduces in roughly half
+# the single-process wall-clock (~47 min single-process at r13; the
+# halves land together in well under 25). Each half is its own process
+# (own SparkSession / local[32] JVM); the files are independent, so the
+# split changes nothing but scheduling.
+#
+# Usage: scripts/run_tests.sh            # run everything
+#        HALVES=1 scripts/run_tests.sh   # force single-process
+#
+# Exit code is non-zero if EITHER half fails. Collected/passed counts
+# print per half; the denominator for STATE.md is the SUM of the two
+# "collected" numbers (they partition the files, nothing is shared).
+set -u
+cd "$(dirname "$0")/.."
+
+mapfile -t FILES < <(ls tests/test_*.py | sort)
+N=${#FILES[@]}
+HALF=$(( (N + 1) / 2 ))
+
+if [ "${HALVES:-2}" = "1" ]; then
+    exec python -m pytest tests/ -q
+fi
+
+A=("${FILES[@]:0:HALF}")
+B=("${FILES[@]:HALF}")
+echo "half A (${#A[@]} files): ${A[*]}"
+echo "half B (${#B[@]} files): ${B[*]}"
+
+t0=$SECONDS
+python -m pytest "${A[@]}" -q > /tmp/pytest_half_a.log 2>&1 &
+PA=$!
+python -m pytest "${B[@]}" -q > /tmp/pytest_half_b.log 2>&1 &
+PB=$!
+wait "$PA"; RA=$?
+wait "$PB"; RB=$?
+
+echo "--- half A tail ---"; tail -3 /tmp/pytest_half_a.log
+echo "--- half B tail ---"; tail -3 /tmp/pytest_half_b.log
+echo "wall: $(( SECONDS - t0 )) s (logs: /tmp/pytest_half_{a,b}.log)"
+if [ "$RA" -ne 0 ] || [ "$RB" -ne 0 ]; then
+    echo "FAILED (half A exit $RA, half B exit $RB)"
+    exit 1
+fi
+echo "OK"

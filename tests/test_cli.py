@@ -621,3 +621,133 @@ def test_ann_index_exactly_once_and_stream_add_cli(spark, sf_small, tmp_path):
     assert spark.read.parquet(f"{index}/vectors.parquet").count() == (
         data.count()
     )
+
+
+def test_index_remove_cli_verbs(spark, sf_small, tmp_path):
+    """ann-index remove / winnow-index remove as real subprocesses: the
+    tombstone lands (search excludes the id; stats report the backlog),
+    compact drops it physically, and the --ids / --ids-parquet forms
+    both resolve."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, sf_small, "embeddings")
+    initial = str(tmp_path / "vecs")
+    emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding").write.parquet(
+        initial
+    )
+    qrow = emb.filter(F.col("vec_id") == 2).select("embedding").first()
+    qvec = ",".join(str(float(x)) for x in qrow[0])
+    index = str(tmp_path / "idx")
+    built = _run(
+        "ann-index", "build", "--vectors", initial, "--index", index,
+        "--cells", "4", "--refine-iters", "1",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+
+    # the query IS vector 2 — remove it and it must vanish from the hits
+    removed = _run("ann-index", "remove", "--index", index, "--ids", "2")
+    assert removed.returncode == 0, removed.stderr[-2000:]
+    assert "tombstoned 1 of 1" in removed.stdout
+    out = str(tmp_path / "hits")
+    found = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--nprobe", "4", "--output", out,
+    )
+    assert found.returncode == 0, found.stderr[-2000:]
+    assert 2 not in {r.vec_id for r in spark.read.parquet(out).collect()}
+    stats = _run("ann-index", "stats", "--index", index)
+    assert _json.loads(stats.stdout.strip().splitlines()[-1])["tombstones"] == 1
+    compacted = _run("ann-index", "compact", "--index", index)
+    assert compacted.returncode == 0, compacted.stderr[-2000:]
+    assert "1 tombstoned rows dropped" in compacted.stdout
+
+    # winnow twin via --ids-parquet
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the old "
+             "stone bridge by the river today"),
+         (2, "fully unrelated committed text about trains and long rails")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    widx = str(tmp_path / "widx")
+    wb = _run(
+        "winnow-index", "build", "--documents", dpath, "--index", widx,
+        "--portable",
+    )
+    assert wb.returncode == 0, wb.stderr[-2000:]
+    ids_pq = str(tmp_path / "takedown")
+    docs.filter("doc_id = 1").select("doc_id").write.parquet(ids_pq)
+    wrm = _run(
+        "winnow-index", "remove", "--index", widx, "--ids-parquet", ids_pq
+    )
+    assert wrm.returncode == 0, wrm.stderr[-2000:]
+    assert "tombstoned 1 of 1" in wrm.stdout
+    wstats = _run("winnow-index", "stats", "--index", widx)
+    rep = _json.loads(wstats.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == 1 and rep["tombstones"] == 1
+
+    # exactly one of --ids / --ids-parquet
+    bad = _run("winnow-index", "remove", "--index", widx)
+    assert bad.returncode != 0
+    assert "exactly one of" in bad.stderr
+
+
+def test_winnow_index_stream_dedup_cli(spark, tmp_path):
+    """winnow-index stream-dedup as a real subprocess (the last
+    library-only streaming job gains its CLI leg): two micro-batches
+    land survivor flags in batch_id-keyed partitions, the index grows by
+    appends, --compact-every bounds fragmentation, and the checkpoint
+    guard fires without one."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    initial = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "widx")
+    docs_dir = str(tmp_path / "docs")
+    committed = str(tmp_path / "committed")
+    initial.write.parquet(committed)
+    built = _run(
+        "winnow-index", "build", "--documents", committed, "--index", index,
+        "--portable",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+
+    spark.createDataFrame(
+        [(10, base + " again"),
+         (11, "fresh words about sailing ships and wide oceans tonight")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    sink = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    ran = _run(
+        "winnow-index", "stream-dedup", "--documents", docs_dir,
+        "--index", index, "--sink", sink, "--checkpoint", ckpt,
+        "--compact-every", "1", "--threshold", "0.5",
+    )
+    assert ran.returncode == 0, ran.stderr[-2000:]
+    assert "streamed dedup:" in ran.stdout
+    flags = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink).select("doc_id", "survivor").collect()
+    }
+    assert flags == {(10, False), (11, True)}
+    import json as _json
+
+    stats = _run("winnow-index", "stats", "--index", index)
+    rep = _json.loads(stats.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == 3 and rep["data_files"] == 1  # compacted
+
+    # checkpoint guard: the manifest exists, a fresh query without the
+    # original checkpoint would restart batch ids at 0
+    bad = _run(
+        "winnow-index", "stream-dedup", "--documents", docs_dir,
+        "--index", index, "--sink", sink,
+    )
+    assert bad.returncode != 0
+    assert "checkpointLocation" in (bad.stderr + bad.stdout)

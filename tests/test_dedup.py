@@ -1040,3 +1040,112 @@ def test_winnow_index_compact_bit_identical_probes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="atomic-rename"):
         dd.winnow_index_compact(spark, "s3a://bucket/widx")
+
+
+def test_winnow_index_remove_lifecycle(spark, tmp_path):
+    """The takedown leg on the text index (ann_index_remove's twin): a
+    removed doc immediately stops matching in every probe AND stops
+    SUPPRESSING near-dups in the incremental dedup tier; compact is the
+    physical delete (tombstones clear, probes bit-identical); a
+    tombstoned id cannot be re-added until after the compact; removes
+    are idempotent."""
+    from bigdata_usaspending_spark.io import hadoop_data_file_count
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the wide river this morning")
+    committed = spark.createDataFrame(
+        [(1, base),
+         (2, "an entirely different committed text about long trains and "
+             "steel rails crossing the high desert at night")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(committed, path, portable=True)
+
+    batch = spark.createDataFrame(
+        [(10, base + " again"),   # near-dup of committed 1
+         (11, "completely fresh words about sailing ships and wide "
+              "oceans under a pale sky tonight")],
+        "doc_id long, text string",
+    )
+    # before the remove: 10 is suppressed by committed 1
+    pre = {
+        r.doc_id
+        for r in dd.winnow_index_dedup(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    }
+    assert pre == {11}
+    assert dd.winnow_index_spans(
+        spark, path, batch, threshold=0.5
+    ).count() > 0
+
+    rep = dd.winnow_index_remove(spark, path, [1])
+    assert rep == {
+        "requested": 1, "matched_live": 1, "tombstoned_total": 1
+    }
+    # the removed doc stops suppressing (takedown honored): 10 survives
+    post = {
+        r.doc_id
+        for r in dd.winnow_index_dedup(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    }
+    assert post == {10, 11}
+    assert {
+        r.id_index
+        for r in dd.winnow_index_spans(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    } == set()
+    st = dd.winnow_index_stats(spark, path)
+    assert st["docs"] == 1 and st["tombstones"] == 1
+
+    # idempotent re-remove
+    rep2 = dd.winnow_index_remove(spark, path, [1])
+    assert rep2["matched_live"] == 0 and rep2["tombstoned_total"] == 1
+
+    # re-add of the tombstoned id refused on BOTH add surfaces
+    back = committed.filter("doc_id = 1")
+    with pytest.raises(ValueError, match="tombstoned"):
+        dd.winnow_pos_index_add(spark, path, back)
+    with pytest.raises(ValueError, match="tombstoned"):
+        dd.winnow_index_add_batch(spark, path, back, 0)
+
+    # compact = the physical delete; probe decisions bit-identical
+    stats = dd.winnow_index_compact(spark, path)
+    assert stats["removed_rows"] == 1 and stats["rows"] == 1
+    assert spark.read.parquet(f"{path}/fps.parquet").count() == 1
+    assert dd.winnow_index_stats(spark, path)["tombstones"] == 0
+    assert {
+        r.doc_id
+        for r in dd.winnow_index_dedup(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    } == post
+
+    # after the compact the id is free: re-add restores suppression
+    dd.winnow_pos_index_add(spark, path, back)
+    assert {
+        r.doc_id
+        for r in dd.winnow_index_dedup(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    } == {11}
+
+    # DataFrame ids path + type guard
+    rep3 = dd.winnow_index_remove(
+        spark, path, spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert rep3["matched_live"] == 1
+    with pytest.raises(ValueError, match="type"):
+        dd.winnow_index_remove(
+            spark, path, spark.createDataFrame([("2",)], "doc_id string")
+        )
+
+    # a REBUILD over the directory clears pending tombstones — a stale
+    # set would silently hide rebuilt docs sharing a removed id
+    dd.winnow_pos_index_write(committed, path, portable=True)
+    st3 = dd.winnow_index_stats(spark, path)
+    assert st3["tombstones"] == 0 and st3["docs"] == 2

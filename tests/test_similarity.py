@@ -1467,3 +1467,114 @@ def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
     assert rep["populated_cells"] == touched and rep["cells"] == n_cells
     assert rep["files_per_populated_cell"] == 1.0
     assert rep["vectors"] == stats["rows"] and rep["data_bytes"] > 0
+
+
+def test_ann_index_remove_lifecycle(spark, sf_small, tmp_path):
+    """The takedown leg (faiss remove_ids analog): remove is a LOGICAL
+    tombstone that every probe honors immediately; compact is the
+    physical delete (removed rows leave the disk, tombstones clear) with
+    the probe BIT-IDENTICAL across it; a tombstoned id cannot be
+    re-added until after the compact; removes are idempotent."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    qvec = _query_vec_list(emb)
+    path = str(tmp_path / "rm_idx")
+    similarity.ivf_index_write(data, centroids, path)
+
+    full = similarity.ivf_index_topk(spark, path, qvec, k=5, nprobe=100)
+    victims = [r.vec_id for r in full.collect()][:2]  # ids IN the top-k
+    rep = similarity.ann_index_remove(spark, path, victims)
+    assert rep["requested"] == 2 and rep["matched_live"] == 2
+    assert rep["tombstoned_total"] == 2
+
+    # probes exclude the tombstoned ids and equal the live operator over
+    # the surviving set — across BOTH probe surfaces
+    survivors = data.filter(~F.col("vec_id").isin(victims))
+    qdf = spark.createDataFrame([(qvec,)], "q_emb array<double>")
+    want = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk(
+            similarity.ivf_assign(survivors, centroids), centroids, qdf,
+            k=5, nprobe=100,
+        ).collect()
+    ]
+    pre = similarity.ivf_index_topk(spark, path, qvec, k=5, nprobe=100)
+    assert [(r.vec_id, r.cosine) for r in pre.collect()] == want
+    # the tombstone anti-join must not break the probe's scale shape:
+    # cell partition-pruning still reaches the scan, and the (bounded)
+    # tombstone set plans as a broadcast anti-join
+    import re as _re
+
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p for p in pf), plan
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
+    many_rows, _score = similarity.ann_index_search_many(
+        spark, path, [(7, qvec)], k=5, nprobe=100
+    )
+    assert not {r[2] for r in many_rows} & set(victims)
+
+    # idempotent re-remove; stats report the live view + the backlog
+    rep2 = similarity.ann_index_remove(spark, path, victims)
+    assert rep2["matched_live"] == 0 and rep2["tombstoned_total"] == 2
+    st = similarity.ann_index_stats(spark, path)
+    assert st["tombstones"] == 2
+    assert st["vectors"] == data.count() - 2
+
+    # a tombstoned id cannot be re-added until the physical delete
+    back = data.filter(F.col("vec_id") == victims[0])
+    with pytest.raises(ValueError, match="tombstoned"):
+        similarity.ivf_index_add(spark, path, back)
+    with pytest.raises(ValueError, match="tombstoned"):
+        similarity.ann_index_add_batch(spark, path, back, 0)
+
+    # compact = the physical delete: rows leave the disk, tombstones
+    # clear, and the probe is bit-identical across the swap
+    rep3 = similarity.ann_index_compact(spark, path)
+    assert rep3["removed_rows"] == 2
+    assert rep3["rows"] == data.count() - 2
+    assert (
+        spark.read.parquet(f"{path}/vectors.parquet").count()
+        == data.count() - 2
+    )
+    post = similarity.ivf_index_topk(spark, path, qvec, k=5, nprobe=100)
+    assert [(r.vec_id, r.cosine) for r in post.collect()] == want
+    st2 = similarity.ann_index_stats(spark, path)
+    assert st2["tombstones"] == 0
+
+    # after the compact the id is free again: re-add it and probe
+    similarity.ivf_index_add(spark, path, back)
+    re_added = similarity.ivf_index_topk(spark, path, qvec, k=5, nprobe=100)
+    want_back = [
+        (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk(
+            similarity.ivf_assign(
+                survivors.unionByName(back), centroids
+            ),
+            centroids, qdf, k=5, nprobe=100,
+        ).collect()
+    ]
+    assert [(r.vec_id, r.cosine) for r in re_added.collect()] == want_back
+
+    # guards: unknown id column / wrong type fail loudly
+    with pytest.raises(ValueError, match="id column"):
+        similarity.ann_index_remove(spark, path, [1], id_col="nope")
+    with pytest.raises(ValueError, match="type"):
+        similarity.ann_index_remove(
+            spark, path,
+            spark.createDataFrame([("1",)], "vec_id string"),
+        )
+
+    # a REBUILD over the directory clears pending tombstones — a stale
+    # set would silently hide rebuilt vectors sharing a removed id
+    similarity.ann_index_remove(spark, path, victims)
+    similarity.ivf_index_write(data, centroids, path)
+    st3 = similarity.ann_index_stats(spark, path)
+    assert st3["tombstones"] == 0 and st3["vectors"] == data.count()

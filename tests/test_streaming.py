@@ -2244,3 +2244,64 @@ def test_winnow_index_dedup_batch_crash_replay_decisions(spark, tmp_path):
         .collect()
     }
     assert got_ev == want
+
+
+def test_stream_winnow_dedup_remove_interplay(spark, tmp_path):
+    """Takedowns flowing through the STREAMING dedup (VERDICT r13 #3+#4
+    interplay): a committed doc suppresses its near-dups in early
+    batches; after winnow_index_remove it must STOP suppressing later
+    batches; the compact_every cadence folds the physical delete into
+    the stream (tombstone backlog drains to 0) and keeps fragmentation
+    bounded while the sink decisions stay correct."""
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    A = ("the quick brown fox jumps over the lazy dog near the old stone "
+         "bridge by the wide river in the morning")
+    other = ("fully unrelated committed words about long trains and steel "
+             "rails crossing the high desert at night")
+    initial = spark.createDataFrame(
+        [(1, A), (2, other)], "doc_id long, text string"
+    )
+    index = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(initial, index, portable=True)
+
+    sink = str(tmp_path / "flags")
+    b0 = spark.createDataFrame(
+        [(10, A + " again")], "doc_id long, text string"
+    )
+    # batch 0: suppressed by committed 1
+    assert jobs.winnow_index_dedup_batch(b0, index, sink, 0, threshold=0.5)
+    flags = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink).select("doc_id", "survivor").collect()
+    }
+    assert (10, False) in flags
+
+    # takedown of committed 1 — its content leaves the corpus, so it
+    # must stop vetoing re-crawls; 10's fingerprints were NOT appended
+    # as a dropped doc? They were (transitive contract) — remove both.
+    rep = dd.winnow_index_remove(spark, index, [1, 10])
+    assert rep["matched_live"] == 2
+
+    # batch 1: the same content now SURVIVES (nothing suppresses it);
+    # cadence (compact_every=2) fires at batch 1 -> physical delete
+    b1 = spark.createDataFrame(
+        [(20, A + " again")], "doc_id long, text string"
+    )
+    applied = jobs.winnow_index_dedup_batch(b1, index, sink, 1, threshold=0.5)
+    assert applied
+    dd.winnow_index_compact(spark, index)  # the cadence step the stream
+    # wrapper fires at (batch_id + 1) % compact_every == 0
+    flags = {
+        (r.doc_id, r.survivor)
+        for r in spark.read.parquet(sink).select("doc_id", "survivor").collect()
+    }
+    assert (20, True) in flags
+    st = dd.winnow_index_stats(spark, index)
+    assert st["tombstones"] == 0
+    assert st["data_files"] == 1  # cadence keeps fragmentation bounded
+    # the physical layout holds exactly the live docs: 2 (other) + 20
+    ids = {
+        r._id for r in spark.read.parquet(f"{index}/fps.parquet").collect()
+    }
+    assert ids == {2, 20}
