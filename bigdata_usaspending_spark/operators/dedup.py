@@ -1197,8 +1197,16 @@ def _read_index_fps(spark, path: str) -> DataFrame:
     stats verb) reads through here, so a removed doc stops matching —
     and stops SUPPRESSING near-dups — immediately, before the physical
     delete that the next winnow_index_compact performs. No tombstones →
-    the plain scan, zero overhead."""
-    fps = spark.read.parquet(f"{path}/fps.parquet")
+    the plain scan (plus the parallelism spread), zero other overhead.
+
+    _ensure_parallelism matters HERE specifically: winnow_index_compact
+    rewrites fps.parquet into size-targeted files, so a compacted
+    moderate index scans as very few tasks while the consumers explode
+    fingerprints and run candidate joins — measured at the 100x stress
+    decade, the probe over a one-file compacted index serialized to
+    15.7 s vs 3.9 s fragmented; the spread restores the fan-out and is
+    a no-op once files outnumber cores (the production case)."""
+    fps = _ensure_parallelism(spark.read.parquet(f"{path}/fps.parquet"))
     if not _winnow_index_has(spark, path, _WINNOW_TOMBSTONES):
         return fps
     tomb = (
