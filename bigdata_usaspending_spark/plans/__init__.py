@@ -15,16 +15,16 @@ from __future__ import annotations
 _VERIFY_FIRST = [
     # Round-14 window — steady-state rotation (VERDICT r13 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (the tombstone-remove lifecycle audits on both index families):
+    # (the tombstone-remove lifecycle audits on both index families and
+    # the end-to-end takedown capstone). They also externally re-measure
+    # the round's changed kernel — every ANN/winnow probe and compact
+    # surface now reads the LIVE set through _read_index_vectors /
+    # _read_index_fps (the tombstone anti-join) and the compacts double
+    # as the physical delete — so q_ann_index_compact (fresh r13 green,
+    # same changed path) yields its slot to keep the 47 r10-stale rows
+    # inside the 50-entry window:
     "q_ann_index_remove", "q_winnow_index_remove",
-    # (b) operator path changed THIS round: every ANN/winnow probe and
-    # compact surface now reads the LIVE set through
-    # _read_index_vectors/_read_index_fps (the tombstone anti-join) and
-    # ann_index_compact doubles as the physical delete —
-    # q_ann_index_compact re-measures that changed kernel externally
-    # (the other index-lifecycle rows share the path and keep their
-    # fresh r13 greens):
-    "q_ann_index_compact",
+    "q_corpus_build_takedown",
     # (c) ALL 47 r10-stale rows (last external green r10), alphabetical
     # — after this window no registry row's last external green is
     # older than r11:

@@ -575,13 +575,17 @@ def q_corpus_build_incremental(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _corpus_build_incremental_oracle() -> str:
+def _corpus_build_incremental_oracle(
+    committed_pred: str = "doc_id % 5 = 4",
+) -> str:
     # the _corpus_build_winnow_oracle chain with the AGAINST-INDEX stage
     # spliced between exact dedup and the in-batch pair tier: committed
     # fps + batch fps (the prefixed plain-winnow chains), candidates
     # share >= 1 fingerprint below the COMBINED document-frequency cap,
     # the verify re-intersects the FULL sets (value-exact — the
-    # winnow_dedup_against_index contract)
+    # winnow_dedup_against_index contract). ``committed_pred``
+    # parameterizes the committed slice so round-14's takedown capstone
+    # replays the SAME chain over the REDUCED committed set.
     from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
     from .corpus_r10 import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
@@ -604,7 +608,7 @@ def _corpus_build_incremental_oracle() -> str:
         ),
         committed AS (
             SELECT doc_id, text FROM documents
-            WHERE doc_id % 5 = 4 AND text IS NOT NULL
+            WHERE {committed_pred} AND text IS NOT NULL
         ),
         gated AS (
             SELECT doc_id, source, text,

@@ -291,14 +291,108 @@ def _winnow_index_remove_oracle() -> str:
     """
 
 
+def q_corpus_build_takedown(spark: SparkSession, sf: str) -> DataFrame:
+    """The takedown CAPSTONE: removals flow through the WHOLE pipeline,
+    not just the index probe. Same composition as
+    q_corpus_build_incremental (committed 1-in-5 corpus persisted as a
+    winnow-pos index; the batch build runs with ``dedup_index`` pointed
+    at it), but BETWEEN the commit and the batch build the
+    ``doc_id % 10 == 9`` committed half is TAKEN DOWN
+    (winnow_index_remove). The against-index tier must stop dropping
+    those docs' batch twins — a removed doc's content is no longer in
+    the corpus, so its re-crawl lands in the output, flows through the
+    in-batch near tier, the quota, the shuffle and the packing, and
+    every downstream (position, seq_id, seq_offset) shifts accordingly.
+    Full stage replay: the q_corpus_build_incremental oracle chain with
+    the committed slice REDUCED — one predicate swap proves the whole
+    downstream recomputation. ``takedown_witnessed`` pins that the
+    remove's exact witness matched the live-index delta."""
+    from ..operators import dedup
+    from .build_corpus import CorpusBuildConfig, build_corpus
+    from .corpus_r10 import (
+        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
+        _MINI_SEED,
+    )
+    from .corpus_r11 import _near_docs
+    from .corpus_r12 import (
+        _ROBUST_K,
+        _ROBUST_W,
+        _WINNOW_BUILD_MAX_DF,
+        _WINNOW_BUILD_THRESHOLD,
+    )
+
+    spark = _prep(spark)
+    committed = (
+        load(spark, sf, "documents")
+        .filter((F.col("doc_id") % 5 == 4) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    removed = committed.filter(F.col("doc_id") % 10 == 9)
+    tmp = tempfile.mkdtemp(prefix="corpus_takedown_idx_")
+    try:
+        dedup.winnow_pos_index_write(
+            committed, tmp, k=_ROBUST_K, w=_ROBUST_W, portable=True
+        )
+        docs_before = dedup.winnow_index_stats(spark, tmp)["docs"]
+        rep = dedup.winnow_index_remove(spark, tmp, removed.select("doc_id"))
+        docs_after = dedup.winnow_index_stats(spark, tmp)["docs"]
+        takedown_witnessed = (
+            rep["matched_live"] == docs_before - docs_after
+            and rep["requested"] == removed.count()
+        )
+        cfg = CorpusBuildConfig(
+            langs=("en",),
+            min_tokens=_MINI_MIN_TOKENS,
+            max_punct_ratio=_MINI_MAX_PUNCT,
+            near_threshold=_WINNOW_BUILD_THRESHOLD,
+            near_method="winnow",
+            winnow_k=_ROBUST_K,
+            winnow_w=_ROBUST_W,
+            near_max_df=_WINNOW_BUILD_MAX_DF,
+            quota_per_source=_MINI_QUOTA,
+            block_size=_MINI_BLOCK,
+            seed=_MINI_SEED,
+            scrub_pii=False,
+            portable=True,
+        )
+        return (
+            build_corpus(_near_docs(spark, sf), cfg=cfg, dedup_index=tmp)
+            .select(
+                "doc_id", "source", "n_tokens", "position", "seq_id",
+                "seq_offset",
+                F.lit(bool(takedown_witnessed)).alias("takedown_witnessed"),
+            )
+            .localCheckpoint()  # before the temp index is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _corpus_build_takedown_oracle() -> str:
+    # the q_corpus_build_incremental stage-replay chain with the
+    # committed slice REDUCED by the takedown predicate — the removed
+    # docs' batch twins re-enter and every downstream stage recomputes
+    from .corpus_r13 import _corpus_build_incremental_oracle
+
+    inner = _corpus_build_incremental_oracle(
+        committed_pred="doc_id % 5 = 4 AND doc_id % 10 <> 9"
+    )
+    return f"""
+        SELECT o.*, TRUE AS takedown_witnessed
+        FROM ({inner}) o
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_remove": q_ann_index_remove,
     "q_winnow_index_remove": q_winnow_index_remove,
+    "q_corpus_build_takedown": q_corpus_build_takedown,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "q_ann_index_remove": _ann_index_remove_oracle(),
     "q_winnow_index_remove": _winnow_index_remove_oracle(),
+    "q_corpus_build_takedown": _corpus_build_takedown_oracle(),
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()

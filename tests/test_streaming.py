@@ -2305,3 +2305,81 @@ def test_stream_winnow_dedup_remove_interplay(spark, tmp_path):
         r._id for r in spark.read.parquet(f"{index}/fps.parquet").collect()
     }
     assert ids == {2, 20}
+
+
+def test_stream_ann_add_remove_interplay(spark, tmp_path):
+    """Takedowns flowing through the STREAMING vector ingestion (the
+    vector twin of the winnow interplay test): a remove lands mid-stream
+    as a tombstone probes honor immediately; the compact_every cadence
+    folds the physical delete into the next trigger (backlog drains to
+    0, files per cell back to 1.0); a later batch re-adding the
+    tombstoned id fails LOUDLY (the stream errors instead of silently
+    losing the re-add)."""
+    import pytest
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.operators import similarity
+    from bigdata_usaspending_spark.plans.corpus_ext import (
+        _ivf_centroids,
+        _query_vec_list,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    initial = data.filter(F.col("vec_id") % 3 == 0)
+    b1 = data.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    qvec = _query_vec_list(emb)
+    centroids = spark.createDataFrame(
+        _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    similarity.ivf_index_write(
+        initial.select("vec_id", "embedding"), centroids, idx
+    )
+
+    # probe the full initial set, pick a victim OUT of its top-5
+    full = similarity.ivf_index_topk(spark, idx, qvec, k=5, nprobe=100)
+    victim = [r.vec_id for r in full.collect()][0]
+    similarity.ann_index_remove(spark, idx, [victim])
+
+    # stream b1 in with compact_every=1: the trigger's cadence compact
+    # performs the physical delete for the pending tombstone
+    landing = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    jobs.stream_ann_index_add(
+        spark.readStream.schema(schema).parquet(landing), idx,
+        checkpoint=ckpt, compact_every=1,
+    ).stop()
+
+    st = similarity.ann_index_stats(spark, idx)
+    assert st["tombstones"] == 0, "cadence compact must drain the backlog"
+    assert st["files_per_populated_cell"] == 1.0
+    assert (
+        spark.read.parquet(f"{idx}/vectors.parquet").count()
+        == initial.count() + b1.count() - 1
+    )
+    hits = {
+        r.vec_id
+        for r in similarity.ivf_index_topk(
+            spark, idx, qvec, k=5, nprobe=100
+        ).collect()
+    }
+    assert victim not in hits
+
+    # a later batch re-adding a STILL-tombstoned id fails the stream
+    # loudly instead of silently losing the row under the anti-join
+    victim2 = [
+        r.vec_id for r in b1.limit(1).collect()
+    ][0]
+    similarity.ann_index_remove(spark, idx, [victim2])
+    b2 = data.filter(F.col("vec_id") == victim2).select(
+        "vec_id", "embedding"
+    )
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    with pytest.raises(Exception, match="tombstoned"):
+        jobs.stream_ann_index_add(
+            spark.readStream.schema(schema).parquet(landing), idx,
+            checkpoint=ckpt,
+        )
