@@ -139,6 +139,24 @@ def _parser() -> argparse.ArgumentParser:
         help="also write the per-host crawl accounting parquet here "
         "(fetches, bytes, URLs, time span, request rate; WARC input only)",
     )
+    b.add_argument(
+        "--stream", action="store_true",
+        help="treat --documents as a STREAMED landing directory and keep "
+        "the packed corpus incrementally fresh (streaming/jobs."
+        "stream_build_corpus: exactly-once versioned state at --output, "
+        "each micro-batch continues the committed token stream; the "
+        "gate/exact-dedup/pack tiers — the near tiers are the batch "
+        "builder's). Requires --documents; --checkpoint REQUIRED once "
+        "state exists",
+    )
+    b.add_argument(
+        "--checkpoint", default=None,
+        help="--stream: streaming checkpoint location",
+    )
+    b.add_argument(
+        "--url-col", default=None,
+        help="--stream: URL column for the streaming URL-dedup tier",
+    )
 
     ai = sub.add_parser(
         "ann-index",
@@ -401,6 +419,38 @@ def main(argv: list[str] | None = None) -> int:
         from .session import apply_runtime_confs
 
         apply_runtime_confs(spark)
+        if args.stream:
+            from .streaming import jobs as stream_jobs
+
+            if not args.documents:
+                raise SystemExit(
+                    "build-corpus --stream needs --documents (a streamed "
+                    "landing directory of document parquet files)"
+                )
+            schema = spark.read.parquet(args.documents).schema
+            stream_jobs.stream_build_corpus(
+                spark.readStream.schema(schema).parquet(args.documents),
+                args.output,
+                langs=tuple(
+                    v.strip().lower()
+                    for v in args.langs.split(",") if v.strip()
+                ),
+                min_tokens=args.min_tokens,
+                max_punct_ratio=args.max_punct_ratio,
+                block_size=args.block_size,
+                scrub_pii=not args.no_pii_scrub,
+                url_col=args.url_col,
+                checkpoint=args.checkpoint,
+            ).stop()
+            from .io import read_versioned_state
+
+            state = read_versioned_state(spark, args.output)
+            n = (
+                state.filter("position IS NOT NULL").count()
+                if state is not None else 0
+            )
+            print(f"streamed corpus state: {n} packed rows ({args.output})")
+            return 0
         if args.warc:
             from .sources.warc import read_warc, warc_responses_to_documents
 

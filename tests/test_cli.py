@@ -751,3 +751,64 @@ def test_winnow_index_stream_dedup_cli(spark, tmp_path):
     )
     assert bad.returncode != 0
     assert "checkpointLocation" in (bad.stderr + bad.stdout)
+
+
+def test_build_corpus_stream_cli(spark, tmp_path):
+    """build-corpus --stream as a real subprocess: two micro-batch runs
+    (restart between, same checkpoint) keep the packed corpus
+    incrementally fresh — the second batch CONTINUES the committed
+    token stream — and the checkpoint guard fires once state exists."""
+    docs1 = spark.createDataFrame(
+        [(1, "the first page has a body with plenty of english tokens",
+          "web"),
+         (2, "this is another page and it has the words that the gate "
+             "wants to see", "web")],
+        "doc_id long, text string, source string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "and the third page arrives later with more of the same "
+             "english words in it", "web")],
+        "doc_id long, text string, source string",
+    )
+    landing = str(tmp_path / "docs")
+    state = str(tmp_path / "corpus_state")
+    ckpt = str(tmp_path / "ckpt")
+    docs1.coalesce(1).write.mode("append").parquet(landing)
+
+    r1 = _run(
+        "build-corpus", "--stream", "--documents", landing,
+        "--output", state, "--checkpoint", ckpt,
+        "--near-threshold", "-1", "--block-size", "8", "--no-pii-scrub",
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "streamed corpus state: 2 packed rows" in r1.stdout
+
+    docs2.coalesce(1).write.mode("append").parquet(landing)
+    r2 = _run(
+        "build-corpus", "--stream", "--documents", landing,
+        "--output", state, "--checkpoint", ckpt,
+        "--near-threshold", "-1", "--block-size", "8", "--no-pii-scrub",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "streamed corpus state: 3 packed rows" in r2.stdout
+
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    rows = {
+        r.doc_id: (r.position, r.seq_id, r.seq_offset)
+        for r in read_versioned_state(spark, state)
+        .filter("position IS NOT NULL")
+        .collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # the second batch CONTINUED the stream: doc 3 packs after docs 1-2
+    assert rows[3][0] == 2
+
+    # checkpoint guard: committed state + no checkpoint would silently
+    # replay-discard every new batch — refuse instead
+    bad = _run(
+        "build-corpus", "--stream", "--documents", landing,
+        "--output", state, "--near-threshold", "-1", "--no-pii-scrub",
+    )
+    assert bad.returncode != 0
+    assert "checkpoint" in (bad.stderr + bad.stdout).lower()
