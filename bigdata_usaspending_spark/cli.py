@@ -168,8 +168,27 @@ def _parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build", "add", "search", "compact", "stats", "stream-add",
-            "remove",
+            "remove", "stream-search",
         ],
+    )
+    ai.add_argument(
+        "--queries", default=None,
+        help="stream-search: streamed landing directory of "
+        "(query_id, vector) parquet rows",
+    )
+    ai.add_argument(
+        "--sink", default=None,
+        help="stream-search: per-query top-k hit sink (batch_id-keyed "
+        "partitions)",
+    )
+    ai.add_argument(
+        "--query-id-col", default="query_id",
+        help="stream-search: query id column in the streamed rows",
+    )
+    ai.add_argument(
+        "--max-queries-per-batch", type=int, default=1024,
+        help="stream-search: serving-batch cap (raises rather than "
+        "pulling an unbounded stream driver-side)",
     )
     ai.add_argument("--index", required=True, help="index root directory")
     ai.add_argument(
@@ -557,6 +576,30 @@ def main(argv: list[str] | None = None) -> int:
         is_pq = similarity._index_has(spark, args.index, "codebooks.parquet")
         if args.action in ("build", "add", "stream-add") and not args.vectors:
             raise SystemExit(f"ann-index {args.action} needs --vectors")
+        if args.action == "stream-search":
+            from .streaming import jobs as stream_jobs
+
+            if not args.queries or not args.sink:
+                raise SystemExit(
+                    "ann-index stream-search needs --queries (the "
+                    "streamed landing directory) and --sink"
+                )
+            schema = spark.read.parquet(args.queries).schema
+            stream_jobs.stream_ann_search(
+                spark.readStream.schema(schema).parquet(args.queries),
+                args.index, args.sink,
+                k=args.k, nprobe=args.nprobe,
+                rerank_factor=args.rerank_factor,
+                query_id_col=args.query_id_col, vec_col=args.vec_col,
+                max_queries_per_batch=args.max_queries_per_batch,
+                index_id_col=args.id_col, index_vec_col=args.vec_col,
+                adc_prune=args.adc_prune,
+                adaptive_nprobe=args.adaptive,
+                checkpoint=args.checkpoint,
+            ).stop()
+            n = spark.read.parquet(args.sink).count()
+            print(f"streamed search: {n} hit rows ({args.sink})")
+            return 0
         if args.action == "stream-add":
             from .streaming import jobs as stream_jobs
 

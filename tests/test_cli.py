@@ -812,3 +812,60 @@ def test_build_corpus_stream_cli(spark, tmp_path):
     )
     assert bad.returncode != 0
     assert "checkpoint" in (bad.stderr + bad.stdout).lower()
+
+
+def test_ann_index_stream_search_cli(spark, sf_small, tmp_path):
+    """ann-index stream-search as a real subprocess: query vectors
+    stream in, per-query top-k hits land in batch_id-keyed sink
+    partitions, and the hits equal the one-shot search verb's over the
+    same index — the serving twin joins the CLI."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+
+    emb = load(spark, sf_small, "embeddings")
+    vecs = str(tmp_path / "vecs")
+    emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding").write.parquet(vecs)
+    index = str(tmp_path / "idx")
+    built = _run(
+        "ann-index", "build", "--vectors", vecs, "--index", index,
+        "--cells", "4", "--refine-iters", "1",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+
+    queries = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") == 0).select(
+        F.lit(7).cast("long").alias("query_id"), "embedding"
+    ).coalesce(1).write.mode("append").parquet(queries)
+    sink = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    ran = _run(
+        "ann-index", "stream-search", "--index", index,
+        "--queries", queries, "--sink", sink, "--checkpoint", ckpt,
+        "--k", "3", "--nprobe", "4",
+    )
+    assert ran.returncode == 0, ran.stderr[-2000:]
+    assert "streamed search: 3 hit rows" in ran.stdout
+    got = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in spark.read.parquet(sink)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    out = str(tmp_path / "oneshot")
+    qvec = ",".join(
+        str(float(x))
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    )
+    one = _run(
+        "ann-index", "search", "--index", index, f"--query={qvec}",
+        "--k", "3", "--nprobe", "4", "--output", out,
+    )
+    assert one.returncode == 0, one.stderr[-2000:]
+    want = [
+        r.vec_id
+        for r in spark.read.parquet(out).orderBy(F.desc("cosine")).collect()
+    ]
+    assert [v for _, _, v in got] == want
+    assert [q for q, _, _ in got] == [7, 7, 7]
