@@ -292,13 +292,13 @@ def _parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build", "add", "spans", "scrub", "dedup", "compact", "stats",
-            "remove", "stream-dedup",
+            "remove", "stream-dedup", "stream-scrub",
         ],
     )
     wi.add_argument(
         "--sink", default=None,
-        help="stream-dedup: survivor-flag sink root (batch_id-keyed "
-        "partitions)",
+        help="stream-dedup / stream-scrub: sink root (batch_id-keyed "
+        "partitions: survivor flags / scrubbed rows)",
     )
     wi.add_argument(
         "--checkpoint", default=None,
@@ -844,6 +844,26 @@ def main(argv: list[str] | None = None) -> int:
                 f"requested ids ({rep['tombstoned_total']} pending — "
                 f"compact to drop physically)"
             )
+            return 0
+        if args.action == "stream-scrub":
+            from .streaming import jobs as stream_jobs
+
+            if not args.documents or not args.sink:
+                raise SystemExit(
+                    "winnow-index stream-scrub needs --documents (the "
+                    "streamed landing directory) and --sink"
+                )
+            schema = spark.read.parquet(args.documents).schema
+            stream_jobs.stream_decontaminate_spans(
+                spark.readStream.schema(schema).parquet(args.documents),
+                args.index, args.sink,
+                threshold=args.threshold,
+                max_fingerprint_df=args.max_df,
+                id_col=args.id_col, text_col=args.text_col,
+                checkpoint=args.checkpoint,
+            ).stop()
+            n = spark.read.parquet(args.sink).count()
+            print(f"streamed scrub: {n} rows ({args.sink})")
             return 0
         if args.action == "stream-dedup":
             from .streaming import jobs as stream_jobs

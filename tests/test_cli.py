@@ -869,3 +869,60 @@ def test_ann_index_stream_search_cli(spark, sf_small, tmp_path):
     ]
     assert [v for _, _, v in got] == want
     assert [q for q, _, _ in got] == [7, 7, 7]
+
+
+def test_winnow_index_stream_scrub_cli(spark, tmp_path):
+    """winnow-index stream-scrub as a real subprocess: a streamed batch
+    loses the spans it shares with the frozen benchmark index and the
+    scrubbed rows land in a batch_id-keyed sink partition, equal to the
+    batch scrub verb over the same input."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    bench = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    bpath = str(tmp_path / "bench")
+    bench.write.parquet(bpath)
+    index = str(tmp_path / "widx")
+    built = _run(
+        "winnow-index", "build", "--documents", bpath, "--index", index,
+        "--portable",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+
+    docs = spark.createDataFrame(
+        [(10, base + " plus an original tail about distant mountains"),
+         (11, "fully original words with no benchmark overlap at all")],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "docs")
+    docs.coalesce(1).write.mode("append").parquet(landing)
+    sink = str(tmp_path / "scrubbed")
+    ckpt = str(tmp_path / "ckpt")
+    ran = _run(
+        "winnow-index", "stream-scrub", "--documents", landing,
+        "--index", index, "--sink", sink, "--checkpoint", ckpt,
+        "--threshold", "0.5",
+    )
+    assert ran.returncode == 0, ran.stderr[-2000:]
+    assert "streamed scrub: 2 rows" in ran.stdout
+
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # batch twin over the same input
+    bout = str(tmp_path / "batch_scrub")
+    b = _run(
+        "winnow-index", "scrub", "--documents", landing, "--index", index,
+        "--threshold", "0.5", "--output", bout,
+    )
+    assert b.returncode == 0, b.stderr[-2000:]
+    want = {
+        r.doc_id: (r.scrubbed, r.n_cut)
+        for r in spark.read.parquet(bout).collect()
+    }
+    assert got == want
+    assert got[10][1] > 0      # the shared span was cut
+    assert got[11][1] == 0     # the original doc is untouched
+    assert base not in got[10][0]
