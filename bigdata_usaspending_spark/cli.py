@@ -352,6 +352,55 @@ def _parser() -> argparse.ArgumentParser:
     )
     wi.add_argument("--output", default=None, help="write result parquet here")
 
+    sl = sub.add_parser(
+        "stream-ledger",
+        help="versioned-LEDGER streaming dedup/scrub jobs (full-state "
+        "forms — the scale forms live under winnow-index stream-dedup "
+        "/ ann-index stream-add): near-dedup (winnow ledger), "
+        "span-scrub (positioned ledger), semantic (embedding ledger)",
+    )
+    sl.add_argument(
+        "action", choices=["near-dedup", "span-scrub", "semantic"]
+    )
+    sl.add_argument(
+        "--documents", default=None,
+        help="near-dedup / span-scrub: streamed landing directory of "
+        "(id, text) parquet rows",
+    )
+    sl.add_argument(
+        "--vectors", default=None,
+        help="semantic: streamed landing directory of (id, vector) rows",
+    )
+    sl.add_argument(
+        "--state", required=True,
+        help="versioned-state root (exactly-once ledger; readers take "
+        "the committed snapshot)",
+    )
+    sl.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpoint (REQUIRED once state exists)",
+    )
+    sl.add_argument("--id-col", default=None,
+                    help="default doc_id (text) / vec_id (semantic)")
+    sl.add_argument("--text-col", default="text")
+    sl.add_argument("--vec-col", default="embedding")
+    sl.add_argument("--k", type=int, default=8)
+    sl.add_argument("--w", type=int, default=4)
+    sl.add_argument("--threshold", type=float, default=None,
+                    help="default 0.5 (winnow jaccard) / 0.9 (cosine)")
+    sl.add_argument("--portable", action="store_true")
+    sl.add_argument("--max-df", type=int, default=None)
+    sl.add_argument(
+        "--evidence", action="store_true",
+        help="near-dedup: ledger drop rows carry the positioned "
+        "drop-evidence structs",
+    )
+    sl.add_argument(
+        "--centroids", default=None,
+        help="semantic: parquet of (cell, centroid) rows — the saved "
+        "coarse model batches are assigned with",
+    )
+
     pr = sub.add_parser(
         "profile", help="one-pass ANALYZE-style column profile of a table"
     )
@@ -814,6 +863,60 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for row in out.collect():  # k-bounded
                 print(tuple(row))
+        return 0
+
+    if args.job == "stream-ledger":
+        from .io import read_versioned_state
+        from .session import apply_runtime_confs
+        from .streaming import jobs as stream_jobs
+
+        apply_runtime_confs(spark)
+        if args.action in ("near-dedup", "span-scrub"):
+            if not args.documents:
+                raise SystemExit(
+                    f"stream-ledger {args.action} needs --documents"
+                )
+            schema = spark.read.parquet(args.documents).schema
+            stream = spark.readStream.schema(schema).parquet(args.documents)
+            kw = dict(
+                k=args.k, w=args.w,
+                threshold=0.5 if args.threshold is None else args.threshold,
+                portable=args.portable,
+                max_fingerprint_df=args.max_df,
+                id_col=args.id_col or "doc_id",
+                text_col=args.text_col,
+                checkpoint=args.checkpoint,
+            )
+            if args.action == "near-dedup":
+                stream_jobs.stream_near_dedup_winnow(
+                    stream, args.state, evidence=args.evidence, **kw
+                ).stop()
+            else:
+                stream_jobs.stream_span_scrub_winnow(
+                    stream, args.state, **kw
+                ).stop()
+        else:  # semantic
+            if not args.vectors or not args.centroids:
+                raise SystemExit(
+                    "stream-ledger semantic needs --vectors and "
+                    "--centroids"
+                )
+            schema = spark.read.parquet(args.vectors).schema
+            stream_jobs.stream_semantic_dedup(
+                spark.readStream.schema(schema).parquet(args.vectors),
+                args.state,
+                spark.read.parquet(args.centroids),
+                threshold=0.9 if args.threshold is None else args.threshold,
+                id_col=args.id_col or "vec_id",
+                vec_col=args.vec_col,
+                checkpoint=args.checkpoint,
+            ).stop()
+        state = read_versioned_state(spark, args.state)
+        n = state.count() if state is not None else 0
+        print(
+            f"stream-ledger {args.action}: committed state holds {n} "
+            f"rows ({args.state})"
+        )
         return 0
 
     if args.job == "winnow-index":

@@ -926,3 +926,83 @@ def test_winnow_index_stream_scrub_cli(spark, tmp_path):
     assert got[10][1] > 0      # the shared span was cut
     assert got[11][1] == 0     # the original doc is untouched
     assert base not in got[10][0]
+
+
+def test_stream_ledger_cli_near_dedup_and_semantic(spark, sf_small, tmp_path):
+    """stream-ledger as real subprocesses: the versioned-LEDGER
+    streaming forms join the CLI. near-dedup: two restarted micro-batch
+    runs keep the winnow ledger fresh (the batch-2 near-dup of a
+    committed doc lands dropped); semantic: a vector batch dedups
+    against the saved coarse model with survivor flags in the state."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.io import read_versioned_state
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river today")
+    landing = str(tmp_path / "docs")
+    state = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    r1 = _run(
+        "stream-ledger", "near-dedup", "--documents", landing,
+        "--state", state, "--checkpoint", ckpt, "--portable",
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "committed state holds 1 rows" in r1.stdout
+
+    spark.createDataFrame(
+        [(10, base + " again"),
+         (11, "fresh words about sailing ships on wide oceans tonight")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    r2 = _run(
+        "stream-ledger", "near-dedup", "--documents", landing,
+        "--state", state, "--checkpoint", ckpt, "--portable",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    flags = {
+        r.doc_id: r.survivor
+        for r in read_versioned_state(spark, state).collect()
+    }
+    assert flags == {1: True, 10: False, 11: True}
+
+    # checkpoint guard once state exists
+    bad = _run(
+        "stream-ledger", "near-dedup", "--documents", landing,
+        "--state", state, "--portable",
+    )
+    assert bad.returncode != 0
+    assert "checkpoint" in (bad.stderr + bad.stdout).lower()
+
+    # semantic leg: one batch against the saved coarse model
+    emb = load(spark, sf_small, "embeddings")
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    cents = str(tmp_path / "cents")
+    spark.createDataFrame(
+        _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+    ).write.parquet(cents)
+    vecs = str(tmp_path / "vecs")
+    dup = emb.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    emb.filter(F.col("vec_id").isin(5, 6)).select(
+        "vec_id", "embedding"
+    ).unionByName(dup).coalesce(1).write.mode("append").parquet(vecs)
+    vstate = str(tmp_path / "vledger")
+    r3 = _run(
+        "stream-ledger", "semantic", "--vectors", vecs,
+        "--centroids", cents, "--state", vstate,
+        "--checkpoint", str(tmp_path / "vckpt"),
+        "--threshold", "0.999",
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    vflags = {
+        r.vec_id: r.survivor
+        for r in read_versioned_state(spark, vstate).collect()
+    }
+    assert vflags[5] and vflags[6] and not vflags[1005]
