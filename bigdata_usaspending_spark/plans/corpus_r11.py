@@ -43,7 +43,8 @@ corpus build with its near-dup LSH tier live, and fuzzy dim matching.
   substring probes on the dirty side — never all-pairs. Oracle =
   all-pairs levenshtein ground truth on the bounded roster.
 
-Reference parity note: the reference engine (app/data_processing.py)
+Reference parity note: the reference's only persisted artifacts are
+Cassandra tables and saved PipelineModels (app/ml_app.py:68-74); it
 has no ANN/index or crawl surface; these extend SURVEY §7.4's
 training-data pipeline plan with public faiss/PassJoin constructions.
 """

@@ -21,7 +21,8 @@
   Full stage-replay CTE oracle — the q_corpus_build_near chain with the
   winnow pair stages spliced in where the minhash CTEs were.
 
-Reference parity note: the reference engine (app/data_processing.py)
+Reference parity note: the reference's only persisted artifacts are
+Cassandra tables and saved PipelineModels (app/ml_app.py:68-74); it
 has no dedup/corpus surface; these extend SURVEY §7.4's training-data
 pipeline plan with the public MOSS construction.
 """

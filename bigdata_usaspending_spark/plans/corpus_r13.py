@@ -26,7 +26,8 @@ OPQ-rotated capstone composition.
   (SQL-replayable) set — the audit-contract pattern every ANN family
   query in this corpus uses.
 
-Reference parity note: the reference engine (app/data_processing.py)
+Reference parity note: the reference's only persisted artifacts are
+Cassandra tables and saved PipelineModels (app/ml_app.py:68-74); it
 has no index-maintenance or embedding surface; these extend SURVEY
 §7.4's training-data pipeline plan with the faiss-style lifecycle
 (merge/compact; IndexPreTransform) re-expressed Spark-first.

@@ -30,7 +30,8 @@ pipeline must honor), on both index families.
   committed set (the q_corpus_build_incremental splice with the removed
   half subtracted); the same audit booleans pin the lifecycle.
 
-Reference parity note: the reference engine (app/data_processing.py)
+Reference parity note: the reference's only persisted artifacts are
+Cassandra tables and saved PipelineModels (app/ml_app.py:68-74); it
 has no index-maintenance surface; these extend SURVEY §7.4's
 training-data pipeline with the deletion-vector / merge-on-read delete
 pattern (Iceberg/Delta semantics, faiss remove_ids) re-expressed
