@@ -426,11 +426,54 @@ def _cli_remove_ids(spark, args, id_type: str):
     if args.ids_parquet:
         return spark.read.parquet(args.ids_parquet)
     vals = [v.strip() for v in args.ids.split(",") if v.strip()]
+
+    def _coerce(conv):
+        try:
+            return [conv(v) for v in vals]
+        except (ValueError, ArithmeticError) as exc:
+            raise SystemExit(
+                f"{args.job} remove: could not parse --ids as the "
+                f"index's id type {id_type}: {exc}"
+            )
+
     if id_type in ("tinyint", "smallint", "int", "bigint"):
-        return [int(v) for v in vals]
+        return _coerce(int)
     if id_type in ("float", "double"):
-        return [float(v) for v in vals]
-    return vals
+        return _coerce(float)
+    if id_type.startswith("decimal"):
+        import decimal
+
+        return _coerce(decimal.Decimal)
+    if id_type == "date":
+        import datetime
+
+        return _coerce(datetime.date.fromisoformat)
+    if id_type.startswith("timestamp"):
+        import datetime
+
+        return _coerce(datetime.datetime.fromisoformat)
+    if id_type == "boolean":
+        def _to_bool(v: str) -> bool:
+            lv = v.lower()
+            if lv in ("true", "1"):
+                return True
+            if lv in ("false", "0"):
+                return False
+            raise ValueError(f"{v!r} is not a boolean literal")
+
+        return _coerce(_to_bool)
+    if id_type in ("string", "varchar(65535)") or id_type.startswith(
+        ("varchar", "char")
+    ):
+        return vals
+    # binary / struct / array id types have no unambiguous CLI literal
+    # form — point at the typed path instead of failing downstream in
+    # createDataFrame with an opaque type error (round-14 ADVICE)
+    raise SystemExit(
+        f"{args.job} remove: --ids literals are not supported for index "
+        f"id type {id_type}; pass the ids as a parquet frame via "
+        "--ids-parquet"
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,6 +171,10 @@ def compact_versions(spark: SparkSession, path: str, key: str) -> None:
 # format with snapshot commits.
 
 _MANIFEST = "_MANIFEST.json"
+
+# hadoop_swap_rewrite only sweeps an orphaned __compact_* staging dir
+# once this old — a fresh one may belong to a concurrent swap mid-write
+_COMPACT_ORPHAN_AGE_MS = 15 * 60 * 1000
 
 # filesystems whose rename is NOT atomic (object stores) — the swap
 # below would have an unbounded corruption window there; a real table
@@ -330,7 +335,13 @@ def hadoop_swap_rewrite(spark: SparkSession, target: str, write_tmp, op: str) ->
     compaction into foreachBatch (compact_every) recovers on its next
     trigger instead of failing every subsequent batch on a missing
     component. Orphaned ``__compact_*`` staging dirs are swept either
-    way (they are pre-swap copies, never the only copy).
+    way (they are pre-swap copies, never the only copy) — but only once
+    older than ``_COMPACT_ORPHAN_AGE_MS``, so a CONCURRENT swap's
+    in-flight staging dir is never destroyed by a second entrant
+    (round-14 ADVICE). The component contract is still single-writer
+    per component (two completing swaps race at the rename step, last
+    one wins); the age guard only keeps the failure mode at "one swap
+    wins" instead of "the other's staging dir is deleted mid-write".
 
     ``write_tmp(tmp_path)`` writes the rewritten component (the caller
     owns the plan — the swap only sequences the renames)."""
@@ -364,8 +375,12 @@ def hadoop_swap_rewrite(spark: SparkSession, target: str, write_tmp, op: str) ->
         if fs.exists(t_path):
             for st in leftovers:
                 fs.delete(st.getPath(), True)
+        now_ms = int(time.time() * 1000)
         for st in fs.listStatus(parent):
-            if st.getPath().getName().startswith(f"{base}__compact_"):
+            if (
+                st.getPath().getName().startswith(f"{base}__compact_")
+                and now_ms - st.getModificationTime() > _COMPACT_ORPHAN_AGE_MS
+            ):
                 fs.delete(st.getPath(), True)
     write_tmp(tmp)
     if not fs.rename(t_path, jvm.org.apache.hadoop.fs.Path(old)):

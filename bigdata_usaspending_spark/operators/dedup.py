@@ -981,8 +981,13 @@ def winnow_pos_index_write(
     _winnow_meta_write(df.sparkSession, path, meta)
     # a rebuild over a former index directory must not inherit its
     # pending deletes (a stale tombstone set would silently hide any
-    # rebuilt doc sharing a removed id)
+    # rebuilt doc sharing a removed id)…
     _winnow_delete_component(df.sparkSession, path, _WINNOW_TOMBSTONES)
+    # …nor a stale streaming add-manifest: a fresh stream over the
+    # rebuilt index restarts batch_id at 0 and winnow_index_add_batch's
+    # replay guard (batch_id <= manifest) would silently discard its
+    # early batches
+    _winnow_delete_component(df.sparkSession, path, _WINNOW_ADD_MANIFEST)
 
 
 def _winnow_meta_path(spark, path: str):
@@ -1079,13 +1084,19 @@ def winnow_index_compact(
     require_atomic_rename(path, "winnow_index_compact")
     target = f"{path}/fps.parquet"
     files_before, n_bytes = hadoop_data_file_stats(spark, target)
-    n_files = max(1, -(-n_bytes // max(1, int(target_file_bytes))))
     # compaction doubles as the PHYSICAL delete for tombstoned docs
     # (winnow_index_remove): the rewrite reads the LIVE set, removed
     # rows leave the disk here, and the tombstone file clears after the
     # swap
     n_physical = spark.read.parquet(target).count()
     n_rows = _read_index_fps(spark, path).count()
+    # size the rewrite from the LIVE bytes, not the physical bytes — a
+    # compact right after a large removal would otherwise over-shard the
+    # surviving rows far below target_file_bytes (round-14 ADVICE)
+    live_bytes = (
+        n_bytes if n_physical == 0 else (n_bytes * n_rows) // n_physical
+    )
+    n_files = max(1, -(-live_bytes // max(1, int(target_file_bytes))))
 
     def write_tmp(tmp: str) -> None:
         _read_index_fps(spark, path).repartition(n_files).write.parquet(tmp)
@@ -1141,7 +1152,7 @@ def winnow_index_add_batch(
         hadoop_write_json,
     )
 
-    manifest = hadoop_read_json(spark, f"{path}/_ADD_MANIFEST.json")
+    manifest = hadoop_read_json(spark, f"{path}/{_WINNOW_ADD_MANIFEST}")
     if manifest is not None and batch_id <= manifest["batch_id"]:
         return False
     meta = _winnow_index_meta(spark, path)
@@ -1167,12 +1178,13 @@ def winnow_index_add_batch(
     pfps.write.mode("overwrite").parquet(staging)
     hadoop_staged_append(spark, staging, target, prefix)
     hadoop_write_json(
-        spark, f"{path}/_ADD_MANIFEST.json", {"batch_id": int(batch_id)}
+        spark, f"{path}/{_WINNOW_ADD_MANIFEST}", {"batch_id": int(batch_id)}
     )
     return True
 
 
 _WINNOW_TOMBSTONES = "tombstones.parquet"
+_WINNOW_ADD_MANIFEST = "_ADD_MANIFEST.json"
 
 
 def _winnow_index_has(spark, path: str, name: str) -> bool:

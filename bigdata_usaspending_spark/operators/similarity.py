@@ -551,6 +551,10 @@ def ivf_index_write(
     # rebuilt vector sharing a removed id (the stale-rotation hazard's
     # twin on the delete path)
     _delete_index_component(df.sparkSession, path, _TOMBSTONES)
+    # …nor a stale streaming add-manifest: a fresh stream over the
+    # rebuilt index restarts batch_id at 0 and the replay guard
+    # (batch_id <= manifest) would silently discard its early batches
+    _delete_index_component(df.sparkSession, path, _ADD_MANIFEST)
 
 
 def ivf_index_add(
@@ -2751,8 +2755,12 @@ def _ivf_pq_index_write_encoded(
     # neighbors (callers that DO pass a rotation re-write it after this)
     _delete_index_component(encoded.sparkSession, path, "rotation.parquet")
     # …nor a stale tombstone set (it would silently hide rebuilt
-    # vectors that share a removed id)
+    # vectors that share a removed id)…
     _delete_index_component(encoded.sparkSession, path, _TOMBSTONES)
+    # …nor a stale streaming add-manifest (a fresh stream over the
+    # rebuild restarts batch_id at 0; the replay guard would silently
+    # discard its early batches)
+    _delete_index_component(encoded.sparkSession, path, _ADD_MANIFEST)
 
 
 def ivf_pq_index_add(

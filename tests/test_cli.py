@@ -1006,3 +1006,49 @@ def test_stream_ledger_cli_near_dedup_and_semantic(spark, sf_small, tmp_path):
         for r in read_versioned_state(spark, vstate).collect()
     }
     assert vflags[5] and vflags[6] and not vflags[1005]
+
+
+def test_cli_remove_ids_coerces_every_literal_type(spark):
+    """--ids literals coerce to the index's saved id type for every
+    CLI-expressible type; inexpressible ones (binary, nested) exit with
+    a message naming the type and pointing at --ids-parquet instead of
+    failing downstream inside createDataFrame with an opaque type error
+    (round-14 ADVICE)."""
+    import datetime
+    import decimal
+    from types import SimpleNamespace
+
+    from bigdata_usaspending_spark.cli import _cli_remove_ids
+
+    def ids(lit: str, id_type: str):
+        args = SimpleNamespace(ids=lit, ids_parquet=None, job="ann-index")
+        return _cli_remove_ids(spark, args, id_type)
+
+    assert ids("1, 2", "bigint") == [1, 2]
+    assert ids("1.5", "double") == [1.5]
+    assert ids("1.50,3", "decimal(10,2)") == [
+        decimal.Decimal("1.50"), decimal.Decimal("3")
+    ]
+    assert ids("2024-03-01", "date") == [datetime.date(2024, 3, 1)]
+    assert ids("2024-03-01T04:05:06", "timestamp") == [
+        datetime.datetime(2024, 3, 1, 4, 5, 6)
+    ]
+    assert ids("true,0,FALSE", "boolean") == [True, False, False]
+    assert ids("a, b", "string") == ["a", "b"]
+
+    # the coerced literals round-trip through the typed createDataFrame
+    # the remove verbs build (ann_index_remove / winnow_index_remove)
+    df = spark.createDataFrame(
+        [(v,) for v in ids("1.50", "decimal(10,2)")],
+        "doc_id decimal(10,2)",
+    )
+    assert df.first()[0] == decimal.Decimal("1.50")
+
+    with pytest.raises(SystemExit, match="ids-parquet"):
+        ids("deadbeef", "binary")
+    with pytest.raises(SystemExit, match="could not parse"):
+        ids("notanint", "bigint")
+    with pytest.raises(SystemExit, match="could not parse"):
+        ids("maybe", "boolean")
+    with pytest.raises(SystemExit, match="could not parse"):
+        ids("03/01/2024", "date")

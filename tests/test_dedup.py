@@ -1042,6 +1042,34 @@ def test_winnow_index_compact_bit_identical_probes(spark, tmp_path):
         dd.winnow_index_compact(spark, "s3a://bucket/widx")
 
 
+def test_winnow_index_compact_sizes_by_live_bytes(spark, tmp_path):
+    """A compact right after a large removal must size the rewrite from
+    the LIVE bytes: deriving the file count from physical bytes
+    (tombstoned rows included) over-shards the few surviving rows far
+    below target_file_bytes (round-14 ADVICE)."""
+    from bigdata_usaspending_spark.io import hadoop_data_file_stats
+    from bigdata_usaspending_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog near the bridge"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail {i} "
+          + " ".join(f"w{i}x{j}" for j in range(30)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "widx")
+    dd.winnow_pos_index_write(docs, path, portable=True)
+    _, physical = hadoop_data_file_stats(spark, f"{path}/fps.parquet")
+    dd.winnow_index_remove(spark, path, list(range(36)))
+    # physical-bytes sizing would target ~8 files for the 4 survivors;
+    # live-bytes sizing (~physical/10 vs target physical/8) gives 1
+    stats = dd.winnow_index_compact(
+        spark, path, target_file_bytes=max(1, physical // 8)
+    )
+    assert stats["rows"] == 4 and stats["removed_rows"] == 36
+    assert stats["files_after"] == 1, stats
+
+
 def test_winnow_index_remove_lifecycle(spark, tmp_path):
     """The takedown leg on the text index (ann_index_remove's twin): a
     removed doc immediately stops matching in every probe AND stops
@@ -1145,7 +1173,22 @@ def test_winnow_index_remove_lifecycle(spark, tmp_path):
         )
 
     # a REBUILD over the directory clears pending tombstones — a stale
-    # set would silently hide rebuilt docs sharing a removed id
+    # set would silently hide rebuilt docs sharing a removed id — AND
+    # the streaming add-manifest: a fresh stream over the rebuilt index
+    # restarts batch_id at 0 and winnow_index_add_batch's replay guard
+    # would silently discard its early batches (round-14 ADVICE)
+    assert dd.winnow_index_add_batch(spark, path, batch, 7)
+    from bigdata_usaspending_spark.io import hadoop_read_json
+
+    assert hadoop_read_json(
+        spark, f"{path}/{dd._WINNOW_ADD_MANIFEST}"
+    )["batch_id"] == 7
     dd.winnow_pos_index_write(committed, path, portable=True)
     st3 = dd.winnow_index_stats(spark, path)
     assert st3["tombstones"] == 0 and st3["docs"] == 2
+    assert hadoop_read_json(
+        spark, f"{path}/{dd._WINNOW_ADD_MANIFEST}"
+    ) is None
+    # batch_id 0 from the fresh stream is APPLIED, not replay-skipped
+    assert dd.winnow_index_add_batch(spark, path, batch, 0)
+    assert dd.winnow_index_stats(spark, path)["docs"] == 4

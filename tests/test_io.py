@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 from bigdata_usaspending_spark import io
 from bigdata_usaspending_spark.ml.adapter import awards_view
@@ -246,9 +248,12 @@ def test_hadoop_swap_rewrite_auto_restores_crash_leftover(spark, tmp_path):
     spark.range(10).write.parquet(target)
 
     # simulate the crash window: live renamed aside, replacement never
-    # renamed in; plus an orphaned pre-swap staging copy
+    # renamed in; plus an orphaned pre-swap staging copy, aged past the
+    # sweep threshold (fresh ones are protected — see below)
     os.rename(target, f"{target}__old_deadbeef")
     spark.range(3).write.parquet(f"{target}__compact_feedface")
+    stale = time.time() - (io._COMPACT_ORPHAN_AGE_MS / 1000 + 60)
+    os.utime(f"{target}__compact_feedface", (stale, stale))
     assert not os.path.exists(target)
 
     def write_tmp(tmp: str) -> None:
@@ -261,6 +266,15 @@ def test_hadoop_swap_rewrite_auto_restores_crash_leftover(spark, tmp_path):
         if "__old_" in n or "__compact_" in n
     ]
     assert leftovers == [], leftovers
+
+    # a FRESH __compact_* dir may be a CONCURRENT swap's in-flight
+    # staging copy — the entry sweep must leave it alone (round-14
+    # ADVICE: the unconditional sweep destroyed it mid-write)
+    spark.range(4).write.parquet(f"{target}__compact_inflight0")
+    io.hadoop_swap_rewrite(spark, target, write_tmp, "test_op")
+    assert spark.read.parquet(target).count() == 10
+    assert os.path.exists(f"{target}__compact_inflight0")
+    shutil.rmtree(f"{target}__compact_inflight0")
 
     # completed-swap stale leftovers (crash after rename-in, before the
     # delete) are swept without touching the live component

@@ -1573,8 +1573,20 @@ def test_ann_index_remove_lifecycle(spark, sf_small, tmp_path):
         )
 
     # a REBUILD over the directory clears pending tombstones — a stale
-    # set would silently hide rebuilt vectors sharing a removed id
+    # set would silently hide rebuilt vectors sharing a removed id —
+    # AND the streaming add-manifest: a fresh stream over the rebuilt
+    # index restarts batch_id at 0 and the replay guard would silently
+    # discard its early batches (round-14 ADVICE)
     similarity.ann_index_remove(spark, path, victims)
+    fresh0 = emb.filter(F.col("vec_id") == 0)
+    assert similarity.ann_index_add_batch(spark, path, fresh0, 7)
+    assert similarity._read_add_manifest(spark, path)["batch_id"] == 7
     similarity.ivf_index_write(data, centroids, path)
     st3 = similarity.ann_index_stats(spark, path)
     assert st3["tombstones"] == 0 and st3["vectors"] == data.count()
+    assert similarity._read_add_manifest(spark, path) is None
+    # batch_id 0 from the fresh stream is APPLIED, not replay-skipped
+    assert similarity.ann_index_add_batch(spark, path, fresh0, 0)
+    assert similarity.ann_index_stats(spark, path)["vectors"] == (
+        data.count() + 1
+    )
