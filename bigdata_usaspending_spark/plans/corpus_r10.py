@@ -66,7 +66,7 @@ from ..operators import retrieval, text
 from ..operators.text import tokens as sql_tokens
 from ..session import apply_runtime_confs
 from ..sources.warc import TRACKING_PARAM_RE, url_dedup_groups
-from .corpus_r8 import _BM25_BATCH, _BM25_BATCH_K
+from .oracle_lib import _BM25_BATCH, _BM25_BATCH_K
 
 _RERANK_TRAINED_K = 5
 
@@ -380,11 +380,14 @@ def _rerank_trained_oracle() -> str:
     """
 
 
-_MINI_SEED = 3
-_MINI_QUOTA = 10
-_MINI_BLOCK = 128
-_MINI_MIN_TOKENS = 8
-_MINI_MAX_PUNCT = 0.2
+# shared across waves — moved verbatim to plans/oracle_lib (VERDICT r14 #7)
+from .oracle_lib import (
+    _MINI_BLOCK,
+    _MINI_MAX_PUNCT,
+    _MINI_MIN_TOKENS,
+    _MINI_QUOTA,
+    _MINI_SEED,
+)
 
 
 def q_corpus_build_mini(spark: SparkSession, sf: str) -> DataFrame:

@@ -113,24 +113,8 @@ def _ivf_pq_incremental_oracle() -> str:
 _NEAR_THRESHOLD = 0.8
 
 
-def _near_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """documents plus one synthesized near-dup per doc_id % 17 == 0 row:
-    id + 1_000_000, text + one trailing token. Appending a token keeps
-    Jaccard over distinct 3-gram shingles at (n-2)/(n-1) or higher —
-    above 0.8 for every gated doc (>= 8 tokens) — so the LSH tier must
-    merge each variant into its source's component and drop it (min-id
-    original survives)."""
-    docs = load(_prep(spark), sf, "documents").select(
-        "doc_id", "text", "source"
-    )
-    variants = docs.filter(
-        ((F.col("doc_id") % 17) == 0) & F.col("text").isNotNull()
-    ).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" the")).alias("text"),
-        F.col("source"),
-    )
-    return docs.unionByName(variants)
+# shared across waves — moved verbatim to plans/oracle_lib (VERDICT r14 #7)
+from .oracle_lib import _near_docs
 
 
 def q_corpus_build_near(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,7 +132,7 @@ def q_corpus_build_near(spark: SparkSession, sf: str) -> DataFrame:
     candidates, and components run star-contraction rounds sized to the
     pair volume — no driver graph."""
     from .build_corpus import CorpusBuildConfig, build_corpus
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
@@ -176,7 +160,7 @@ def _corpus_build_near_oracle() -> str:
     # over the exact-dedup survivors, then the q_dedup_clusters recursive
     # min-label components, then drop non-root members
     from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS, _minhash_pairs_ctes
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )

@@ -42,8 +42,18 @@ def _prep(spark: SparkSession) -> SparkSession:
     return apply_runtime_confs(spark)
 
 
-_ROBUST_K = 8
-_ROBUST_W = 4
+# shared across waves — moved verbatim to plans/oracle_lib (VERDICT r14 #7)
+from .oracle_lib import (
+    _ROBUST_K,
+    _ROBUST_W,
+    _SPAN_MAX_DF,
+    _SPAN_THRESHOLD,
+    _WINNOW_BUILD_MAX_DF,
+    _WINNOW_BUILD_THRESHOLD,
+    _robust_fps_ctes,
+    _winnow_pairs_ctes,
+    _winnow_spans_incremental_oracle,
+)
 
 
 def q_winnow_robust(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,68 +93,6 @@ def q_winnow_robust(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _robust_fps_ctes(src: str) -> str:
-    """The §5 robust-winnowing replay as a reusable recursive CTE chain
-    ending in ``rfp (doc_id, pos, fp)`` — composable over any
-    ``(doc_id, text)`` source CTE (q_winnow_robust and the span
-    localization oracle share it). Fold over window start indices j
-    (0-based; window j+1 covers gram positions j+1 .. j+w): carry (last
-    selected position, selections); keep ``last`` while it is in-window
-    and still a minimum, else append the rightmost minimal position
-    (len - position of the min in the reversed window + 1, offset by
-    j). Must be spliced into a ``WITH RECURSIVE`` clause."""
-    from .corpus_ext import _NORMALIZED, _basehash_sql
-
-    k, w = _ROBUST_K, _ROBUST_W
-    gram_hash = _basehash_sql(f"substr(s, i, {k})")
-    return f"""t AS (
-            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
-            WHERE text IS NOT NULL
-        ),
-        g AS (
-            SELECT doc_id,
-                   CASE WHEN length(s) >= {k}
-                        THEN list_transform(
-                                 range(1, length(s) - {k} + 2),
-                                 i -> {gram_hash})
-                        ELSE CAST([] AS BIGINT[]) END AS grams
-            FROM t
-        ),
-        base AS (
-            SELECT doc_id, grams,
-                   greatest(len(grams) - {w} + 1, 1) AS nwin
-            FROM g WHERE len(grams) >= 1
-        ),
-        r AS (
-            SELECT doc_id, grams, nwin,
-                   0 AS j, 0 AS last, CAST([] AS INTEGER[]) AS sel
-            FROM base
-            UNION ALL
-            SELECT doc_id, grams, nwin, j + 1,
-                   CASE WHEN keep THEN last ELSE newpos END,
-                   CASE WHEN keep THEN sel
-                        ELSE list_append(sel, newpos) END
-            FROM (
-                SELECT doc_id, grams, nwin, j, last, sel,
-                       (last > j AND grams[last] = m) AS keep,
-                       CAST(j + len(win)
-                            - list_position(list_reverse(win), m) + 1
-                            AS INTEGER) AS newpos
-                FROM (
-                    SELECT *,
-                           list_slice(grams, j + 1, j + {w}) AS win,
-                           list_min(list_slice(grams, j + 1, j + {w})) AS m
-                    FROM r WHERE j < nwin
-                )
-            )
-        ),
-        fin AS (SELECT doc_id, grams, sel FROM r WHERE j = nwin),
-        rfp AS (
-            SELECT doc_id, CAST(p AS INTEGER) AS pos, grams[p] AS fp
-            FROM (SELECT doc_id, grams, unnest(sel) AS p FROM fin)
-        )"""
-
-
 def _winnow_robust_oracle() -> str:
     return f"""
         WITH RECURSIVE sample AS (
@@ -153,10 +101,6 @@ def _winnow_robust_oracle() -> str:
         {_robust_fps_ctes(src="sample")}
         SELECT doc_id, pos, fp FROM rfp
     """
-
-
-_WINNOW_BUILD_THRESHOLD = 0.5
-_WINNOW_BUILD_MAX_DF = 50
 
 
 def q_corpus_build_winnow(spark: SparkSession, sf: str) -> DataFrame:
@@ -176,11 +120,11 @@ def q_corpus_build_winnow(spark: SparkSession, sf: str) -> DataFrame:
     stop-gram cap bounds candidates <= cap x exploded rows on
     boilerplate-heavy crawls."""
     from .build_corpus import CorpusBuildConfig, build_corpus
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
-    from .corpus_r11 import _near_docs
+    from .oracle_lib import _near_docs
 
     cfg = CorpusBuildConfig(
         langs=("en",),
@@ -202,77 +146,13 @@ def q_corpus_build_winnow(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _winnow_pairs_ctes(
-    k: int, w: int, threshold: float, max_df: int, src: str
-) -> str:
-    """The dedup.winnow_pairs replay as a reusable CTE chain ending in
-    ``win_pairs (id_a, id_b, jaccard)`` — composable over any
-    ``(doc_id, text)`` source CTE (the q_dedup_winnow stages with the
-    source parameterized, the _minhash_pairs_ctes pattern). Capped
-    semantics replay exactly: fingerprints above ``max_df`` docs drop
-    from candidate generation AND shared counts while set sizes stay
-    full (underestimate). The operator's length-ratio prune needs no
-    replay: capped shared counts never exceed min(nf), so pruned pairs
-    are exactly those the threshold filter removes anyway."""
-    from .corpus_ext import _NORMALIZED, _basehash_sql
-
-    gram_hash = _basehash_sql(f"substr(s, i, {k})")
-    return f"""wt AS (
-            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
-            WHERE text IS NOT NULL
-        ),
-        wg AS (
-            SELECT doc_id,
-                   CASE WHEN length(s) >= {k}
-                        THEN list_transform(
-                                 range(1, length(s) - {k} + 2),
-                                 i -> {gram_hash})
-                        ELSE CAST([] AS BIGINT[]) END AS grams
-            FROM wt
-        ),
-        wf AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(grams) - {w} + 1, 1) + 1),
-                       j -> list_min(list_slice(grams, j, j + {w} - 1))
-                   )) AS fps
-            FROM wg WHERE len(grams) >= 1
-        ),
-        wheavy AS (
-            SELECT fp FROM (
-                SELECT fp, count(*) AS dfc
-                FROM (SELECT unnest(fps) AS fp FROM wf) GROUP BY fp
-            ) WHERE dfc > {max_df}
-        ),
-        we AS (
-            SELECT id, nf, f FROM (
-                SELECT doc_id AS id, len(fps) AS nf, unnest(fps) AS f
-                FROM wf
-            ) WHERE f NOT IN (SELECT fp FROM wheavy)
-        ),
-        wi AS (
-            SELECT a.id AS id_a, b.id AS id_b, a.nf AS nf_a, b.nf AS nf_b,
-                   count(*) AS c
-            FROM we a JOIN we b ON a.f = b.f AND a.id < b.id
-            GROUP BY 1, 2, 3, 4
-        ),
-        win_pairs AS (
-            SELECT id_a, id_b, jaccard FROM (
-                SELECT id_a, id_b,
-                       CAST(c AS DOUBLE)
-                       / CAST(nf_a + nf_b - c AS DOUBLE) AS jaccard
-                FROM wi
-            ) WHERE jaccard >= {threshold}
-        )"""
-
-
 def _corpus_build_winnow_oracle() -> str:
     # the q_corpus_build_near stage replay with the winnow pair chain
     # spliced in where the minhash CTEs were: gate, exact dedup, winnow
     # pairs over the survivors, recursive min-label components, drop
     # non-roots, quota, seeded shuffle, pack
     from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
@@ -363,10 +243,6 @@ def _corpus_build_winnow_oracle() -> str:
                CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
         FROM packed
     """
-
-
-_SPAN_THRESHOLD = 0.5
-_SPAN_MAX_DF = 50
 
 
 def q_winnow_match_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -597,69 +473,6 @@ def q_winnow_spans_incremental(spark: SparkSession, sf: str) -> DataFrame:
         k=_ROBUST_K, w=_ROBUST_W, threshold=_SPAN_THRESHOLD,
         portable=True, max_fingerprint_df=_SPAN_MAX_DF,
     )
-
-
-def _winnow_spans_incremental_oracle() -> str:
-    # the robust positioned chain over sample ∪ variants, restricted to
-    # (index doc, batch doc) pairs: anchors/spans from cap-surviving
-    # fingerprints, jaccard/n_shared from the FULL distinct-value sets
-    # (the value-exact verify), inner-joined so only pairs with >= 1
-    # uncapped anchor report — exactly the operator's contract
-    k = _ROBUST_K
-    return f"""
-        WITH RECURSIVE sample AS (
-            SELECT doc_id, text FROM documents
-            WHERE doc_id % 7 = 0 AND text IS NOT NULL
-            UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text
-            FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
-        ),
-        {_robust_fps_ctes(src="sample")},
-        vals AS (SELECT DISTINCT doc_id, fp FROM rfp),
-        nf AS (SELECT doc_id, count(*) AS nf FROM vals GROUP BY doc_id),
-        heavy AS (
-            SELECT fp FROM (
-                SELECT fp, count(*) AS dfc FROM vals GROUP BY fp
-            ) WHERE dfc > {_SPAN_MAX_DF}
-        ),
-        e AS (SELECT * FROM rfp WHERE fp NOT IN (SELECT fp FROM heavy)),
-        anc AS (
-            SELECT a.doc_id AS id_index, b.doc_id AS id_batch,
-                   a.pos AS pos_i, b.pos AS pos_b
-            FROM e a JOIN e b ON a.fp = b.fp
-            WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
-        ),
-        agg AS (
-            SELECT id_index, id_batch,
-                   CAST(count(*) AS BIGINT) AS n_anchors,
-                   min(pos_i) AS i_start,
-                   max(pos_i) + {k - 1} AS i_end,
-                   min(pos_b) AS b_start,
-                   max(pos_b) + {k - 1} AS b_end
-            FROM anc GROUP BY 1, 2
-        ),
-        inter AS (
-            SELECT i.doc_id AS id_index, b.doc_id AS id_batch,
-                   count(*) AS n_shared
-            FROM vals i JOIN vals b ON i.fp = b.fp
-            WHERE i.doc_id < 1000000 AND b.doc_id >= 1000000
-            GROUP BY 1, 2
-        )
-        SELECT id_index, id_batch, jaccard, n_shared, n_anchors,
-               i_start, i_end, b_start, b_end
-        FROM (
-            SELECT g.id_index, g.id_batch,
-                   CAST(x.n_shared AS DOUBLE)
-                   / CAST(ni.nf + nb.nf - x.n_shared AS DOUBLE) AS jaccard,
-                   CAST(x.n_shared AS INTEGER) AS n_shared,
-                   g.n_anchors, g.i_start, g.i_end, g.b_start, g.b_end
-            FROM agg g
-            JOIN inter x ON g.id_index = x.id_index
-                        AND g.id_batch = x.id_batch
-            JOIN nf ni ON g.id_index = ni.doc_id
-            JOIN nf nb ON g.id_batch = nb.doc_id
-        ) WHERE jaccard >= {_SPAN_THRESHOLD}
-    """
 
 
 _PRUNE_SHIFT = 40.0
@@ -958,7 +771,7 @@ def q_corpus_build_scrub(spark: SparkSession, sf: str) -> DataFrame:
     that IS the passage re-gates out. Full stage-replay CTE oracle down
     to the per-char scrub and the recounted token stream."""
     from .build_corpus import CorpusBuildConfig, build_corpus
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
@@ -994,7 +807,7 @@ def _corpus_build_scrub_oracle() -> str:
     # min_tokens re-gate, then quota / seeded shuffle / pack over the
     # recounted stream
     from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )

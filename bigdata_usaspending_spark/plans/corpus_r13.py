@@ -425,7 +425,7 @@ def q_winnow_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint parameters)."""
     from ..io import hadoop_read_json
     from ..operators import dedup
-    from .corpus_r12 import _ROBUST_K, _ROBUST_W, _SPAN_MAX_DF, _SPAN_THRESHOLD
+    from .oracle_lib import _ROBUST_K, _ROBUST_W, _SPAN_MAX_DF, _SPAN_THRESHOLD
 
     docs = (
         load(_prep(spark), sf, "documents")
@@ -469,7 +469,7 @@ def _winnow_index_lifecycle_oracle() -> str:
     # the q_winnow_spans_incremental value oracle (the persisted index
     # holds exactly the committed 1-in-7 sample) + the three pinned
     # lifecycle booleans
-    from .corpus_r12 import _winnow_spans_incremental_oracle
+    from .oracle_lib import _winnow_spans_incremental_oracle
 
     return f"""
         SELECT s.*, TRUE AS add_committed, TRUE AS replay_skipped,
@@ -478,36 +478,11 @@ def _winnow_index_lifecycle_oracle() -> str:
     """
 
 
-def _winnow_fps_ctes(k: int, w: int, src: str, prefix: str) -> str:
-    """Plain winnowed fingerprint SETS as a prefixed, reusable CTE chain
-    ending in ``{prefix}fps (doc_id, fps)`` — the wt/wg/wf steps of
-    corpus_r12._winnow_pairs_ctes with the names parameterized so TWO
-    sides (committed index, new batch) can coexist in one statement."""
-    from .corpus_ext import _NORMALIZED, _basehash_sql
-
-    gram_hash = _basehash_sql(f"substr(s, i, {k})")
-    p = prefix
-    return f"""{p}t AS (
-            SELECT doc_id, {_NORMALIZED} AS s FROM {src}
-            WHERE text IS NOT NULL
-        ),
-        {p}g AS (
-            SELECT doc_id,
-                   CASE WHEN length(s) >= {k}
-                        THEN list_transform(
-                                 range(1, length(s) - {k} + 2),
-                                 i -> {gram_hash})
-                        ELSE CAST([] AS BIGINT[]) END AS grams
-            FROM {p}t
-        ),
-        {p}fps AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(grams) - {w} + 1, 1) + 1),
-                       j -> list_min(list_slice(grams, j, j + {w} - 1))
-                   )) AS fps
-            FROM {p}g WHERE len(grams) >= 1
-        )"""
+# shared across waves — moved verbatim to plans/oracle_lib (VERDICT r14 #7)
+from .oracle_lib import (
+    _corpus_build_incremental_oracle,
+    _winnow_fps_ctes,
+)
 
 
 def q_corpus_build_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -526,12 +501,12 @@ def q_corpus_build_incremental(spark: SparkSession, sf: str) -> DataFrame:
     components -> drop non-roots -> quota -> shuffle -> pack."""
     from ..operators import dedup
     from .build_corpus import CorpusBuildConfig, build_corpus
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
-    from .corpus_r11 import _near_docs
-    from .corpus_r12 import (
+    from .oracle_lib import _near_docs
+    from .oracle_lib import (
         _ROBUST_K,
         _ROBUST_W,
         _WINNOW_BUILD_MAX_DF,
@@ -574,154 +549,6 @@ def q_corpus_build_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-
-def _corpus_build_incremental_oracle(
-    committed_pred: str = "doc_id % 5 = 4",
-) -> str:
-    # the _corpus_build_winnow_oracle chain with the AGAINST-INDEX stage
-    # spliced between exact dedup and the in-batch pair tier: committed
-    # fps + batch fps (the prefixed plain-winnow chains), candidates
-    # share >= 1 fingerprint below the COMBINED document-frequency cap,
-    # the verify re-intersects the FULL sets (value-exact — the
-    # winnow_dedup_against_index contract). ``committed_pred``
-    # parameterizes the committed slice so round-14's takedown capstone
-    # replays the SAME chain over the REDUCED committed set.
-    from .corpus_ext import _LANGID_CASE, _NORMALIZED, _TOKS
-    from .corpus_r10 import (
-        _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
-        _MINI_SEED,
-    )
-    from .corpus_r12 import (
-        _ROBUST_K,
-        _ROBUST_W,
-        _WINNOW_BUILD_MAX_DF,
-        _WINNOW_BUILD_THRESHOLD,
-        _winnow_pairs_ctes,
-    )
-
-    return f"""
-        WITH RECURSIVE input AS (
-            SELECT doc_id, text, source FROM documents
-            UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text || ' the' AS text, source
-            FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
-        ),
-        committed AS (
-            SELECT doc_id, text FROM documents
-            WHERE {committed_pred} AND text IS NOT NULL
-        ),
-        gated AS (
-            SELECT doc_id, source, text,
-                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
-            FROM input
-            WHERE text IS NOT NULL
-              AND CAST(len({_TOKS}) AS INTEGER) >= {_MINI_MIN_TOKENS}
-              AND (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
-                                              'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE)) <= {_MINI_MAX_PUNCT!r}
-              AND {_LANGID_CASE} = 'en'
-        ),
-        uniq AS (
-            SELECT doc_id, source, text, n_tokens FROM (
-                SELECT doc_id, source, text, n_tokens,
-                       row_number() OVER (
-                           PARTITION BY md5({_NORMALIZED})
-                           ORDER BY doc_id ASC
-                       ) AS rn
-                FROM gated
-            ) WHERE rn = 1
-        ),
-        {_winnow_fps_ctes(_ROBUST_K, _ROBUST_W, "committed", "c")},
-        {_winnow_fps_ctes(_ROBUST_K, _ROBUST_W, "uniq", "b")},
-        iheavy AS (
-            SELECT f FROM (
-                SELECT doc_id, unnest(fps) AS f FROM cfps
-                UNION ALL
-                SELECT doc_id, unnest(fps) AS f FROM bfps
-            ) GROUP BY f HAVING count(*) > {_WINNOW_BUILD_MAX_DF}
-        ),
-        icand AS (
-            SELECT DISTINCT b.id AS bid, c.id AS cid
-            FROM (SELECT doc_id AS id, unnest(fps) AS f FROM bfps) b
-            JOIN (SELECT doc_id AS id, unnest(fps) AS f FROM cfps) c
-              ON b.f = c.f
-            WHERE b.f NOT IN (SELECT f FROM iheavy)
-        ),
-        idx_hits AS (
-            SELECT DISTINCT bid AS doc_id FROM (
-                SELECT x.bid,
-                       CAST(len(list_intersect(bf.fps, cf.fps)) AS DOUBLE)
-                       / CAST(len(list_distinct(
-                             list_concat(bf.fps, cf.fps))) AS DOUBLE)
-                           AS jac
-                FROM icand x
-                JOIN bfps bf ON bf.doc_id = x.bid
-                JOIN cfps cf ON cf.doc_id = x.cid
-            ) WHERE jac >= {_WINNOW_BUILD_THRESHOLD}
-        ),
-        uniq2 AS (
-            SELECT doc_id, source, text, n_tokens FROM uniq
-            WHERE doc_id NOT IN (SELECT doc_id FROM idx_hits)
-        ),
-        {_winnow_pairs_ctes(_ROBUST_K, _ROBUST_W, _WINNOW_BUILD_THRESHOLD,
-                            _WINNOW_BUILD_MAX_DF, src="uniq2")},
-        edges AS (
-            SELECT id_a AS src, id_b AS dst FROM win_pairs
-            UNION
-            SELECT id_b, id_a FROM win_pairs
-        ),
-        reach(id, lbl) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id
-        ),
-        losers AS (
-            SELECT id FROM (
-                SELECT id, min(lbl) AS component FROM reach GROUP BY id
-            ) WHERE id <> component
-        ),
-        kept AS (
-            SELECT doc_id, source, n_tokens FROM uniq2
-            WHERE doc_id NOT IN (SELECT id FROM losers)
-        ),
-        quota AS (
-            SELECT doc_id, source, n_tokens FROM (
-                SELECT doc_id, source, n_tokens,
-                       row_number() OVER (
-                           PARTITION BY source
-                           ORDER BY CAST(('0x' || substr(md5(
-                                        CAST(doc_id AS VARCHAR)
-                                        || '|{_MINI_SEED}'
-                                    ), 1, 15)) AS BIGINT) ASC,
-                                    doc_id ASC
-                       ) AS _rk
-                FROM kept
-            ) WHERE _rk <= {_MINI_QUOTA}
-        ),
-        pos AS (
-            SELECT doc_id, source, n_tokens,
-                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1
-                        AS BIGINT) AS position
-            FROM (
-                SELECT *, CAST('0x' || substr(md5('{_MINI_SEED}:'
-                               || CAST(doc_id AS VARCHAR)), 1, 15)
-                               AS BIGINT) AS h
-                FROM quota
-            )
-        ),
-        packed AS (
-            SELECT doc_id, source, n_tokens, position,
-                   SUM(n_tokens) OVER (ORDER BY position
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens AS start
-            FROM pos
-        )
-        SELECT doc_id, source, n_tokens, position,
-               CAST(floor(start / {_MINI_BLOCK}) AS BIGINT) AS seq_id,
-               CAST(start % {_MINI_BLOCK} AS BIGINT) AS seq_offset
-        FROM packed
-    """
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

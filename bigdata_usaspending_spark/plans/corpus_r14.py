@@ -161,7 +161,7 @@ def q_winnow_index_remove(spark: SparkSession, sf: str) -> DataFrame:
     suppression — the surviving batch ids are the value-exact
     against-index decision over the REDUCED committed set."""
     from ..operators import dedup
-    from .corpus_r12 import (
+    from .oracle_lib import (
         _ROBUST_K,
         _ROBUST_W,
         _WINNOW_BUILD_MAX_DF,
@@ -235,13 +235,13 @@ def _winnow_index_remove_oracle() -> str:
     # under the combined document-frequency cap, the verify
     # re-intersects the FULL sets (value-exact), survivors are batch
     # docs with no verified hit — plus the pinned lifecycle booleans
-    from .corpus_r12 import (
+    from .oracle_lib import (
         _ROBUST_K,
         _ROBUST_W,
         _WINNOW_BUILD_MAX_DF,
         _WINNOW_BUILD_THRESHOLD,
     )
-    from .corpus_r13 import _winnow_fps_ctes
+    from .oracle_lib import _winnow_fps_ctes
 
     return f"""
         WITH committed AS (
@@ -310,12 +310,12 @@ def q_corpus_build_takedown(spark: SparkSession, sf: str) -> DataFrame:
     remove's exact witness matched the live-index delta."""
     from ..operators import dedup
     from .build_corpus import CorpusBuildConfig, build_corpus
-    from .corpus_r10 import (
+    from .oracle_lib import (
         _MINI_BLOCK, _MINI_MAX_PUNCT, _MINI_MIN_TOKENS, _MINI_QUOTA,
         _MINI_SEED,
     )
-    from .corpus_r11 import _near_docs
-    from .corpus_r12 import (
+    from .oracle_lib import _near_docs
+    from .oracle_lib import (
         _ROBUST_K,
         _ROBUST_W,
         _WINNOW_BUILD_MAX_DF,
@@ -373,7 +373,7 @@ def _corpus_build_takedown_oracle() -> str:
     # the q_corpus_build_incremental stage-replay chain with the
     # committed slice REDUCED by the takedown predicate — the removed
     # docs' batch twins re-enter and every downstream stage recomputes
-    from .corpus_r13 import _corpus_build_incremental_oracle
+    from .oracle_lib import _corpus_build_incremental_oracle
 
     inner = _corpus_build_incremental_oracle(
         committed_pred="doc_id % 5 = 4 AND doc_id % 10 <> 9"

@@ -24,7 +24,8 @@ from ..catalog import load
 from ..operators import text
 from ..session import apply_runtime_confs
 
-_BM25_TERMS = ["merge", "window", "stream", "hash"]
+from .oracle_lib import _BM25_TERMS  # shared across waves (plans/oracle_lib)
+
 _BM25_K = 25
 
 

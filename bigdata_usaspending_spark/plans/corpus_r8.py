@@ -31,16 +31,13 @@ from ..catalog import load
 from ..operators import text
 from ..session import apply_runtime_confs
 
-# Overlapping vocabularies on purpose: the union-vocab sharing (8 distinct
-# tf columns serving 11 query-term slots) is the thing being exercised.
-_BM25_BATCH: dict[str, list[str]] = {
-    "join_tuning": ["merge", "join", "hash"],
-    "scan_perf": ["scan", "filter", "column"],
-    "streaming": ["stream", "window", "batch"],
-    "rare_mix": ["dup", "vector"],
-}
-_BM25_BATCH_K = 10
-_LM_LAMBDA = 0.7
+# shared across waves — moved verbatim to plans/oracle_lib (VERDICT r14 #7)
+from .oracle_lib import (
+    _BM25_BATCH,
+    _BM25_BATCH_K,
+    _LM_LAMBDA,
+    _bm25_batch_oracle,
+)
 
 
 def _prep(spark: SparkSession) -> SparkSession:
@@ -76,81 +73,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()
-
-
-def _bm25_batch_oracle(
-    queries: "dict[str, list[str]] | None" = None,
-    k1: float = 1.2,
-    b: float = 0.75,
-    k: int = _BM25_BATCH_K,
-) -> str:
-    """Self-contained DuckDB replay of ``text.bm25_topk_batch`` for any
-    bounded query set / k1 / b / k — parameterized in round 9 so the
-    grouped-fusion oracle can compose two parameterizations of it."""
-    from .corpus_ext import _TOKS
-
-    batch = _BM25_BATCH if queries is None else queries
-    vocab = sorted({t for terms in batch.values() for t in terms})
-    vocab_index = {t: i for i, t in enumerate(vocab)}
-    tf_cols = ",\n               ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(vocab)
-    )
-    df_cols = ",\n               ".join(
-        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(vocab))
-    )
-    # mirror _bm25_score_expr's tree exactly: driver-computed idf is a
-    # libm ln both sides; left-assoc product/divide; left-to-right term
-    # sum in each query's OWN term order; identical double literals
-    avgdl = "(CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
-    branches = []
-    for qid, terms in batch.items():
-        term_exprs = []
-        for t in terms:
-            i = vocab_index[t]
-            idf = (
-                f"ln({1.0!r} + (CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + "
-                f"{0.5!r}) / (CAST(s.df{i} AS DOUBLE) + {0.5!r}))"
-            )
-            term_exprs.append(
-                f"{idf} * (CAST(d.tf{i} AS DOUBLE) * {k1 + 1.0!r}) / "
-                f"(CAST(d.tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * "
-                f"CAST(d.dl AS DOUBLE) / {avgdl}))"
-            )
-        score = " + ".join(term_exprs)
-        branches.append(
-            f"SELECT '{qid}' AS query_id, d.doc_id, {score} AS bm25 FROM d, s"
-        )
-    scored = "\n            UNION ALL\n            ".join(branches)
-    return f"""
-        WITH t AS (
-            SELECT doc_id, {_TOKS} AS toks FROM documents
-            WHERE text IS NOT NULL
-        ),
-        d AS (
-            SELECT doc_id, len(toks) AS dl,
-               {tf_cols}
-            FROM t
-        ),
-        s AS (
-            SELECT COUNT(*) AS n, SUM(dl) AS sdl,
-               {df_cols}
-            FROM d
-        ),
-        scored AS (
-            {scored}
-        )
-        SELECT query_id, doc_id, bm25 FROM (
-            SELECT query_id, doc_id, bm25,
-                   row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY bm25 DESC, doc_id ASC
-                   ) AS rn
-            FROM scored WHERE bm25 > 0
-        ) WHERE rn <= {k}
-        ORDER BY query_id, bm25 DESC, doc_id ASC
-    """
 
 
 def _lm_perplexity_oracle() -> str:

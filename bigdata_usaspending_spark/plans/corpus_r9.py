@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators import retrieval, text
 from ..session import apply_runtime_confs
-from .corpus_r8 import _BM25_BATCH, _BM25_BATCH_K
+from .oracle_lib import _BM25_BATCH, _BM25_BATCH_K
 
 _HYBRID_LEX_K = 25  # = corpus_r7._BM25_K, the bm25 oracle's own k
 _HYBRID_VEC_K = 10
@@ -77,7 +77,7 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     the vec_id=0 query vector, RRF k=60, fused top-15. Ids align across
     documents and embeddings (the fixtures' contract)."""
     from .corpus_ext import _query_vec_list
-    from .corpus_r7 import _BM25_TERMS
+    from .oracle_lib import _BM25_TERMS
 
     docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
     emb = load(spark, sf, "embeddings")
@@ -220,7 +220,7 @@ def q_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
     map. Spark's percentile is bit-identical to DuckDB quantile_cont
     (the q_quantile_summary bridge), so phases replay exactly."""
     from ..operators.scorers import BigramLMScorer, apply_text_scorer
-    from .corpus_r8 import _LM_LAMBDA
+    from .oracle_lib import _LM_LAMBDA
 
     docs = load(_prep(spark), sf, "documents").select("doc_id", "text")
     # _LM_LAMBDA, not _DSIR_LAM: the oracle embeds r8's q_lm_perplexity
@@ -542,7 +542,7 @@ def _dsir_resample_oracle() -> str:
 
 
 def _rrf_grouped_oracle() -> str:
-    from .corpus_r8 import _bm25_batch_oracle
+    from .oracle_lib import _bm25_batch_oracle
 
     la = _bm25_batch_oracle(k=_ENSEMBLE_K, **_ENSEMBLE_A)
     lb = _bm25_batch_oracle(k=_ENSEMBLE_K, **_ENSEMBLE_B)
