@@ -151,7 +151,16 @@ def main() -> int:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
+    # …plus a WATCH tier (VERDICT r14 #2): a mover that clears 1.75x but
+    # not the 2x drift threshold gets a named row instead of slipping
+    # between the ledgers (the r14 sweep's q_flagship_etl landed at 1.9x
+    # unflagged). Watch rows are informational — they prompt an isolated
+    # measure_family close-out, not a gate failure.
     drift: dict = {}
+    watch: dict = {}
+    watch_ratio = float(
+        os.environ.get("SPARK_GRAFT_BENCH_WATCH_RATIO", "1.75")
+    )
     prev_raw = None
     try:
         prev_raw = subprocess.run(
@@ -168,8 +177,11 @@ def main() -> int:
         prev = json.loads(prev_raw).get("queries", {})
         for name, t in ok.items():
             p = prev.get(name, -1.0)
-            if p > 0 and t > max(1.0, contention_floor) and t > 2.0 * p:
-                drift[name] = [p, t]
+            if p > 0 and t > max(1.0, contention_floor):
+                if t > 2.0 * p:
+                    drift[name] = [p, t]
+                elif t > watch_ratio * p:
+                    watch[name] = [p, t]
     except (OSError, ValueError):
         pass
     record = {
@@ -183,6 +195,7 @@ def main() -> int:
         "contention_ratio": contention_ratio,
         "contention_floor_sec": contention_floor,
         "drift_vs_prev_artifact": drift,
+        "watch_vs_prev_artifact": watch,
         "runs_per_query": runs,
         "harness_wall_sec": round(time.perf_counter() - wall_start, 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -210,6 +223,7 @@ def main() -> int:
                 "n_failed": len(timings) - len(ok),
                 "n_contended": len(contended),
                 "n_drift": len(drift),
+                "n_watch": len(watch),
                 "runs_per_query": runs,
                 "queries": slowest,
                 "detail_file": "bench_queries.json",
