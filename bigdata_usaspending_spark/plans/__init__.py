@@ -13,36 +13,35 @@ from __future__ import annotations
 # whose full-registry result is committed per round as ORACLE_FULL_r{N}.json;
 # this ordering only chooses which subset ALSO gets an external driver row.
 _VERIFY_FIRST = [
-    # Round-14 window — steady-state rotation (VERDICT r13 #1).
+    # Round-15 window — steady-state rotation (VERDICT r14 #1).
     # (a) never-driver-checked queries FIRST — this round's additions
-    # (the tombstone-remove lifecycle audits on both index families and
-    # the end-to-end takedown capstone). They also externally re-measure
-    # the round's changed kernel — every ANN/winnow probe and compact
-    # surface now reads the LIVE set through _read_index_vectors /
-    # _read_index_fps (the tombstone anti-join) and the compacts double
-    # as the physical delete — so q_ann_index_compact (fresh r13 green,
-    # same changed path) yields its slot to keep the 47 r10-stale rows
-    # inside the 50-entry window:
-    "q_ann_index_remove", "q_winnow_index_remove",
-    "q_corpus_build_takedown",
-    # (c) ALL 47 r10-stale rows (last external green r10), alphabetical
+    # (the index REBUILD lifecycle audits on both families; they also
+    # externally verify the round's stale-manifest fix — a rebuild now
+    # clears the streaming add-manifest along with the tombstones, so a
+    # fresh stream's batch 0 applies instead of being replay-skipped):
+    "q_ann_index_rebuild", "q_winnow_index_rebuild",
+    # (b) ALL 43 r11-stale rows (last external green r11), alphabetical
     # — after this window no registry row's last external green is
-    # older than r11:
-    "q_agg_salted", "q_ann_ivf_refined", "q_ann_ivf_topk",
-    "q_ann_quantized", "q_asof_attribution", "q_bm25_topk",
-    "q_commonness_scorer", "q_contamination_report",
-    "q_contamination_report_ngram", "q_corpus_datasheet",
-    "q_cube_two_keys", "q_dashboard_sankey", "q_decontaminate_semantic",
-    "q_dedup_clusters", "q_dedup_survivors", "q_deep_join_chain",
-    "q_doc_fingerprint", "q_drift_psi", "q_dropna", "q_filter_positive",
-    "q_first_row", "q_flagship_etl", "q_fuzzy_name_pairs_k3",
-    "q_grouped_median", "q_grouping_sets", "q_hash_sample", "q_having",
-    "q_join_anti", "q_join_full", "q_join_left", "q_join_salted",
-    "q_join_semi", "q_ml_prepare", "q_orderby_asc", "q_orderby_desc",
-    "q_pivot_priority_by_month", "q_pricing_summary", "q_quota_mix",
-    "q_range_join_tiers", "q_rerank_trained", "q_scan_project",
-    "q_sequence_manifest", "q_training_pipeline_v3", "q_union_branches",
-    "q_weighted_sample", "q_window_topk_per_group", "q_window_tumbling",
+    # older than r12:
+    "q_ann_ivf_knn_join", "q_ann_rp_lsh", "q_bm25_batch",
+    "q_boilerplate_scrub", "q_chunk_dedup", "q_chunk_documents",
+    "q_consistent_sample", "q_corpus_shuffle", "q_dashboard_payload",
+    "q_dedup_incremental", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_ewma_monthly", "q_fixed_histogram", "q_fuzzy_dim_match",
+    "q_fuzzy_name_pairs", "q_fuzzy_name_pairs_k2",
+    "q_heavy_hitter_tokens", "q_hll_distinct", "q_hll_intersection",
+    "q_knn_join", "q_mad_outliers", "q_monthly_gap_fill",
+    "q_scalar_functions", "q_semantic_dedup_incremental",
+    "q_set_except", "q_set_intersect", "q_split_grouped",
+    "q_stratified_sample", "q_text_commonness", "q_text_repetition",
+    "q_token_budget_mix", "q_tpch_q18_shape", "q_tpch_q3_shape",
+    "q_tpch_q4_shape", "q_tpch_q5_shape", "q_tpch_q7_shape",
+    "q_tpch_q8_shape", "q_unpivot_monthly", "q_url_dedup",
+    "q_window_lag_delta", "q_window_moving_sum", "q_window_ntile",
+    # (c) the window's remaining 5 slots: the oldest r12-stale rows,
+    # alphabetical (the r16 window continues from q_chunk_overlap):
+    "q_ann_ivf_pq", "q_ann_ivf_pq_incremental", "q_ann_ivf_pq_pruned",
+    "q_ann_opq", "q_ann_opq_index",
 ]
 
 
@@ -53,7 +52,8 @@ def all_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_r15, corpus_tpch2, corpus_tpch3,
+        corpus_ts,
     )
 
     merged = dict(corpus.QUERIES)
@@ -71,6 +71,7 @@ def all_queries():
     merged.update(corpus_r12.QUERIES)
     merged.update(corpus_r13.QUERIES)
     merged.update(corpus_r14.QUERIES)
+    merged.update(corpus_r15.QUERIES)
     merged.update(corpus_tpch2.QUERIES)
     merged.update(corpus_tpch3.QUERIES)
     ordered = {name: merged.pop(name) for name in _VERIFY_FIRST if name in merged}
@@ -82,7 +83,8 @@ def all_oracles():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_r15, corpus_tpch2, corpus_tpch3,
+        corpus_ts,
     )
 
     merged = dict(corpus.ORACLE_SQL)
@@ -100,6 +102,7 @@ def all_oracles():
     merged.update(corpus_r12.ORACLE_SQL)
     merged.update(corpus_r13.ORACLE_SQL)
     merged.update(corpus_r14.ORACLE_SQL)
+    merged.update(corpus_r15.ORACLE_SQL)
     merged.update(corpus_tpch2.ORACLE_SQL)
     merged.update(corpus_tpch3.ORACLE_SQL)
     return merged
@@ -109,7 +112,8 @@ def rows_only_queries():
     from . import (
         corpus, corpus_ext, corpus_llm, corpus_more, corpus_r5, corpus_r6,
         corpus_r7, corpus_r8, corpus_r9, corpus_r10, corpus_r11, corpus_r12,
-        corpus_r13, corpus_r14, corpus_tpch2, corpus_tpch3, corpus_ts,
+        corpus_r13, corpus_r14, corpus_r15, corpus_tpch2, corpus_tpch3,
+        corpus_ts,
     )
 
     return (
@@ -128,6 +132,7 @@ def rows_only_queries():
         | set(corpus_r12.ROWS_ONLY_QUERIES)
         | set(corpus_r13.ROWS_ONLY_QUERIES)
         | set(corpus_r14.ROWS_ONLY_QUERIES)
+        | set(corpus_r15.ROWS_ONLY_QUERIES)
         | set(corpus_tpch2.ROWS_ONLY_QUERIES)
         | set(corpus_tpch3.ROWS_ONLY_QUERIES)
     )
