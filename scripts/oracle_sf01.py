@@ -36,6 +36,8 @@ QUERIES = [
     "q_ann_index_compact",
     "q_winnow_index_remove",
     "q_ann_index_remove",
+    "q_winnow_index_rebuild",
+    "q_ann_index_rebuild",
 ]
 
 
