@@ -3049,6 +3049,130 @@ def ann_index_stats(spark, path: str) -> dict:
     }
 
 
+def ann_index_drift(
+    spark,
+    path: str,
+    sample_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    psi_threshold: float = 0.25,
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """Distribution-drift gate for a persisted ANN index — the WHEN of
+    the rebuild lifecycle (build → add → remove → compact → rebuild):
+    standard IVF adds never move centroids (faiss semantics, see
+    ivf_index_add), so an operator needs a measurable signal for "the
+    data has outgrown the trained cells; rebuild with fresh centroids".
+    This verb is that signal: assign ``sample_df`` (a recent ingest
+    sample) into the index's SAVED cell space and compare its per-cell
+    occupancy against the index's LIVE per-cell histogram with the same
+    Population-Stability-Index semantics as timeseries.psi_drift
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted; cells empty
+    on either side are SKIPPED and counted — no smoothing constants).
+
+    Returns ONE row: (n_cells, n_skipped, psi, rebuild_recommended)
+    with ``rebuild_recommended = psi >= psi_threshold``. The PSI double
+    folds over cell-sorted terms (F.aggregate left fold == DuckDB
+    list_reduce), so the metric is engine-reproducible and
+    oracle-checkable bit-for-bit.
+
+    Layout-aware like every index surface: the live histogram reads
+    through ``_read_index_vectors`` (tombstoned ids excluded — drift is
+    measured against what probes actually see), and an IVF-PQ layout
+    with a persisted OPQ rotation maps the sample into the rotated
+    space first (the saved centroids live there — the
+    ``_prepare_add_frame`` contract), while a plain-IVF layout carrying
+    a stale rotation is refused.
+
+    100-TB shape: the index side is a two-column (id, cell) scan with a
+    map-side partial aggregate to ≤ cells rows; the sample side is one
+    broadcast-centroid kernel map + the same bounded aggregate; the
+    join, totals, and fold all touch ≤ cells rows. Nothing scans twice,
+    no driver state beyond the cap-guarded model load."""
+    if _index_has(spark, path, "rotation.parquet") and not _index_has(
+        spark, path, "codebooks.parquet"
+    ):
+        raise ValueError(
+            f"index at {path!r} has rotation.parquet but no "
+            "codebooks.parquet — a rotation is only valid on the IVF-PQ "
+            "layout; rebuild the index"
+        )
+    local_cents = _localized_model(
+        spark, f"{path}/centroids.parquet", "cell", max_cells
+    )
+    rotation = (
+        _read_index_rotation(spark, path)
+        if _index_has(spark, path, "codebooks.parquet")
+        else None
+    )
+    if rotation is not None:
+        sample_df = opq_rotate(sample_df, rotation, vec_col=vec_col)
+    base = (
+        _read_index_vectors(spark, path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    cur = (
+        ivf_assign(sample_df, local_cents, id_col=id_col, vec_col=vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("qn"))
+    )
+    j = (
+        local_cents.select("cell")
+        .join(base, "cell", "left")
+        .join(cur, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("pn", F.lit(0)).alias("pn"),
+            F.coalesce("qn", F.lit(0)).alias("qn"),
+        )
+    )
+    totals = j.agg(F.sum("pn").alias("_tp"), F.sum("qn").alias("_tq"))
+    p = F.col("pn").cast("double") / F.col("_tp").cast("double")
+    q = F.col("qn").cast("double") / F.col("_tq").cast("double")
+    terms = j.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        F.when((F.col("pn") > 0) & (F.col("qn") > 0), (q - p) * F.log(q / p))
+        .alias("term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("term").isNull()).cast("int")).alias("n_skipped"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("term").isNotNull(),
+                            F.struct("cell", "term"),
+                        )
+                    )
+                ),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("psi"),
+    ).select(
+        "n_cells",
+        "n_skipped",
+        # the fold is order-pinned, but ln itself is only
+        # within-1-ulp across engines (Java Math.log vs libm — observed
+        # diverging on real arguments), so the metric quantizes to a
+        # 12-decimal grid: terms are non-negative, making HALF_UP and
+        # half-away identical, and both engines' round(x, 12) produce
+        # the double nearest the same 12-digit decimal
+        F.round(F.col("psi"), 12).alias("psi"),
+    ).select(
+        "n_cells",
+        "n_skipped",
+        "psi",
+        (F.col("psi") >= F.lit(float(psi_threshold))).alias(
+            "rebuild_recommended"
+        ),
+    )
+
+
 def ivf_pq_index_topk(
     spark,
     path: str,

@@ -20,6 +20,8 @@ _VERIFY_FIRST = [
     # clears the streaming add-manifest along with the tombstones, so a
     # fresh stream's batch 0 applies instead of being replay-skipped):
     "q_ann_index_rebuild", "q_winnow_index_rebuild",
+    # …and the drift gate (the WHEN of that rebuild lifecycle):
+    "q_ann_index_drift",
     # (b) ALL 43 r11-stale rows (last external green r11), alphabetical
     # — after this window no registry row's last external green is
     # older than r12:
@@ -38,10 +40,10 @@ _VERIFY_FIRST = [
     "q_tpch_q4_shape", "q_tpch_q5_shape", "q_tpch_q7_shape",
     "q_tpch_q8_shape", "q_unpivot_monthly", "q_url_dedup",
     "q_window_lag_delta", "q_window_moving_sum", "q_window_ntile",
-    # (c) the window's remaining 5 slots: the oldest r12-stale rows,
-    # alphabetical (the r16 window continues from q_chunk_overlap):
+    # (c) the window's remaining 4 slots: the oldest r12-stale rows,
+    # alphabetical (the r16 window continues from q_ann_opq_index):
     "q_ann_ivf_pq", "q_ann_ivf_pq_incremental", "q_ann_ivf_pq_pruned",
-    "q_ann_opq", "q_ann_opq_index",
+    "q_ann_opq",
 ]
 
 

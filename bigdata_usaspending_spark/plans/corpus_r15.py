@@ -28,6 +28,18 @@ both index families.
   a pre-fix replay-skip would leak the added docs' variants), the
   never-committed ``% 5 == 1`` variants survive.
 
+- ``q_ann_index_drift`` — the WHEN of the rebuild lifecycle: IVF adds
+  never move centroids, so the operator needs a measurable signal that
+  the data has outgrown the trained cells. ``ann_index_drift`` assigns
+  an ingest sample into the index's saved cell space and PSIs its
+  occupancy against the LIVE per-cell histogram (tombstone-aware).
+  Two scenarios in one audit: a same-distribution sample (PSI under
+  the 0.25 rebuild threshold) and a single-label re-crawl (occupancy
+  concentrates in that label's cell — PSI far over it); both PSI
+  doubles fold over cell-sorted terms and quantize to the 12-decimal
+  grid so the whole gate — assignment, histograms, fold, threshold
+  boolean — replays in SQL.
+
 Reference parity note: the reference's only persisted artifacts are
 Cassandra tables and saved PipelineModels (app/ml_app.py:68-74); it
 has no index-maintenance surface; these extend SURVEY §7.4's
@@ -300,14 +312,168 @@ def _winnow_index_rebuild_oracle() -> str:
     """
 
 
+_DRIFT_THRESHOLD = 0.25
+
+
+def q_ann_index_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift gate audit (see module docstring): build the index, leave a
+    takedown pending (drift must measure the LIVE set probes see), then
+    gate two ingest samples — one from the index's own distribution,
+    one with every component negated (the coarse-space flip). 100-TB
+    shape per ann_index_drift's docstring: two bounded ≤cells
+    aggregates + a cell-sorted fold, no driver state beyond the model
+    load."""
+    from ..operators import similarity
+    from .corpus_ext import _ivf_centroids
+
+    emb = load(_prep(spark), sf, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    tmp = tempfile.mkdtemp(prefix="drift_idx_")
+    try:
+        centroids = spark.createDataFrame(
+            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        )
+        similarity.ivf_index_write(data, centroids, tmp)
+        similarity.ann_index_remove(
+            spark, tmp, data.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+        )
+        stable = emb.filter(F.col("vec_id") % 3 == 2).select(
+            "vec_id", "embedding"
+        )
+        # the skewed re-crawl: every new vector from ONE label's cluster
+        # — occupancy concentrates in that label's cell and the gate
+        # must trip
+        drifted = emb.filter(
+            (F.col("label") == 0) & (F.col("vec_id") != 0)
+        ).select("vec_id", "embedding")
+        out = (
+            similarity.ann_index_drift(
+                spark, tmp, stable, psi_threshold=_DRIFT_THRESHOLD
+            )
+            .select(F.lit("stable").alias("scenario"), "*")
+            .unionByName(
+                similarity.ann_index_drift(
+                    spark, tmp, drifted, psi_threshold=_DRIFT_THRESHOLD
+                ).select(F.lit("drifted").alias("scenario"), "*")
+            )
+            .orderBy("scenario")
+        )
+        return out.localCheckpoint()  # before the temp index is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ann_index_drift_oracle() -> str:
+    # full replay: label-mean centroids, rank-window cell assignment of
+    # (a) the live set (build minus the pending takedown slice) and
+    # (b) each sample, per-cell histograms over the centroid spine, and
+    # the cell-sorted PSI fold with its threshold boolean — no pinning
+    from .corpus_ext import _cosine_sql
+
+    def assign(src: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT cell, count(*) AS n FROM (
+                SELECT vec_id, cell FROM (
+                    SELECT s.vec_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY {_cosine_sql('s.embedding',
+                                                     'c.centroid')} DESC,
+                                        c.cell ASC
+                           ) AS rn
+                    FROM {src} s, cent c
+                ) WHERE rn = 1
+            ) GROUP BY cell
+        )"""
+
+    def psi_row(label: str, qsrc: str, qraw: str) -> str:
+        # every assigned row lands in exactly one cell, so the share
+        # denominators are plain row counts of the assignment inputs
+        return f"""
+            SELECT scenario, n_cells, n_skipped, psi,
+                   psi >= {_DRIFT_THRESHOLD} AS rebuild_recommended
+            FROM (
+            SELECT '{label}' AS scenario,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_skipped,
+                   -- ln is only within-1-ulp across engines; the
+                   -- operator quantizes PSI to the 12-decimal grid
+                   CAST(round(
+                       CASE WHEN COUNT(term) = 0 THEN 0.0
+                            ELSE list_reduce(list(term ORDER BY cell)
+                                     FILTER (WHERE term IS NOT NULL),
+                                     (acc, v) -> acc + v)
+                       END, 12) AS DOUBLE) AS psi
+            FROM (
+                SELECT c.cell,
+                       CASE WHEN COALESCE(b.n, 0) > 0
+                             AND COALESCE(q.n, 0) > 0 THEN
+                           (CAST(q.n AS DOUBLE)
+                            / CAST((SELECT count(*) FROM {qraw}) AS DOUBLE)
+                            - CAST(b.n AS DOUBLE)
+                            / CAST((SELECT count(*) FROM live) AS DOUBLE))
+                           * ln((CAST(q.n AS DOUBLE)
+                                 / CAST((SELECT count(*) FROM {qraw})
+                                        AS DOUBLE))
+                                / (CAST(b.n AS DOUBLE)
+                                   / CAST((SELECT count(*) FROM live)
+                                          AS DOUBLE)))
+                       END AS term
+                FROM cent c
+                LEFT JOIN basecells b ON b.cell = c.cell
+                LEFT JOIN {qsrc} q ON q.cell = c.cell
+            ) )"""
+
+    return f"""
+        WITH px AS (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos,
+                   CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7)))
+                             AS VARCHAR) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m
+            FROM px GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT CAST(label AS INTEGER) AS cell,
+                   list(m ORDER BY pos) AS centroid
+            FROM means GROUP BY label
+        ),
+        live AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id <> 0 AND vec_id % 7 <> 3
+        ),
+        stab AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2
+        ),
+        drif AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE label = 0 AND vec_id <> 0
+        ),
+        {assign('live', 'basecells')},
+        {assign('stab', 'stabcells')},
+        {assign('drif', 'drifcells')}
+        {psi_row('drifted', 'drifcells', 'drif')}
+        UNION ALL
+        {psi_row('stable', 'stabcells', 'stab')}
+        ORDER BY scenario
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_rebuild": q_ann_index_rebuild,
     "q_winnow_index_rebuild": q_winnow_index_rebuild,
+    "q_ann_index_drift": q_ann_index_drift,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "q_ann_index_rebuild": _ann_index_rebuild_oracle(),
     "q_winnow_index_rebuild": _winnow_index_rebuild_oracle(),
+    "q_ann_index_drift": _ann_index_drift_oracle(),
 }
 
 ROWS_ONLY_QUERIES: set[str] = set()

@@ -38,6 +38,7 @@ QUERIES = [
     "q_ann_index_remove",
     "q_winnow_index_rebuild",
     "q_ann_index_rebuild",
+    "q_ann_index_drift",
 ]
 
 

@@ -1590,3 +1590,52 @@ def test_ann_index_remove_lifecycle(spark, sf_small, tmp_path):
     assert similarity.ann_index_stats(spark, path)["vectors"] == (
         data.count() + 1
     )
+
+
+def test_ann_index_drift_gate(spark, sf_small, tmp_path):
+    """The WHEN of the rebuild lifecycle: PSI between the index's LIVE
+    per-cell histogram and an ingest sample assigned into the saved
+    cell space. A sample drawn from the index's own rows scores exactly
+    0.0; a single-cluster re-crawl trips the rebuild gate; tombstones
+    move the base histogram immediately (drift measures what probes
+    see); a plain-IVF layout carrying a stale rotation is refused."""
+    from bigdata_usaspending_spark.catalog import load
+    from bigdata_usaspending_spark.plans.corpus_ext import _ivf_centroids
+
+    emb = load(spark, sf_small, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(emb)
+    path = str(tmp_path / "drift_idx")
+    similarity.ivf_index_write(data, centroids, path)
+
+    # identical distribution: every share pair is the same double, every
+    # term is 0.0 * ln(1.0), the fold is exactly 0.0
+    same = similarity.ann_index_drift(spark, path, data).collect()[0]
+    assert same.psi == 0.0 and not same.rebuild_recommended
+    assert same.n_cells == centroids.count() and same.n_skipped == 0
+
+    # the skewed re-crawl: occupancy concentrates in one label's cell,
+    # the other cells lose all sample mass (skipped + counted)
+    skew = similarity.ann_index_drift(
+        spark, path, data.filter(F.col("label") == 0)
+    ).collect()[0]
+    assert skew.rebuild_recommended and skew.psi > 0.25
+    assert skew.n_skipped > 0
+
+    # tombstones shift the base side immediately: empty one whole cell
+    # and the full-corpus sample now drifts against the live histogram,
+    # with the emptied cell skipped (sample mass, no live mass)
+    cell0 = similarity.ivf_assign(data, centroids).filter(
+        F.col("cell") == 0
+    )
+    similarity.ann_index_remove(spark, path, cell0.select("vec_id"))
+    after = similarity.ann_index_drift(spark, path, data).collect()[0]
+    assert after.psi > 0.0
+    assert after.n_skipped >= 1
+
+    # the stale-rotation guard all index surfaces share
+    spark.range(1).write.mode("overwrite").parquet(
+        f"{path}/rotation.parquet"
+    )
+    with pytest.raises(ValueError, match="rotation"):
+        similarity.ann_index_drift(spark, path, data)
