@@ -659,6 +659,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from pyspark.sql import functions as F
 
+        from .io import local_frame
         from .operators import similarity
         from .session import apply_runtime_confs
 
@@ -778,7 +779,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             # localize once: refinement lineage re-scans the corpus per
             # consumer otherwise (the index-write pattern)
-            cents = spark.createDataFrame(cents.collect(), cents.schema)
+            cents = local_frame(spark, cents.collect(), cents.schema)
             if args.pq:
                 assigned = similarity.ivf_assign(
                     df, cents, id_col=args.id_col, vec_col=args.vec_col

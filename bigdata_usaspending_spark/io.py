@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Bounded local rows → DataFrame as ONE cheap partition.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the pickled rows
+    into ``defaultParallelism`` PYTHON slices: every downstream action then
+    schedules that many Python-runner tasks (measured round 15 at local[32]:
+    ~0.17 s of executor time per task for a 100-row frame — ~5.5 s of task
+    time and ~0.5 s wall per action, repeated for every collect/join/write
+    that touches the frame), and a write emits that many tiny files (the
+    guide §6 small-file problem seeded at the source). Model-state frames
+    (centroids, codebooks, probe cells, k-bounded audit outputs) are bounded
+    by construction, so one slice is the right layout at EVERY scale: one
+    task per action, one file per write. Values are bit-preserved — the rows
+    are the same driver-side objects either way."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def write_awards_partitioned(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write an awards-shaped DataFrame partitioned by (year, month)."""
     spark = df.sparkSession

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_frame
 from .text import fingerprint, ngram_occurrences, tokens
 
 # Mersenne prime 2^31-1 for the minhash affine family; base hashes are < p
@@ -1289,7 +1290,7 @@ def winnow_index_remove(spark, path: str, ids, id_col: "str | None" = None) -> d
     else:
         rows = [(i,) for i in ids]
         requested = len(rows)
-        ids_df = spark.createDataFrame(rows, f"_id {meta['id_type']}")
+        ids_df = local_frame(spark, rows, f"_id {meta['id_type']}")
     matched_live = (
         _read_index_fps(spark, path)
         .join(ids_df.distinct(), on="_id", how="semi")

@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import local_frame
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns as a deterministic
@@ -536,8 +538,8 @@ def ivf_index_write(
     which are collected ONCE and localized, so a centroids frame carrying
     expensive lineage (ivf_refine re-scans the corpus per iteration) is
     never executed twice (once for the write, once inside ivf_assign)."""
-    local_cents = centroids.sparkSession.createDataFrame(
-        centroids.collect(), centroids.schema
+    local_cents = local_frame(
+        centroids.sparkSession, centroids.collect(), centroids.schema
     )
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
@@ -932,8 +934,8 @@ def materialize_codebooks(cb: DataFrame) -> DataFrame:
     Values are bit-preserved: doubles round-trip exactly through the
     driver (IEEE binary64 either side), so oracle hashes are unchanged."""
     rows = [(r["sub"], r["cell"], list(r["centroid"])) for r in cb.collect()]
-    return cb.sparkSession.createDataFrame(
-        rows, schema="sub int, cell int, centroid array<double>"
+    return local_frame(
+        cb.sparkSession, rows, "sub int, cell int, centroid array<double>"
     )
 
 
@@ -1121,9 +1123,10 @@ def pq_train_driver(
             assign[:, s] = cells[np.argmin(dist, axis=1)]
         cb_rows = means(assign)
 
-    return df.sparkSession.createDataFrame(
+    return local_frame(
+        df.sparkSession,
         [(s, c, cent) for s, c, cent in cb_rows],
-        schema="sub int, cell int, centroid array<double>",
+        "sub int, cell int, centroid array<double>",
     )
 
 
@@ -1768,8 +1771,8 @@ def ivf_pq_topk(
         )
 
     # 3) ADC scan over the probed cells' candidates
-    probe_cells = encoded.sparkSession.createDataFrame(
-        [(int(c),) for c in cell_tables], f"{cell_col} int"
+    probe_cells = local_frame(
+        encoded.sparkSession, [(int(c),) for c in cell_tables], f"{cell_col} int"
     )
     cands = encoded.join(F.broadcast(probe_cells), on=cell_col, how="semi")
     if short_ids is not None:
@@ -2071,8 +2074,8 @@ def _ivf_pq_exact_rerank(
     no second ADC scan. Output ordering/limit identical to
     _ivf_pq_adc_rerank's final stage."""
     spark = cands.sparkSession
-    ids_df = spark.createDataFrame(
-        [(i,) for i in shortlist_ids], cands.select(id_col).schema
+    ids_df = local_frame(
+        spark, [(i,) for i in shortlist_ids], cands.select(id_col).schema
     )
     shortlist = cands.join(F.broadcast(ids_df), on=id_col, how="semi")
 
@@ -2259,8 +2262,8 @@ def opq_train_driver(
         for s, (cells, cents) in enumerate(per_sub)
         for j in range(len(cells))
     ]
-    codebooks = df.sparkSession.createDataFrame(
-        cb_rows, schema="sub int, cell int, centroid array<double>"
+    codebooks = local_frame(
+        df.sparkSession, cb_rows, "sub int, cell int, centroid array<double>"
     )
     return (
         [[float(v) for v in row] for row in rot],
@@ -2540,16 +2543,17 @@ def _localized_model(spark, path: str, what: str, max_cells: int) -> DataFrame:
             f"index has more than max_cells={max_cells} {what} rows; "
             "a driver-side model load needs bounded state"
         )
-    return spark.createDataFrame(rows, df.schema)
+    return local_frame(spark, rows, df.schema)
 
 
 def _write_index_rotation(spark, rotation, path: str) -> None:
     """Persist an OPQ rotation alongside an index layout — one row per
     matrix row, ``(i, vals)``. The rotation is model state (dim x dim),
     loaded bounded like centroids/codebooks."""
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(i, [float(v) for v in row]) for i, row in enumerate(rotation)],
-        schema="i int, vals array<double>",
+        "i int, vals array<double>",
     ).write.mode("overwrite").parquet(f"{path}/rotation.parquet")
 
 
@@ -2645,7 +2649,7 @@ def ann_index_remove(spark, path: str, ids, id_col: str = "vec_id") -> dict:
     else:
         rows = [(i,) for i in ids]
         requested = len(rows)
-        ids_df = spark.createDataFrame(rows, f"{id_col} {id_type}")
+        ids_df = local_frame(spark, rows, f"{id_col} {id_type}")
     tomb_path = f"{path}/{_TOMBSTONES}"
     if _index_has(spark, path, _TOMBSTONES):
         existing_col = spark.read.parquet(tomb_path).columns[0]
@@ -2724,8 +2728,8 @@ def ivf_pq_index_write(
     batches into the index's space automatically. Orthogonal rotations
     preserve cosine AND L2, so every probe contract is unchanged."""
     spark = df.sparkSession
-    local_cents = spark.createDataFrame(centroids.collect(), centroids.schema)
-    local_cb = spark.createDataFrame(codebooks.collect(), codebooks.schema)
+    local_cents = local_frame(spark, centroids.collect(), centroids.schema)
+    local_cb = local_frame(spark, codebooks.collect(), codebooks.schema)
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     encoded = ivf_pq_encode(
         assigned, local_cents, local_cb, vec_col=vec_col, dsub=dsub
@@ -3463,7 +3467,7 @@ def ivf_pq_index_lifecycle_audit(
     centroid lineage (mean_centroids re-scans the corpus) and the
     assign+encode pass never execute twice."""
     spark = initial.sparkSession
-    local_cents = spark.createDataFrame(centroids.collect(), centroids.schema)
+    local_cents = local_frame(spark, centroids.collect(), centroids.schema)
     assigned = ivf_assign(initial, local_cents, id_col=id_col, vec_col=vec_col)
     resid = ivf_residuals(assigned, local_cents, vec_col=vec_col)
     cb = pq_train_driver(

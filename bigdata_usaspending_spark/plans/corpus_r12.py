@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..io import local_frame
 from ..session import apply_runtime_confs
 
 
@@ -1209,8 +1210,8 @@ def q_ann_opq_index(spark: SparkSession, sf: str) -> DataFrame:
             m=32, k=16, iters=2,
         )
         rotated = similarity.opq_rotate(data, rot).localCheckpoint()
-        centroids = spark.createDataFrame(
-            _ivf_centroids(rotated).collect(),
+        centroids = local_frame(
+            spark, _ivf_centroids(rotated).collect(),
             "cell int, centroid array<double>",
         )
         assigned = similarity.ivf_assign(rotated, centroids)

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..io import local_frame
 from ..session import apply_runtime_confs
 
 
@@ -85,8 +86,9 @@ def q_ann_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     qvec = _query_vec_list(emb)
     tmp = tempfile.mkdtemp(prefix="compact_idx_")
     try:
-        centroids = spark.createDataFrame(
-            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        centroids = local_frame(
+            spark, _ivf_centroids(emb).collect(),
+            "cell int, centroid array<double>",
         )
         assigned = similarity.ivf_assign(initial, centroids)
         resid = similarity.ivf_residuals(assigned, centroids)
@@ -235,8 +237,8 @@ def q_corpus_semantic_opq(spark: SparkSession, sf: str) -> DataFrame:
             m=32, k=16, iters=2,
         )
         rotated = similarity.opq_rotate(initial, rot).localCheckpoint()
-        centroids = spark.createDataFrame(
-            _ivf_centroids(rotated).collect(),
+        centroids = local_frame(
+            spark, _ivf_centroids(rotated).collect(),
             "cell int, centroid array<double>",
         )
         assigned = similarity.ivf_assign(rotated, centroids)

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..io import local_frame
 from ..session import apply_runtime_confs
 
 
@@ -74,13 +75,20 @@ def q_ann_index_remove(spark: SparkSession, sf: str) -> DataFrame:
     qvec = _query_vec_list(emb)
     tmp = tempfile.mkdtemp(prefix="remove_idx_")
     try:
-        centroids = spark.createDataFrame(
-            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        cent_rows = _ivf_centroids(emb).collect()
+        centroids = local_frame(
+            spark, cent_rows, "cell int, centroid array<double>"
         )
         similarity.ivf_index_write(data, centroids, tmp)
-        n_cells = centroids.count()
-        n_victims = victims.count()
-        n_data = data.count()
+        n_cells = len(cent_rows)  # model state already on the driver
+        # one pass for both counts (the victim predicate is a subset of
+        # the data scan — two separate count jobs read the table twice)
+        counts = data.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("vec_id") % 7 == 3).cast("long")).alias("v"),
+        ).collect()[0]
+        n_victims = int(counts["v"] or 0)
+        n_data = int(counts["n"])
 
         def probe():
             # nprobe covers every cell -> the probe is the exact cosine
@@ -114,12 +122,8 @@ def q_ann_index_remove(spark: SparkSession, sf: str) -> DataFrame:
             and spark.read.parquet(f"{tmp}/vectors.parquet").count()
             == n_data - n_victims
         )
-        out = spark.createDataFrame(
-            [
-                (v, c)
-                for v, c in post
-            ],
-            "vec_id long, cosine double",
+        out = local_frame(
+            spark, [(v, c) for v, c in post], "vec_id long, cosine double"
         )
         return out.select(
             "vec_id", "cosine",

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..io import local_frame
 from ..session import apply_runtime_confs
 
 
@@ -85,10 +86,11 @@ def q_ann_index_rebuild(spark: SparkSession, sf: str) -> DataFrame:
     qvec = _query_vec_list(emb)
     tmp = tempfile.mkdtemp(prefix="rebuild_idx_")
     try:
-        centroids = spark.createDataFrame(
-            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        cent_rows = _ivf_centroids(emb).collect()
+        centroids = local_frame(
+            spark, cent_rows, "cell int, centroid array<double>"
         )
-        n_cells = centroids.count()
+        n_cells = len(cent_rows)  # model state already on the driver
         n_data = data.count()
         # the pre-rebuild history: build, a committed streaming add
         # (manifest advances to 3), a takedown left pending
@@ -119,7 +121,8 @@ def q_ann_index_rebuild(spark: SparkSession, sf: str) -> DataFrame:
         probe = similarity.ivf_index_topk(
             spark, tmp, qvec, k=_REBUILD_K, nprobe=n_cells
         )
-        out = spark.createDataFrame(
+        out = local_frame(
+            spark,
             [(r.vec_id, r.cosine) for r in probe.collect()],  # k-bounded
             "vec_id long, cosine double",
         )
@@ -206,10 +209,9 @@ def q_winnow_index_rebuild(spark: SparkSession, sf: str) -> DataFrame:
         dedup.winnow_pos_index_write(
             committed, tmp, k=_ROBUST_K, w=_ROBUST_W, portable=True
         )
-        docs_committed = dedup.winnow_index_stats(spark, tmp)["docs"]
-        stale_tombstones_cleared = (
-            dedup.winnow_index_stats(spark, tmp)["tombstones"] == 0
-        )
+        stats0 = dedup.winnow_index_stats(spark, tmp)
+        docs_committed = stats0["docs"]
+        stale_tombstones_cleared = stats0["tombstones"] == 0
         stale_manifest_cleared = (
             hadoop_read_json(spark, f"{tmp}/_ADD_MANIFEST.json") is None
         )
@@ -330,8 +332,9 @@ def q_ann_index_drift(spark: SparkSession, sf: str) -> DataFrame:
     data = emb.filter(F.col("vec_id") != 0)
     tmp = tempfile.mkdtemp(prefix="drift_idx_")
     try:
-        centroids = spark.createDataFrame(
-            _ivf_centroids(emb).collect(), "cell int, centroid array<double>"
+        centroids = local_frame(
+            spark, _ivf_centroids(emb).collect(),
+            "cell int, centroid array<double>",
         )
         similarity.ivf_index_write(data, centroids, tmp)
         similarity.ann_index_remove(

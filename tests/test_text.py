@@ -859,3 +859,149 @@ def test_ngram_char_fractions_brute_force(spark):
     # sanity on the extremes the gate exists for
     assert not got[1][3] and not got[6][3]
     assert got[3][3] and got[5][3]
+
+
+def test_winnow_md5_kernel_matches_hof_expression(spark):
+    """The Arrow-vectorized portable winnowing kernel must be
+    value-identical to the relational HOF chain it replaced (round-15
+    optimization) — including the normalization corner cases (ASCII-only
+    \\s, unicode lower/case-folds, code-point substrings), both selection
+    modes, and a non-default (k, w)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.dedup import portable_hash60
+    from bigdata_usaspending_spark.operators.text import winnow_fingerprints
+
+    def hof_winnow(col, k, w, robust):
+        # the pre-round-15 expression, verbatim (the reference semantics)
+        c = F.col(col)
+        s = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        empty = F.array().cast("array<bigint>")
+
+        def grams_of(s0):
+            return F.when(
+                F.length(s0) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s0) - k + 1),
+                    lambda i: portable_hash60(F.substr(s0, i, F.lit(k))),
+                ),
+            ).otherwise(empty)
+
+        def wins_of(g):
+            return F.when(
+                F.size(g) >= 1,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(g) - w + 1, F.lit(1))
+                        ),
+                        lambda j: F.array_min(F.slice(g, j, w)),
+                    )
+                ),
+            ).otherwise(empty)
+
+        def robust_of(g):
+            nwin = F.greatest(F.size(g) - w + 1, F.lit(1))
+
+            def step(acc, j):
+                def with_newpos(m, newpos):
+                    keep = (acc["last"] >= j) & (
+                        F.get(g, acc["last"] - 1) == m
+                    )
+                    return F.struct(
+                        F.when(keep, acc["last"]).otherwise(newpos).alias("last"),
+                        F.when(keep, acc["sel"])
+                        .otherwise(F.array_append(acc["sel"], newpos))
+                        .alias("sel"),
+                    )
+
+                def with_min(win, m):
+                    rel = F.array_max(
+                        F.filter(
+                            F.sequence(F.lit(1), F.size(win)),
+                            lambda i: F.get(win, i - 1) == m,
+                        )
+                    )
+                    return F.element_at(
+                        F.transform(
+                            F.array((j + rel - 1).cast("int")),
+                            lambda newpos: with_newpos(m, newpos),
+                        ),
+                        1,
+                    )
+
+                return F.element_at(
+                    F.transform(
+                        F.array(F.slice(g, j, w)),
+                        lambda win: F.element_at(
+                            F.transform(
+                                F.array(F.array_min(win)),
+                                lambda m: with_min(win, m),
+                            ),
+                            1,
+                        ),
+                    ),
+                    1,
+                )
+
+            init = F.struct(
+                F.lit(0).cast("int").alias("last"),
+                F.array().cast("array<int>").alias("sel"),
+            )
+            sel = F.aggregate(
+                F.sequence(F.lit(1), nwin), init, step, lambda acc: acc["sel"]
+            )
+            structs = F.transform(
+                sel,
+                lambda p: F.struct(F.get(g, p - 1).alias("fp"), p.alias("pos")),
+            )
+            return F.when(F.size(g) >= 1, structs).otherwise(
+                F.array().cast("array<struct<fp:bigint,pos:int>>")
+            )
+
+        pick = robust_of if robust else wins_of
+        return F.element_at(
+            F.transform(
+                F.array(s),
+                lambda s0: F.element_at(
+                    F.transform(F.array(grams_of(s0)), pick), 1
+                ),
+            ),
+            1,
+        ).alias("x")
+
+    rows = [
+        (1, None), (2, ""), (3, "short"),
+        (4, "  lots   of \t spaces \n here  "),
+        (5, "exactly8!"), (6, "a" * 7), (7, "a" * 8), (8, "a" * 100),
+        (9, "The QUICK brown fox jumps over the lazy dog " * 10),
+        (10, "café naïve ßstraße İstanbul"),
+        (11, "nbsp here and emspace"),
+        (12, "tab\ttab\x0bvt\x0cff\rcr\nnl"),
+        (13, "ABC" * 50), (14, " leading"), (15, "trailing "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for k, w in ((8, 4), (5, 9)):
+        for robust in (False, True):
+            a = df.select("doc_id", hof_winnow("text", k, w, robust))
+            b = df.select(
+                "doc_id",
+                winnow_fingerprints(
+                    "text", k=k, w=w, portable=True, robust=robust, alias="x"
+                ),
+            )
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+
+    # the §4.4 duplication guard: one ArrowEvalPython node under the
+    # size filter, not two
+    from bigdata_usaspending_spark.operators.dedup import winnow_index
+
+    out = winnow_index(df, "doc_id", portable=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len([
+        ln for ln in plan.splitlines()
+        if "ArrowEvalPython" in ln and not ln.startswith("(")
+    ]) == 1
