@@ -289,12 +289,14 @@ def ngram_jaccard_pairs(
             F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("_sh"),
         )
     )
-    # Lazy cache shared by both sides of the candidate self-join. Measured at
-    # sf0.1 (warm, 2 runs each): lazy 1.6-1.8s, eager cache+count 1.6-2.5s
-    # (the extra materialization pass), no cache 2.2-2.3s — lazy wins for
-    # this and minhash_lsh_pairs alike, so both use it. The cached blocks are
-    # owned by the Spark session: long-lived drivers running many dedup
-    # passes should materialize the result and then clearCache()/unpersist.
+    # Lazy cache shared by both sides of the candidate self-join.
+    # Re-measured round 15 with AQE's concurrent exchange materialization
+    # in mind: eager (cache+count) LOST here — q_dedup_clusters 1.8→2.5 s,
+    # q_corpus_build_mini 3.2→4.5 s — the extra materialization pass costs
+    # more than the branch race on this light subtree. (Contrast
+    # winnow_match_spans' positioned explode, where eager wins 2-3x.) The
+    # cached blocks are owned by the Spark session: long-lived drivers
+    # running many dedup passes should materialize and then unpersist.
     sh.cache()
     if max_shingle_df is not None:
         heavy = (
@@ -394,9 +396,9 @@ def winnow_pairs(
                 F.explode("fingerprints").alias("_f"),
             )
         )
-        # lazy cache shared by both sides of the candidate self-join (the
-        # ngram_jaccard_pairs measurement and ownership note apply
-        # verbatim)
+        # lazy cache shared by both sides of the candidate self-join
+        # (the ngram_jaccard_pairs re-measurement and ownership note
+        # apply verbatim: eager lost — q_dedup_winnow 1.5→3.1 s)
         fps.cache()
     if max_fingerprint_df is not None:
         heavy = (
@@ -495,7 +497,14 @@ def winnow_match_spans(
                 F.col("_s.pos").alias("_p"))
     )
     if own_fps:
-        pos_fps.cache()  # both sides of the anchor self-join
+        # lazy cache: both sides of the anchor self-join share it (the
+        # ngram_jaccard_pairs ownership note applies). Re-measured round
+        # 15 with an alternating A/B (fresh sessions, cache cleared
+        # between runs): eager cache+count LOSES here too —
+        # q_winnow_span_scrub 0.7 vs 1.6 s, q_winnow_match_spans 2.7 vs
+        # 3.5 s — the blocking materialization outweighs the AQE branch
+        # race at every site tested this round.
+        pos_fps.cache()
     if max_fingerprint_df is not None:
         heavy = (
             pos_fps.select("_id", "_f")
@@ -583,6 +592,65 @@ def winnow_span_scrub(
     return _scrub_covered_spans(df, id_col, text_col, per_doc)
 
 
+@functools.lru_cache(maxsize=None)
+def _scrub_spans_kernel():
+    """Arrow-vectorized twin of the per-char span-union scrub (round-15
+    optimization, guide §4.2): the former formulation was TWO interpreted
+    per-character HOFs per row (F.exists over the span list for every
+    position, once for the kept characters and once for n_cut) — O(len ×
+    spans) CodegenFallback arithmetic that profiled as ~170 s of task
+    time inside q_corpus_build_scrub at sf0.1. The kernel computes the
+    identical per-char coverage with one bytearray mask per row.
+
+    Value-identical by construction (pinned by
+    tests/test_dedup.py::test_scrub_spans_kernel_matches_hof): covered
+    positions are the 1-based i with any b_start <= i <= b_end (span
+    positions never exceed the text — pos + k - 1 <= len — and overlaps
+    need no merging under a per-char mask); null span list → text
+    unchanged with n_cut 0; null text under a non-null span list → null
+    scrubbed / null n_cut, exactly the when/otherwise chain's output."""
+
+    @F.pandas_udf("struct<scrubbed:string,n_cut:int>")
+    def _scrub(norm: pd.Series, spans: pd.Series) -> pd.DataFrame:
+        out_s: list = []
+        out_c: list = []
+        for nrm, sp in zip(norm, spans):
+            if sp is None:
+                out_s.append(nrm)
+                out_c.append(0)
+                continue
+            if nrm is None:
+                out_s.append(None)
+                out_c.append(None)
+                continue
+            n = len(nrm)
+            if n < 1:
+                out_s.append(nrm)
+                out_c.append(0)
+                continue
+            mask = bytearray(n)
+            for s in sp:
+                a = s["b_start"]
+                b = s["b_end"]
+                if a < 1:
+                    a = 1
+                if b > n:
+                    b = n
+                if b >= a:
+                    mask[a - 1:b] = b"\x01" * (b - a + 1)
+            out_s.append(
+                "".join(ch for ch, m in zip(nrm, mask) if not m)
+            )
+            out_c.append(sum(mask))
+        return pd.DataFrame(
+            {"scrubbed": out_s, "n_cut": pd.array(out_c, dtype="Int32")}
+        )
+
+    # guide §4.4: stop the optimizer duplicating the kernel under pushed
+    # filters on its output (pure function — values unchanged)
+    return _scrub.asNondeterministic()
+
+
 def _scrub_covered_spans(
     df: DataFrame, id_col: str, text_col: str, per_doc: DataFrame
 ) -> DataFrame:
@@ -591,7 +659,8 @@ def _scrub_covered_spans(
     per-char UNION of each doc's covering spans (``per_doc``:
     ``_sid, _spans array<struct<b_start,b_end>>, n_spans``) out of its
     normalized text. Docs absent from ``per_doc`` return whole with
-    ``n_cut = 0``. Scan arithmetic per row — no shuffle of its own."""
+    ``n_cut = 0``. Scan arithmetic per row (Arrow-vectorized — see
+    _scrub_spans_kernel) — no shuffle of its own."""
     c = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     out = (
@@ -599,44 +668,15 @@ def _scrub_covered_spans(
         .join(per_doc, on=F.col(id_col) == F.col("_sid"), how="left")
         .drop("_sid")
     )
-
-    def scrub_expr(nrm: Column, sp: Column) -> Column:
-        # keep the characters whose 1-based position no span covers
-        # (per-char coverage: span overlaps need no interval merging)
-        kept = F.transform(
-            F.filter(
-                F.sequence(F.lit(1), F.length(nrm)),
-                lambda i: ~F.exists(
-                    sp,
-                    lambda s: (s["b_start"] <= i) & (i <= s["b_end"]),
-                ),
-            ),
-            lambda i: F.substr(nrm, i, F.lit(1)),
-        )
-        return F.array_join(kept, "")
-
-    scrubbed = F.when(
-        F.col("_spans").isNull() | (F.length("_norm") < 1), F.col("_norm")
-    ).otherwise(scrub_expr(F.col("_norm"), F.col("_spans")))
-    # n_cut counts covered positions independently — reusing `scrubbed`
-    # would re-instantiate the whole per-char HOF (the interpreted-HOF
-    # subexpression cost documented on winnow_fingerprints)
-    covered = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.length("_norm")),
-            lambda i: F.exists(
-                F.col("_spans"),
-                lambda s: (s["b_start"] <= i) & (i <= s["b_end"]),
-            ),
-        )
+    # stage the struct ONCE, extract fields in a second projection — two
+    # direct field references would be two copies of the UDF expression
+    staged = out.withColumn(
+        "_res", _scrub_spans_kernel()(F.col("_norm"), F.col("_spans"))
     )
-    n_cut = F.when(
-        F.col("_spans").isNull() | (F.length("_norm") < 1), F.lit(0)
-    ).otherwise(covered)
-    return out.select(
+    return staged.select(
         F.col(id_col),
-        scrubbed.alias("scrubbed"),
-        n_cut.cast("int").alias("n_cut"),
+        F.col("_res")["scrubbed"].alias("scrubbed"),
+        F.col("_res")["n_cut"].alias("n_cut"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
     )
 
@@ -717,6 +757,8 @@ def winnow_dedup_against_index(
     else:
         bfps = winnow_index(batch, id_col, text_col, k, w, portable)
         bfps = bfps.localCheckpoint(eager=False)  # reused by probe + verify
+        # (eager re-measured round 15: q_corpus_build_incremental
+        # 12.6→14.9 s — the blocking materialization loses)
     b_ex = bfps.select(F.col("_id").alias("_bid"), F.explode("fps").alias("_f"))
     i_ex = index.select(F.col("_id").alias("_iid"), F.explode("fps").alias("_f"))
     if max_fingerprint_df is not None:
@@ -1838,7 +1880,8 @@ def simhash_pairs(
     # lazy cache stops the signature subtree — dominated by the per-token
     # md5 in the portable hash — from being computed once per side. Tiny:
     # one (id, simhash) row per doc. Same ownership pattern as
-    # minhash_lsh_pairs' hashed.cache().
+    # minhash_lsh_pairs' hashed.cache(). (Eager re-measured round 15:
+    # 0.45→1.0 s — loses.)
     sig.cache()
     chunk_structs = F.array(
         *[

@@ -1192,3 +1192,75 @@ def test_winnow_index_remove_lifecycle(spark, tmp_path):
     # batch_id 0 from the fresh stream is APPLIED, not replay-skipped
     assert dd.winnow_index_add_batch(spark, path, batch, 0)
     assert dd.winnow_index_stats(spark, path)["docs"] == 4
+
+
+def test_scrub_spans_kernel_matches_hof(spark):
+    """The Arrow span-scrub kernel must be value-identical to the per-char
+    HOF chain it replaced (round-15 optimization), including the
+    null-span / null-text / empty-text / overlapping-span edges."""
+    from pyspark.sql import functions as F
+
+    from bigdata_usaspending_spark.operators.dedup import (
+        _scrub_covered_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The QUICK brown\t fox  jumps over the lazy dog"),
+            (2, "all covered"),
+            (3, None),
+            (4, ""),
+            (5, "no spans for this one"),
+            (6, "overlap overlap overlap start end"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, [(5, 9), (7, 14)], 2),     # overlapping union
+            (2, [(1, 11)], 1),             # whole text covered
+            (3, [(1, 3)], 1),              # null text, non-null spans
+            (4, [(1, 2)], 1),              # empty text
+            (6, [(1, 7), (9, 15), (1, 33)], 3),  # duplicates + full cover
+        ],
+        "_sid int, _spans array<struct<b_start:int,b_end:int>>, n_spans int",
+    )
+    got = {
+        r.doc_id: (r.scrubbed, r.n_cut, r.n_spans)
+        for r in _scrub_covered_spans(docs, "doc_id", "text", spans).collect()
+    }
+
+    # replay the old per-char HOF semantics in Python
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(" ") \
+            if t is not None else None
+
+    def replay(t, sp):
+        s = norm(t)
+        if sp is None:
+            return (s, 0)
+        if s is None:
+            return (None, None)
+        if len(s) < 1:
+            return (s, 0)
+        covered = [
+            any(a <= i <= b for a, b in sp) for i in range(1, len(s) + 1)
+        ]
+        return (
+            "".join(ch for ch, c in zip(s, covered) if not c),
+            sum(covered),
+        )
+
+    span_map = {1: [(5, 9), (7, 14)], 2: [(1, 11)], 3: [(1, 3)],
+                4: [(1, 2)], 6: [(1, 7), (9, 15), (1, 33)]}
+    n_spans = {1: 2, 2: 1, 3: 1, 4: 1, 6: 3}
+    for doc_id, text in [(1, "The QUICK brown\t fox  jumps over the lazy dog"),
+                         (2, "all covered"), (3, None), (4, ""),
+                         (5, "no spans for this one"),
+                         (6, "overlap overlap overlap start end")]:
+        want = replay(text, span_map.get(doc_id))
+        assert got[doc_id] == (want[0], want[1], n_spans.get(doc_id, 0)), (
+            doc_id, got[doc_id], want
+        )
