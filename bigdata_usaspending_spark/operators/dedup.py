@@ -1130,9 +1130,23 @@ def winnow_index_compact(
     # compaction doubles as the PHYSICAL delete for tombstoned docs
     # (winnow_index_remove): the rewrite reads the LIVE set, removed
     # rows leave the disk here, and the tombstone file clears after the
-    # swap
-    n_physical = spark.read.parquet(target).count()
-    n_rows = _read_index_fps(spark, path).count()
+    # swap. One pass for both counts (round 15): no tombstones → live ==
+    # physical; otherwise one left-join aggregate replaces two counts.
+    if not _winnow_index_has(spark, path, _WINNOW_TOMBSTONES):
+        n_physical = spark.read.parquet(target).count()
+        n_rows = n_physical
+    else:
+        fps = spark.read.parquet(target)
+        tomb = spark.read.parquet(f"{path}/{_WINNOW_TOMBSTONES}")
+        marked = fps.join(
+            tomb.select("_id").distinct().withColumn("_t", F.lit(1)),
+            on="_id", how="left",
+        )
+        row = marked.agg(
+            F.count(F.lit(1)).alias("physical"),
+            F.count(F.when(F.col("_t").isNull(), F.lit(1))).alias("live"),
+        ).collect()[0]
+        n_physical, n_rows = int(row["physical"]), int(row["live"])
     # size the rewrite from the LIVE bytes, not the physical bytes — a
     # compact right after a large removal would otherwise over-shard the
     # surviving rows far below target_file_bytes (round-14 ADVICE)

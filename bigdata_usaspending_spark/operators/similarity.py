@@ -2983,9 +2983,26 @@ def ann_index_compact(spark, path: str) -> dict:
     # compaction is also the PHYSICAL delete for tombstoned ids
     # (ann_index_remove): the rewrite reads the LIVE set (anti-joined),
     # so removed rows vanish from disk here and the tombstone file
-    # clears after the swap — the merge-on-read delete's merge step
-    n_physical = spark.read.parquet(target).count()
-    n_rows = _read_index_vectors(spark, path).count()
+    # clears after the swap — the merge-on-read delete's merge step.
+    # One pass for both counts (round 15): with no tombstone component
+    # live == physical (skip the second scan outright); with one, a
+    # single left-join aggregate replaces the two count jobs.
+    if not _index_has(spark, path, _TOMBSTONES):
+        n_physical = spark.read.parquet(target).count()
+        n_rows = n_physical
+    else:
+        vec = spark.read.parquet(target)
+        tomb = spark.read.parquet(f"{path}/{_TOMBSTONES}")
+        tcol = tomb.columns[0]
+        marked = vec.join(
+            tomb.select(tcol).distinct().withColumn("_t", F.lit(1)),
+            on=tcol, how="left",
+        )
+        row = marked.agg(
+            F.count(F.lit(1)).alias("physical"),
+            F.count(F.when(F.col("_t").isNull(), F.lit(1))).alias("live"),
+        ).collect()[0]
+        n_physical, n_rows = int(row["physical"]), int(row["live"])
 
     def write_tmp(tmp: str) -> None:
         (
@@ -3029,7 +3046,13 @@ def ann_index_stats(spark, path: str) -> dict:
     vectors = f"{path}/vectors.parquet"
     vec = _read_index_vectors(spark, path)
     n_files, n_bytes = hadoop_data_file_stats(spark, vectors)
-    n_cell_dirs = vec.select("cell").distinct().count()
+    # one pass for the live-vector count AND the populated-cell count
+    # (round 15: these were two separate scan jobs)
+    live = vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cell").alias("cells"),
+    ).collect()[0]
+    n_cell_dirs = int(live["cells"])
     n_tomb = (
         spark.read.parquet(f"{path}/{_TOMBSTONES}").distinct().count()
         if _index_has(spark, path, _TOMBSTONES)
@@ -3043,7 +3066,7 @@ def ann_index_stats(spark, path: str) -> dict:
         "rotation": _index_has(spark, path, "rotation.parquet"),
         "cells": spark.read.parquet(f"{path}/centroids.parquet").count(),
         "populated_cells": n_cell_dirs,
-        "vectors": vec.count(),
+        "vectors": int(live["n"]),
         "tombstones": n_tomb,
         "data_files": n_files,
         "data_bytes": n_bytes,

@@ -96,7 +96,13 @@ def q_ann_index_compact(spark: SparkSession, sf: str) -> DataFrame:
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
             vec_col="residual", m=16, k=16,
         )
-        similarity.ivf_pq_index_write(initial, centroids, cb, tmp)
+        # reuse the training pass's assigned frame and the already-local
+        # model frames (the ivf_pq_recall_audit pattern): the plain
+        # index_write would re-collect both models and run a second
+        # assign pass over `initial` (round-15 profiler: one full
+        # ArrowEvalPython pass + two local collects saved)
+        encoded = similarity.ivf_pq_encode(assigned, centroids, cb)
+        similarity._ivf_pq_index_write_encoded(encoded, centroids, cb, tmp)
         for i in range(3):
             similarity.ivf_pq_index_add(
                 spark, tmp,
