@@ -67,7 +67,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     are partitioning-independent (row-wise hashing then keyed joins)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe the JVM RDD directly: df.rdd wraps the same physical RDD in
+    # the Python serializer layer, ~100x the cost per call (measured
+    # round 15: ~80-260 ms vs ~1 ms) — and this helper runs on every
+    # fingerprint/shingle path, several times per composed build
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

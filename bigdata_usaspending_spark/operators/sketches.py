@@ -372,7 +372,10 @@ def _tree_merge_partials(partials: DataFrame, merge_fn, schema: str, fanin: int)
         # ceil(n / 1) never shrinks — the level loop would append
         # repartition nodes forever
         raise ValueError(f"fanin must be >= 2, got {fanin}")
-    n = partials.rdd.getNumPartitions()
+    # JVM-side probe: df.rdd wraps the same RDD in the Python serializer
+    # layer at ~100x the per-call cost (round-15 measurement in
+    # dedup._ensure_parallelism)
+    n = partials._jdf.queryExecution().toRdd().getNumPartitions()
     while n > fanin:
         n = max(1, -(-n // fanin))
         partials = partials.repartition(n).mapInPandas(merge_fn, schema=schema)
