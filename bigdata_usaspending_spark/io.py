@@ -42,8 +42,212 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     (centroids, codebooks, probe cells, k-bounded audit outputs) are bounded
     by construction, so one slice is the right layout at EVERY scale: one
     task per action, one file per write. Values are bit-preserved — the rows
-    are the same driver-side objects either way."""
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    are the same driver-side objects either way.
+
+    The driver-side rows also ride along as ``_local_rows`` (as Row
+    objects, for name access) so kernel builders that need the SAME model
+    rows back (ivf_assign's centroid kernel, pq_encode's codebook tables)
+    can skip the 1-task Python-runner collect job — round-16 guide §5:
+    each such re-collect measured ~0.15-0.2 s of pure scheduling per
+    lifecycle verb, several per audit."""
+    rows = list(rows)
+    out = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    try:
+        out._local_rows = _as_named_rows(rows, out.schema.names)
+    except Exception:
+        pass  # attribute is an optimization only; the frame is complete
+    return out
+
+
+def _as_named_rows(rows, names) -> list:
+    """Normalize driver-side tuples/Rows to name-addressable Rows (the
+    shape ``DataFrame.collect`` returns), so consumers can use either
+    positional or ``r["col"]`` access interchangeably."""
+    from pyspark.sql import Row
+
+    if rows and isinstance(rows[0], Row):
+        return rows
+    cls = Row(*names)
+    return [cls(*r) for r in rows]
+
+
+def local_rows_of(df: DataFrame) -> "list | None":
+    """The driver-side rows a ``local_frame`` was built from (None when
+    ``df`` is not such a frame, or was transformed since)."""
+    return getattr(df, "_local_rows", None)
+
+
+# --------------------------------------------------------------------------
+# Driver-side parquet I/O for BOUNDED model state (round 16, guide §5)
+# --------------------------------------------------------------------------
+# Index model components (centroids, codebooks, rotations, iterable-sourced
+# tombstones) are O(cells)/O(m*k) rows by construction, yet every lifecycle
+# verb re-read them as a Spark collect job and re-wrote them as a Spark
+# write job: ~50-200 ms of pure scheduling/commit-protocol latency per
+# touch, dozens of touches per lifecycle audit (round-16 profiler:
+# q_ann_index_compact = 75 jobs, ~7 s outside any job). On a local
+# filesystem the same parquet bytes read/write driver-side in ~2-5 ms via
+# pyarrow, with values identical (both engines decode the same pages to
+# the same doubles/ints/lists). Non-local schemes (hdfs://, s3a://) keep
+# the Spark path — the helpers fall back automatically, so the
+# any-filesystem contract of the index layout is unchanged.
+
+
+def _driver_local_path(path: str) -> "str | None":
+    """The driver-local filesystem path for ``path``, or None when the
+    scheme is not the local filesystem (then callers use Spark I/O)."""
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        return path
+    if scheme.lower() == "file":
+        return "/" + rest.split("/", 1)[1] if not rest.startswith("/") else rest
+    return None
+
+
+def _arrow_table_files(local: str) -> "list[str]":
+    """Parquet data files under a component path (file or directory),
+    sorted by name (Spark's part-numbering order); markers/hidden files
+    skipped — the same set a Spark scan would read."""
+    if os.path.isfile(local):
+        return [local]
+    out = []
+    for root, dirs, files in os.walk(local):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def read_model_rows(spark: SparkSession, path: str, what: str, max_rows: int):
+    """Cap-guarded ``(rows, spark_schema)`` of a bounded parquet model
+    component. Local filesystems read DRIVER-SIDE via pyarrow — no Spark
+    job; other schemes fall back to one spark.read…collect() job. Rows
+    come back as name-addressable Row objects either way."""
+    local = _driver_local_path(path)
+    if local is not None and os.path.exists(local):
+        parsed = None
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql import Row
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            files = _arrow_table_files(local)
+            table = pa.concat_tables([pq.read_table(f) for f in files])
+            schema = from_arrow_schema(table.schema)
+            cls = Row(*table.schema.names)
+            cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+            parsed = ([cls(*vals) for vals in zip(*cols)], schema)
+        except Exception:
+            parsed = None  # unsupported type/layout: use the Spark path
+        if parsed is not None:
+            rows, schema = parsed
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"index has more than max_cells={max_rows} {what} "
+                    "rows; a driver-side model load needs bounded state"
+                )
+            return rows, schema
+    df = spark.read.parquet(path)
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"index has more than max_cells={max_rows} {what} rows; "
+            "a driver-side model load needs bounded state"
+        )
+    return rows, df.schema
+
+
+def model_row_count(spark: SparkSession, path: str) -> int:
+    """Exact row count of a parquet component from file FOOTER metadata,
+    driver-side, on local filesystems — the same number a Spark
+    ``count()`` job computes (parquet counts are rowgroup-stats only),
+    without the job. Non-local schemes fall back to the count job."""
+    local = _driver_local_path(path)
+    if local is not None and os.path.exists(local):
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _arrow_table_files(local)
+            )
+        except Exception:
+            pass
+    return spark.read.parquet(path).count()
+
+
+def model_distinct_count(spark: SparkSession, path: str) -> int:
+    """Distinct-row count of a NARROW bounded component (tombstone id
+    sets), driver-side on local filesystems; one Spark job elsewhere."""
+    local = _driver_local_path(path)
+    if local is not None and os.path.exists(local):
+        try:
+            import pyarrow.parquet as pq
+
+            vals: set = set()
+            for f in _arrow_table_files(local):
+                t = pq.read_table(f)
+                vals.update(zip(*(c.to_pylist() for c in t.columns)))
+            return len(vals)
+        except Exception:
+            pass
+    return spark.read.parquet(path).distinct().count()
+
+
+def write_model_parquet(
+    spark: SparkSession, rows, schema, path: str, mode: str = "overwrite"
+) -> None:
+    """Write bounded model rows as ONE parquet file. Local filesystems
+    write DRIVER-SIDE via pyarrow (no Spark job, no commit protocol) into
+    the same directory-shaped layout a 1-slice Spark write produces
+    (part file + _SUCCESS marker), so every reader — Spark scans, the
+    pyarrow fast path above, hadoop_data_file_stats — sees an identical
+    component; other schemes fall back to a local_frame Spark write.
+    ``mode="append"`` adds a uniquely-named file to the live directory
+    (the tombstone-append shape)."""
+    local = _driver_local_path(path)
+    if local is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.types import StructType
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            if isinstance(schema, str):
+                from pyspark.sql.types import _parse_datatype_string
+
+                schema = _parse_datatype_string(schema)
+            if not isinstance(schema, StructType):
+                raise TypeError(f"need a StructType/DDL schema, got {schema!r}")
+            arrow_schema = to_arrow_schema(schema)
+            rows = list(rows)
+            cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+            table = pa.Table.from_arrays(
+                [
+                    pa.array(list(col), type=f.type)
+                    for col, f in zip(cols, arrow_schema)
+                ],
+                schema=arrow_schema,
+            )
+            if mode == "overwrite" and os.path.exists(local):
+                shutil.rmtree(local)
+            os.makedirs(local, exist_ok=True)
+            token = uuid.uuid4().hex[:12]
+            tmp = os.path.join(local, f".part-{token}.snappy.parquet.tmp")
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(
+                tmp, os.path.join(local, f"part-00000-{token}.snappy.parquet")
+            )
+            with open(os.path.join(local, "_SUCCESS"), "w"):
+                pass
+            return
+        except Exception:
+            # fall through to the Spark writer on any fast-path failure
+            # (unsupported arrow type, permission error, …)
+            pass
+    local_frame(spark, rows, schema).write.mode(mode).parquet(path)
 
 
 def write_awards_partitioned(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -49,4 +49,6 @@ def metrics_df(spark: SparkSession, result: TrainingResult) -> DataFrame:
         ("n_clusters", float(len(result.cluster_centers))),
         ("n_feature_categoricals", float(len(result.feature_categoricals))),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    from ..io import local_frame
+
+    return local_frame(spark, rows, "metric string, value double")

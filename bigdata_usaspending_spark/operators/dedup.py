@@ -1138,7 +1138,10 @@ def winnow_index_compact(
     # swap. One pass for both counts (round 15): no tombstones → live ==
     # physical; otherwise one left-join aggregate replaces two counts.
     if not _winnow_index_has(spark, path, _WINNOW_TOMBSTONES):
-        n_physical = spark.read.parquet(target).count()
+        # footer-stats count, driver-side on local filesystems (round 16)
+        from ..io import model_row_count
+
+        n_physical = model_row_count(spark, target)
         n_rows = n_physical
     else:
         fps = spark.read.parquet(target)
@@ -1161,8 +1164,10 @@ def winnow_index_compact(
     n_files = max(1, -(-live_bytes // max(1, int(target_file_bytes))))
 
     def write_tmp(tmp: str) -> None:
+        from ..io import model_row_count
+
         _read_index_fps(spark, path).repartition(n_files).write.parquet(tmp)
-        staged = spark.read.parquet(tmp).count()
+        staged = model_row_count(spark, tmp)
         if staged != n_rows:
             raise IOError(
                 f"winnow_index_compact: staged rewrite holds {staged} "
@@ -1358,8 +1363,20 @@ def winnow_index_remove(spark, path: str, ids, id_col: "str | None" = None) -> d
         .count()
     )
     tomb_path = f"{path}/{_WINNOW_TOMBSTONES}"
-    ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
-    total = spark.read.parquet(tomb_path).distinct().count()
+    # iterable-sourced ids append driver-side (the value SET is what the
+    # anti-joins read — round 16, guide §5); DataFrame ids keep the
+    # Spark write (they may be corpus-scale)
+    from ..io import local_rows_of, model_distinct_count, write_model_parquet
+
+    local_ids = local_rows_of(ids_df)
+    if local_ids is not None:
+        uniq = list(dict.fromkeys(tuple(r) for r in local_ids))
+        write_model_parquet(
+            spark, uniq, ids_df.schema, tomb_path, mode="append"
+        )
+    else:
+        ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
+    total = model_distinct_count(spark, tomb_path)
     return {
         "requested": int(requested),
         "matched_live": int(matched_live),
@@ -1378,10 +1395,10 @@ def winnow_index_stats(spark, path: str) -> dict:
     meta = _winnow_index_meta(spark, path)
     target = f"{path}/fps.parquet"
     n_files, n_bytes = hadoop_data_file_stats(spark, target)
+    from ..io import model_distinct_count
+
     n_tomb = (
-        spark.read.parquet(f"{path}/{_WINNOW_TOMBSTONES}")
-        .distinct()
-        .count()
+        model_distinct_count(spark, f"{path}/{_WINNOW_TOMBSTONES}")
         if _winnow_index_has(spark, path, _WINNOW_TOMBSTONES)
         else 0
     )

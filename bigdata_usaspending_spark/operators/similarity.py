@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..io import local_frame
+from ..io import local_frame, model_row_count
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -466,8 +466,15 @@ def ivf_assign(
     assignments are bit-for-bit reproducible in SQL (rank-window with
     cosine DESC, cell ASC — the oracle corpus replays exactly that).
     """
+    from ..io import local_rows_of
+
+    # a local_frame carries its driver-side rows: reuse them instead of
+    # scheduling a 1-task Python-runner collect job (round 16, guide §5 —
+    # several such collects per lifecycle verb at ~0.15-0.2 s each)
+    src = local_rows_of(centroids)
     cent_rows = sorted(
-        (r[centroid_id], list(r[centroid_vec])) for r in centroids.collect()
+        (r[centroid_id], list(r[centroid_vec]))
+        for r in (src if src is not None else centroids.collect())
     )
     cells = np.array([c for c, _ in cent_rows], dtype=np.int32)
     mats = np.array([v for _, v in cent_rows], dtype=np.float64)
@@ -538,11 +545,17 @@ def ivf_index_write(
     which are collected ONCE and localized, so a centroids frame carrying
     expensive lineage (ivf_refine re-scans the corpus per iteration) is
     never executed twice (once for the write, once inside ivf_assign)."""
-    local_cents = local_frame(
-        centroids.sparkSession, centroids.collect(), centroids.schema
+    from ..io import local_rows_of
+
+    local_cents = (
+        centroids
+        if local_rows_of(centroids) is not None
+        else local_frame(
+            centroids.sparkSession, centroids.collect(), centroids.schema
+        )
     )
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
-    local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    _write_model_component(local_cents, f"{path}/centroids.parquet")
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
@@ -618,18 +631,9 @@ def ivf_index_topk(
             "rebuild the index"
         )
     qvec = _as_qvec(query)
-    # one scan: limit(cap+1) bounds driver memory AND detects overflow in
-    # the same job (count()+collect() would read the table twice per probe)
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids.parquet")
-        .limit(max_cells + 1)
-        .collect()
+    cent_rows = _read_bounded_rows(
+        spark, f"{path}/centroids.parquet", "cell", max_cells
     )
-    if len(cent_rows) > max_cells:
-        raise ValueError(
-            f"index has more than max_cells={max_cells} cells; "
-            "a driver-side cell ranking needs bounded model state"
-        )
     cells = _ivf_probe_cells(cent_rows, qvec, nprobe)
     cand = _read_index_vectors(spark, path).filter(F.col("cell").isin(cells))
     return brute_force_topk(cand, qvec, id_col=id_col, vec_col=vec_col, k=k)
@@ -1173,11 +1177,14 @@ def pq_refine(
 
 def _collect_codebooks(codebooks: DataFrame) -> list[tuple[int, int, list[float]]]:
     """Codebooks as driver-side (sub, cell, centroid) tuples, (sub, cell)
-    ascending. m*k rows by construction — a LocalRelation after
-    materialize_codebooks, so this is usually a driver-only evaluation with
-    no Spark job at all."""
+    ascending. m*k rows by construction — a local_frame's rows ride along
+    driver-side, so this usually schedules no Spark job at all."""
+    from ..io import local_rows_of
+
+    src = local_rows_of(codebooks)
     return sorted(
-        (r["sub"], r["cell"], list(r["centroid"])) for r in codebooks.collect()
+        (r["sub"], r["cell"], list(r["centroid"]))
+        for r in (src if src is not None else codebooks.collect())
     )
 
 
@@ -2519,42 +2526,36 @@ def ivf_pq_recall_audit(
 
 
 def _read_bounded_rows(spark, path: str, what: str, max_cells: int):
-    """Cap-guarded read of persisted model state: one scan, limit(cap+1)
-    bounds driver memory AND detects overflow in the same job."""
-    rows = spark.read.parquet(path).limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
-        # rows was read with limit(max_cells+1): report the bound, not
-        # the truncated length, as the table may be far larger
-        raise ValueError(
-            f"index has more than max_cells={max_cells} {what} rows; "
-            "a driver-side model load needs bounded state"
-        )
-    return rows
+    """Cap-guarded read of persisted model state — driver-side on local
+    filesystems (no Spark job; round-16 guide §5: every probe/add paid a
+    collect job per model component), one bounded collect elsewhere."""
+    from ..io import read_model_rows
+
+    return read_model_rows(spark, path, what, max_cells)[0]
 
 
 def _localized_model(spark, path: str, what: str, max_cells: int) -> DataFrame:
-    """Cap-guarded persisted model state as a LocalRelation — ONE
-    spark.read supplies both the rows and the schema (a separate
-    schema-only read would list/footer-scan the same files twice)."""
-    df = spark.read.parquet(path)
-    rows = df.limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
-        raise ValueError(
-            f"index has more than max_cells={max_cells} {what} rows; "
-            "a driver-side model load needs bounded state"
-        )
-    return local_frame(spark, rows, df.schema)
+    """Cap-guarded persisted model state as a 1-slice local frame — the
+    read is driver-side on local filesystems (read_model_rows), so an
+    add/probe's model load schedules zero Spark jobs there."""
+    from ..io import read_model_rows
+
+    rows, schema = read_model_rows(spark, path, what, max_cells)
+    return local_frame(spark, rows, schema)
 
 
 def _write_index_rotation(spark, rotation, path: str) -> None:
     """Persist an OPQ rotation alongside an index layout — one row per
     matrix row, ``(i, vals)``. The rotation is model state (dim x dim),
     loaded bounded like centroids/codebooks."""
-    local_frame(
+    from ..io import write_model_parquet
+
+    write_model_parquet(
         spark,
         [(i, [float(v) for v in row]) for i, row in enumerate(rotation)],
         "i int, vals array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/rotation.parquet")
+        f"{path}/rotation.parquet",
+    )
 
 
 def _index_has(spark, path: str, name: str) -> bool:
@@ -2580,6 +2581,21 @@ def _delete_index_component(spark, path: str, name: str) -> None:
 
 
 _TOMBSTONES = "tombstones.parquet"
+
+
+def _write_model_component(df: DataFrame, path: str) -> None:
+    """Overwrite one bounded model component (centroids/codebooks). A
+    local_frame's rows are written DRIVER-SIDE on local filesystems (no
+    Spark job / commit protocol — round 16, guide §5: each such 1-task
+    write job cost ~0.2-0.4 s of scheduling per lifecycle verb); any
+    other frame, or a non-local scheme, keeps the Spark write."""
+    from ..io import local_rows_of, write_model_parquet
+
+    rows = local_rows_of(df)
+    if rows is not None:
+        write_model_parquet(df.sparkSession, rows, df.schema, path)
+    else:
+        df.write.mode("overwrite").parquet(path)
 
 
 def _read_index_vectors(spark, path: str) -> DataFrame:
@@ -2663,8 +2679,20 @@ def ann_index_remove(spark, path: str, ids, id_col: str = "vec_id") -> dict:
         .join(ids_df.distinct(), on=id_col, how="semi")
         .count()
     )
-    ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
-    total = spark.read.parquet(tomb_path).distinct().count()
+    # iterable-sourced ids append driver-side (dedup in Python — the
+    # value SET is what every consumer reads; round 16, guide §5); the
+    # DataFrame path keeps the Spark write (ids may be corpus-scale)
+    from ..io import local_rows_of, model_distinct_count, write_model_parquet
+
+    local_ids = local_rows_of(ids_df)
+    if local_ids is not None:
+        uniq = list(dict.fromkeys(tuple(r) for r in local_ids))
+        write_model_parquet(
+            spark, uniq, ids_df.schema, tomb_path, mode="append"
+        )
+    else:
+        ids_df.distinct().coalesce(1).write.mode("append").parquet(tomb_path)
+    total = model_distinct_count(spark, tomb_path)
     return {
         "requested": int(requested),
         "matched_live": int(matched_live),
@@ -2727,9 +2755,21 @@ def ivf_pq_index_write(
     matrix is persisted so probes rotate queries and adds rotate new
     batches into the index's space automatically. Orthogonal rotations
     preserve cosine AND L2, so every probe contract is unchanged."""
+    from ..io import local_rows_of
+
     spark = df.sparkSession
-    local_cents = local_frame(spark, centroids.collect(), centroids.schema)
-    local_cb = local_frame(spark, codebooks.collect(), codebooks.schema)
+    # frames that are ALREADY local (pq_train_driver output, a caller's
+    # localized centroids) are used as-is — no re-collect job (round 16)
+    local_cents = (
+        centroids
+        if local_rows_of(centroids) is not None
+        else local_frame(spark, centroids.collect(), centroids.schema)
+    )
+    local_cb = (
+        codebooks
+        if local_rows_of(codebooks) is not None
+        else local_frame(spark, codebooks.collect(), codebooks.schema)
+    )
     assigned = ivf_assign(df, local_cents, id_col=id_col, vec_col=vec_col)
     encoded = ivf_pq_encode(
         assigned, local_cents, local_cb, vec_col=vec_col, dsub=dsub
@@ -2746,8 +2786,8 @@ def _ivf_pq_index_write_encoded(
     model frames — the shared tail of ivf_pq_index_write, split out so a
     caller that already holds the encoded rows (the lifecycle audit
     builds them anyway) doesn't pay a second assign+encode pass."""
-    local_cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-    local_cb.write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    _write_model_component(local_cents, f"{path}/centroids.parquet")
+    _write_model_component(local_cb, f"{path}/codebooks.parquet")
     (
         encoded.write.mode("overwrite")
         .partitionBy("cell")
@@ -2988,7 +3028,9 @@ def ann_index_compact(spark, path: str) -> dict:
     # live == physical (skip the second scan outright); with one, a
     # single left-join aggregate replaces the two count jobs.
     if not _index_has(spark, path, _TOMBSTONES):
-        n_physical = spark.read.parquet(target).count()
+        # parquet count() is footer-stats only — read the footers
+        # driver-side (no job) on local filesystems (round 16)
+        n_physical = model_row_count(spark, target)
         n_rows = n_physical
     else:
         vec = spark.read.parquet(target)
@@ -3011,7 +3053,7 @@ def ann_index_compact(spark, path: str) -> dict:
             .write.partitionBy("cell")
             .parquet(tmp)
         )
-        staged = spark.read.parquet(tmp).count()
+        staged = model_row_count(spark, tmp)
         if staged != n_rows:
             raise IOError(
                 f"ann_index_compact: staged rewrite holds {staged} rows, "
@@ -3053,8 +3095,10 @@ def ann_index_stats(spark, path: str) -> dict:
         F.count_distinct("cell").alias("cells"),
     ).collect()[0]
     n_cell_dirs = int(live["cells"])
+    from ..io import model_distinct_count
+
     n_tomb = (
-        spark.read.parquet(f"{path}/{_TOMBSTONES}").distinct().count()
+        model_distinct_count(spark, f"{path}/{_TOMBSTONES}")
         if _index_has(spark, path, _TOMBSTONES)
         else 0
     )
@@ -3064,7 +3108,7 @@ def ann_index_stats(spark, path: str) -> dict:
             else "ivf"
         ),
         "rotation": _index_has(spark, path, "rotation.parquet"),
-        "cells": spark.read.parquet(f"{path}/centroids.parquet").count(),
+        "cells": model_row_count(spark, f"{path}/centroids.parquet"),
         "populated_cells": n_cell_dirs,
         "vectors": int(live["n"]),
         "tombstones": n_tomb,
@@ -3489,8 +3533,14 @@ def ivf_pq_index_lifecycle_audit(
     the training pass's encoded rows feed the index write directly —
     centroid lineage (mean_centroids re-scans the corpus) and the
     assign+encode pass never execute twice."""
+    from ..io import local_rows_of
+
     spark = initial.sparkSession
-    local_cents = local_frame(spark, centroids.collect(), centroids.schema)
+    local_cents = (
+        centroids
+        if local_rows_of(centroids) is not None
+        else local_frame(spark, centroids.collect(), centroids.schema)
+    )
     assigned = ivf_assign(initial, local_cents, id_col=id_col, vec_col=vec_col)
     resid = ivf_residuals(assigned, local_cents, vec_col=vec_col)
     cb = pq_train_driver(

@@ -243,7 +243,11 @@ def q_dashboard_payload(spark: SparkSession, sf: str) -> DataFrame:
     rows = [
         (k, len(v) if isinstance(v, list) else 1) for k, v in sorted(payload.items())
     ]
-    return spark.createDataFrame(rows, "dataset string, n_rows int").orderBy("dataset")
+    from ..io import local_frame
+
+    # 7 driver rows as ONE slice (io.local_frame) — createDataFrame would
+    # parallelize them into 32 Python-runner tasks per action (round 16)
+    return local_frame(spark, rows, "dataset string, n_rows int").orderBy("dataset")
 
 
 def q_ml_prepare(spark: SparkSession, sf: str) -> DataFrame:
@@ -432,7 +436,9 @@ def q_range_join_tiers(spark: SparkSession, sf: str) -> DataFrame:
     tier via a broadcast nested-loop join against a tiny range dimension."""
     spark = _prep(spark)
     orders = load(spark, sf, "orders")
-    ranges = spark.createDataFrame(PRICE_TIERS, "lo double, hi double, tier string")
+    from ..io import local_frame
+
+    ranges = local_frame(spark, PRICE_TIERS, "lo double, hi double, tier string")
     joined = range_join(orders, ranges, "o_totalprice")
     return (
         joined.groupBy("tier")

@@ -525,9 +525,13 @@ def q_ann_ivf_pq_pruned(spark: SparkSession, sf: str) -> DataFrame:
     qrow = shifted.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow[0]]
     qvec[0] += _PRUNE_SHIFT  # move the query into the label-0 cluster
-    centroids = similarity.mean_centroids(
+    # localize the centroid aggregate ONCE: mean_centroids re-scans the
+    # corpus per consumer otherwise (assign kernel, residual join, index
+    # write = 3 executions of the same aggregate — round 16, guide §1.2)
+    cents0 = similarity.mean_centroids(
         data.select(F.col("label").alias("cell"), "embedding")
     )
+    centroids = local_frame(spark, cents0.collect(), cents0.schema)
     tmp = tempfile.mkdtemp(prefix="ivfpq_pruned_")
     try:
         assigned = similarity.ivf_assign(data, centroids)
@@ -536,7 +540,10 @@ def q_ann_ivf_pq_pruned(spark: SparkSession, sf: str) -> DataFrame:
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
             vec_col="residual", m=32, k=32,
         )
-        similarity.ivf_pq_index_write(data, centroids, cb, tmp)
+        # reuse the training pass's assigned frame (the recall-audit
+        # pattern): the plain index_write would run a second assign pass
+        encoded = similarity.ivf_pq_encode(assigned, centroids, cb)
+        similarity._ivf_pq_index_write_encoded(encoded, centroids, cb, tmp)
         full = similarity.ivf_pq_index_topk(
             spark, tmp, qvec, k=5, nprobe=10, rerank_factor=16
         ).collect()  # k-bounded
@@ -639,9 +646,11 @@ def q_ann_ivf_pq_adaptive(spark: SparkSession, sf: str) -> DataFrame:
     qrow = shifted.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow[0]]
     qvec[0] += _PRUNE_SHIFT  # move the query into the label-0 cluster
-    centroids = similarity.mean_centroids(
+    # localized once + encoded-frame reuse — q_ann_ivf_pq_pruned's note
+    cents0 = similarity.mean_centroids(
         data.select(F.col("label").alias("cell"), "embedding")
     )
+    centroids = local_frame(spark, cents0.collect(), cents0.schema)
     tmp = tempfile.mkdtemp(prefix="ivfpq_adaptive_")
     try:
         assigned = similarity.ivf_assign(data, centroids)
@@ -650,7 +659,8 @@ def q_ann_ivf_pq_adaptive(spark: SparkSession, sf: str) -> DataFrame:
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
             vec_col="residual", m=32, k=32,
         )
-        similarity.ivf_pq_index_write(data, centroids, cb, tmp)
+        encoded = similarity.ivf_pq_encode(assigned, centroids, cb)
+        similarity._ivf_pq_index_write_encoded(encoded, centroids, cb, tmp)
         exhaustive = similarity.ivf_pq_index_topk(
             spark, tmp, qvec, k=5, nprobe=10, rerank_factor=16
         ).collect()  # k-bounded
@@ -1220,9 +1230,13 @@ def q_ann_opq_index(spark: SparkSession, sf: str) -> DataFrame:
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
             vec_col="residual", m=32, k=16,
         )
-        similarity.ivf_pq_index_write(
-            rotated, centroids, cb, tmp, rotation=rot
-        )
+        # reuse the training pass's assigned frame (the recall-audit
+        # pattern — ivf_pq_index_write would run a second assign pass
+        # over `rotated`); the rotation is written after, exactly as the
+        # plain write path does (round 16)
+        encoded = similarity.ivf_pq_encode(assigned, centroids, cb)
+        similarity._ivf_pq_index_write_encoded(encoded, centroids, cb, tmp)
+        similarity._write_index_rotation(spark, rot, tmp)
         similarity.ivf_pq_index_add(spark, tmp, batch)  # RAW batch
         hit = {
             r.vec_id

@@ -253,7 +253,11 @@ def q_corpus_semantic_opq(spark: SparkSession, sf: str) -> DataFrame:
             similarity._bounded_train_frame(resid, "vec_id", 65_536),
             vec_col="residual", m=32, k=16,
         )
-        similarity.ivf_pq_index_write(rotated, centroids, cb, tmp, rotation=rot)
+        # reuse the training pass's assigned frame — q_ann_opq_index's
+        # round-16 note (one ArrowEvalPython assign pass saved)
+        encoded = similarity.ivf_pq_encode(assigned, centroids, cb)
+        similarity._ivf_pq_index_write_encoded(encoded, centroids, cb, tmp)
+        similarity._write_index_rotation(spark, rot, tmp)
         similarity.ivf_pq_index_add(spark, tmp, batch)  # RAW batch
         hit = {
             r.vec_id

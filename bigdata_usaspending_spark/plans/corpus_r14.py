@@ -117,9 +117,12 @@ def q_ann_index_remove(spark: SparkSession, sf: str) -> DataFrame:
         stats = similarity.ann_index_compact(spark, tmp)
         post = probe()
         compact_exact = post == pre
+        # parquet count == footer-stats sum: read driver-side (round 16)
+        from ..io import model_row_count
+
         physically_dropped = (
             stats["removed_rows"] == n_victims
-            and spark.read.parquet(f"{tmp}/vectors.parquet").count()
+            and model_row_count(spark, f"{tmp}/vectors.parquet")
             == n_data - n_victims
         )
         out = local_frame(
@@ -215,9 +218,11 @@ def q_winnow_index_remove(spark: SparkSession, sf: str) -> DataFrame:
         except ValueError as exc:
             readd_refused = "tombstoned" in str(exc)
         stats = dedup.winnow_index_compact(spark, tmp)
+        from ..io import model_row_count
+
         physically_dropped = (
             stats["removed_rows"] == rep["matched_live"]
-            and spark.read.parquet(f"{tmp}/fps.parquet").count()
+            and model_row_count(spark, f"{tmp}/fps.parquet")
             == docs_after
         )
         post = {r.doc_id for r in decide().collect()}

@@ -207,7 +207,9 @@ def inference_row(spark: SparkSession, features: dict) -> DataFrame:
         "awarding_agency", "awarding_sub_agency", "contract_award_type",
         "funding_agency", "funding_sub_agency", "month", "year", "award_amount",
     ))
-    return spark.createDataFrame([row], INFERENCE_SCHEMA)
+    from ..io import local_frame
+
+    return local_frame(spark, [row], INFERENCE_SCHEMA)
 
 
 def regression_payload(model, spark: SparkSession, features: dict) -> dict:

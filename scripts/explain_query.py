@@ -25,7 +25,11 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suffix = sys.argv[1]
     targets = sys.argv[2:]
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
+    )
     os.makedirs(outdir, exist_ok=True)
 
     from bigdata_usaspending_spark.plans import all_queries

@@ -282,3 +282,101 @@ def test_hadoop_swap_rewrite_auto_restores_crash_leftover(spark, tmp_path):
     io.hadoop_swap_rewrite(spark, target, write_tmp, "test_op")
     assert spark.read.parquet(target).count() == 10
     assert not os.path.exists(f"{target}__old_cafe0000")
+
+
+# ---------------------------------------------------------------------------
+# Round-16 driver-side model I/O (read_model_rows / write_model_parquet):
+# the pyarrow fast path must be indistinguishable from the Spark path —
+# same rows, same schema, same layout — in BOTH directions.
+# ---------------------------------------------------------------------------
+
+_MODEL_SCHEMA = "cell int, centroid array<double>, tag string"
+_MODEL_ROWS = [
+    (0, [0.25, -1.5], "a"),
+    (1, [float("nan"), 2.0], None),
+    (2, [], "c"),
+    (3, None, "d"),
+]
+
+
+def _norm(rows):
+    out = []
+    for r in sorted(rows, key=lambda r: r[0]):
+        vec = None if r[1] is None else [repr(float(x)) for x in r[1]]
+        out.append((r[0], vec, r[2]))
+    return out
+
+
+def test_read_model_rows_matches_spark_collect(spark, tmp_path):
+    p = f"{tmp_path}/spark_written.parquet"
+    io.local_frame(spark, _MODEL_ROWS, _MODEL_SCHEMA).write.parquet(p)
+    via_spark = spark.read.parquet(p).collect()
+    rows, schema = io.read_model_rows(spark, p, "cell", 100)
+    assert _norm(rows) == _norm(via_spark)
+    assert schema.simpleString() == spark.read.parquet(p).schema.simpleString()
+    # name access parity with collected Rows
+    assert sorted(r["cell"] for r in rows) == [0, 1, 2, 3]
+    # cap guard still enforced on the driver-side path
+    import pytest
+
+    with pytest.raises(ValueError, match="max_cells"):
+        io.read_model_rows(spark, p, "cell", 2)
+
+
+def test_write_model_parquet_matches_spark_write(spark, tmp_path):
+    p_spark = f"{tmp_path}/via_spark.parquet"
+    p_arrow = f"{tmp_path}/via_arrow.parquet"
+    io.local_frame(spark, _MODEL_ROWS, _MODEL_SCHEMA).write.parquet(p_spark)
+    io.write_model_parquet(spark, _MODEL_ROWS, _MODEL_SCHEMA, p_arrow)
+    a = spark.read.parquet(p_spark)
+    b = spark.read.parquet(p_arrow)
+    assert a.schema.simpleString() == b.schema.simpleString()
+    assert _norm(a.collect()) == _norm(b.collect())
+    # layout parity: directory with a part file + _SUCCESS marker, and the
+    # FS stats helpers count it like a Spark-written component
+    assert os.path.exists(f"{p_arrow}/_SUCCESS")
+    n_files, n_bytes = io.hadoop_data_file_stats(spark, p_arrow)
+    assert n_files == 1 and n_bytes > 0
+    # overwrite replaces, append adds a file
+    io.write_model_parquet(spark, _MODEL_ROWS[:1], _MODEL_SCHEMA, p_arrow)
+    assert spark.read.parquet(p_arrow).count() == 1
+    io.write_model_parquet(
+        spark, _MODEL_ROWS[1:2], _MODEL_SCHEMA, p_arrow, mode="append"
+    )
+    assert spark.read.parquet(p_arrow).count() == 2
+
+
+def test_model_counts_match_spark_counts(spark, tmp_path):
+    p = f"{tmp_path}/counted.parquet"
+    io.local_frame(spark, _MODEL_ROWS, _MODEL_SCHEMA).write.parquet(p)
+    io.write_model_parquet(
+        spark, _MODEL_ROWS[:2], _MODEL_SCHEMA, p, mode="append"
+    )
+    assert io.model_row_count(spark, p) == spark.read.parquet(p).count() == 6
+    assert (
+        io.model_distinct_count(spark, p)
+        == spark.read.parquet(p).distinct().count()
+    )
+
+
+def test_local_frame_carries_named_rows(spark):
+    lf = io.local_frame(spark, _MODEL_ROWS, _MODEL_SCHEMA)
+    rows = io.local_rows_of(lf)
+    assert rows is not None and rows[0]["tag"] == "a"
+    # transformations do not inherit the attribute (stale-row hazard)
+    assert io.local_rows_of(lf.select("cell")) is None
+    # the frame itself still matches its rows
+    assert _norm(lf.collect()) == _norm(_MODEL_ROWS)
+
+
+def test_model_distinct_count_scalar_fast_path(spark, tmp_path):
+    # scalar (tombstone-shaped) component: the driver-side set matches
+    # Spark's distinct().count() including cross-file duplicates
+    p = f"{tmp_path}/tomb.parquet"
+    io.write_model_parquet(spark, [(1,), (2,), (2,)], "_id long", p)
+    io.write_model_parquet(spark, [(2,), (3,)], "_id long", p, mode="append")
+    assert (
+        io.model_distinct_count(spark, p)
+        == spark.read.parquet(p).distinct().count()
+        == 3
+    )
