@@ -360,29 +360,135 @@ def fingerprint(col: Column | str, alias: str = "fingerprint") -> Column:
     return F.md5(normalized.cast("binary")).alias(alias)
 
 
+# XXH64 primes (public algorithm, Yann Collet) — the Spark/xxHash constants
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_XX_SEED = 42  # Spark's F.xxhash64 default seed
+
+
+def _xxh64_windows(buf: bytes, k: int) -> "list[int]":
+    """XXH64(seed 42) of EVERY k-byte window of ``buf`` at once — numpy
+    uint64 arithmetic wraps mod 2^64, so all windows hash in a handful of
+    vector ops instead of one call per gram. k < 32 (winnowing grams), so
+    the algorithm's stripe loop never engages; the 8/4/1-byte tail rounds
+    below are the complete <32-byte path. Returned as SIGNED ints (the
+    two's-complement view — Spark's xxhash64 returns bigint), so
+    comparisons in the selection fold match SQL bigint ordering."""
+    import numpy as np
+
+    a = np.frombuffer(buf, dtype=np.uint8)
+    n = len(a) - k + 1
+    if n <= 0:
+        return []
+    P1, P2, P3, P4, P5 = (
+        np.uint64(_XXP1), np.uint64(_XXP2), np.uint64(_XXP3),
+        np.uint64(_XXP4), np.uint64(_XXP5),
+    )
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    def le_chunk(off: int, nbytes: int):
+        ch = np.zeros(n, dtype=np.uint64)
+        for b in range(nbytes):
+            ch |= a[off + b: off + b + n].astype(np.uint64) << np.uint64(8 * b)
+        return ch
+
+    with np.errstate(over="ignore"):
+        acc = np.full(n, np.uint64(_XX_SEED) + P5 + np.uint64(k), np.uint64)
+        off = 0
+        while off + 8 <= k:
+            k1 = rotl(le_chunk(off, 8) * P2, 31) * P1
+            acc = rotl(acc ^ k1, 27) * P1 + P4
+            off += 8
+        if off + 4 <= k:
+            acc = rotl(acc ^ (le_chunk(off, 4) * P1), 23) * P2 + P3
+            off += 4
+        while off < k:
+            acc = rotl(acc ^ (a[off: off + n].astype(np.uint64) * P5), 11) * P1
+            off += 1
+        acc ^= acc >> np.uint64(33)
+        acc *= P2
+        acc ^= acc >> np.uint64(29)
+        acc *= P3
+        acc ^= acc >> np.uint64(32)
+    return acc.view(np.int64).tolist()
+
+
+def _xxh64_bytes(data: bytes) -> int:
+    """XXH64(seed 42) of ONE short byte string (< 32 bytes — winnowing
+    grams), signed — the non-ASCII per-gram fallback of _xxh64_windows."""
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    acc = (_XX_SEED + _XXP5 + n) & M
+    i = 0
+    while i + 8 <= n:
+        k1 = rotl((int.from_bytes(data[i:i + 8], "little") * _XXP2) & M, 31)
+        acc ^= (k1 * _XXP1) & M
+        acc = (rotl(acc, 27) * _XXP1 + _XXP4) & M
+        i += 8
+    if i + 4 <= n:
+        acc ^= (int.from_bytes(data[i:i + 4], "little") * _XXP1) & M
+        acc = (rotl(acc, 23) * _XXP2 + _XXP3) & M
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _XXP5) & M
+        acc = (rotl(acc, 11) * _XXP1) & M
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XXP2) & M
+    acc ^= acc >> 29
+    acc = (acc * _XXP3) & M
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
 @functools.lru_cache(maxsize=None)
-def _winnow_md5_kernel(k: int, w: int, robust: bool):
-    """Arrow-vectorized twin of the portable (md5) winnowing expression —
-    value-identical by construction, ~10x less CPU (round-15 measurement:
-    the interpreted HOF chain cost ~13 µs/k-gram — 19-27 s of task time
-    per fingerprint pass at sf0.1 — vs ~1.5 µs/k-gram for hashlib.md5 in
-    a batched kernel; guide §4.2: hand whole batches to native code).
+def _winnow_kernel(k: int, w: int, robust: bool, portable: bool):
+    """Arrow-vectorized twin of the winnowing expression for BOTH hash
+    modes — value-identical by construction, ~10x less CPU than the
+    interpreted HOF chain (round-15 measurement: ~13 µs/k-gram
+    CodegenFallback vs ~1.5 µs/k-gram batched; guide §4.2: hand whole
+    batches to native code). Round 15 covered the portable (md5) path;
+    round 16 extends it to the xxhash64 PRODUCTION path (VERDICT r15 #3)
+    with a numpy-vectorized sliding-window XXH64 (_xxh64_windows).
 
     Exact-equivalence notes (each mirrors the HOF chain, pinned by
-    tests/test_text.py::test_winnow_md5_kernel_matches_hof_expression):
+    tests/test_text.py::test_winnow_md5_kernel_matches_hof_expression and
+    ::test_winnow_xxhash64_kernel_matches_hof_expression):
     - normalization: Java's default ``\\s`` is ASCII-only, so the Python
       regex compiles with ``re.ASCII`` ([ \\t\\n\\r\\f\\v] — the same set);
-      ``F.lower``/``str.lower`` and ``F.trim``/``strip(' ')`` agree, and
-      both engines slice substrings by CODE POINT (byte slicing is only
-      taken on ``str.isascii()`` fast-path strings, where they coincide);
-    - the hash is dedup.portable_hash60 verbatim: int of the first 15 hex
-      digits of md5 over the UTF-8 bytes of the k-char gram;
+      ``F.lower``/``str.lower`` and ``F.trim``/``strip(' ')`` agree
+      (JVM-default-locale assumption noted below), and both engines slice
+      substrings by CODE POINT (byte slicing is only taken on
+      ``str.isascii()`` fast-path strings, where they coincide);
+    - portable hash = dedup.portable_hash60 verbatim: int of the first 15
+      hex digits of md5 over the UTF-8 bytes of the k-char gram;
+      production hash = Spark's xxhash64 (XXH64, seed 42, UTF-8 bytes,
+      signed bigint) — pinned against the public XXH64 test vectors and
+      the relational expression;
     - plain selection = window minima in window order, first-occurrence
       distinct (array_distinct semantics); robust selection replays the
       SIGMOD'03 §5 fold exactly, including the last=0 sentinel (SQL
       ``false AND NULL`` = false) and the rightmost-minimal tie rule;
+      signed xxhash64 values compare as Python ints = SQL bigints;
     - null/short texts yield the empty array, as the when/otherwise
       chain does.
+
+    Locale note (round-15 ADVICE): the kernel's ``str.lower()`` is
+    locale-independent Unicode; Spark's ``F.lower`` delegates to the
+    JVM default locale for non-ASCII. The equivalence guarantee assumes
+    a root/en JVM locale (the engine's only tested environment); under
+    e.g. tr_TR dotted/dotless-I rules the two sides can diverge on
+    mixed-script text.
     """
     import hashlib
     import re
@@ -397,6 +503,12 @@ def _winnow_md5_kernel(k: int, w: int, robust: bool):
         n = len(s) - k + 1
         if n <= 0:
             return []
+        if not portable:
+            if s.isascii():
+                return _xxh64_windows(s.encode(), k)
+            return [
+                _xxh64_bytes(s[i:i + k].encode("utf-8")) for i in range(n)
+            ]
         md5 = hashlib.md5
         if s.isascii():
             b = s.encode()
@@ -448,8 +560,16 @@ def _winnow_md5_kernel(k: int, w: int, robust: bool):
     # the optimizer pushes that filter BELOW the projection by duplicating
     # the UDF — two ArrowEvalPython nodes, every row hashed twice (plan-
     # verified round 15). Nondeterministic forbids the duplication; the
-    # function is pure, so values are unchanged.
+    # function is pure, so values are unchanged. Contract consequence
+    # (round-15 ADVICE, documented on winnow_fingerprints): the column is
+    # projection/filter-scoped — Catalyst rejects nondeterministic
+    # expressions inside join conditions and the like.
     return _fps.asNondeterministic()
+
+
+def _winnow_md5_kernel(k: int, w: int, robust: bool):
+    """The portable-path kernel (round-15 name, kept for callers/tests)."""
+    return _winnow_kernel(k, w, robust, portable=True)
 
 
 def winnow_fingerprints(
@@ -490,20 +610,36 @@ def winnow_fingerprints(
     right and a new selection is always inside the current window), so
     the array is ordered and duplicate-free by construction.
 
-    Implementation note: the normalized string and the gram array bind as
-    HOF lambda VALUES (the single-element-array transform), so the
-    regex normalization and the hashing run once per row even after
-    Catalyst's projection collapse — the shingles_of O(n^2) trap
-    documented in dedup.py does not apply. Pure codegen: no UDF (the
-    robust selection is one F.aggregate fold over window indices)."""
+    Implementation note: BOTH hash modes run as the Arrow-vectorized
+    kernel (same values, ~10x less CPU than the interpreted HOF chain it
+    replaced — see _winnow_kernel; the md5 path moved in round 15, the
+    xxhash64 production path in round 16 via a numpy sliding-window
+    XXH64). The kernel column is nondeterministic-marked (guide §4.4 —
+    stops Catalyst duplicating it below size()>0 filters), so it is
+    PROJECTION/FILTER-SCOPED: embedding it directly in a join condition
+    raises an AnalysisException — project it to a column first (every
+    engine surface already does)."""
     c = F.col(col) if isinstance(col, str) else col
-    if portable:
-        # the md5 path runs as an Arrow-vectorized kernel (same values,
-        # ~10x less CPU than the interpreted HOF chain — see
-        # _winnow_md5_kernel); the xxhash64 production path stays the
-        # relational expression (no Python twin of Spark's xxhash64)
-        return _winnow_md5_kernel(int(k), int(w), bool(robust))(c).alias(alias)
-    hash_fn = F.xxhash64
+    return _winnow_kernel(int(k), int(w), bool(robust), bool(portable))(
+        c
+    ).alias(alias)
+
+
+def _winnow_hof_expression(
+    col: Column | str,
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+    alias: str = "fingerprints",
+    robust: bool = False,
+) -> Column:
+    """The pre-kernel RELATIONAL winnowing expression, kept verbatim as
+    the reference semantics the kernel equivalence tests pin against
+    (and as the fallback shape for an engine without Arrow)."""
+    from .dedup import portable_hash60
+
+    c = F.col(col) if isinstance(col, str) else col
+    hash_fn = portable_hash60 if portable else F.xxhash64
     s = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     empty = F.array().cast("array<bigint>")
 
