@@ -124,6 +124,14 @@ def _parser() -> argparse.ArgumentParser:
         "incremental ingestion",
     )
     b.add_argument(
+        "--staging-dir", default=None,
+        help="stage the winnow near tier's shared fingerprint frame to "
+        "this directory (one write + one scan per tier branch) instead "
+        "of recomputing it per concurrent branch — the corpus-scale "
+        "dial; leave unset for small builds where the blocking write "
+        "costs more than the branch race",
+    )
+    b.add_argument(
         "--datasheet", default=None,
         help="also write the per-source datasheet of the INPUT corpus "
         "here (doc/token counts, dup rate, token quartiles — profiled "
@@ -610,7 +618,8 @@ def main(argv: list[str] | None = None) -> int:
             scrub_pii=not args.no_pii_scrub,
         )
         out = build_corpus(
-            docs, benchmark=bench, cfg=cfg, dedup_index=args.dedup_index
+            docs, benchmark=bench, cfg=cfg, dedup_index=args.dedup_index,
+            staging_dir=args.staging_dir,
         )
         write_corpus(out, args.output)
         written = spark.read.parquet(args.output)

@@ -560,6 +560,7 @@ def winnow_span_scrub(
     threshold: float = 0.5,
     portable: bool = False,
     max_fingerprint_df: "int | None" = None,
+    pfps_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Cross-document SPAN scrubbing — the near-dup family's surgical
     tier: instead of dropping the higher-id member of every verified
@@ -585,10 +586,14 @@ def winnow_span_scrub(
     100-TB shape: the span tier inherits winnow_match_spans' bounds
     (anchor join on the robust positioned density, capped); the scrub
     itself is a per-row HOF over (text length x spans-per-doc) — scan
-    arithmetic, no extra shuffle beyond the span aggregate's."""
+    arithmetic, no extra shuffle beyond the span aggregate's.
+
+    ``pfps_df``: winnow_match_spans' precomputed-positioned-frame seam,
+    passed through (round 16 — the composed builds' staging dial)."""
     spans = winnow_match_spans(
         df, id_col, text_col, k=k, w=w, threshold=threshold,
         portable=portable, max_fingerprint_df=max_fingerprint_df,
+        pfps_df=pfps_df,
     )
     per_doc = spans.groupBy(F.col("id_b").alias("_sid")).agg(
         F.collect_list(F.struct("b_start", "b_end")).alias("_spans"),

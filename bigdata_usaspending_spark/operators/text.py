@@ -894,7 +894,17 @@ def _bm25_per_doc(
 ) -> DataFrame:
     """Per-document length + term frequency for every vocabulary term, in
     ONE pure map over the corpus (bounded HOF ``size(filter(tokens, =t))``
-    per term — no explode, no shuffle)."""
+    per term — no explode, no shuffle beyond the parallelism spread).
+
+    _ensure_parallelism matters HERE (round 16, the _read_index_fps
+    lesson): a small-file corpus scans as ONE task while this map runs
+    CPU-heavy per-row HOFs — q_bm25_batch profiled two ~0.7 s single-task
+    jobs (the stats pass and the scoring pass) with 31 idle cores. The
+    spread is a no-op once source files outnumber cores (the production
+    case)."""
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     toks = tokens(text_col)
 
     # a dedicated factory: a `lambda x, t=t:` default-arg closure would have

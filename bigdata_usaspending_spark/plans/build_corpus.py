@@ -107,6 +107,7 @@ def build_corpus(
     benchmark: "DataFrame | None" = None,
     cfg: "CorpusBuildConfig | None" = None,
     dedup_index: "str | None" = None,
+    staging_dir: "str | None" = None,
 ) -> DataFrame:
     """Run the full curation pipeline over a documents-shaped frame
     (``doc_id, text, source[, target_uri]``) and return packed training
@@ -130,7 +131,23 @@ def build_corpus(
     different fingerprint space than the in-batch near tier and produce
     quietly inconsistent dedup decisions, so it raises instead;
     ``cfg.near_max_df`` caps the probe's candidate generation while the
-    verify stays value-exact (winnow_dedup_against_index's contract)."""
+    verify stays value-exact (winnow_dedup_against_index's contract).
+
+    ``staging_dir`` (optional, winnow near tier): stage the shared
+    fingerprint frame to ``{staging_dir}/near_{fps,pfps}.parquet`` ONCE
+    and feed every branch of the near tier from the parquet instead of
+    the in-query lazy cache. Rationale (guide §2/§5, VERDICT r15 #2):
+    AQE materializes the tier's independent exchanges as CONCURRENT
+    jobs, and the lazy-cached fingerprint subtree recomputes once per
+    branch before any cache block lands — at 100 TB those are full
+    normalize+hash passes over the corpus. With staging the frame is
+    computed once (1 write + N scans). OFF by default and off in the
+    bench: at bench scale the blocking write costs more wall than the
+    branch race (measured round 15, re-measured round 16 through this
+    seam — numbers in OPTIMIZATION_r16.md), so the dial exists for
+    corpus-scale runs, exactly like the production staging-table note
+    on the shuffle checkpoint below. Values are unchanged either way
+    (same fingerprint frame, tested byte-identical)."""
     cfg = cfg or CorpusBuildConfig()
     if dedup_index is not None and cfg.near_threshold is None:
         raise ValueError(
@@ -240,6 +257,25 @@ def build_corpus(
         # sf0.1). Same inter-stage materialization note as `shuffled`
         # below.
         kept = kept.localCheckpoint()
+        staged_fps = None
+        if staging_dir is not None and cfg.near_method == "winnow":
+            from ..operators.dedup import winnow_index, winnow_pos_index
+
+            spark = kept.sparkSession
+            if cfg.near_action == "scrub":
+                frame = winnow_pos_index(
+                    kept, "doc_id", "text",
+                    k=cfg.winnow_k, w=cfg.winnow_w, portable=cfg.portable,
+                )
+                staged_path = f"{staging_dir}/near_pfps.parquet"
+            else:
+                frame = winnow_index(
+                    kept, "doc_id", "text",
+                    k=cfg.winnow_k, w=cfg.winnow_w, portable=cfg.portable,
+                )
+                staged_path = f"{staging_dir}/near_fps.parquet"
+            frame.write.mode("overwrite").parquet(staged_path)
+            staged_fps = _ensure_parallelism(spark.read.parquet(staged_path))
         if cfg.near_action == "scrub":
             # the surgical tier (winnow method, validated above): cut
             # every verified pair's covering span out of the higher-id
@@ -254,6 +290,7 @@ def build_corpus(
                 k=cfg.winnow_k, w=cfg.winnow_w,
                 threshold=cfg.near_threshold, portable=cfg.portable,
                 max_fingerprint_df=cfg.near_max_df,
+                pfps_df=staged_fps,
             )
             kept = (
                 kept.drop("text", "n_tokens")
@@ -273,6 +310,7 @@ def build_corpus(
                     k=cfg.winnow_k, w=cfg.winnow_w,
                     threshold=cfg.near_threshold, portable=cfg.portable,
                     max_fingerprint_df=cfg.near_max_df,
+                    fps_df=staged_fps,
                 )
             else:  # "minhash" — the method set is validated up front
                 pairs = minhash_lsh_pairs(

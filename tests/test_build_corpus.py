@@ -286,3 +286,36 @@ def test_build_corpus_dedup_index_tier(spark, tmp_path):
             build_corpus(
                 batch, cfg=CorpusBuildConfig(**kwargs), dedup_index=index
             )
+
+
+def test_build_corpus_staging_dir_is_value_identical(spark, tmp_path, sf_small):
+    """Round 16 (VERDICT r15 #3): the optional staging_dir stages the
+    winnow near tier's shared fingerprint frame to parquet and feeds
+    every branch from it — output must be BYTE-IDENTICAL to the default
+    in-query shape, for both near actions, and the staged component must
+    actually exist."""
+    import os
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", F.lit("src").alias("source"))
+    )
+    # variants guarantee the tier has real pairs to decide
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" the")).alias("text"),
+        F.lit("src").alias("source"),
+    )
+    full = docs.unionByName(variants)
+    for action, comp in (("drop", "near_fps"), ("scrub", "near_pfps")):
+        cfg = CorpusBuildConfig(
+            near_threshold=0.5, near_method="winnow", near_action=action,
+            block_size=64, scrub_pii=False, portable=True, near_max_df=50,
+        )
+        plain = build_corpus(full, cfg=cfg).collect()
+        staged_dir = str(tmp_path / f"stage_{action}")
+        staged = build_corpus(full, cfg=cfg, staging_dir=staged_dir).collect()
+        key = lambda r: (r.doc_id, r.position)  # noqa: E731
+        assert sorted(staged, key=key) == sorted(plain, key=key), action
+        assert os.path.exists(f"{staged_dir}/{comp}.parquet"), action
