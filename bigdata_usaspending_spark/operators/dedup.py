@@ -65,13 +65,26 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     already has far more partitions than cores and this is a no-op, so no
     extra shuffle of the text corpus is ever introduced at 100 TB. Results
     are partitioning-independent (row-wise hashing then keyed joins)."""
+    if df.isStreaming:
+        # a streaming plan has no materializable RDD to probe, and its
+        # micro-batches are partitioned by the source/trigger anyway —
+        # the spread is the BATCH small-file fix; pass streams through
+        # untouched (round 16: _bm25_per_doc now routes through here
+        # and is shared by stream_bm25_score)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     # probe the JVM RDD directly: df.rdd wraps the same physical RDD in
     # the Python serializer layer, ~100x the cost per call (measured
     # round 15: ~80-260 ms vs ~1 ms) — and this helper runs on every
-    # fingerprint/shingle path, several times per composed build
-    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    # fingerprint/shingle path, several times per composed build.
+    # _jdf/queryExecution is a private seam: keep the public df.rdd
+    # probe as the fallback so a Spark minor bump can't break every
+    # fingerprint path (round-15 VERDICT note)
+    try:
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n_parts = df.rdd.getNumPartitions()
     if n_parts < target:
         return df.repartition(target)
     return df
