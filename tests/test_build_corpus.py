@@ -19,6 +19,7 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, source string")
 
 
+@pytest.mark.slow
 def test_build_corpus_near_tier_with_zero_pairs(spark):
     """The near-dup tier must be a no-op (not an error, not a row drop)
     when the LSH candidate join finds nothing — the common case on an
@@ -38,6 +39,7 @@ def test_build_corpus_near_tier_with_zero_pairs(spark):
     assert sorted(r.doc_id for r in out) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_build_corpus_empty_after_gates(spark):
     """An input where nothing survives the gates yields an EMPTY corpus
     frame with the full schema — not an error (pack/shuffle run on zero
@@ -54,6 +56,7 @@ def test_build_corpus_empty_after_gates(spark):
     }
 
 
+@pytest.mark.slow
 def test_sequence_manifest_invariants(spark):
     """Manifest spans must tile the token stream: walking sequences in
     order, each sequence's first doc starts at its seq_offset, token
@@ -121,6 +124,7 @@ def test_build_corpus_rejects_empty_lang_set(spark):
         )
 
 
+@pytest.mark.slow
 def test_build_corpus_winnow_tier_merges_near_dups(spark):
     """near_method="winnow": rolling-hash near-dups (shared substring far
     above w+k-1) merge into one component and only the min-id survives;
@@ -174,6 +178,7 @@ def test_build_corpus_near_method_validated_up_front(spark):
         )
 
 
+@pytest.mark.slow
 def test_build_corpus_scrub_tier_cuts_spans_instead_of_dropping(spark):
     """near_action="scrub": a trailing-token near-dup KEEPS a row with
     its overlap span cut and tokens recounted (the min-id source stays
@@ -225,6 +230,7 @@ def test_build_corpus_scrub_tier_cuts_spans_instead_of_dropping(spark):
         )
 
 
+@pytest.mark.slow
 def test_build_corpus_dedup_index_tier(spark, tmp_path):
     """dedup_index: the batch build as incremental ingestion — a batch
     doc that near-dups a COMMITTED doc (persisted winnow index) drops
@@ -288,6 +294,7 @@ def test_build_corpus_dedup_index_tier(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_build_corpus_staging_dir_is_value_identical(spark, tmp_path, sf_small):
     """Round 16 (VERDICT r15 #3): the optional staging_dir stages the
     winnow near tier's shared fingerprint frame to parquet and feeds

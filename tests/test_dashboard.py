@@ -95,6 +95,7 @@ def test_dashboard_payload_matches_template_contract(awards, geo, sub_agency_geo
     assert browser_total <= payload["grand_total"]
 
 
+@pytest.mark.slow
 def test_inference_payloads(spark, awards):
     from bigdata_usaspending_spark.ml import pipelines as ml
 

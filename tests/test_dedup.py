@@ -62,6 +62,7 @@ def test_ngram_jaccard_max_shingle_df_cap(docs):
     assert (1, 2) not in pairs  # dropped by the frequency cap
 
 
+@pytest.mark.slow
 def test_minhash_lsh_finds_dups(docs):
     out = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.3)
     pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
@@ -78,6 +79,7 @@ def test_minhash_deterministic(docs):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_simhash_identical_and_near(docs):
     sig = {r.doc_id: r.simhash for r in dedup.simhash_table(docs, "doc_id").collect()}
     assert sig[1] == sig[2] == sig[3]  # normalization collapses case/whitespace
@@ -99,6 +101,7 @@ def test_simhash_hamming_symmetry(spark):
     assert bin(xor & ((1 << 64) - 1)).count("1") > 0  # differ, but deterministic
 
 
+@pytest.mark.slow
 def test_near_dedup_pipeline(docs):
     # exact-first: dups 2,3 collapse into canonical 1; near-dup pair (1,4)
     # survives with its exact jaccard
@@ -128,6 +131,7 @@ def test_connected_components_min_label_flows_both_ways(spark):
     assert out == {1: 1, 5: 1, 9: 1}
 
 
+@pytest.mark.slow
 def test_star_contract_adversarial_chain_logarithmic(spark):
     """A 1000-vertex path graph is the adversarial case for min-label
     propagation (diameter 999 -> 999 synchronous rounds). The
@@ -144,6 +148,7 @@ def test_star_contract_adversarial_chain_logarithmic(spark):
     assert stats["rounds"] < 12, f"contraction took {stats['rounds']} rounds"
 
 
+@pytest.mark.slow
 def test_connected_components_adversarial_chain_hybrid(spark):
     """End-to-end hybrid on the 1k path: the propagation budget (dense-blob
     fast path) plus quotient contraction must stay within budget+12 rounds
@@ -220,6 +225,7 @@ def test_contamination_report_ngram_evidence_and_partition(spark):
     assert kept | set(rep) == {1, 2, 3, 4} and not (kept & set(rep))
 
 
+@pytest.mark.slow
 def test_dedup_against_index(spark):
     """Batch survivors: index hits drop, within-batch dups keep min-id,
     normalization ('A  b' == 'a b') applies to both the index and the batch."""
@@ -254,6 +260,7 @@ def test_dedup_against_index(spark):
     assert dedup.dedup_against_index(batch, updated, "doc_id").count() == 0
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find_property(spark):
     """Property test: on randomized graphs (mixed chains, blobs, self-pairs,
     singleton islands), connected_components must agree exactly with a
@@ -325,6 +332,7 @@ def test_minhash_kernel_null_basehash_keeps_sentinel(spark):
     assert sig[1] != [p] * 4
 
 
+@pytest.mark.slow
 def test_simhash_table_portable_and_null_text(spark):
     """The fused md5 kernel must match the relational portable hash
     (simhash_from_token_hashes over portable token_hashes) bit-for-bit, and
@@ -416,6 +424,7 @@ def test_heavy_hitters_matches_naive_groupby(spark):
     assert {t for t, _ in got} == {"head_a", "head_b", "head_c"}
 
 
+@pytest.mark.slow
 def test_heavy_hitters_skips_nulls_and_handles_empty(spark):
     from bigdata_usaspending_spark.operators.aggregates import heavy_hitters
 
@@ -669,6 +678,7 @@ def test_winnow_dedup_against_index_semantics_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_winnow_match_spans_matches_bruteforce(spark):
     """Span localization: pairs, Jaccard, anchor counts and covering
     spans all equal a brute-force Python replay over the positioned
@@ -761,6 +771,7 @@ def test_winnow_match_spans_matches_bruteforce(spark):
     assert b0 == a0  # identical prefix -> identical first anchor
 
 
+@pytest.mark.slow
 def test_winnow_span_scrub_matches_bruteforce(spark):
     """Span scrub: the higher-id member of each verified pair loses the
     UNION of its covering spans (per-char coverage, overlaps merged by
@@ -810,6 +821,7 @@ def test_winnow_span_scrub_matches_bruteforce(spark):
     assert got[2][0].endswith("again") or "again" in got[2][0]
 
 
+@pytest.mark.slow
 def test_winnow_spans_against_index_matches_batch_and_plan(spark):
     """Incremental span evidence: winnow_spans_against_index over a
     positioned index equals winnow_match_spans over the union restricted
@@ -987,6 +999,7 @@ def test_winnow_pos_index_lifecycle_guards(spark, tmp_path):
     assert {(r.id_index, r.id_batch) for r in hits.collect()} == {(2, 10)}
 
 
+@pytest.mark.slow
 def test_winnow_index_compact_bit_identical_probes(spark, tmp_path):
     """winnow_index_compact (VERDICT r12 #6): N small adds fragment
     fps.parquet one file-set per add; compact collapses it to the
@@ -1042,6 +1055,7 @@ def test_winnow_index_compact_bit_identical_probes(spark, tmp_path):
         dd.winnow_index_compact(spark, "s3a://bucket/widx")
 
 
+@pytest.mark.slow
 def test_winnow_index_compact_sizes_by_live_bytes(spark, tmp_path):
     """A compact right after a large removal must size the rewrite from
     the LIVE bytes: deriving the file count from physical bytes
@@ -1070,6 +1084,7 @@ def test_winnow_index_compact_sizes_by_live_bytes(spark, tmp_path):
     assert stats["files_after"] == 1, stats
 
 
+@pytest.mark.slow
 def test_winnow_index_remove_lifecycle(spark, tmp_path):
     """The takedown leg on the text index (ann_index_remove's twin): a
     removed doc immediately stops matching in every probe AND stops

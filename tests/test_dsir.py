@@ -62,6 +62,7 @@ def test_dsir_scorer_raw_ratio_and_null_handling(spark):
     assert out["dsir_weight"][1:].isna().all()
 
 
+@pytest.mark.slow
 def test_dsir_resample_shifts_mix_and_is_deterministic(spark):
     pool = _corpus(spark)
     target = pool.filter("grp = 'A'")
@@ -81,6 +82,7 @@ def test_dsir_resample_shifts_mix_and_is_deterministic(spark):
     )
 
 
+@pytest.mark.slow
 def test_dsir_resample_portable_matches_xxhash_semantics(spark):
     """portable=True (oracle bridge) and the xxhash64 production path
     draw from the same weight distribution — both must return exactly k
@@ -129,6 +131,7 @@ def test_dsir_scorer_guards(spark):
         dsir_score(pool, pool.filter("grp = 'A'"), lam=1.2)
 
 
+@pytest.mark.slow
 def test_dsir_scorer_streams_bit_identically(spark, tmp_path):
     """DsirRatioScorer rides the scorer seam on a readStream unchanged
     (stateless Arrow map) — the production shape for scoring an incoming

@@ -6,10 +6,13 @@ import os
 import shutil
 import time
 
+import pytest
+
 from bigdata_usaspending_spark import io
 from bigdata_usaspending_spark.ml.adapter import awards_view
 
 
+@pytest.mark.slow
 def test_partitioned_write_layout_and_pruning(spark, sf_small, tmp_path):
     path = str(tmp_path / "awards")
     awards = awards_view(spark, sf_small)
@@ -87,6 +90,7 @@ def test_rename_dependent_ops_refuse_object_store_paths(spark, tmp_path):
     assert io.read_versioned_state(spark, str(tmp_path / "state")).count() == 1
 
 
+@pytest.mark.slow
 def test_scd2_apply_all_paths_and_two_batches(spark):
     from datetime import datetime
 
@@ -152,6 +156,7 @@ def test_scd2_null_safe_attribute_comparison(spark):
     assert (2, "X", t1) in out and (2, None, None) in out
 
 
+@pytest.mark.slow
 def test_atomic_parquet_batch_writer_appends(spark, tmp_path):
     from bigdata_usaspending_spark.sources.atomic_sink import (
         AtomicParquetSink,
@@ -204,6 +209,7 @@ def test_atomic_parquet_arrow_writer_parity_with_row_writer(spark, tmp_path):
     assert read_committed(spark, arrow_out).count() == 4
 
 
+@pytest.mark.slow
 def test_upsert_versions_compaction_cadence(spark, tmp_path):
     """upsert_versions folds maintenance into the upsert: appends below
     the cadence stay merge-on-read; crossing it triggers
@@ -237,6 +243,7 @@ def test_upsert_versions_compaction_cadence(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+@pytest.mark.slow
 def test_hadoop_swap_rewrite_auto_restores_crash_leftover(spark, tmp_path):
     """A crash between hadoop_swap_rewrite's two renames leaves the live
     component missing with the full old copy at {target}__old_*; the

@@ -90,6 +90,7 @@ def test_metrics_sane(result):
     assert len(result.correlation) == n_cats + 3  # cats + amount/month/year
 
 
+@pytest.mark.slow
 def test_training_deterministic(awards, result):
     again = ml.train_all(awards)
     assert again.regression_rmse == result.regression_rmse
@@ -97,6 +98,7 @@ def test_training_deterministic(awards, result):
     assert again.classification_threshold == result.classification_threshold
 
 
+@pytest.mark.slow
 def test_persistence_roundtrip(result, spark, tmp_path):
     ml.save_models(result, str(tmp_path))
     loaded = ml.load_models(spark, str(tmp_path))
@@ -148,6 +150,7 @@ def test_classify_with_confidence(result, awards, spark):
     assert label in ("HIGH", "LOW") and 50.0 <= conf <= 100.0
 
 
+@pytest.mark.slow
 def test_tune_regression_selects_deterministic_winner(spark, awards):
     from bigdata_usaspending_spark.ml.pipelines import tune_regression
 
@@ -167,6 +170,7 @@ def test_tune_regression_selects_deterministic_winner(spark, awards):
     assert params2 == params and metrics2 == metrics
 
 
+@pytest.mark.slow
 def test_tune_classifier_selects_deterministic_winner(spark, awards):
     from bigdata_usaspending_spark.ml.pipelines import tune_classifier
 

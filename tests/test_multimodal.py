@@ -20,6 +20,7 @@ def media(spark):
     return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
 
 
+@pytest.mark.slow
 def test_decode_meta(media):
     got = {r.media_id: r for r in mm.decode_image_meta(media).collect()}
     assert (got[1].width, got[1].height, got[1].ok) == (640, 480, True)
@@ -48,6 +49,7 @@ def test_media_from_documents(spark, sf_small):
     assert feats.count() == 5
 
 
+@pytest.mark.slow
 def test_media_embed_then_search_and_dedup_pipeline(spark, sf_small):
     """End-to-end training-data flow: opaque blobs -> Arrow-batched feature
     extraction -> similarity search + embedding dedup over the features.

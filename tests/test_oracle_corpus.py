@@ -16,6 +16,7 @@ def results(spark, sf_small):
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
+@pytest.mark.slow
 def test_query_matches_oracle(results, name):
     assert results[name] == [], f"{name}: {results[name][:3]}"
 

@@ -407,6 +407,7 @@ def test_round8_query_plan_shapes(spark, sf):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+@pytest.mark.slow
 def test_round9_query_plan_shapes(spark, sf):
     """Plan pins for the round-9 retrieval-stack additions."""
     from bigdata_usaspending_spark.plans import corpus_r9

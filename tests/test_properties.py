@@ -35,6 +35,7 @@ SLOW = settings(
 
 @given(values=st.lists(money, min_size=1, max_size=200), parts=st.integers(1, 8))
 @SLOW
+@pytest.mark.slow
 def test_exact_sum_partition_invariant(spark, values, parts):
     """exact_sum must not depend on partitioning — the property that makes a
     distributed run oracle-verifiable."""
@@ -54,6 +55,7 @@ texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
 
 @given(docs=st.lists(texts, min_size=2, max_size=8, unique=True))
 @SLOW
+@pytest.mark.slow
 def test_jaccard_matches_python_reference(spark, docs):
     """ngram_jaccard_pairs == brute-force python Jaccard over word trigram
     sets, for every pair above threshold."""
@@ -100,6 +102,7 @@ _events = st.lists(
 
 @given(lefts=_events, rights=_events)
 @SLOW
+@pytest.mark.slow
 def test_asof_join_matches_naive_reference(spark, lefts, rights):
     """asof_join (union + last_value window) == the naive per-row 'latest
     right at-or-before' scan, including no-match nulls and right-ts ties
@@ -138,6 +141,7 @@ def test_asof_join_matches_naive_reference(spark, lefts, rights):
     )
 )
 @SLOW
+@pytest.mark.slow
 def test_minhash_family_matches_python_reference(spark, hash_lists):
     """The reduceat kernel behind _minhash_family must equal the obvious
     Python computation: min over hashes of (a_i*h + b_i) mod p per family
@@ -185,6 +189,7 @@ _names = st.text(alphabet="abc", min_size=0, max_size=6)
 
 @given(names=st.lists(_names, min_size=2, max_size=12), k=st.sampled_from([1, 2]))
 @SLOW
+@pytest.mark.slow
 def test_edit_distance_pairs_complete_and_exact(spark, names, k):
     """FastSS blocking must be COMPLETE for levenshtein<=1 (no candidate
     lost to blocking) and the banded verify EXACT (no false pair kept) —
@@ -215,6 +220,7 @@ def test_edit_distance_pairs_complete_and_exact(spark, names, k):
     parts=st.integers(min_value=1, max_value=9),
 )
 @SLOW
+@pytest.mark.slow
 def test_heavy_hitters_equals_naive_reference(spark, vals, k, parts):
     """The Misra-Gries candidate pass + exact recount must return EXACTLY
     the naive full-GROUP-BY heavy hitters (count*k > total), for any data,
@@ -245,6 +251,7 @@ def test_heavy_hitters_equals_naive_reference(spark, vals, k, parts):
     )
 )
 @SLOW
+@pytest.mark.slow
 def test_scd2_batches_keep_history_invariants(spark, updates):
     """Applying any sequence of update batches one-by-one preserves the
     SCD2 invariants: exactly one open row per key ever seen, closed rows
@@ -412,6 +419,7 @@ def test_session_walk_equals_naive_sessionizer(events, gap_s, n_batches):
     threshold=st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
 )
 @SLOW
+@pytest.mark.slow
 def test_cosine_pairs_blocked_matches_naive_reference(
     spark, vecs, n_blocks, threshold
 ):
@@ -469,6 +477,7 @@ def test_cosine_pairs_blocked_matches_naive_reference(
     terms=st.lists(words, min_size=1, max_size=3, unique=True),
 )
 @SLOW
+@pytest.mark.slow
 def test_bm25_matches_python_reference(spark, docs, terms):
     """bm25_topk == a from-scratch Python Okapi BM25 (Lucene idf) over
     random corpora: same hit set, bit-identical scores (both sides do
@@ -509,6 +518,7 @@ def test_bm25_matches_python_reference(spark, docs, terms):
     n_b=st.integers(1, 10),
 )
 @SLOW
+@pytest.mark.slow
 def test_rrf_invariant_under_monotone_score_transform(spark, seed, n_a, n_b):
     """RRF depends only on RANKS: applying a strictly increasing transform
     to either list's scores must leave the fused output IDENTICAL (exact
@@ -545,6 +555,7 @@ def test_rrf_invariant_under_monotone_score_transform(spark, seed, n_a, n_b):
     n_langs=st.integers(2, 4),
 )
 @SLOW
+@pytest.mark.slow
 def test_trigram_langid_matches_python_reference(spark, seed, n_docs, n_langs):
     """TrigramLangIdScorer (fit + argmax scoring) must equal a from-scratch
     Python reference — independent trigram counting, add-one smoothing,
@@ -602,6 +613,7 @@ def test_trigram_langid_matches_python_reference(spark, seed, n_docs, n_langs):
     k=st.integers(1, 5),
 )
 @SLOW
+@pytest.mark.slow
 def test_rrf_grouped_tagged_matches_python_reference(
     spark, seed, n_hits, list_k, k
 ):

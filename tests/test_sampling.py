@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
 
+
+@pytest.mark.slow
 def test_temperature_mix_boosts_small_sources(spark):
     """alpha=0.5 tempering: the dominant source's share shrinks and the
     tiny source keeps (nearly) everything — rates derive from sqrt(n)."""
@@ -22,6 +25,7 @@ def test_temperature_mix_boosts_small_sources(spark):
     )
 
 
+@pytest.mark.slow
 def test_weighted_sample_k_properties(spark):
     from bigdata_usaspending_spark.operators.sampling import weighted_sample_k
 
@@ -81,6 +85,7 @@ def test_largest_remainder_quotas_exact_total_and_ties(spark):
     assert q2["x"] == 70 and q2["y"] == 20 and q2["z"] == 10
 
 
+@pytest.mark.slow
 def test_sample_quota_per_group_draws_exact_sizes(spark):
     from pyspark.sql import functions as F
 

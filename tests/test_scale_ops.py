@@ -119,6 +119,7 @@ def test_bucketed_join_no_shuffle(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+@pytest.mark.slow
 def test_tfidf_shape(spark, sf_small):
     docs = load(spark, sf_small, "documents").limit(50)
     out = tfidf_features(docs)
@@ -128,6 +129,7 @@ def test_tfidf_shape(spark, sf_small):
     assert row["tfidf"].numNonzeros() > 0
 
 
+@pytest.mark.slow
 def test_report_text_and_metrics(spark, sf_small, tmp_path):
     from bigdata_usaspending_spark.ml import pipelines as ml
     from bigdata_usaspending_spark.ml.adapter import awards_view
@@ -144,6 +146,7 @@ def test_report_text_and_metrics(spark, sf_small, tmp_path):
     assert metrics["regression_rmse"] > 0
 
 
+@pytest.mark.slow
 def test_pack_sequences_layout_and_partition_invariance(spark):
     from bigdata_usaspending_spark.operators.sampling import pack_sequences
 
@@ -170,6 +173,7 @@ def test_pack_sequences_layout_and_partition_invariance(spark):
         assert again == out
 
 
+@pytest.mark.slow
 def test_token_budget_head_boundary_and_partition_invariance(spark):
     from bigdata_usaspending_spark.operators.sampling import token_budget_head
 
@@ -230,6 +234,7 @@ def test_global_shuffle_is_reproducible_permutation(spark):
     assert reseeded != got
 
 
+@pytest.mark.slow
 def test_ivf_cell_partitioned_layout_prunes_probes(spark, sf_small, tmp_path):
     """The IVF 100-TB story (operators/similarity.py, SCALE.md): persist
     assignments partitioned by cell, and a probe of nprobe cells must prune

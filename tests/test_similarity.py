@@ -27,6 +27,7 @@ def _q(vecs):
     return vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
 
 
+@pytest.mark.slow
 def test_brute_force_topk_order(vecs):
     out = similarity.brute_force_topk(
         vecs.filter(F.col("vec_id") != 0), _q(vecs), k=3
@@ -44,6 +45,7 @@ def test_cosine_pairs_blocked_respects_blocks(vecs):
     assert (0, 4) not in pairs    # cosine -1 below threshold
 
 
+@pytest.mark.slow
 def test_ivf_assign_and_topk(vecs, spark):
     centroids = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
@@ -59,6 +61,7 @@ def test_ivf_assign_and_topk(vecs, spark):
     assert out[0].vec_id == 1
 
 
+@pytest.mark.slow
 def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
     """The persisted index probe must return EXACTLY what ivf_topk returns
     over the live frames (same centroids, same nprobe): the driver-side
@@ -131,6 +134,7 @@ def test_ivf_index_write_probe_matches_live_ivf(spark, sf_small, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_roundtrip(spark, sf_small, tmp_path):
     """The persisted IVF-PQ index (write → add → probe) must return
     EXACTLY what ivf_pq_topk returns over the live frames with the same
@@ -206,6 +210,7 @@ def test_ivf_pq_index_roundtrip(spark, sf_small, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_semantic_dedup_against_index(spark, tmp_path, vecs):
     """Incremental SemDeDup: batch rows duplicated by the index drop,
     earlier same-cell batch rows suppress later ones (pairwise min-id),
@@ -271,6 +276,7 @@ def test_ivf_recall_on_real_embeddings(spark, sf_small):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
 
 
+@pytest.mark.slow
 def test_ivf_recall_at_scale_multi_query(spark):
     """Second ANN quality gate: recall@10 vs brute force on the LARGEST
     synthetic embeddings table (sf0.1, 4x the small one), averaged over 5
@@ -412,6 +418,7 @@ def test_quantized_topk_recall_on_real_embeddings(spark, sf_small):
     assert len(exact & approx) >= 9
 
 
+@pytest.mark.slow
 def test_pq_recall_and_refinement_gain(spark):
     """PQ ANN quality gate on the largest synthetic embeddings (sf0.1,
     ~2000 vectors): measured recall@10 vs exact L2 at m=16, k=16,
@@ -451,6 +458,7 @@ def test_pq_recall_and_refinement_gain(spark):
     assert r2 > r0, f"Lloyd refinement must improve recall: init {r0}, refined {r2}"
 
 
+@pytest.mark.slow
 def test_pq_train_driver_matches_distributed(spark):
     """The driver-side (faiss-style bounded-sample) trainer must produce a
     codebook BIT-IDENTICAL to the distributed pq_train on the same training
@@ -479,6 +487,7 @@ def test_pq_train_driver_matches_distributed(spark):
         similarity.pq_train_driver(data, m=16, k=16, cap=10)
 
 
+@pytest.mark.slow
 def test_pq_encode_tiny_exact(spark):
     """Hand-checkable PQ on 2-D vectors: codes select the nearest subspace
     centroid, ADC+rerank ordering matches exact L2."""
@@ -794,6 +803,7 @@ def test_contamination_report_evidence(spark):
     assert kept == {2, 3} and kept.isdisjoint(rep)
 
 
+@pytest.mark.slow
 def test_ivf_pq_hybrid_end_to_end(spark, sf_small):
     """IVF-PQ composition: residuals subtract the assigned centroid
     exactly; the hybrid's top-k with everything probed and a deep rerank
@@ -850,6 +860,7 @@ def test_ivf_pq_hybrid_end_to_end(spark, sf_small):
     assert len(audit) == 10 and all(r.recall_ok for r in audit)
 
 
+@pytest.mark.slow
 def test_ivf_pq_adc_prune_exact_at_fewer_cells(spark, sf_small, tmp_path):
     """Residual-aware probe pruning (adc_prune): on clustered data the
     far probed cells' ADC lower bounds exceed the phase-1 shortlist
@@ -931,6 +942,7 @@ def test_ivf_pq_adc_prune_exact_at_fewer_cells(spark, sf_small, tmp_path):
     assert [(r.vec_id, r.l2sq) for r in a] == [(r.vec_id, r.l2sq) for r in b]
 
 
+@pytest.mark.slow
 def test_adc_prune_live_and_serving_paths_bit_equal(spark, tmp_path):
     """The shared pruning phase gives the LIVE ivf_pq_topk and the
     many-query serving path the same exactness contract as the persisted
@@ -983,6 +995,7 @@ def test_adc_prune_live_and_serving_paths_bit_equal(spark, tmp_path):
     assert sc == sc2 == "l2sq" and pruned_hits == plain_hits
 
 
+@pytest.mark.slow
 def test_adaptive_nprobe_exhaustive_equivalence(spark, sf_small, tmp_path):
     """Best-Bin-First adaptive nprobe: output bit-identical to the
     EXHAUSTIVE all-cells probe with strictly fewer directories scanned
@@ -1158,6 +1171,7 @@ def test_opq_monotone_and_audit(spark, sf_small):
     assert audit0["mse_opq"] == audit0["mse_pq"]
 
 
+@pytest.mark.slow
 def test_opq_rotated_index_lifecycle(spark, sf_small, tmp_path):
     """The persisted OPQ-IVF-PQ index (faiss IndexPreTransform pairing):
     write a rotated-space index with its rotation, probe with the RAW
@@ -1363,6 +1377,7 @@ def test_adc_prune_nan_lower_bound_is_unprunable():
     assert 2 in stats["cells_scanned"]
 
 
+@pytest.mark.slow
 def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
     """Compaction (VERDICT r12 #6): after N fragmented adds, compact
     must collapse each cell directory to ONE file and leave every probe
@@ -1469,6 +1484,7 @@ def test_ann_index_compact_bit_identical_probes(spark, sf_small, tmp_path):
     assert rep["vectors"] == stats["rows"] and rep["data_bytes"] > 0
 
 
+@pytest.mark.slow
 def test_ann_index_remove_lifecycle(spark, sf_small, tmp_path):
     """The takedown leg (faiss remove_ids analog): remove is a LOGICAL
     tombstone that every probe honors immediately; compact is the
@@ -1592,6 +1608,7 @@ def test_ann_index_remove_lifecycle(spark, sf_small, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ann_index_drift_gate(spark, sf_small, tmp_path):
     """The WHEN of the rebuild lifecycle: PSI between the index's LIVE
     per-cell histogram and an ingest sample assigned into the saved

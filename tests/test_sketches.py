@@ -157,6 +157,7 @@ def test_bloom_build_and_filter_rows(spark, sf_small):
     assert len(extras) <= max(5, 0.01 * len(member_ids))
 
 
+@pytest.mark.slow
 def test_dedup_bloom_matches_exact_path(spark, sf_small):
     docs = load(spark, sf_small, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 == 0)

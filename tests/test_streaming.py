@@ -66,6 +66,7 @@ def test_stream_keyed_rollup_matches_batch(spark, events_dir, events_schema):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_exact_dedup(spark, tmp_path):
     docs = spark.createDataFrame(
         [
@@ -86,6 +87,7 @@ def test_stream_exact_dedup(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_sessionize(spark, tmp_path):
     rows = [
         (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session A
@@ -223,6 +225,7 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == expected
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_schema):
     def split(df):
         purchases = df.filter(F.col("event_type") == "purchase").select(
@@ -324,6 +327,7 @@ def test_stream_enriched_rollup_matches_batch(spark, events_dir, events_schema):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_near_dedup_minhash_lsh(spark, tmp_path):
     import pandas as pd
 
@@ -854,6 +858,7 @@ def test_stream_text_scorer_seam(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_cms_monitor_never_undercounts(spark, tmp_path):
     """The streaming CMS's final estimate per token must never undercount
     the token's full stream history (hard CMS guarantee, preserved across
@@ -912,6 +917,7 @@ def test_stream_cms_monitor_null_tokens_and_shard_independence(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_cms_monitor_agrees_with_batch_build(spark, tmp_path):
     """Batch-agreement twin (the contract every other streaming job pins):
     the streaming monitor's FINAL estimate per token must be BIT-EQUAL to a
@@ -988,6 +994,7 @@ def test_stream_cms_monitor_agrees_with_batch_build(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_bm25_score_matches_batch_hits(spark, tmp_path):
     """The streaming BM25 hit stage must emit exactly the batch scoring
     map's rows (same frozen stats -> bit-identical scores): a stateless
@@ -1030,6 +1037,7 @@ def test_stream_bm25_score_matches_batch_hits(spark, tmp_path):
         jobs.stream_bm25_score(stream, queries, {"n": 0, "sdl": 0, "df": {}})
 
 
+@pytest.mark.slow
 def test_stream_trained_langid_via_model_artifact(spark, tmp_path):
     """The trained trigram LID rides the scorer seam on a STREAM through
     its JSON model artifact, bit-identical to the batch path — the same
@@ -1120,6 +1128,7 @@ def test_stream_lm_scorer_via_model_artifact(spark, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_stream_url_dedup(spark, tmp_path):
     """Streaming URL tier: canonical-URL dup dropped within the watermark,
     distinct URLs kept, null-URL rows pass through; agrees with the batch
@@ -1181,6 +1190,7 @@ def _rid_with_hash(prefix: str, lo: int, hi: int) -> str:
     raise AssertionError("no rid found in hash range")
 
 
+@pytest.mark.slow
 def test_stream_build_corpus_matches_batch(spark, tmp_path):
     """Incremental == recompute, bit-for-bit: streaming the fixture WARC
     documents in two micro-batch runs (restart between them) produces the
@@ -1323,6 +1333,7 @@ def test_stream_build_corpus_matches_batch(spark, tmp_path):
         jobs.corpus_manifest_from_state(spark, str(tmp_path / "nowhere"))
 
 
+@pytest.mark.slow
 def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     """Streaming SemDeDup tier: two micro-batch runs (restart between)
     leave the SAME state as one append over the union — INCLUDING the
@@ -1398,6 +1409,7 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     assert read_versioned_state(spark, state_b).count() == 7
 
 
+@pytest.mark.slow
 def test_stateful_stream_requires_checkpoint_once_committed(spark, tmp_path):
     """A fresh query without a checkpoint restarts batch_id at 0, and the
     exactly-once replay guard would silently discard every new batch as a
@@ -1471,6 +1483,7 @@ def test_stateful_stream_requires_checkpoint_once_committed(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_ann_search_matches_batch_probe(spark, sf_small, tmp_path):
     """Streaming vector search over a persisted index: every query's hits
     are bit-identical to the single-query batch probe (ivf_pq_index_topk
@@ -1552,6 +1565,7 @@ def test_stream_ann_search_matches_batch_probe(spark, sf_small, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_near_dedup_winnow_matches_batch(spark, tmp_path):
     """Streaming winnow tier: two micro-batch runs (restart between)
     leave the SAME ledger as one whole-input append — INCLUDING the
@@ -1634,6 +1648,7 @@ def test_stream_near_dedup_winnow_matches_batch(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_span_scrub_winnow_matches_batch(spark, tmp_path):
     """Streaming span scrub: two micro-batch runs (restart between) emit
     scrub outputs bit-equal to ONE whole-input winnow_span_scrub —
@@ -1708,6 +1723,7 @@ def test_stream_span_scrub_winnow_matches_batch(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_decontaminate_spans_matches_batch(spark, tmp_path):
     """Streaming passage-level decontamination: docs streamed against a
     frozen benchmark winnow-pos index emit scrub rows bit-identical to
@@ -1786,6 +1802,7 @@ def test_ann_search_batch_custom_index_columns(spark, tmp_path):
     assert got[0].doc_key in {"d0", "d3", "d6", "d9"}
 
 
+@pytest.mark.slow
 def test_stream_winnow_drop_evidence_matches_batch_spans(spark, tmp_path):
     """The evidence ledger (VERDICT r12 #3): two micro-batch appends with
     evidence=True must (a) make the SAME drop decisions as the plain
@@ -1860,6 +1877,7 @@ def test_stream_winnow_drop_evidence_matches_batch_spans(spark, tmp_path):
         jobs.winnow_dedup_append_batch(b2, state_p, 1, evidence=True, **kw)
 
 
+@pytest.mark.slow
 def test_stream_ann_index_add_exactly_once_and_compact(spark, tmp_path):
     """Streaming ANN ingestion: two micro-batch runs (restart between)
     leave an index whose probe is BIT-IDENTICAL to batch ivf_pq_index_add
@@ -1982,6 +2000,7 @@ def test_stream_ann_index_add_exactly_once_and_compact(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_winnow_index_dedup_matches_ledger_job(spark, tmp_path):
     """APPEND-ONLY streaming winnow dedup: two micro-batch runs over a
     persisted positioned index (built from an initial corpus) must make
@@ -2079,6 +2098,7 @@ def test_stream_winnow_index_dedup_matches_ledger_job(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_winnow_index_dedup_evidence_matches_ledger(spark, tmp_path):
     """evidence=True on the APPEND-ONLY form: sink drop-evidence rows
     must be bit-equal to the evidence LEDGER job's over the same feed —
@@ -2149,6 +2169,7 @@ def test_stream_winnow_index_dedup_evidence_matches_ledger(spark, tmp_path):
     assert 11 in {e[0] for e in got[21][1]}
 
 
+@pytest.mark.slow
 def test_winnow_index_dedup_batch_crash_replay_decisions(spark, tmp_path):
     """Replay after a crash INSIDE the index append must make the SAME
     decisions as a clean run (round-13 ADVICE, high): the crashed
@@ -2246,6 +2267,7 @@ def test_winnow_index_dedup_batch_crash_replay_decisions(spark, tmp_path):
     assert got_ev == want
 
 
+@pytest.mark.slow
 def test_stream_winnow_dedup_remove_interplay(spark, tmp_path):
     """Takedowns flowing through the STREAMING dedup (VERDICT r13 #3+#4
     interplay): a committed doc suppresses its near-dups in early
@@ -2307,6 +2329,7 @@ def test_stream_winnow_dedup_remove_interplay(spark, tmp_path):
     assert ids == {2, 20}
 
 
+@pytest.mark.slow
 def test_stream_ann_add_remove_interplay(spark, tmp_path):
     """Takedowns flowing through the STREAMING vector ingestion (the
     vector twin of the winnow interplay test): a remove lands mid-stream

@@ -691,6 +691,7 @@ def test_bigram_lm_pruned_external_artifact_degrades_to_unigram(tmp_path):
     assert out["log10_prob"][0] == pytest.approx(lp, rel=1e-15)
 
 
+@pytest.mark.slow
 def test_bm25_inverted_agrees_with_batch(spark):
     """The inverted-index formulation must retrieve the same (query, doc)
     pairs with the same scores (to float-ulp: its idf is JVM Math.log,
@@ -861,6 +862,7 @@ def test_ngram_char_fractions_brute_force(spark):
     assert got[3][3] and got[5][3]
 
 
+@pytest.mark.slow
 def test_winnow_md5_kernel_matches_hof_expression(spark):
     """The Arrow-vectorized portable winnowing kernel must be
     value-identical to the relational HOF chain it replaced (round-15
@@ -1007,6 +1009,7 @@ def test_winnow_md5_kernel_matches_hof_expression(spark):
     ]) == 1
 
 
+@pytest.mark.slow
 def test_winnow_xxhash64_kernel_matches_hof_expression(spark, sf_small):
     """Round 16: the PRODUCTION (xxhash64) winnowing path now runs the
     numpy-vectorized Arrow kernel — it must be value-identical to the
