@@ -1964,7 +1964,13 @@ def ann_search_batch(
             StructField(score_col, DoubleType(), True),
         ]
     )
-    out = spark.createDataFrame(hits, schema)
+    from ..io import local_frame
+
+    # trigger-bounded driver rows (k hits per query) as ONE slice —
+    # createDataFrame would parallelize them into defaultParallelism
+    # Python-runner slices per trigger and write that many tiny files
+    # into the sink partition (round 16, the io.local_frame contract)
+    out = local_frame(spark, hits, schema)
     (
         out.withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
